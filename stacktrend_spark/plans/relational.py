@@ -1,0 +1,429 @@
+"""Relational core: scans, projections, filters, aggregations, joins,
+set ops (SURVEY §2.1-2.4, §2.7) over the harness testdata tables.
+
+Each query mirrors an operator family the reference exercises; the
+Spark side is written plan-first (filters early so they push to the
+parquet scan, broadcast hints on dimension tables, single-pass
+aggregations) and the oracle is the same query in ANSI SQL for DuckDB.
+All computed doubles go through the shared deterministic rounding
+(functions/rounding.py) so both engines emit bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import (
+    davg,
+    dsum,
+    fround,
+    iscale,
+    sql_davg,
+    sql_dsum,
+    sql_iscale,
+    sql_round,
+)
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# A1/A6/A7 — hash aggregate, one pass, many aggs (the reference's
+# tech-level rollup shape, silver_to_gold_analytics.py:133-156).
+# TPC-H Q1-shaped pricing summary over lineitem.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            {sql_dsum('l_quantity', 0)}                                         AS sum_qty,
+            {sql_dsum('l_extendedprice', 2)}                                    AS sum_base_price,
+            CAST(SUM({sql_iscale('l_extendedprice', 2)}
+                     * (100 - {sql_iscale('l_discount', 2)})) AS DOUBLE) / 1e4  AS sum_disc_price,
+            CAST(SUM({sql_iscale('l_extendedprice', 2)}
+                     * (100 - {sql_iscale('l_discount', 2)})
+                     * (100 + {sql_iscale('l_tax', 2)})) AS DOUBLE) / 1e6       AS sum_charge,
+            {sql_davg('l_quantity', 0)}                                         AS avg_qty,
+            {sql_davg('l_extendedprice', 2)}                                    AS avg_price,
+            {sql_davg('l_discount', 2)}                                         AS avg_disc,
+            CAST(COUNT(*) AS BIGINT)                                            AS count_order,
+            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)                          AS n_orders
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship: one-pass multi-agg hash groupBy (A1/A6/A7); filter pushed to scan.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 0).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            (
+                F.sum(iscale("l_extendedprice") * (100 - iscale("l_discount")))
+                / F.lit(1e4)
+            ).alias("sum_disc_price"),
+            (
+                F.sum(
+                    iscale("l_extendedprice")
+                    * (100 - iscale("l_discount"))
+                    * (100 + iscale("l_tax"))
+                )
+                / F.lit(1e6)
+            ).alias("sum_charge"),
+            davg("l_quantity", 0).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2-style inner equi-join chain with broadcast dims — revenue by nation.
+# Mirrors the reference's only join topology (equi on a single key,
+# SURVEY §2.3) at the scan→join→agg shape of a gold rollup.
+# nation/region are tiny: broadcast, no shuffle on the big side.
+# ---------------------------------------------------------------------------
+@register(
+    "join_revenue_by_nation",
+    oracle=f"""
+        SELECT
+            n.n_name                                  AS nation,
+            r.r_name                                  AS region,
+            CAST(COUNT(*) AS BIGINT)                  AS n_orders,
+            {sql_dsum('o.o_totalprice')}                 AS revenue,
+            {sql_davg('o.o_totalprice')}                 AS avg_order_value,
+            CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    """,
+    doc="Multi-way inner equi-join (J2) with broadcast dimension tables.",
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            davg("o_totalprice").alias("avg_order_value"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — left outer join + null-aware aggregation (portfolio ⟕ activity,
+# personal_repos_silver_to_gold.py:166-176): customers with zero orders
+# must survive the join and be countable.
+# ---------------------------------------------------------------------------
+@register(
+    "join_left_customer_orders",
+    oracle=f"""
+        SELECT
+            c.c_mktsegment                                        AS mktsegment,
+            CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)           AS n_customers,
+            CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                       THEN c.c_custkey END) AS BIGINT)           AS n_inactive,
+            CAST(COUNT(o.o_orderkey) AS BIGINT)                   AS n_orders,
+            {sql_dsum('COALESCE(o.o_totalprice, 0)')}             AS revenue
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc="Left outer equi-join (J3) + coalesce null-handling (§2.8).",
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+            ).alias("n_inactive"),
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — left-anti equi-join (the "skip already-classified" split,
+# bronze_to_silver_transformation.py:474): customers with NO recent
+# orders (date-window restricted so the anti set is non-empty).
+# ---------------------------------------------------------------------------
+@register(
+    "join_anti_inactive_customers",
+    oracle=f"""
+        SELECT
+            n.n_name                           AS nation,
+            CAST(COUNT(*) AS BIGINT)           AS n_inactive,
+            {sql_davg('c.c_acctbal')}          AS avg_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        )
+        GROUP BY n.n_name
+    """,
+    doc="Left-anti join (J1) — the smart-classification skip split.",
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    inactive = customer.join(recent, "c_custkey", "left_anti")
+    return (
+        inactive.join(F.broadcast(nation), inactive.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inactive"),
+            davg("c_acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 (semi role) — left-semi join (the "needs metrics-only update" split,
+# bronze_to_silver_transformation.py:475): suppliers with 1995 shipments.
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi_active_suppliers",
+    oracle=f"""
+        SELECT
+            n.n_name                          AS nation,
+            CAST(COUNT(*) AS BIGINT)          AS n_suppliers,
+            {sql_dsum('s.s_acctbal')}          AS total_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        )
+        GROUP BY n.n_name
+    """,
+    doc="Left-semi join (J2-as-EXISTS) with a pushed-down range predicate.",
+)
+def join_semi_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li_1995 = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    active = supplier.join(li_1995, "s_suppkey", "left_semi")
+    return (
+        active.join(F.broadcast(nation), active.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A11 — global (no-key) aggregate, the market_pulse single-row shape
+# (silver_to_gold_analytics.py:567-580). Stays in-plan: no collect().
+# ---------------------------------------------------------------------------
+@register(
+    "agg_global_market_pulse",
+    oracle=f"""
+        SELECT
+            CAST(COUNT(*) AS BIGINT)                     AS n_orders,
+            CAST(COUNT(DISTINCT o_custkey) AS BIGINT)    AS n_customers,
+            {sql_dsum('o_totalprice')}                   AS total_revenue,
+            {sql_davg('o_totalprice')}                   AS avg_order_value,
+            {sql_round('MAX(o_totalprice)', 2)}          AS max_order_value,
+            {sql_round('MIN(o_totalprice)', 2)}          AS min_order_value
+        FROM orders
+    """,
+    doc="Global no-key aggregate (A5); replaces the reference's collect()-scalar pattern (A11 ⟲).",
+)
+def agg_global_market_pulse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice").alias("total_revenue"),
+        davg("o_totalprice").alias("avg_order_value"),
+        fround(F.max("o_totalprice"), 2).alias("max_order_value"),
+        fround(F.min("o_totalprice"), 2).alias("min_order_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — conditional aggregation: sum(when(cond,1)) count-ifs
+# (silver_to_gold_analytics.py:151,418,467; prb2s:592-594).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_conditional_by_priority",
+    oracle=f"""
+        SELECT
+            o_orderpriority                                              AS priority,
+            CAST(COUNT(*) AS BIGINT)                                     AS n_orders,
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+            CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+            {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS finished_revenue
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregates (A6): count-if / sum-if pivots by status.",
+)
+def agg_conditional_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).alias("n_big"),
+        dsum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)).alias("finished_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — stddev aggregation (star-dispersion / volatility,
+# silver_to_gold_analytics.py:469,576).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_stddev_acctbal",
+    oracle=f"""
+        SELECT
+            n.n_name                                     AS nation,
+            CAST(COUNT(*) AS BIGINT)                     AS n_customers,
+            {sql_davg('c.c_acctbal')}                    AS avg_acctbal,
+            {sql_round('STDDEV_SAMP(c.c_acctbal)', 4)}   AS stddev_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="Sample stddev per group (A8) — dispersion metrics.",
+)
+def agg_stddev_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal").alias("avg_acctbal"),
+            fround(F.stddev_samp("c_acctbal"), 4).alias("stddev_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9/A12 ⟲ — distinct rows + dropDuplicates replacing the reference's
+# driver-side seen-set dedup (github_data_ingestion.py:199-219).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_status_priority",
+    oracle="""
+        SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority
+        FROM orders
+    """,
+    doc="Distinct combinations (A9); distributed dedup replacing driver-side seen-set (A12 ⟲).",
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# U2 — per-period metrics union (the 7d/30d/90d loop,
+# personal_repos_bronze_to_silver.py:578-634) over the events table,
+# with a pinned as-of date (SURVEY §4 anti-pattern 4: no datetime.now()).
+# ---------------------------------------------------------------------------
+_EVENTS_AS_OF = "2024-01-31 00:00:00"
+
+
+@register(
+    "union_period_metrics",
+    oracle=f"""
+        SELECT * FROM (
+            SELECT
+                '7d'                                  AS measurement_period,
+                event_type,
+                CAST(COUNT(*) AS BIGINT)              AS n_events,
+                {sql_dsum('value')}                  AS total_value,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            WHERE ts >= TIMESTAMP '{_EVENTS_AS_OF}' - INTERVAL 7 DAY
+            GROUP BY event_type
+            UNION ALL
+            SELECT '30d', event_type, CAST(COUNT(*) AS BIGINT),
+                   {sql_dsum('value')}, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events
+            WHERE ts >= TIMESTAMP '{_EVENTS_AS_OF}' - INTERVAL 30 DAY
+            GROUP BY event_type
+            UNION ALL
+            SELECT '90d', event_type, CAST(COUNT(*) AS BIGINT),
+                   {sql_dsum('value')}, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM events
+            WHERE ts >= TIMESTAMP '{_EVENTS_AS_OF}' - INTERVAL 90 DAY
+            GROUP BY event_type
+        ) t
+    """,
+    doc="Iterated union of per-period aggregates (U2) with pinned as_of_date.",
+)
+def union_period_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    as_of = F.lit(_EVENTS_AS_OF).cast("timestamp")
+
+    def period(days: int, label: str) -> DataFrame:
+        return (
+            events.filter(F.col("ts") >= as_of - F.expr(f"INTERVAL {days} DAYS"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value").alias("total_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .select(
+                F.lit(label).alias("measurement_period"),
+                "event_type",
+                "n_events",
+                "total_value",
+                "n_users",
+            )
+        )
+
+    return period(7, "7d").union(period(30, "30d")).union(period(90, "90d"))

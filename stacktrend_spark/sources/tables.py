@@ -1,0 +1,71 @@
+"""Parquet table loaders for the harness testdata.
+
+Mirrors the reference's table-scan surface (SURVEY §2.1 S1/S2:
+``spark.table`` / ``spark.read.format(...).load`` at
+bronze_to_silver_transformation.py:639-641, silver_to_gold_analytics.py:91-96)
+re-expressed as plain columnar parquet scans. Filters and projections
+applied downstream reach the scan via Catalyst pushdown — callers
+should NOT pre-collect or pre-materialize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning + predicate pushdown
+    happen automatically; keep this a bare scan.
+
+    Parity confs are (re)applied here because the harness may hand us a
+    SparkSession we didn't build: UTC session time zone (DuckDB
+    timestamps are UTC-naive), and nanos-as-long for the ``events``
+    table whose parquet carries TIMESTAMP(NANOS) — Spark can't read
+    that natively, so we read nanos as int64 and truncate to
+    microseconds (the testdata's timestamps are µs-grained, so this is
+    lossless).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (SURVEY §2.1 S13 —
+    createOrReplaceTempView at github_data_ingestion.py:352 etc.) so
+    SQL-path queries can run against the same inputs."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
