@@ -1,0 +1,221 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only dedup is a driver-side seen-set,
+github_data_ingestion.py:199-219, replaced here by distributed ops —
+SURVEY §2.4 A12 ⟲). Four families, all expressed as shuffle-conscious
+DataFrame transforms:
+
+- **exact dedup**: hash-groupBy on a normalization key. One shuffle on
+  the 16-byte digest; at 100 TB this is the cheapest possible dedup
+  (shuffle carries only (digest, id)).
+- **MinHash + LSH**: word-shingles → k lexicographic-min digests →
+  banded signatures → candidate pairs via equi-join on band keys →
+  exact-Jaccard verification of candidates only. The join is on band
+  digests (uniform, no skew); candidate verification touches only the
+  (tiny) candidate set, never the full N² space.
+- **SimHash**: per-token digest-nibble bit votes aggregated per doc →
+  64 docs collapse to one 32-bit signature; near-dup candidates can
+  then band on signature bytes.
+- **n-gram Jaccard**: exact pairwise similarity via a shingle-posting
+  join — the quadratic baseline used to verify the sketch-based paths.
+
+Hash function: every digest is md5-of-string (salted by prefixing
+``"{salt}|"``), because md5 is bit-identical everywhere (JVM, DuckDB,
+Python) — which makes these sketches *oracle-checkable*, unlike
+xxhash64/murmur whose implementations differ per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) posting list of word n-grams (lowercased).
+
+    Built with array higher-order functions (whole-stage codegen'd) —
+    no Python UDF: split → transform(sequence) → explode.
+    """
+    w = F.split(F.lower(F.col(text_col)), " ")
+    joined = ", ' ', ".join(f"w[i + {j}]" for j in range(n))
+    shingle_expr = f"transform(sequence(0, size(w) - {n}), i -> concat({joined}))"
+    out = (
+        df.select(F.col(id_col), w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(F.col(id_col), F.explode(F.expr(shingle_expr)).alias("shingle"))
+    )
+    return out.distinct() if distinct else out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Group rows by a normalization key (e.g. md5(lower(text))) and
+    mark canonicals: returns (id, canonical_id, group_size, is_dup).
+    canonical = min id per group (deterministic)."""
+    keyed = df.select(F.col(id_col), key.alias("dedup_key"))
+    w = W.partitionBy("dedup_key")
+    return keyed.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """k min-digests per id from a (id, shingle) posting list.
+
+    One groupBy produces all k signature columns h0..h{k-1} — no
+    explode-by-salt blowup; each shingle row evaluates k codegen'd md5
+    calls, then min-aggregates. Shuffle: one, on id."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b) from minhash signatures.
+
+    Signatures fold into ``num_hashes/band_size`` band digests; the
+    (id, band_id, band_key) rows self-join on (band_id, band_key). The
+    join key is a digest → uniformly distributed → skew-free shuffle.
+    Pairs sharing multiple bands are de-duplicated with distinct()."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat(*cols)).alias("band_key"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard over a (id, shingle) posting list.
+
+    With ``pairs`` given (candidate set from LSH), only those pairs are
+    scored — the semi-join keeps the posting join linear in candidate
+    volume. Without, scores every co-occurring pair (quadratic in
+    shingle document-frequency; the verification baseline).
+    Returns (id_a, id_b, n_common, n_a, n_b) — jaccard left to the
+    caller so it can apply deterministic rounding."""
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        common.join(F.broadcast(sa), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.col("sa.sz").alias("n_a"),
+            F.col("sb.sz").alias("n_b"),
+        )
+    )
+    if threshold > 0.0:
+        jac = F.col("n_common").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common")
+        ).cast("double")
+        out = out.filter(jac >= threshold)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+_HIGH_NIBBLES = "89abcdef"
+
+
+def simhash_bit_vote(token_col: str, bit: int) -> Column:
+    """±1 vote of ``token`` for signature bit ``bit`` (1-based): the
+    high bit of the bit-th hex nibble of md5(token). Pure string ops →
+    bit-identical across engines."""
+    nibble = F.substring(F.md5(F.col(token_col)), bit, 1)
+    return F.when(F.instr(F.lit(_HIGH_NIBBLES), nibble) > 0, 1).otherwise(-1)
+
+
+def sql_simhash_bit_vote(token_expr: str, bit: int) -> str:
+    return (
+        f"CASE WHEN INSTR('{_HIGH_NIBBLES}', SUBSTR(MD5({token_expr}), {bit}, 1)) > 0 "
+        f"THEN 1 ELSE -1 END"
+    )
+
+
+def simhash(tokens: DataFrame, id_col: str, token_col: str = "token") -> DataFrame:
+    """32-bit SimHash per id from a (id, token) list (frequency-weighted:
+    duplicate tokens vote repeatedly, the standard weighting).
+
+    One groupBy with 32 conditional-sum columns (all codegen'd), then a
+    single expression folds sign bits into the integer signature —
+    no per-row Python, one shuffle."""
+    votes = [
+        F.sum(simhash_bit_vote(token_col, b)).alias(f"v{b}")
+        for b in range(1, SIMHASH_BITS + 1)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(1, SIMHASH_BITS + 1):
+        bit_val = F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - 1))).otherwise(F.lit(0))
+        sig = bit_val if sig is None else sig + bit_val
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference north-star capability (BASELINE.json): approximate
+nearest neighbor over an embedding column.
+
+- **brute-force cosine top-k** — the exact baseline. Queries are tiny
+  (top-k per a handful of probes) → broadcast them; candidates stream
+  through a codegen'd zip_with/aggregate dot product; per-query top-k
+  via partitioned row_number so no global sort.
+- **bucketed (IVF-style) top-k** — the scale path: restrict candidates
+  to the probe's coarse partition (here the testdata's ``label`` column
+  stands in for a k-means cell id). Candidate volume drops by the
+  bucket fan-out; the join becomes an equi-join on bucket id, which at
+  100 TB turns an O(Q·N) scan into O(Q·N/cells) with
+  partition-pruned reads if the table is written partitioned by cell.
+
+All arithmetic is float→double cast then sequential sum — verified
+bit-identical with DuckDB's list_dot_product, which is what makes these
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import fround
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two float arrays in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector.
+
+    ``queries`` must carry (id_col, vec_col) [+ bucket_col]; it is
+    broadcast. With ``bucket_col`` the candidate set is restricted to
+    the query's bucket (IVF-style coarse quantization); without, the
+    full corpus is scanned (brute force).
+
+    Ranking is on the ROUNDED similarity with the candidate id as
+    tiebreaker, so the selected k-set is deterministic.
+    Returns (query_id, neighbor_id, cosine_sim, sim_rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        *([F.col(bucket_col).alias("q_bucket")] if bucket_col else []),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        *([F.col(bucket_col).alias("c_bucket")] if bucket_col else []),
+    )
+    if bucket_col:
+        joined = c.join(F.broadcast(q), F.col("q_bucket") == F.col("c_bucket"))
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        fround(cosine(F.col("q_vec"), F.col("c_vec")), round_decimals).alias(
+            "cosine_sim"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sim_rank") <= k)
+    )

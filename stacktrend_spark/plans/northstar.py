@@ -1,1 +1,451 @@
-"""Populated in later commits."""
+"""North-star training-data-pipeline queries (BASELINE.json): dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + IVF-bucketed cosine top-k), text analysis (token stats,
+quality, language ID, fingerprints), multimodal binary plumbing.
+
+Every sketch is built on md5-of-string digests so the full pipeline —
+shingle → sketch → candidate join → verification — is bit-identical in
+DuckDB and therefore oracle-checked, not just smoke-tested. Corpora
+with guaranteed duplicates are synthesized deterministically from the
+documents table (exact copies / truncated near-copies) on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import fround, sql_round
+from stacktrend_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    sql_simhash_bit_vote,
+    word_shingles,
+    SIMHASH_BITS,
+)
+from stacktrend_spark.operators.similarity import cosine_topk
+from stacktrend_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    LANG_MARKERS,
+)
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# deterministic corpora with planted duplicates (same construction on
+# both engines)
+# ---------------------------------------------------------------------------
+
+_SQL_CORPUS_EXACT = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+_SQL_CORPUS_NEAR = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, SUBSTR(text, 1, LENGTH(text) - 20) AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+_SQL_SHINGLES_3 = """
+    SELECT DISTINCT doc_id,
+           UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS shingle
+    FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM corpus)
+    WHERE len(w) >= 3
+"""
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 20)").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 1 — exact (hash-groupBy on normalization digest)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+        WITH corpus AS ({_SQL_CORPUS_EXACT}),
+        keyed AS (SELECT doc_id, MD5(LOWER(text)) AS dedup_key FROM corpus)
+        SELECT
+            doc_id,
+            MIN(doc_id) OVER (PARTITION BY dedup_key)          AS canonical_id,
+            COUNT(*) OVER (PARTITION BY dedup_key)             AS group_size,
+            doc_id <> MIN(doc_id) OVER (PARTITION BY dedup_key) AS is_dup
+        FROM keyed
+    """,
+    doc="Exact dedup via content-digest groupBy; shuffle carries only (digest, id).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_exact(spark, sf_dir)
+    return exact_dedup_groups(corpus, "doc_id", F.md5(F.lower(F.col("text"))))
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2 — MinHash + banded LSH + exact-Jaccard verification
+# ---------------------------------------------------------------------------
+_MINHASH_K = 8
+_BAND_SIZE = 2
+_JACCARD_THRESHOLD = 0.4
+
+_SQL_SIG_COLS = ",\n            ".join(
+    f"MIN(MD5('{i}|' || shingle)) AS h{i}" for i in range(_MINHASH_K)
+)
+_SQL_BANDS = "\n            UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, MD5(h{2 * b} || h{2 * b + 1}) AS band_key FROM sig"
+    for b in range(_MINHASH_K // _BAND_SIZE)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH corpus AS ({_SQL_CORPUS_NEAR}),
+        sh AS ({_SQL_SHINGLES_3}),
+        sig AS (
+            SELECT doc_id,
+            {_SQL_SIG_COLS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {_SQL_BANDS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT
+            c.id_a, c.id_b, cm.n_common, sa.sz AS n_a, sb.sz AS n_b,
+            {sql_round('CAST(cm.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE)', 6)} AS jaccard
+        FROM cand c
+        JOIN common cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+        WHERE CAST(cm.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE)
+              >= {_JACCARD_THRESHOLD}
+    """,
+    doc="MinHash→banded-LSH candidates→exact-Jaccard verify; digests skew-free, oracle-exact.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_near(spark, sf_dir)
+    shingled = word_shingles(corpus, "doc_id", "text", n=3)
+    sigs = minhash_signatures(shingled, "doc_id", num_hashes=_MINHASH_K)
+    cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, band_size=_BAND_SIZE)
+    scored = jaccard_pairs(shingled, "doc_id", pairs=cand)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return scored.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", fround(jac, 6).alias("jaccard")
+    ).filter(jac >= _JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3 — SimHash signatures (32-bit, md5-nibble bit votes)
+# ---------------------------------------------------------------------------
+_SQL_SIMHASH_VOTES = ",\n            ".join(
+    f"SUM({sql_simhash_bit_vote('word', b)}) AS v{b}" for b in range(1, SIMHASH_BITS + 1)
+)
+_SQL_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << (b - 1)} ELSE 0 END)"
+    for b in range(1, SIMHASH_BITS + 1)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id,
+            {_SQL_SIMHASH_VOTES}
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({_SQL_SIMHASH_FOLD} AS BIGINT) AS simhash
+        FROM votes
+    """,
+    doc="32-bit SimHash per doc: 32 codegen'd conditional sums, one shuffle, oracle-exact.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    return simhash(toks, "doc_id", "token")
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4 — exact n-gram Jaccard over all co-occurring pairs (the
+# quadratic verification baseline for the sketch paths)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        sh AS ({_SQL_SHINGLES_3}),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT
+            cm.id_a, cm.id_b, cm.n_common, sa.sz AS n_a, sb.sz AS n_b,
+            {sql_round('CAST(cm.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE)', 6)} AS jaccard
+        FROM common cm
+        JOIN sizes sa ON cm.id_a = sa.doc_id
+        JOIN sizes sb ON cm.id_b = sb.doc_id
+        WHERE CAST(cm.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - cm.n_common AS BIGINT) >= 0.05
+    """,
+    doc="Exact pairwise n-gram Jaccard via shingle-posting join (quadratic baseline).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = word_shingles(docs, "doc_id", "text", n=3)
+    scored = jaccard_pairs(shingled, "doc_id", threshold=0.05)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return scored.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", fround(jac, 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity 1 — brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+_SQL_COSINE = (
+    "list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(c.embedding, x -> CAST(x AS DOUBLE)))"
+    " / (SQRT(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(q.embedding, x -> CAST(x AS DOUBLE))))"
+    " * SQRT(list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(c.embedding, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+        SELECT * FROM (
+            SELECT
+                q.vec_id AS query_id,
+                c.vec_id AS neighbor_id,
+                {sql_round(_SQL_COSINE, 6)} AS cosine_sim,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {sql_round(_SQL_COSINE, 6)} DESC, c.vec_id) AS BIGINT) AS sim_rank
+            FROM embeddings q
+            CROSS JOIN embeddings c
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        ) t WHERE sim_rank <= 5
+    """,
+    doc="Brute-force cosine top-k: broadcast queries, codegen'd dot product, per-query rank.",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Similarity 2 — IVF-style bucketed top-k (label = coarse cell id):
+# the 100 TB scale path — candidates restricted to the probe's cell.
+# ---------------------------------------------------------------------------
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+        SELECT * FROM (
+            SELECT
+                q.vec_id AS query_id,
+                c.vec_id AS neighbor_id,
+                {sql_round(_SQL_COSINE, 6)} AS cosine_sim,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {sql_round(_SQL_COSINE, 6)} DESC, c.vec_id) AS BIGINT) AS sim_rank
+            FROM embeddings q
+            JOIN embeddings c ON q.label = c.label
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        ) t WHERE sim_rank <= 3
+    """,
+    doc="IVF-bucketed cosine top-k: equi-join on coarse cell id prunes the candidate space.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=3, bucket_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Text 1 — token statistics
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents
+        )
+        SELECT
+            doc_id,
+            CAST(LEN(toks) AS BIGINT)                        AS n_tokens,
+            CAST(LEN(list_distinct(toks)) AS BIGINT)         AS n_distinct_tokens,
+            {sql_round('CAST(LEN(list_distinct(toks)) AS DOUBLE) / CAST(LEN(toks) AS DOUBLE)', 6)} AS type_token_ratio,
+            {sql_round('CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / CAST(LEN(toks) AS DOUBLE)', 6)} AS avg_token_len
+        FROM t
+    """,
+    doc="Per-doc token counts / distinct / TTR / exact mean token length (codegen'd arrays).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Text 2 — quality scoring (additive scorecard, b2s:769-782 pattern)
+# ---------------------------------------------------------------------------
+_SQL_STOPWORDS = "['the', 'a', 'an', 'of', 'and', 'or', 'is', 'in', 'to']"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH feat AS (
+            SELECT
+                doc_id,
+                STRING_SPLIT(LOWER(text), ' ') AS toks,
+                CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct
+            FROM documents
+        ),
+        scored AS (
+            SELECT
+                doc_id,
+                CAST(LEN(toks) AS BIGINT) AS n_tokens,
+                CAST(LEN(list_filter(toks, x -> list_contains({_SQL_STOPWORDS}, x))) AS DOUBLE)
+                    / CAST(LEN(toks) AS DOUBLE) AS stop_ratio,
+                n_punct / n_chars AS punct_ratio,
+                LEAST(100.0, GREATEST(0.0,
+                    LEAST(40.0, CAST(LEN(toks) AS DOUBLE) / 2.0)
+                    + LEAST(30.0, (CAST(LEN(list_filter(toks, x -> list_contains({_SQL_STOPWORDS}, x))) AS DOUBLE)
+                                   / CAST(LEN(toks) AS DOUBLE)) * 300.0)
+                    - LEAST(20.0, (n_punct / n_chars) * 100.0)
+                    + 30.0)) AS score
+            FROM feat
+        )
+        SELECT
+            doc_id, n_tokens,
+            {sql_round('stop_ratio', 6)}  AS stopword_ratio,
+            {sql_round('punct_ratio', 6)} AS punct_ratio,
+            {sql_round('score', 6)}       AS quality_score,
+            CASE WHEN {sql_round('score', 6)} >= 80 THEN 'high'
+                 WHEN {sql_round('score', 6)} >= 55 THEN 'medium'
+                 ELSE 'low' END           AS quality_tier
+        FROM scored
+    """,
+    doc="Additive text-quality scorecard (length/stopword/punct) + tier CASE.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Text 3 — heuristic language ID (marker-token argmax)
+# ---------------------------------------------------------------------------
+def _sql_lang_score(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return (
+        f"CAST(LEN(list_filter(STRING_SPLIT(LOWER(text), ' '), "
+        f"x -> list_contains({arr}, x))) AS BIGINT)"
+    )
+
+
+_LANGS = sorted(LANG_MARKERS)
+_SQL_LANG_SCORES = ",\n            ".join(
+    f"{_sql_lang_score(lang)} AS score_{lang}" for lang in _LANGS
+)
+_SQL_BEST = "GREATEST(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+_SQL_PRED = (
+    "CASE "
+    + " ".join(f"WHEN score_{lang} = {_SQL_BEST} THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+            {_SQL_LANG_SCORES}
+            FROM documents
+        )
+        SELECT doc_id, {", ".join(f"score_{lang}" for lang in _LANGS)},
+               {_SQL_PRED} AS predicted_lang
+        FROM scored
+    """,
+    doc="Heuristic marker-token language ID with deterministic argmax.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Text 4 — document fingerprints (salted min-digests over 4-gram shingles)
+# ---------------------------------------------------------------------------
+_SQL_SHINGLES_4 = """
+    SELECT DISTINCT doc_id,
+           UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] FOR i IN range(1, len(w) - 2)]) AS shingle
+    FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents)
+    WHERE len(w) >= 4
+"""
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH sh AS ({_SQL_SHINGLES_4})
+        SELECT doc_id,
+               MIN(MD5('fp0|' || shingle)) AS fp0,
+               MIN(MD5('fp1|' || shingle)) AS fp1
+        FROM sh GROUP BY doc_id
+    """,
+    doc="Winnowing-style salted min-digest fingerprints — cheap near-dup blocking keys.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = word_shingles(docs, "doc_id", "text", n=4)
+    return fingerprint(shingled, "doc_id", num_fingerprints=2)
