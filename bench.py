@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is timed as a full materialization (count of the result —
+forces the whole plan without driver-side toPandas overhead). A warmup
+query first absorbs JVM/codegen startup so per-query numbers reflect
+steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stacktrend_spark.plans.registry import all_queries
+from stacktrend_spark.session import get_spark
+
+#: headline set: the flagship rollup, a shuffle-heavy join chain, the
+#: full gold-layer acceptance surface, and the scale-critical
+#: training-data operators.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "window_lag_monthly_trend",
+    "sessionize_events",
+    "gold_tech_metrics",
+    "gold_repo_ranks",
+    "gold_trend_daily",
+    "gold_repo_health_dashboard",
+    "merge_upsert_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    specs = all_queries()
+
+    # warmup: absorb JVM + codegen compile cost
+    specs["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries_registered": len(specs),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,12 +46,16 @@ def word_shingles(
     w = F.split(F.lower(F.col(text_col)), " ")
     joined = ", ' ', ".join(f"w[i + {j}]" for j in range(n))
     shingle_expr = f"transform(sequence(0, size(w) - {n}), i -> concat({joined}))"
-    out = (
+    if distinct:
+        # dedup inside the array BEFORE exploding: per-doc distinct is
+        # equivalent to a global (id, shingle) distinct but needs no
+        # shuffle — array_distinct runs in the same narrow stage
+        shingle_expr = f"array_distinct({shingle_expr})"
+    return (
         df.select(F.col(id_col), w.alias("w"))
         .filter(F.size("w") >= n)
         .select(F.col(id_col), F.explode(F.expr(shingle_expr)).alias("shingle"))
     )
-    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -136,28 +140,47 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over a (id, shingle) posting list.
 
-    With ``pairs`` given (candidate set from LSH), only those pairs are
-    scored — the semi-join keeps the posting join linear in candidate
-    volume. Without, scores every co-occurring pair (quadratic in
-    shingle document-frequency; the verification baseline).
+    With ``pairs`` given (candidate set from LSH), intersections are
+    computed ONLY for those pairs: the candidate list is joined to the
+    posting list per side, so the work is O(candidates × shingles-per-
+    doc) — linear, never the full N² co-occurrence space. Without,
+    scores every co-occurring pair via a posting self-join (quadratic
+    in shingle document-frequency; the verification baseline).
     Returns (id_a, id_b, n_common, n_a, n_b) — jaccard left to the
     caller so it can apply deterministic rounding."""
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if pairs is not None:
-        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
+        # candidate-driven intersection: pairs ⋈ postings(a) ⋈ postings(b)
+        sh_a = shingled.select(
+            F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a")
+        )
+        sh_b = shingled.select(
+            F.col(id_col).alias("_sh_id_b"), F.col("shingle").alias("sh_b")
+        )
+        common = (
+            pairs.join(sh_a, "id_a")
+            .join(
+                sh_b,
+                (F.col("id_b") == F.col("_sh_id_b"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     out = (
@@ -206,14 +229,21 @@ def simhash(tokens: DataFrame, id_col: str, token_col: str = "token") -> DataFra
     """32-bit SimHash per id from a (id, token) list (frequency-weighted:
     duplicate tokens vote repeatedly, the standard weighting).
 
-    One groupBy with 32 conditional-sum columns (all codegen'd), then a
-    single expression folds sign bits into the integer signature —
-    no per-row Python, one shuffle."""
+    The digest is projected ONCE per token row (md5 is the expensive
+    part — without the pre-projection each of the 32 vote columns would
+    re-hash), then one groupBy with 32 conditional-sum columns (all
+    codegen'd) and a single expression folding sign bits into the
+    integer signature — no per-row Python, one shuffle."""
+    digested = tokens.select(F.col(id_col), F.md5(F.col(token_col)).alias("_digest"))
     votes = [
-        F.sum(simhash_bit_vote(token_col, b)).alias(f"v{b}")
+        F.sum(
+            F.when(
+                F.instr(F.lit(_HIGH_NIBBLES), F.substring(F.col("_digest"), b, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
         for b in range(1, SIMHASH_BITS + 1)
     ]
-    agg = tokens.groupBy(id_col).agg(*votes)
+    agg = digested.groupBy(id_col).agg(*votes)
     sig = None
     for b in range(1, SIMHASH_BITS + 1):
         bit_val = F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - 1))).otherwise(F.lit(0))

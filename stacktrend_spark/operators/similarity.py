@@ -70,24 +70,35 @@ def cosine_topk(
     tiebreaker, so the selected k-set is deterministic.
     Returns (query_id, neighbor_id, cosine_sim, sim_rank).
     """
+    # norms and double-casts are projected once per side BEFORE the
+    # join — inside the pair expression they would redo the O(dim)
+    # reduction / per-element cast for every (query, candidate) pair
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        as_double.alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
         *([F.col(bucket_col).alias("q_bucket")] if bucket_col else []),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        as_double.alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
         *([F.col(bucket_col).alias("c_bucket")] if bucket_col else []),
     )
     if bucket_col:
         joined = c.join(F.broadcast(q), F.col("q_bucket") == F.col("c_bucket"))
     else:
         joined = c.crossJoin(F.broadcast(q))
+    raw_dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        fround(cosine(F.col("q_vec"), F.col("c_vec")), round_decimals).alias(
+        fround(raw_dot / (F.col("q_norm") * F.col("c_norm")), round_decimals).alias(
             "cosine_sim"
         ),
     )

@@ -157,8 +157,12 @@ _SQL_BANDS = "\n            UNION ALL ".join(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_near(spark, sf_dir)
-    shingled = word_shingles(corpus, "doc_id", "text", n=3)
-    sigs = minhash_signatures(shingled, "doc_id", num_hashes=_MINHASH_K)
+    # the posting list feeds signatures AND both sides of verification,
+    # and signatures feed both sides of the band self-join — persist
+    # both or the explode+md5 lineage recomputes ~6× (SURVEY §4
+    # anti-pattern 1: cache once instead of re-triggering lineage)
+    shingled = word_shingles(corpus, "doc_id", "text", n=3).persist()
+    sigs = minhash_signatures(shingled, "doc_id", num_hashes=_MINHASH_K).persist()
     cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, band_size=_BAND_SIZE)
     scored = jaccard_pairs(shingled, "doc_id", pairs=cand)
     jac = F.col("n_common").cast("double") / (
