@@ -1,0 +1,91 @@
+"""Medallion storage layer: bronze/silver/gold namespaces over
+partitioned parquet, with the reference's write policies.
+
+The reference writes to per-layer Fabric lakehouses (settings.py:28-30)
+with two write modes: full overwrite + overwriteSchema + partitionBy
+(b2s:935-941 etc.) and SQL MERGE upserts (SURVEY §2.1 S10-S14). Here a
+layer is a directory namespace; overwrite keeps the same
+partitionBy("partition_date", ...) layout (partition pruning works
+identically) and upserts run through operators/merge.py then rewrite —
+on a Delta-enabled cluster the same call sites would emit MERGE INTO
+with partition-aligned file skipping.
+
+100 TB notes: writes always partitionBy partition_date (+ a secondary
+dimension when the reference does) so daily reruns only touch one
+partition; readers filter on partition_date and get directory-level
+pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stacktrend_spark.operators.merge import (
+    merge_insert_only,
+    merge_preserve,
+    merge_upsert,
+)
+
+LAYERS = ("bronze", "silver", "gold")
+
+
+class MedallionStore:
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, layer: str, table: str) -> str:
+        if layer not in LAYERS:
+            raise ValueError(f"unknown layer {layer!r}")
+        return os.path.join(self.root, layer, table)
+
+    def exists(self, layer: str, table: str) -> bool:
+        return os.path.isdir(self.path(layer, table))
+
+    def read(self, spark: SparkSession, layer: str, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(layer, table))
+
+    def overwrite(
+        self, df: DataFrame, layer: str, table: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Full overwrite (S10): mode=overwrite + partitionBy — the
+        reference's overwriteSchema is implicit for parquet dirs."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(layer, table))
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        keys: list[str],
+        policy: str = "upsert",
+        partition_by: list[str] | None = None,
+        preserve_cols: list[str] | None = None,
+        preserve_when=None,
+    ) -> None:
+        """Keyed merge write (S11/S12/S14). policy ∈ {upsert,
+        insert_only, preserve}. First write = plain write (the MERGE
+        no-target case)."""
+        if not self.exists(layer, table):
+            merged = df if policy != "insert_only" else df.dropDuplicates(keys)
+        else:
+            target = self.read(spark, layer, table).select(*df.columns)
+            if policy == "upsert":
+                merged = merge_upsert(target, df, keys)
+            elif policy == "insert_only":
+                merged = merge_insert_only(target, df, keys)
+            elif policy == "preserve":
+                merged = merge_preserve(
+                    target, df, keys, preserve_cols or [], preserve_when
+                )
+            else:
+                raise ValueError(f"unknown merge policy {policy!r}")
+        # parquet dirs can't be read and overwritten in one job —
+        # materialize then rewrite (Delta MERGE removes this at scale)
+        merged = merged.localCheckpoint(eager=True)
+        self.overwrite(merged, layer, table, partition_by)
