@@ -107,3 +107,50 @@ def cosine_topk(
         scored.withColumn("sim_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sim_rank") <= k)
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
+    inside the same coarse bucket with cosine >= threshold.
+
+    The bucket equi-join is the scale lever: pair volume is
+    sum(bucket²) instead of N², and with the table written partitioned
+    by bucket the join is co-located (no shuffle of the big side). At
+    100 TB the bucket id comes from a k-means/LSH assignment upstream;
+    here the testdata's ``label`` plays that role.
+    Returns (id_a, id_b, cosine_sim).
+    """
+    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sides = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(bucket_col).alias("bucket"),
+        as_double.alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = sides.select(
+        F.col("id").alias("id_a"), "bucket",
+        F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), "bucket",
+        F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"),
+    )
+    raw_dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = fround(raw_dot / (F.col("nrm_a") * F.col("nrm_b")), round_decimals)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -173,6 +173,61 @@ class LLMClassifier(Classifier):
         )
 
 
+def detect_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Classification drift detection (llm_classifier.py:365-418,
+    ClassificationDriftDetector.detect_drift) as a DataFrame job
+    instead of driver-side dict comparison.
+
+    Joins old vs new labels on repository_id and grades each change:
+
+    - ``high``   — category changed and BOTH sides were confident
+      (>= 0.8): the model disagrees with itself on a clear call;
+    - ``medium`` — category changed with mixed/low confidence;
+    - ``low``    — same category, subcategory changed.
+
+    Returns (repository_id, old/new category+confidence, drift_severity)
+    for changed rows only. Distributed: at 100 TB this is one
+    broadcast-or-sort-merge equi-join, no collect.
+    """
+    o = old.select(
+        "repository_id",
+        F.col("technology_category").alias("old_category"),
+        F.col("technology_subcategory").alias("old_subcategory"),
+        F.col("classification_confidence").alias("old_confidence"),
+    )
+    n = new.select(
+        "repository_id",
+        F.col("technology_category").alias("new_category"),
+        F.col("technology_subcategory").alias("new_subcategory"),
+        F.col("classification_confidence").alias("new_confidence"),
+    )
+    joined = o.join(n, "repository_id")
+    cat_changed = F.col("old_category") != F.col("new_category")
+    sub_changed = F.col("old_subcategory") != F.col("new_subcategory")
+    severity = (
+        F.when(
+            cat_changed
+            & (F.col("old_confidence") >= 0.8)
+            & (F.col("new_confidence") >= 0.8),
+            "high",
+        )
+        .when(cat_changed, "medium")
+        .when(sub_changed, "low")
+    )
+    return (
+        joined.withColumn("drift_severity", severity)
+        .filter(F.col("drift_severity").isNotNull())
+        .select(
+            "repository_id",
+            "old_category",
+            "new_category",
+            "old_confidence",
+            "new_confidence",
+            "drift_severity",
+        )
+    )
+
+
 def apply_classification(repos: DataFrame, labels: DataFrame) -> DataFrame:
     """Attach classification columns via broadcast hash join — replaces
     the reference's collect()-into-dict-closure UDFs (b2s:498,533-575;

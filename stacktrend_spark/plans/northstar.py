@@ -26,7 +26,8 @@ from stacktrend_spark.operators.dedup import (
     word_shingles,
     SIMHASH_BITS,
 )
-from stacktrend_spark.operators.similarity import cosine_topk
+from stacktrend_spark.operators.multimodal import attach_binary, extract_features
+from stacktrend_spark.operators.similarity import cosine_near_dup_pairs, cosine_topk
 from stacktrend_spark.operators.text import (
     fingerprint,
     language_id,
@@ -310,6 +311,94 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk(emb, queries, k=3, bucket_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Dedup 5 — embedding-cosine near-duplicates. The testdata embeddings
+# are random (max same-label cosine ≈ 0.47), so near-dups are PLANTED
+# deterministically on both sides: every 10th vector gets a copy with
+# its last 8 dims zeroed (cosine to the original = |head|/|full| ≈ 0.93).
+# ---------------------------------------------------------------------------
+_NEAR_DUP_THRESHOLD = 0.85
+_ZEROS_8 = "[" + ", ".join("CAST(0 AS FLOAT)" for _ in range(8)) + "]"
+
+_SQL_EMB_CORPUS = f"""
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           embedding[1:56] || {_ZEROS_8} AS embedding,
+           label
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_SQL_PAIR_COSINE = (
+    "list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+    " / (SQRT(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(a.embedding, x -> CAST(x AS DOUBLE))))"
+    " * SQRT(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    zeros = F.array(*[F.lit(0.0).cast("float") for _ in range(8)])
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.slice("embedding", 1, 56), zeros).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(copies)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        WITH emb AS ({_SQL_EMB_CORPUS})
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {sql_round(_SQL_PAIR_COSINE, 6)} AS cosine_sim
+        FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {sql_round(_SQL_PAIR_COSINE, 6)} >= {_NEAR_DUP_THRESHOLD}
+    """,
+    doc="Embedding-cosine near-dup pairs via bucket equi-join (label = coarse cell).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_near_dup_pairs(
+        _emb_corpus(spark, sf_dir), threshold=_NEAR_DUP_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal — binary payload + metadata + Arrow-batched feature
+# extraction (decode step stubbed deterministically; see
+# operators/multimodal.py)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    oracle="""
+        WITH m AS (
+            SELECT
+                doc_id,
+                ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                CAST(CASE WHEN LENGTH(text) > 0 THEN ascii(text[1]) ELSE -1 END AS BIGINT) AS first_byte
+            FROM documents
+        )
+        SELECT
+            doc_id, media_type, n_bytes, first_byte,
+            64 + n_bytes % 64        AS width,
+            64 + (7 * n_bytes) % 64  AS height,
+            1 + n_bytes % 8          AS n_frames,
+            n_bytes // (1 + n_bytes % 8) AS frame_step,
+            (n_bytes % 8) * (n_bytes // (1 + n_bytes % 8)) AS last_frame_offset
+        FROM m
+    """,
+    doc="Multimodal binary plumbing: payload bytes → mapInPandas feature extraction.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs))
 
 
 # ---------------------------------------------------------------------------

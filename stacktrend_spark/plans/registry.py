@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.merge_shapes",
     "stacktrend_spark.plans.gold_mirrors",
     "stacktrend_spark.plans.northstar",
+    "stacktrend_spark.plans.streaming_mirrors",
 )
 
 

@@ -1,0 +1,145 @@
+"""Oracle-checked Structured Streaming queries.
+
+Each entry builds a true streaming plan (readStream file source →
+event-time stateful operator), executes it to completion with
+``trigger(availableNow)`` into a memory sink, and returns the
+materialized batch result — so the driver's DuckDB oracle checks the
+STREAMING output value-for-value, not a batch stand-in.
+
+The reference approximates all of these with scheduled batch reruns
+(SURVEY §2.10: data_factory_pipelines.py:74-84, tumbling triggers;
+personal_repos_bronze_to_silver.py:578-624, lookback refilters;
+personal_repos_ingestion.py:424-431, insert-only MERGE dedup); this
+module is their native incremental form.
+
+Determinism note: over a finite input processed by availableNow, the
+watermark drops nothing (it only advances between micro-batches), so
+the streaming result equals the batch-over-same-input result — which is
+exactly what the SQL oracles express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import sql_dsum
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.streaming.events import (
+    dedup_stream,
+    load_events_stream,
+    run_to_batch,
+    session_windows,
+    sliding_user_activity,
+    tumbling_counts,
+)
+
+_DAY_US = 86_400_000_000
+_GAP_US = 30 * 60 * 1_000_000  # keep in sync with SESSION_GAP
+
+
+@register(
+    "stream_tumbling_daily",
+    oracle=f"""
+        SELECT
+            epoch_us(date_trunc('day', ts))  AS window_start_us,
+            event_type,
+            CAST(COUNT(*) AS BIGINT)         AS n_events,
+            {sql_dsum('value', 2)}           AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Streaming tumbling 1-day window per event_type (watermarked, complete mode).",
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir)
+    return run_to_batch(tumbling_counts(ev, "1 day"), "stream_tumbling_daily_sink")
+
+
+@register(
+    "stream_sliding_2d",
+    oracle=f"""
+        WITH offsets AS (SELECT UNNEST([0, 1]) AS k)
+        SELECT
+            epoch_us(date_trunc('day', ts)) - k * {_DAY_US} AS window_start_us,
+            user_id,
+            CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events CROSS JOIN offsets
+        GROUP BY 1, 2
+    """,
+    doc="Streaming sliding window (2d width / 1d slide) per user — each event lands in 2 windows.",
+)
+def stream_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir)
+    return run_to_batch(
+        sliding_user_activity(ev, "2 days", "1 day"), "stream_sliding_2d_sink"
+    )
+
+
+@register(
+    "stream_session_windows",
+    # Spark's session_window closes a session when the next event is
+    # >= gap after the previous one (window is [ts, ts+gap)); the lag
+    # comparison below mirrors that exactly.
+    oracle=f"""
+        WITH seq AS (
+            SELECT
+                user_id,
+                event_id,
+                epoch_us(ts) AS ts_us,
+                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) >= {_GAP_US}
+                     OR LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT
+                user_id, ts_us,
+                SUM(is_new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM seq
+        )
+        SELECT
+            user_id,
+            CAST(MIN(ts_us) AS BIGINT)  AS session_start_us,
+            CAST(COUNT(*) AS BIGINT)    AS n_events
+        FROM sess
+        GROUP BY user_id, session_seq
+    """,
+    doc="Streaming session windows per user (30-min gap), native F.session_window state.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir)
+    return run_to_batch(session_windows(ev), "stream_session_windows_sink")
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+        SELECT
+            event_id,
+            epoch_us(ts)  AS ts_us,
+            user_id,
+            event_type,
+            value
+        FROM events
+    """,
+    doc="Streaming insert-only-merge dedup: doubled stream → watermarked dropDuplicates.",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # union the stream with itself so every event is delivered twice —
+    # the dedup state must suppress the re-delivery (the streaming form
+    # of MERGE WHEN NOT MATCHED, personal_repos_ingestion.py:424-431)
+    ev = load_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(load_events_stream(spark, sf_dir))
+    deduped = dedup_stream(doubled, "1 day").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    return run_to_batch(deduped, "stream_dedup_events_sink", output_mode="append")

@@ -1,0 +1,197 @@
+"""Structured Streaming over the append-only events table.
+
+The reference has no true streaming (SURVEY §2.10): its Data Factory
+triggers approximate tumbling windows with scheduled batch reruns
+(data_factory_pipelines.py:74-84,109-123), late/duplicate data with
+idempotent keyed MERGE (github_data_ingestion.py:355-383) and
+insert-only MERGE on event identity (personal_repos_ingestion.py:424-431),
+and sliding aggregates with 7d/30d/90d lookback refilters
+(personal_repos_bronze_to_silver.py:578-624). This module expresses
+each of those semantics natively in Structured Streaming:
+
+- tumbling / sliding window aggregations (``F.window``),
+- session windows (``F.session_window``),
+- insert-only-merge dedup (``withWatermark`` + ``dropDuplicates``),
+- upsert sink (``foreachBatch`` + the merge operators).
+
+100 TB notes: the streaming aggregations shuffle on (window, key) and
+keep state per open window only; the watermark bounds state size, so a
+1000-executor cluster holds |keys| x |open windows| rows of state, not
+history. ``dropDuplicates`` state is likewise watermark-bounded. The
+file source scales by listing only new files per trigger; on a real
+deployment the same plans run unchanged on a Kafka source.
+
+Batch twins of these plans are registered in
+``plans/streaming_mirrors.py`` so the driver's DuckDB oracle can check
+the streaming output values exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import dsum
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: explicit source schema (streaming file sources cannot infer).
+#: ``ts`` arrives as int64 epoch-nanos because the testdata parquet
+#: carries TIMESTAMP(NANOS), which Spark only reads via
+#: spark.sql.legacy.parquet.nanosAsLong (see sources/tables.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP = "30 minutes"  # batch twin uses 30*60*1e6 µs (windows.py)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with explicit schema.
+
+    Mirrors the batch loader's nanos handling: read epoch-nanos as
+    int64, truncate to µs (lossless — testdata is µs-grained), convert
+    to a real timestamp for event-time semantics.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        # glob, not a literal file path: the file-stream source derives
+        # basePath from a glob's parent dir, but rejects a plain file
+        .parquet(f"{sf_dir.rstrip('/')}/events.parque*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
+    """Tumbling event-time window per event_type: count + sum(value).
+
+    The reference's scheduled 6h/daily batch reruns approximate exactly
+    this (SURVEY §2.10); here it is a single incremental plan.
+    """
+    return (
+        events.withWatermark("ts", width)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact decimal-grained sum: bit-identical across engines
+            # regardless of partial-agg order (functions/rounding.py)
+            dsum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame, width: str = "2 days", slide: str = "1 day"
+) -> DataFrame:
+    """Sliding window per user — the streaming form of the reference's
+    7d/30d/90d lookback loop (personal_repos_bronze_to_silver.py:578-624):
+    each event lands in width/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", width)
+        .groupBy(F.window("ts", width, slide).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Event-time session windows per user (gap-close semantics).
+
+    Batch twin: the lag + running-sum sessionization registered as
+    ``sessionize_events`` (plans/windows.py) — same gap, same grouping.
+    """
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Insert-only-merge semantics as a stream: drop re-deliveries of
+    the same event identity inside the watermark horizon — the
+    streaming form of `MERGE WHEN NOT MATCHED THEN INSERT` on
+    (activity_id, activity_type) (personal_repos_ingestion.py:424-431).
+    State is watermark-bounded, so at 100 TB the dedup map holds one
+    horizon of ids, not the full history."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_batch(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Execute a streaming plan to completion over the currently
+    available input (``trigger(availableNow)``) into an in-memory sink
+    and return the materialized result as a batch DataFrame.
+
+    This is the bridge that lets the driver's batch-oriented oracle
+    gate check streaming plans value-for-value.
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    merge_fn: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+):
+    """Upsert sink: each micro-batch is handed to ``merge_fn`` (wrap one
+    of operators/merge.py's policies) — the Structured Streaming form of
+    the reference's MERGE-on-key sinks (github_data_ingestion.py:355-383).
+    Returns the started StreamingQuery."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_fn(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,213 @@
+"""REST source adapters (sources/rest.py), multimodal plumbing
+(operators/multimodal.py), and drift detection (pipelines/classifier.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stacktrend_spark.operators.multimodal import (
+    attach_binary,
+    decode_media,
+    extract_features,
+    fake_decode,
+    sample_frame_offsets,
+)
+from stacktrend_spark.pipelines.classifier import detect_drift
+from stacktrend_spark.pipelines.schemas import (
+    BRONZE_ACTIVITY_SCHEMA,
+    BRONZE_REPOS_SCHEMA,
+    CLASSIFICATION_SCHEMA,
+)
+from stacktrend_spark.sources.rest import (
+    RateLimiter,
+    fetch_paginated,
+    repo_activity,
+    repos_to_bronze,
+    search_repositories,
+    user_repositories,
+)
+from stacktrend_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# REST transport fakes
+# ---------------------------------------------------------------------------
+
+
+def _repo(i: int, stars: int = 5000) -> dict:
+    return {
+        "id": i,
+        "name": f"repo{i}",
+        "full_name": f"owner/repo{i}",
+        "owner": {"login": "owner", "type": "User"},
+        "description": f"desc {i}",
+        "created_at": "2024-01-01T00:00:00Z",
+        "updated_at": f"2024-06-{i % 28 + 1:02d}T00:00:00Z",
+        "pushed_at": "2024-06-01T00:00:00Z",
+        "language": "Python",
+        "stargazers_count": stars,
+        "watchers_count": stars,
+        "forks_count": 10,
+        "open_issues_count": 3,
+        "size": 100,
+        "default_branch": "main",
+        "topics": ["ml", "python"],
+        "license": {"name": "MIT"},
+        "has_wiki": True,
+        "has_pages": False,
+        "archived": False,
+        "disabled": False,
+    }
+
+
+def search_transport(path, params):
+    assert path == "/search/repositories"
+    page = params["page"]
+    if page > 2:
+        return {"items": []}
+    # pages overlap → exercises distributed dedup; one low-star repo
+    base = (page - 1) * 3
+    items = [_repo(base + j) for j in range(4)] + [_repo(99, stars=10)]
+    return {"items": items}
+
+
+def user_transport(path, params):
+    assert path == "/users/alice/repos"
+    return [_repo(i) for i in range(5)] if params["page"] == 1 else []
+
+
+def activity_transport(path, params):
+    if path.endswith("/commits"):
+        return [
+            {"id": f"c{i}", "author": "alice", "date": "2024-06-01T10:00:00Z",
+             "title": f"commit {i}", "additions": 10, "deletions": 2,
+             "changed_files": 1, "state": None}
+            for i in range(3)
+        ]
+    if path.endswith("/issues"):
+        return [
+            {"id": f"i{i}", "author": "bob", "date": "2024-06-02T10:00:00Z",
+             "title": f"issue {i}", "additions": None, "deletions": None,
+             "changed_files": None, "state": "open"}
+            for i in range(2)
+        ]
+    raise AssertionError(path)
+
+
+def test_search_source_dedup_and_star_filter(spark):
+    df = search_repositories(
+        spark, search_transport, ["q1"], "2024-06-01", "2024-06-01T12:00:00",
+        star_threshold=1000, max_pages=10, per_page=5,
+    )
+    rows = {r.repository_id for r in df.collect()}
+    # ids 0..6 from overlapping pages, dedup'd; id 99 filtered (10 stars)
+    assert rows == set(range(7))
+    assert df.columns == [f.name for f in BRONZE_REPOS_SCHEMA.fields]
+    assert df.schema["created_at"].dataType.typeName() == "timestamp"
+
+
+def test_user_repos_source(spark):
+    df = user_repositories(spark, user_transport, "alice", "2024-06-01", "2024-06-01T12:00:00")
+    assert df.count() == 5
+    assert df.filter(F.col("owner_login") == "owner").count() == 5
+
+
+def test_activity_source_top_n(spark):
+    repos = user_repositories(spark, user_transport, "alice", "2024-06-01", "2024-06-01T12:00:00")
+    acts = repo_activity(
+        spark, activity_transport, repos, "2024-06-01", "2024-06-01T12:00:00", top_n=2
+    )
+    assert acts.columns == [f.name for f in BRONZE_ACTIVITY_SCHEMA.fields]
+    # 2 repos × (3 commits + 2 issues)
+    assert acts.count() == 10
+    assert acts.filter(F.col("activity_type") == "commit").count() == 6
+    assert acts.schema["activity_date"].dataType.typeName() == "timestamp"
+
+
+def test_rate_limiter_paces_without_wallclock():
+    sleeps: list[float] = []
+    t = {"now": 0.0}
+
+    def clock():
+        return t["now"]
+
+    def sleeper(s):
+        sleeps.append(s)
+        t["now"] += s
+
+    rl = RateLimiter(per_minute=60, sleeper=sleeper, clock=clock)
+    for _ in range(3):
+        rl.wait()
+        t["now"] += 0.1  # request takes 100ms
+    assert len(sleeps) == 2 and all(abs(s - 0.9) < 1e-9 for s in sleeps)
+
+
+def test_fetch_paginated_stops_on_short_page():
+    calls = []
+
+    def transport(path, params):
+        calls.append(params["page"])
+        return [{"x": 1}] * (3 if params["page"] == 1 else 0)
+
+    out = fetch_paginated(transport, "/x", {}, max_pages=10, per_page=3)
+    assert len(out) == 3 and calls == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "image")
+
+
+def test_multimodal_features_and_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_binary(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media).cache()
+    row = feats.filter(F.col("doc_id") == 0).first()
+    text0 = docs.filter(F.col("doc_id") == 0).first().text
+    assert (row.width, row.height, row.n_frames) == fake_decode(row.n_bytes)
+    assert row.media_type == "image"  # 0 % 3
+    assert row.n_bytes == len(text0.encode("utf-8"))
+    assert row.first_byte == text0.encode("utf-8")[0]
+    frames = sample_frame_offsets(feats)
+    per_doc = frames.groupBy("doc_id").count().join(feats, "doc_id")
+    assert per_doc.filter(F.col("count") != F.col("n_frames")).count() == 0
+    # offsets bounded by payload size
+    joined = frames.join(feats, ["doc_id", "media_type"])
+    assert joined.filter(F.col("frame_offset") >= F.col("n_bytes")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# drift detection
+# ---------------------------------------------------------------------------
+
+
+def test_detect_drift_severities(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "AI", "llm_tools", 0.9),
+            (2, "AI", "llm_tools", 0.9),
+            (3, "AI", "llm_tools", 0.5),
+            (4, "AI", "llm_tools", 0.9),
+            (5, "AI", "llm_tools", 0.9),
+        ],
+        CLASSIFICATION_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "AI", "llm_tools", 0.9),        # unchanged → absent
+            (2, "ML", "machine_learning", 0.9),  # high
+            (3, "ML", "machine_learning", 0.9),  # medium (old conf low)
+            (4, "ML", "machine_learning", 0.4),  # medium (new conf low)
+            (5, "AI", "agentic_ai", 0.9),        # low (subcategory only)
+        ],
+        CLASSIFICATION_SCHEMA,
+    )
+    out = {r.repository_id: r.drift_severity for r in detect_drift(old, new).collect()}
+    assert out == {2: "high", 3: "medium", 4: "medium", 5: "low"}

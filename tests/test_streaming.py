@@ -1,0 +1,111 @@
+"""Structured Streaming operators (streaming/events.py): each streaming
+plan must agree value-for-value with its batch twin over the same finite
+input, and the foreachBatch upsert sink must reproduce the reference's
+MERGE-on-key semantics (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import dsum
+from stacktrend_spark.operators.merge import merge_upsert
+from stacktrend_spark.sources.tables import load_table
+from stacktrend_spark.streaming.events import (
+    dedup_stream,
+    load_events_stream,
+    run_to_batch,
+    session_windows,
+    tumbling_counts,
+    upsert_sink,
+)
+
+
+def test_tumbling_matches_batch(spark, sf_dir):
+    stream_out = run_to_batch(
+        tumbling_counts(load_events_stream(spark, sf_dir), "1 day"), "t_tumble"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_micros(F.date_trunc("day", "ts")).alias("window_start_us"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("sum_value"))
+    )
+    assert sorted(map(tuple, stream_out.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_dedup_stream_suppresses_redelivery(spark, sf_dir):
+    ev = load_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(load_events_stream(spark, sf_dir))
+    out = run_to_batch(
+        dedup_stream(doubled, "1 day"), "t_dedup", output_mode="append"
+    )
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_session_windows_match_gap_sessionization(spark, sf_dir):
+    stream_sessions = run_to_batch(
+        session_windows(load_events_stream(spark, sf_dir)), "t_sess"
+    )
+    # batch twin: strict lag-based gap split (>= gap opens a session,
+    # matching session_window's half-open [ts, ts+gap) semantics)
+    from pyspark.sql import Window as W
+
+    gap_us = 30 * 60 * 1_000_000
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    prev = F.lag(ts_us).over(w)
+    seq = events.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(prev.isNull() | ((ts_us - prev) >= gap_us), 1).otherwise(0).alias("new_s"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    batch = (
+        seq.withColumn("session_seq", F.sum("new_s").over(w2))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("session_start_us"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start_us", "n_events")
+    )
+    assert sorted(map(tuple, stream_sessions.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_upsert_sink_foreachbatch(spark, sf_dir, tmp_path):
+    """Stream → foreachBatch merge_upsert: target ends with exactly one
+    row per event_id (idempotent keyed MERGE, gdi:355-383)."""
+    target_holder = {}
+
+    def merge_batch(batch_df):
+        # canonical foreachBatch upsert: a micro-batch may itself carry
+        # re-deliveries, so dedupe on the merge key before MERGE
+        batch_df = batch_df.dropDuplicates(["event_id"])
+        if "df" not in target_holder:
+            target_holder["df"] = batch_df.localCheckpoint()
+        else:
+            target_holder["df"] = merge_upsert(
+                target_holder["df"], batch_df, keys=["event_id"]
+            ).localCheckpoint()
+
+    ev = load_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(load_events_stream(spark, sf_dir))
+    q = upsert_sink(doubled, merge_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    result = target_holder["df"]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert result.select("event_id").distinct().count() == result.count()
+    assert result.count() == n_events
