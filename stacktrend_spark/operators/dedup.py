@@ -58,6 +58,78 @@ def word_shingles(
     )
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>, n_shingles) — the NARROW form of the
+    posting list: distinct word n-grams kept as one array per doc, no
+    explode, no shuffle. Signatures, sizes and candidate verification
+    can all be computed from this without ever materializing the
+    exploded (id, shingle) rows; at 100 TB that removes a full
+    shuffle+explode of ~50× the corpus size from the minhash path."""
+    w = F.split(F.lower(F.col(text_col)), " ")
+    joined = ", ' ', ".join(f"w[i + {j}]" for j in range(n))
+    arr = f"array_distinct(transform(sequence(0, size(w) - {n}), i -> concat({joined})))"
+    return (
+        df.select(F.col(id_col), w.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(F.col(id_col), F.expr(arr).alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles").cast("long"))
+    )
+
+
+def minhash_signatures_from_arrays(
+    arr_df: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """k min-digests per id from the array-form shingle list — a pure
+    projection (``array_min`` over salted md5s): no explode, no groupBy,
+    ZERO shuffles. Identical values to ``minhash_signatures``."""
+    # NB: factory, not `lambda s, i=i`: pyspark reads a 2-param lambda
+    # as an (element, index) function and would bind i to the index col
+    def salted(salt: str):
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("shingles"), salted(f"{i}|"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return arr_df.select(F.col(id_col), *sig_cols)
+
+
+def jaccard_from_arrays(
+    arr_df: DataFrame, id_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for a candidate pair set, computed directly on the
+    array form: broadcast the (tiny) pair list against the corpus twice,
+    then ``n_common = size(array_intersect(a, b))`` per pair — no
+    posting-list explode, no groupBy. The big side is never shuffled:
+    both joins broadcast the candidates. Returns
+    (id_a, id_b, n_common, n_a, n_b)."""
+    a = arr_df.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_arr_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = arr_df.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_arr_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    cand_a = a.join(F.broadcast(pairs), "id_a")
+    return (
+        b.join(F.broadcast(cand_a), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_arr_a", "sh_arr_b")).cast("long").alias(
+                "n_common"
+            ),
+            "n_a",
+            "n_b",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -249,3 +321,36 @@ def simhash(tokens: DataFrame, id_col: str, token_col: str = "token") -> DataFra
         bit_val = F.when(F.col(f"v{b}") > 0, F.lit(1 << (b - 1))).otherwise(F.lit(0))
         sig = bit_val if sig is None else sig + bit_val
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_narrow(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """32-bit SimHash computed entirely as a NARROW projection — same
+    values as ``simhash`` over whitespace tokens, ZERO shuffles.
+
+    Per row: tokenize → md5 each token once (one transform) → for each
+    bit, count high-nibble digests with ``size(filter(...))`` (vote sum
+    = 2·highs − n_tokens) → fold sign bits into the signature. At
+    100 TB this turns a full-corpus explode+shuffle+32-column hash-agg
+    into a map-only stage that pipelines with the scan."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    digests = F.transform(toks, lambda t: F.md5(t))
+    out = df.select(
+        F.col(id_col),
+        digests.alias("_digests"),
+        F.size(digests).cast("long").alias("_n"),
+    )
+    # factory, not `lambda d, b=b` — see minhash_signatures_from_arrays
+    def bit_is_high(b: int):
+        return lambda d: F.instr(F.lit(_HIGH_NIBBLES), F.substring(d, b, 1)) > 0
+
+    sig = None
+    for b in range(1, SIMHASH_BITS + 1):
+        highs = F.size(F.filter(F.col("_digests"), bit_is_high(b))).cast("long")
+        # vote sum v = highs - (n - highs); bit set iff v > 0
+        bit_val = F.when(2 * highs - F.col("_n") > 0, F.lit(1 << (b - 1))).otherwise(
+            F.lit(0)
+        )
+        sig = bit_val if sig is None else sig + bit_val
+    return out.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -27,8 +27,24 @@ from pyspark.sql import functions as F
 from stacktrend_spark.functions.rounding import fround
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-order dot product of two float arrays in double."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-order dot product of two float arrays in double.
+
+    With ``dim`` known (fixed-width embeddings — the common case) the
+    sum is UNROLLED into plain arithmetic: element_at/multiply/add are
+    all whole-stage-codegen'd, unlike the interpreted higher-order
+    ``aggregate``/``zip_with`` path (~4× slower per pair). Left-fold
+    order is identical in both forms (and to DuckDB's
+    list_dot_product), so results are bit-equal."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            for i in range(1, dim + 1)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -36,7 +52,9 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(dot(a, a, dim))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -58,43 +76,62 @@ def cosine_topk(
     vec_col: str = "embedding",
     bucket_col: str | None = None,
     round_decimals: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query vector.
 
     ``queries`` must carry (id_col, vec_col) [+ bucket_col]; it is
     broadcast. With ``bucket_col`` the candidate set is restricted to
     the query's bucket (IVF-style coarse quantization); without, the
-    full corpus is scanned (brute force).
+    full corpus is scanned (brute force). Pass ``dim`` for fixed-width
+    embeddings to get the unrolled codegen'd dot product (see ``dot``).
 
     Ranking is on the ROUNDED similarity with the candidate id as
     tiebreaker, so the selected k-set is deterministic.
     Returns (query_id, neighbor_id, cosine_sim, sim_rank).
     """
-    # norms and double-casts are projected once per side BEFORE the
-    # join — inside the pair expression they would redo the O(dim)
-    # reduction / per-element cast for every (query, candidate) pair
-    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # With dim known, the vectors are kept as the STORED float arrays
+    # and every term does element_at(col, i).cast(double): a projected
+    # pre-cast array would be inlined back into the pair expression by
+    # CollapseProject, re-evaluating the O(dim) transform once per
+    # unrolled term (O(dim²) per pair). Norms are still computed once
+    # per side before the join.
+    vec_expr = (
+        F.col(vec_col)
+        if dim is not None
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        as_double.alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
+        vec_expr.alias("q_vec"),
+        norm(F.col(vec_col), dim).alias("q_norm"),
         *([F.col(bucket_col).alias("q_bucket")] if bucket_col else []),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        as_double.alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
+        vec_expr.alias("c_vec"),
+        norm(F.col(vec_col), dim).alias("c_norm"),
         *([F.col(bucket_col).alias("c_bucket")] if bucket_col else []),
     )
     if bucket_col:
         joined = c.join(F.broadcast(q), F.col("q_bucket") == F.col("c_bucket"))
     else:
         joined = c.crossJoin(F.broadcast(q))
-    raw_dot = F.aggregate(
-        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim is not None:
+        terms = [
+            F.element_at(F.col("q_vec"), i).cast("double")
+            * F.element_at(F.col("c_vec"), i).cast("double")
+            for i in range(1, dim + 1)
+        ]
+        raw_dot = terms[0]
+        for t in terms[1:]:
+            raw_dot = raw_dot + t
+    else:
+        raw_dot = F.aggregate(
+            F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -116,6 +153,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     bucket_col: str = "label",
     round_decimals: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
     inside the same coarse bucket with cosine >= threshold.
@@ -127,12 +165,18 @@ def cosine_near_dup_pairs(
     here the testdata's ``label`` plays that role.
     Returns (id_a, id_b, cosine_sim).
     """
-    as_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # stored-array unroll with per-element casts when dim is known —
+    # see cosine_topk for why a pre-cast array is a pessimization
+    vec_expr = (
+        F.col(vec_col)
+        if dim is not None
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
     sides = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(bucket_col).alias("bucket"),
-        as_double.alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
+        vec_expr.alias("vec"),
+        norm(F.col(vec_col), dim).alias("nrm"),
     )
     a = sides.select(
         F.col("id").alias("id_a"), "bucket",
@@ -142,11 +186,21 @@ def cosine_near_dup_pairs(
         F.col("id").alias("id_b"), "bucket",
         F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"),
     )
-    raw_dot = F.aggregate(
-        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim is not None:
+        terms = [
+            F.element_at(F.col("vec_a"), i).cast("double")
+            * F.element_at(F.col("vec_b"), i).cast("double")
+            for i in range(1, dim + 1)
+        ]
+        raw_dot = terms[0]
+        for t in terms[1:]:
+            raw_dot = raw_dot + t
+    else:
+        raw_dot = F.aggregate(
+            F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     sim = fround(raw_dot / (F.col("nrm_a") * F.col("nrm_b")), round_decimals)
     return (
         a.join(b, "bucket")

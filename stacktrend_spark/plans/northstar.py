@@ -18,14 +18,16 @@ from pyspark.sql import functions as F
 from stacktrend_spark.functions.rounding import fround, sql_round
 from stacktrend_spark.operators.dedup import (
     exact_dedup_groups,
+    jaccard_from_arrays,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
-    simhash,
+    minhash_signatures_from_arrays,
+    shingle_arrays,
+    simhash_narrow,
     sql_simhash_bit_vote,
     word_shingles,
     SIMHASH_BITS,
-)
+)  # noqa: F401 — word_shingles/jaccard_pairs feed the quadratic baseline below
 from stacktrend_spark.operators.multimodal import attach_binary, extract_features
 from stacktrend_spark.operators.similarity import cosine_near_dup_pairs, cosine_topk
 from stacktrend_spark.operators.text import (
@@ -36,7 +38,7 @@ from stacktrend_spark.operators.text import (
     LANG_MARKERS,
 )
 from stacktrend_spark.plans.registry import register
-from stacktrend_spark.sources.tables import load_table
+from stacktrend_spark.sources.tables import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # deterministic corpora with planted duplicates (same construction on
@@ -157,15 +159,20 @@ _SQL_BANDS = "\n            UNION ALL ".join(
     doc="MinHash→banded-LSH candidates→exact-Jaccard verify; digests skew-free, oracle-exact.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus_near(spark, sf_dir)
-    # the posting list feeds signatures AND both sides of verification,
-    # and signatures feed both sides of the band self-join — persist
-    # both or the explode+md5 lineage recomputes ~6× (SURVEY §4
-    # anti-pattern 1: cache once instead of re-triggering lineage)
-    shingled = word_shingles(corpus, "doc_id", "text", n=3).persist()
-    sigs = minhash_signatures(shingled, "doc_id", num_hashes=_MINHASH_K).persist()
+    corpus = fan_out(_corpus_near(spark, sf_dir))
+    # NARROW pipeline: shingles stay as one array per doc — signatures
+    # are a pure projection (array_min of salted md5s, no explode/
+    # shuffle) and verification is array_intersect over broadcast
+    # candidate pairs. Shuffles: the band self-join, nothing else.
+    # Persist the arrays: they feed the signature path AND both sides
+    # of verification (SURVEY §4 anti-pattern 1: cache once).
+    arrs = shingle_arrays(corpus, "doc_id", "text", n=3).persist()
+    # persist signatures too: the band self-join reads them from BOTH
+    # sides, and each side would otherwise redo the k×md5 projection
+    # over every shingle array
+    sigs = minhash_signatures_from_arrays(arrs, "doc_id", num_hashes=_MINHASH_K).persist()
     cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=_MINHASH_K, band_size=_BAND_SIZE)
-    scored = jaccard_pairs(shingled, "doc_id", pairs=cand)
+    scored = jaccard_from_arrays(arrs, "doc_id", pairs=cand)
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     ).cast("double")
@@ -201,14 +208,11 @@ _SQL_SIMHASH_FOLD = " + ".join(
         SELECT doc_id, CAST({_SQL_SIMHASH_FOLD} AS BIGINT) AS simhash
         FROM votes
     """,
-    doc="32-bit SimHash per doc: 32 codegen'd conditional sums, one shuffle, oracle-exact.",
+    doc="32-bit SimHash per doc as a map-only narrow projection: zero shuffles, oracle-exact.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
-    )
-    return simhash(toks, "doc_id", "token")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return simhash_narrow(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +241,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact pairwise n-gram Jaccard via shingle-posting join (quadratic baseline).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     shingled = word_shingles(docs, "doc_id", "text", n=3)
     scored = jaccard_pairs(shingled, "doc_id", threshold=0.05)
     jac = F.col("n_common").cast("double") / (
@@ -280,9 +284,9 @@ _SQL_COSINE = (
     doc="Brute-force cosine top-k: broadcast queries, codegen'd dot product, per-query rank.",
 )
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, k=5)
+    return cosine_topk(emb, queries, k=5, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -308,9 +312,9 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF-bucketed cosine top-k: equi-join on coarse cell id prunes the candidate space.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 20)
-    return cosine_topk(emb, queries, k=3, bucket_col="label")
+    return cosine_topk(emb, queries, k=3, bucket_col="label", dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -342,7 +346,7 @@ _SQL_PAIR_COSINE = (
 
 
 def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label"))
     zeros = F.array(*[F.lit(0.0).cast("float") for _ in range(8)])
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -365,7 +369,7 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(
-        _emb_corpus(spark, sf_dir), threshold=_NEAR_DUP_THRESHOLD
+        _emb_corpus(spark, sf_dir), threshold=_NEAR_DUP_THRESHOLD, dim=64
     )
 
 
@@ -539,6 +543,6 @@ _SQL_SHINGLES_4 = """
     doc="Winnowing-style salted min-digest fingerprints — cheap near-dup blocking keys.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     shingled = word_shingles(docs, "doc_id", "text", n=4)
     return fingerprint(shingled, "doc_id", num_fingerprints=2)

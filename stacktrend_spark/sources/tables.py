@@ -59,6 +59,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition after a narrow scan, for CPU-heavy
+    per-row work (md5 sketching, dot products).
+
+    Local-scale artifact with a real rationale: the harness testdata is
+    single-row-group parquet, so Spark's scan yields ONE partition and
+    narrow projections serialize on one core. At 100 TB a table has
+    thousands of row groups and the scan parallelizes naturally — this
+    becomes a no-op (guarded below), which is why it lives here and not
+    inside the operators."""
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
