@@ -36,11 +36,18 @@ HEADLINE = [
     "gold_trend_daily",
     "gold_repo_health_dashboard",
     "merge_upsert_orders",
+    "agg_percentiles",
+    "cube_revenue",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_bruteforce_topk",
     "text_quality",
+    "text_regex_tokens",
+    "multimodal_features",
+    "stream_tumbling_daily",
+    "stream_session_windows",
 ]
 
 

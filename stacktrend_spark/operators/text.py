@@ -55,6 +55,34 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization regex: letter runs, digit runs, and single
+#: non-space symbols — the standard pre-split (GPT-2 style, simplified
+#: to a class-based pattern whose semantics are identical in Java regex
+#: and RE2/DuckDB, so the operator stays oracle-checkable).
+BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def regex_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document counts under BPE-ish regex pre-tokenization:
+    total pieces, word pieces, number pieces, symbol pieces. A real BPE
+    tokenizer's merge step would run as a Pandas UDF downstream of this
+    split; the counting path stays JVM-side."""
+    # F.regexp_extract_all with a lit pattern, NOT F.expr: a SQL string
+    # literal would re-process backslash escapes ('\s' -> 's')
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_PRETOKEN_RE), 0
+    )
+    n_words = F.size(F.filter(pieces, lambda p: p.rlike("^[a-z]+$")))
+    n_nums = F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$")))
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        n_words.cast("long").alias("n_word_pieces"),
+        n_nums.cast("long").alias("n_number_pieces"),
+        (F.size(pieces) - n_words - n_nums).cast("long").alias("n_symbol_pieces"),
+    )
+
+
 def count_matches(text: Column, words: tuple[str, ...]) -> Column:
     """How many tokens of ``text`` are in ``words`` (frequency-weighted),
     via a codegen'd filter over the token array."""

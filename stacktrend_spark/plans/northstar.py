@@ -34,7 +34,9 @@ from stacktrend_spark.operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    regex_token_stats,
     token_stats,
+    BPE_PRETOKEN_RE,
     LANG_MARKERS,
 )
 from stacktrend_spark.plans.registry import register
@@ -518,6 +520,37 @@ _SQL_PRED = (
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Text 3b — BPE-ish regex pre-tokenization counts
+# ---------------------------------------------------------------------------
+@register(
+    "text_regex_tokens",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   regexp_extract_all(LOWER(text), '{BPE_PRETOKEN_RE}') AS pieces
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            CAST(LEN(pieces) AS BIGINT) AS n_pieces,
+            CAST(LEN(list_filter(pieces, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT)
+                AS n_word_pieces,
+            CAST(LEN(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)
+                AS n_number_pieces,
+            CAST(LEN(pieces)
+                 - LEN(list_filter(pieces, x -> regexp_full_match(x, '[a-z]+')))
+                 - LEN(list_filter(pieces, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT)
+                AS n_symbol_pieces
+        FROM p
+    """,
+    doc="BPE-style regex pre-tokenization counts (letter/digit/symbol pieces), JVM-side.",
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return regex_token_stats(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.gold_mirrors",
     "stacktrend_spark.plans.northstar",
     "stacktrend_spark.plans.streaming_mirrors",
+    "stacktrend_spark.plans.statistics",
 )
 
 

@@ -1,0 +1,125 @@
+"""Statistical aggregates beyond the reference's surface.
+
+SURVEY §2.4 notes the reference uses no median/percentile, no cube/
+grouping-sets, and no approximate distinct ("available free if we
+extend") — this module extends. All are single-shuffle groupBy plans;
+the cube adds the standard 2^k grouping replication which Spark
+computes with one Expand + one aggregate (no extra shuffles).
+
+Parity note: percentiles interpolate, and interpolation of
+2-decimal-grained doubles can differ by an ulp across engines — so the
+percentile queries run on ``l_quantity``, whose values are small
+integers: every interpolated midpoint (x.0 / x.25 / x.5 / x.75) is
+exactly representable, making Spark's ``percentile`` and DuckDB's
+``quantile_cont`` bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import dsum, sql_dsum
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT
+            l_returnflag,
+            quantile_cont(l_quantity, 0.5)   AS median_qty,
+            quantile_cont(l_quantity, 0.25)  AS p25_qty,
+            quantile_cont(l_quantity, 0.9)   AS p90_qty,
+            MAX(l_quantity)                  AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (median/p25/p90) per group — sort-based agg.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "cube_revenue",
+    # cube null-markers are projected to 'ALL' labels on both sides so
+    # the comparison never depends on engine-specific null grouping ids
+    oracle=f"""
+        SELECT
+            COALESCE(l_returnflag, 'ALL') AS returnflag,
+            COALESCE(l_linestatus, 'ALL') AS linestatus,
+            CAST(COUNT(*) AS BIGINT)      AS n_items,
+            {sql_dsum('l_extendedprice')} AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over (returnflag, linestatus): 2^k groupings in one Expand+agg, one shuffle.",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle=f"""
+        SELECT
+            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+            COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+            CAST(COUNT(*) AS BIGINT)         AS n_orders,
+            {sql_dsum('o_totalprice')}       AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    doc="Explicit GROUPING SETS: two independent rollup dimensions in one aggregate.",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT
+            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+            COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+            CAST(COUNT(*) AS BIGINT)         AS n_orders,
+            SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+@register(
+    "approx_distinct_users",
+    # HyperLogLog estimates are engine-specific — no value oracle is
+    # possible; the driver records the (weaker) rows-only check. The
+    # exact countDistinct rides along so the result is self-describing.
+    oracle=None,
+    doc="approx_count_distinct (HLL) per event_type vs exact — the 100 TB distinct-count path.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

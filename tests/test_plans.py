@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(pushdown, broadcast strategy, shuffle counts, Arrow batching) must be
+visible in the plans Catalyst actually produces — a regression here is
+a 100 TB performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from stacktrend_spark.operators.dedup import simhash_narrow
+from stacktrend_spark.plans.registry import all_queries
+from stacktrend_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """The flagship query's shipdate filter must reach the scan —
+    otherwise every 100 TB scan reads every row group."""
+    p = plan_of(all_queries()["q1_pricing_summary"].fn(spark, sf_dir))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0]
+    assert "LessThanOrEqual" in pushed[0]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q1 touches 7 lineitem columns; the scan schema must not include
+    untouched wide columns like l_comment."""
+    p = plan_of(all_queries()["q1_pricing_summary"].fn(spark, sf_dir))
+    schema_lines = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schema_lines and "l_comment" not in schema_lines[0]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """Star joins against region/nation/customer must be broadcast hash
+    joins (small dims), never sort-merge: at 100 TB a sort-merge here
+    shuffles the full fact table."""
+    p = plan_of(all_queries()["join_revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_simhash_is_shuffle_free(spark, sf_dir):
+    """The narrow SimHash promises a map-only plan: zero Exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_of(simhash_narrow(docs, "doc_id", "text"))
+    assert "Exchange" not in p
+
+
+def test_bruteforce_cosine_broadcasts_queries(spark, sf_dir):
+    """Brute-force ANN must broadcast the (tiny) query side; the corpus
+    side streams through without a shuffle."""
+    p = plan_of(all_queries()["sim_bruteforce_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_ivf_cosine_is_equi_join(spark, sf_dir):
+    """The IVF path prunes via a bucket equi-join — must be a broadcast
+    HASH join on the cell id, not a nested-loop scan."""
+    p = plan_of(all_queries()["sim_ivf_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_uses_arrow_batches(spark, sf_dir):
+    """Feature extraction must cross the Python boundary via
+    MapInPandas (Arrow batches), not row-at-a-time python UDFs."""
+    p = plan_of(all_queries()["multimodal_features"].fn(spark, sf_dir))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_minhash_verification_broadcasts_candidates(spark, sf_dir):
+    """Candidate verification joins must broadcast the candidate pair
+    list — the corpus' shingle arrays must not shuffle."""
+    p = plan_of(all_queries()["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
