@@ -34,8 +34,18 @@ PROGRAMMING_LANGUAGES: tuple[tuple[str, str], ...] = (
 )
 
 
-def language_distribution(language: Column, topics: Column) -> Column:
-    """Map<String,Double> of estimated language shares (sums to ~100)."""
+def language_distribution(
+    language: Column, topics: Column, round_fn=None
+) -> Column:
+    """Map<String,Double> of estimated language shares (sums to ~100).
+
+    ``round_fn(col) -> col`` overrides the final per-share rounding;
+    default is the reference's ``bround(x, 1)`` (Python round,
+    half-even). The oracle-checked query passes the shared
+    deterministic half-up formula instead, because DuckDB's ROUND is
+    half-up and the two differ on exactly-representable ties."""
+    if round_fn is None:
+        round_fn = lambda v: F.bround(v, 1)  # noqa: E731
     lang_pairs = F.array(
         *[
             F.struct(F.lit(k).alias("key"), F.lit(v).alias("name"))
@@ -86,5 +96,5 @@ def language_distribution(language: Column, topics: Column) -> Column:
         .otherwise(F.array(F.lit(100.0)))
     )
     total = F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x)
-    normalized = F.transform(vals, lambda v: F.bround(v / total * 100.0, 1))
+    normalized = F.transform(vals, lambda v: round_fn(v / total * 100.0))
     return F.map_from_arrays(keys, normalized)

@@ -376,6 +376,103 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F1 — language_distribution as a pure column expression (map-valued
+# UDF of the reference, b2s:403-445/616-618), exploded to rows so the
+# map is value-checkable. Repos are synthesized deterministically from
+# documents on BOTH sides; the per-share rounding uses the shared
+# half-up formula (DuckDB ROUND is half-up; the operator's default
+# bround/half-even differs on exact ties like 3.75).
+# ---------------------------------------------------------------------------
+from stacktrend_spark.functions.langdist import (  # noqa: E402
+    language_distribution,
+    PROGRAMMING_LANGUAGES,
+)
+
+_SQL_LANGS = "[" + ", ".join(
+    f"{{'k': '{k}', 'n': '{v}'}}" for k, v in PROGRAMMING_LANGUAGES
+) + "]"
+
+
+@register(
+    "langdist_shares",
+    oracle=f"""
+        WITH repos AS (
+            SELECT
+                doc_id AS repository_id,
+                CASE CAST(doc_id % 5 AS INTEGER)
+                     WHEN 0 THEN 'Python' WHEN 1 THEN 'Go'
+                     WHEN 2 THEN 'null' WHEN 3 THEN '' ELSE 'Rust' END AS language,
+                [STRING_SPLIT(text, ' ')[1], STRING_SPLIT(text, ' ')[2],
+                 CASE CAST(doc_id % 3 AS INTEGER)
+                      WHEN 0 THEN 'python-lib' WHEN 1 THEN 'rust'
+                      ELSE 'database' END] AS topics
+            FROM documents
+        ),
+        m AS (
+            SELECT *,
+                flatten([[p.n FOR p IN {_SQL_LANGS} IF contains(LOWER(t), p.k)]
+                         FOR t IN topics]) AS matched,
+                language IS NOT NULL AND TRIM(language) <> ''
+                    AND LOWER(language) NOT IN ('null', 'none') AS has_primary
+            FROM repos
+        ),
+        shaped AS (
+            SELECT repository_id,
+                CASE WHEN has_primary THEN list_prepend(language,
+                         list_filter(list_distinct(matched), x -> x <> language))
+                     WHEN len(matched) > 0 THEN list_distinct(matched)
+                     ELSE ['Unknown'] END AS keys_,
+                CASE WHEN has_primary AND len(matched) > 0 THEN
+                         list_prepend(70.0, [30.0 / len(matched)
+                             FOR x IN list_filter(list_distinct(matched), x -> x <> language)])
+                     WHEN has_primary THEN [70.0]
+                     WHEN len(matched) > 0 THEN
+                         [100.0 / len(matched) FOR x IN list_distinct(matched)]
+                     ELSE [100.0] END AS vals_
+            FROM m
+        ),
+        totaled AS (
+            SELECT repository_id, keys_, vals_, list_sum(vals_) AS total FROM shaped
+        )
+        SELECT
+            repository_id,
+            UNNEST(keys_) AS lang_name,
+            UNNEST([FLOOR((v / total * 100.0) * 10.0 + 0.5) / 10.0
+                    FOR v IN vals_]) AS share
+        FROM totaled
+    """,
+    doc="F1 language_distribution (map-valued) exploded to rows; pure column exprs.",
+)
+def langdist_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    repos = docs.select(
+        F.col("doc_id").alias("repository_id"),
+        F.element_at(
+            F.array(F.lit("Python"), F.lit("Go"), F.lit("null"), F.lit(""), F.lit("Rust")),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("language"),
+        F.array(
+            F.element_at(toks, 1),
+            F.element_at(toks, 2),
+            F.element_at(
+                F.array(F.lit("python-lib"), F.lit("rust"), F.lit("database")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("topics"),
+    )
+    dist = repos.select(
+        "repository_id",
+        language_distribution(
+            F.col("language"), F.col("topics"), round_fn=lambda v: fround(v, 1)
+        ).alias("m"),
+    )
+    return dist.select(
+        "repository_id", F.explode("m").alias("lang_name", "share")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal — binary payload + metadata + Arrow-batched feature
 # extraction (decode step stubbed deterministically; see
 # operators/multimodal.py)
