@@ -1,0 +1,115 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+banded range join.
+
+Neither exists in the reference (SURVEY §2.3: "Absent: theta/range/
+as-of/interval joins") nor as a Spark builtin — both are classic
+requirements of time-series / training-data pipelines, so the engine
+provides them as compositions of existing DataFrame ops that keep
+their scale properties honest:
+
+- **as-of join** (most recent right row at-or-before each left row,
+  per key): implemented as union → per-key event-time sort → carry the
+  last right payload with ``last(..., ignorenulls=True)`` → filter back
+  to left rows. ONE shuffle on the key, no range blow-up, no skewed
+  inequality join — the standard distributed as-of plan. (A sort-merge
+  inequality join would be O(|L|·|R|) per key.)
+- **banded range join** (point-in-interval): equi-join on a coarse
+  time bucket first, verify the exact range second. With intervals no
+  wider than one band, a point joins at most 2 bands, so candidate
+  volume is O(|points| · intervals-per-band) instead of
+  O(|points| · |intervals|); the band key makes it an equi-join
+  Catalyst can broadcast or hash-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.right_ts <= left.left_ts`` sharing ``key`` (backward as-of,
+    inclusive). Left rows with no prior right row keep nulls.
+
+    Returns all left columns plus ``{prefix}{col}`` for each payload
+    column and ``{prefix}ts`` (the matched right timestamp).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r = right.select(
+        F.col(key),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.col(right_ts).alias("_r_ts"),
+    ).select(*l.columns)  # align column order for union
+    unioned = l.unionByName(r)
+    # right rows sort BEFORE left rows at equal timestamps, so an
+    # exactly-simultaneous right row is visible to the left row
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_is_right",
+        *[
+            F.last(F.when(F.col("_is_right") == 1, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
+        F.last(F.when(F.col("_is_right") == 1, F.col("_r_ts")), ignorenulls=True)
+        .over(w)
+        .alias(f"{prefix}ts"),
+    )
+    return carried.filter(F.col("_is_right") == 0).drop("_is_right")
+
+
+def range_join_banded(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    band: Column,
+    point_band: Column,
+    end_exclusive: bool = True,
+) -> DataFrame:
+    """Point-in-interval join via band equi-join + exact verification.
+
+    ``band``/``point_band`` map interval starts and points onto the
+    same coarse grid (e.g. ``F.date_trunc("day", ...)``); intervals
+    must not span more than one band. The equi-join on the band key is
+    broadcast- or hash-joinable; the exact BETWEEN check then prunes
+    the few in-band false candidates.
+    """
+    p = points.withColumn("_band", point_band)
+    iv = intervals.withColumn("_band", band)
+    upper = (
+        F.col(point_ts) < F.col(end_ts)
+        if end_exclusive
+        else F.col(point_ts) <= F.col(end_ts)
+    )
+    return (
+        p.join(F.broadcast(iv), "_band")
+        .filter((F.col(point_ts) >= F.col(start_ts)) & upper)
+        .drop("_band")
+    )

@@ -44,6 +44,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.northstar",
     "stacktrend_spark.plans.streaming_mirrors",
     "stacktrend_spark.plans.statistics",
+    "stacktrend_spark.plans.temporal",
 )
 
 

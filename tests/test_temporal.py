@@ -1,0 +1,67 @@
+"""As-of and banded range join operator edge cases."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from stacktrend_spark.operators.temporal import asof_join, range_join_banded
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "p1"),
+            (1, _ts("2024-01-01T12:00:00"), "p2"),
+            (2, _ts("2024-01-01T09:00:00"), "p3"),  # no prior right row
+        ],
+        "k int, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),  # simultaneous → matches p1
+            (1, _ts("2024-01-01T11:00:00"), 200),
+            (2, _ts("2024-01-01T09:30:00"), 300),  # after p3 → no match
+        ],
+        "k int, ts timestamp, v int",
+    )
+    out = {
+        r.name: (r.asof_v, r.asof_ts)
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts", right_payload=["v"]
+        ).collect()
+    }
+    assert out["p1"] == (100, _ts("2024-01-01T10:00:00"))  # inclusive tie
+    assert out["p2"] == (200, _ts("2024-01-01T11:00:00"))  # most recent wins
+    assert out["p3"] == (None, None)  # nothing at-or-before
+
+
+def test_range_join_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T06:00:00")),  # == start → in (inclusive)
+            (2, _ts("2024-01-01T17:59:59")),  # inside
+            (3, _ts("2024-01-01T18:00:00")),  # == end → out (exclusive)
+            (4, _ts("2024-01-01T03:00:00")),  # before window
+        ],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts("2024-01-01T06:00:00"), _ts("2024-01-01T18:00:00"))],
+        "iid int, w_start timestamp, w_end timestamp",
+    )
+    out = range_join_banded(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        band=F.date_trunc("day", F.col("w_start")),
+        point_band=F.date_trunc("day", F.col("ts")),
+    )
+    assert sorted(r.pid for r in out.collect()) == [1, 2]
