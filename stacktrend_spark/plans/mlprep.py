@@ -1,0 +1,284 @@
+"""Training-data preparation + extended relational coverage.
+
+Beyond-reference operators a 100 TB training-data pipeline needs
+(north-star surface, BASELINE.json) plus relational operator classes
+SURVEY §2 marks "absent" in the reference (set ops §2.7, lead/ntile
+§2.5, argmin/argmax and correlation aggregates §2.4):
+
+- **Deterministic split** (`split_train_test`): key-mod assignment —
+  a pure scan + map-side aggregate. No shuffle of the data itself, no
+  RNG: the split is reproducible under re-runs, repartitioning, and
+  engine changes, which is exactly what train/test hygiene requires at
+  100 TB (sampling with `rand()` is neither reproducible nor
+  oracle-checkable).
+- **Statistical aggregates** (`agg_corr_covar`): corr/covar are
+  single-shuffle partial-aggregable (Spark computes co-moments
+  map-side).
+- **Argmin/argmax** (`agg_argminmax_orders`): `min_by/max_by` with a
+  zero-padded composite string key so the extremum is UNIQUE — a tied
+  plain `min_by(key, price)` is nondeterministic in any engine.
+- **Lead / ntile / dense_rank** (`window_lead_ntile`): per-customer
+  sequences; one shuffle on the partition key.
+- **Set ops** (`set_intersect_except`): INTERSECT / EXCEPT distinct
+  semantics (Spark `intersect`/`exceptAll` on distinct inputs).
+- **TF-IDF top-k** (`text_tfidf_topk`): the inverted-index plan —
+  explode → (doc,term) count → broadcast term-df → per-doc top-k.
+  Uses a LINEAR idf (tf·N/df, exact int/int double arithmetic) rather
+  than log-idf so every score is bit-identical across engines; at
+  scale the vocabulary side stays broadcast-sized while the doc-term
+  side never shuffles more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import fround, sql_round
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_train_test",
+    oracle="""
+        SELECT
+            source,
+            CASE WHEN doc_id % 10 < 8 THEN 'train'
+                 WHEN doc_id % 10 = 8 THEN 'val'
+                 ELSE 'test' END        AS split,
+            CAST(COUNT(*) AS BIGINT)    AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY source,
+            CASE WHEN doc_id % 10 < 8 THEN 'train'
+                 WHEN doc_id % 10 = 8 THEN 'val'
+                 ELSE 'test' END
+    """,
+    doc="Deterministic 80/10/10 key-mod train/val/test split, stratification check by source.",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_covar",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            {sql_round('corr(l_quantity, l_extendedprice)', 6)}       AS corr_qty_price,
+            {sql_round('covar_samp(l_quantity, l_extendedprice)', 2)} AS covar_s,
+            {sql_round('covar_pop(l_quantity, l_extendedprice)', 2)}  AS covar_p
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Pearson corr + sample/population covariance per group — partial-aggregable co-moments.",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        fround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_s"),
+        fround(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmin / argmax (min_by / max_by with a uniqueness-forcing key)
+# ---------------------------------------------------------------------------
+
+#: price is 2-decimal-grained → scaled-integer string sorts numerically;
+#: appending the orderkey makes the composite key UNIQUE, so min_by /
+#: max_by select one well-defined row even when prices tie.
+_SPARK_PKEY = (
+    "concat(lpad(cast(cast(floor(o_totalprice * 100.0 + 0.5) as bigint) as string), 14, '0'),"
+    " lpad(cast(o_orderkey as string), 12, '0'))"
+)
+_SQL_PKEY = (
+    "LPAD(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 14, '0')"
+    " || LPAD(CAST(o_orderkey AS VARCHAR), 12, '0')"
+)
+
+
+@register(
+    "agg_argminmax_orders",
+    oracle=f"""
+        SELECT
+            o_orderpriority,
+            min_by(o_orderkey, {_SQL_PKEY}) AS cheapest_orderkey,
+            max_by(o_orderkey, {_SQL_PKEY}) AS priciest_orderkey,
+            {sql_round('MIN(o_totalprice)', 2)} AS min_price,
+            {sql_round('MAX(o_totalprice)', 2)} AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Argmin/argmax per group via min_by/max_by on a unique composite key (tie-proof).",
+)
+def agg_argminmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pkey = F.expr(_SPARK_PKEY)
+    return orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", pkey).alias("cheapest_orderkey"),
+        F.max_by("o_orderkey", pkey).alias("priciest_orderkey"),
+        fround(F.min("o_totalprice"), 2).alias("min_price"),
+        fround(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead / ntile / dense_rank windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_lead_ntile",
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_custkey,
+            date_diff('day',
+                      CAST(o_orderdate AS DATE),
+                      CAST(lead(o_orderdate) OVER seq AS DATE)) AS next_gap_days,
+            ntile(4)      OVER price_u AS price_quartile,
+            dense_rank()  OVER price_d AS price_rank_dense
+        FROM orders
+        WINDOW
+            seq     AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            price_u AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+            price_d AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+    doc="lead / ntile(4) / dense_rank per customer — one shuffle on the partition key.",
+)
+def window_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price_u = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    price_d = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.to_date(F.lead("o_orderdate").over(seq)), F.to_date("o_orderdate")
+        ).alias("next_gap_days"),
+        F.ntile(4).over(price_u).alias("price_quartile"),
+        F.dense_rank().over(price_d).alias("price_rank_dense"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+        SELECT 'both' AS label, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT 'f_only' AS label, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+    """,
+    doc="INTERSECT + EXCEPT (distinct set semantics) — customers by order-status overlap.",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_cust.intersect(o_cust).select(F.lit("both").alias("label"), "o_custkey")
+    f_only = f_cust.exceptAll(o_cust).select(
+        F.lit("f_only").alias("label"), "o_custkey"
+    )
+    return both.unionByName(f_only)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document (inverted-index plan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topk",
+    # Linear idf (tf·N/df) keeps every score an exact int·int/int double
+    # — bit-identical across engines with no log/round hazard; ranking
+    # ties break on the term string so the top-3 SET is deterministic.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT
+                tf.doc_id, tf.term, tf.tf, dfreq.df,
+                CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS tfidf_lin,
+                ROW_NUMBER() OVER (
+                    PARTITION BY tf.doc_id
+                    ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                             tf.term
+                ) AS rnk
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf_lin, CAST(rnk AS INTEGER) AS rnk
+        FROM scored WHERE rnk <= 3
+    """,
+    doc="TF-IDF (linear idf) top-3 terms per doc: explode → agg → broadcast df join → top-k.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # vocabulary-sized side → broadcast; same for the single-row count
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_lin", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_lin"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_lin", "rnk")
+    )

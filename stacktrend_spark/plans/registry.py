@@ -45,6 +45,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.streaming_mirrors",
     "stacktrend_spark.plans.statistics",
     "stacktrend_spark.plans.temporal",
+    "stacktrend_spark.plans.mlprep",
 )
 
 

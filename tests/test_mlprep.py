@@ -1,0 +1,51 @@
+"""Property tests for the training-data-prep plans (plans/mlprep.py):
+invariants the value-hash oracle can't express directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stacktrend_spark.plans.registry import all_queries
+
+SPECS = all_queries()
+
+
+def test_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    """Every document lands in exactly one split; totals reconcile."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SPECS["split_train_test"].fn(spark, sf_dir)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
+
+
+def test_split_is_deterministic_across_runs(spark, sf_dir):
+    a = SPECS["split_train_test"].fn(spark, sf_dir).collect()
+    b = SPECS["split_train_test"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_tfidf_topk_rank_invariants(spark, sf_dir):
+    """≤3 rows per doc, ranks are exactly 1..k with no gaps/dupes."""
+    out = SPECS["text_tfidf_topk"].fn(spark, sf_dir)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("rnk").alias("rnks"),
+    )
+    bad = per_doc.filter(
+        (F.col("n") > 3) | (F.size("rnks") != F.col("n"))
+    ).count()
+    assert bad == 0
+
+
+def test_set_ops_labels_are_disjoint(spark, sf_dir):
+    """A customer can't be in both 'both' and 'f_only'."""
+    out = SPECS["set_intersect_except"].fn(spark, sf_dir)
+    dup = (
+        out.groupBy("o_custkey")
+        .agg(F.countDistinct("label").alias("n_labels"))
+        .filter(F.col("n_labels") > 1)
+        .count()
+    )
+    assert dup == 0
