@@ -31,6 +31,7 @@ from stacktrend_spark.streaming.events import (
     run_to_batch,
     session_windows,
     sliding_user_activity,
+    stateful_user_totals,
     tumbling_counts,
 )
 
@@ -114,6 +115,28 @@ def stream_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events_stream(spark, sf_dir)
     return run_to_batch(session_windows(ev), "stream_session_windows_sink")
+
+
+@register(
+    "stream_stateful_totals",
+    # one availableNow batch over the finite input → each user emits its
+    # final running total, which equals the batch aggregate below
+    oracle="""
+        SELECT
+            user_id,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                AS sum_value_cents
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Custom stateful operator (applyInPandasWithState): exact per-user running totals.",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir)
+    return run_to_batch(
+        stateful_user_totals(ev), "stream_stateful_totals_sink", output_mode="update"
+    )
 
 
 @register(

@@ -148,6 +148,59 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+#: output/state schemas for the custom stateful operator below.
+USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+    ]
+)
+_USER_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, exact value total) carried in group
+    state across micro-batches.
+
+    This is the escape hatch for stateful semantics ``F.window``/
+    ``session_window`` can't express (custom accumulators, ML feature
+    state, CEP-ish logic). The value total is kept as scaled int64
+    cents — exact under any batch/partition order (the same policy as
+    functions/rounding.dsum), so the emitted totals are oracle-exact.
+
+    Scale: state is one (n, cents) pair per user — O(|keys|), batches
+    arrive Arrow-encoded, and the shuffle is the groupBy hash partition
+    on user_id, identical to a batch aggregate's.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        USER_TOTALS_SCHEMA,
+        _USER_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_batch(
     stream_df: DataFrame,
     name: str,
