@@ -46,6 +46,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.statistics",
     "stacktrend_spark.plans.temporal",
     "stacktrend_spark.plans.mlprep",
+    "stacktrend_spark.plans.skew",
 )
 
 

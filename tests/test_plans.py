@@ -81,3 +81,41 @@ def test_minhash_verification_broadcasts_candidates(spark, sf_dir):
     list — the corpus' shingle arrays must not shuffle."""
     p = plan_of(all_queries()["dedup_minhash_lsh"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_salted_agg_spreads_hot_key(spark, sf_dir):
+    """The salted aggregate must be TWO aggregation rounds — the first
+    keyed by (key, salt) so a hot key spreads over B reduce tasks. The
+    salt must be deterministic (hash, not rand)."""
+    p = plan_of(all_queries()["skew_salted_agg"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 4  # partial+final × two rounds
+    assert "rand" not in p.lower()
+
+
+def test_salted_join_broadcasts_replicated_small_side(spark, sf_dir):
+    """The salted join replicates the small side B× — it must still be
+    broadcast (B·|small| is tiny); the big side must not sort-merge."""
+    p = plan_of(all_queries()["skew_salted_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Pre-bucketed tables co-locate their join: the sort-merge join
+    must read both sides WITHOUT an Exchange — the 100 TB lever for
+    repeated big-big joins on a stable key. (Managed tables land in the
+    session warehouse dir; DROP TABLE below removes their files.)"""
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = spark.range(0, 1000).withColumnRenamed("id", "k")
+    left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_l")
+    right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_r")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_of(spark.table("bkt_l").join(spark.table("bkt_r"), "k"))
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_l")
+        spark.sql("DROP TABLE IF EXISTS bkt_r")
