@@ -30,7 +30,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "join_revenue_by_nation",
     "window_lag_monthly_trend",
+    "window_lead_ntile",
     "sessionize_events",
+    "asof_purchase_login",
+    "range_join_halfday_windows",
+    "skew_salted_agg",
     "gold_tech_metrics",
     "gold_repo_ranks",
     "gold_trend_daily",
@@ -45,9 +49,12 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "text_quality",
     "text_regex_tokens",
+    "text_tfidf_topk",
+    "split_train_test",
     "multimodal_features",
     "stream_tumbling_daily",
     "stream_session_windows",
+    "stream_stateful_totals",
 ]
 
 

@@ -1,0 +1,67 @@
+"""Scalable global ranking: two-phase range-partitioned row numbering.
+
+A global ``row_number() OVER (ORDER BY ...)`` is a single-partition
+window — SURVEY §2.5 W1 notes the reference's five global rank columns
+(silver_to_gold_analytics.py:225-236) are fine at its ~1k-row
+cardinality but a scale hazard: ALL rows funnel through one task.
+
+The distributed plan here is the classic two-phase ranking:
+
+1. ``repartitionByRange`` on the order keys — rows land in partitions
+   whose id order matches the sort order (Spark's RangePartitioner
+   contract), each partition holding a contiguous key range;
+2. per-partition local ``row_number`` (parallel — the window partitions
+   by ``spark_partition_id``);
+3. per-partition counts (one tiny job: ≤ #partitions rows) turn into
+   cumulative offsets, broadcast-joined back; global rank = offset +
+   local rank.
+
+Total cost: one range shuffle + one O(#partitions) driver step —
+instead of one task sorting 100 TB. Results are identical to the
+single-partition window whenever the order keys are a total order
+(pass a unique tiebreaker), which is what the oracle asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def global_rank_scalable(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global row_number by ``order_cols`` without a
+    single-partition window. ``order_cols`` must define a total order
+    (include a unique tiebreaker) for a deterministic result."""
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(w))
+        # the counts job below and the final join both read this plan —
+        # persist so the range shuffle runs once (SURVEY §4 pattern 1)
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_lrank")).cast("long"))
+        .drop("_pid", "_lrank", "_offset")
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stacktrend_spark.functions.rounding import dsum, sql_dsum
+from stacktrend_spark.functions.rounding import dsum, fround, sql_dsum, sql_round
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -122,4 +122,28 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "agg_regression",
+    oracle=f"""
+        SELECT
+            l_returnflag,
+            {sql_round('regr_slope(l_extendedprice, l_quantity)', 6)}     AS slope,
+            {sql_round('regr_intercept(l_extendedprice, l_quantity)', 4)} AS intercept,
+            {sql_round('regr_r2(l_extendedprice, l_quantity)', 8)}        AS r2,
+            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)       AS n_pairs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Linear-regression aggregates (slope/intercept/r2) per group — co-moment partials, one shuffle.",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        fround(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        fround(F.regr_r2("l_extendedprice", "l_quantity"), 8).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n_pairs"),
     )

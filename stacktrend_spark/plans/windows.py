@@ -398,3 +398,36 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W1 at scale — the two-phase global ranking that replaces the
+# single-partition window (operators/ranking.py). Same result as
+# window_rank_global's row_number, produced without funneling the table
+# through one task.
+# ---------------------------------------------------------------------------
+@register(
+    "rank_global_scalable",
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_totalprice,
+            CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                AS price_rank
+        FROM orders
+        QUALIFY price_rank <= 100
+    """,
+    doc="Two-phase distributed global rank (range partition + local rank + offsets); top-100.",
+)
+def rank_global_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank_scalable(
+        orders,
+        order_cols=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col="price_rank",
+    )
+    return ranked.filter(F.col("price_rank") <= 100).select(
+        "o_orderkey", "o_totalprice", "price_rank"
+    )

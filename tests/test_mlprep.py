@@ -49,3 +49,21 @@ def test_set_ops_labels_are_disjoint(spark, sf_dir):
         .count()
     )
     assert dup == 0
+
+
+def test_scalable_rank_equals_single_partition_window(spark, sf_dir):
+    """Two-phase global rank must equal the classic global window over
+    the ENTIRE table (not just the top slice the query returns)."""
+    from pyspark.sql import Window as W
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    got = global_rank_scalable(orders, order_cols, "r", num_partitions=7)
+    want = orders.withColumn(
+        "r", F.row_number().over(W.orderBy(*order_cols)).cast("long")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
