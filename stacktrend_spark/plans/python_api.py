@@ -1,0 +1,133 @@
+"""Python API surface the reference never exercises (SURVEY §2.9:
+"No UDAFs, no UDTFs, no pandas UDFs"): a Python UDTF and a vectorized
+pandas-UDF grouped aggregate, both oracle-checked.
+
+These exist to prove the FULL Python extension surface works, with the
+engine's standing caveat (pyspark_guide: UDFs are the slow path):
+anything expressible as built-in column functions should be — the
+bigram UDTF's output is deliberately also derivable from
+``F.transform``-style array ops (plans/northstar.py does shingles that
+way), and a production pipeline would prefer that form. The UDAF shows
+the pattern that is NOT expressible as builtins: an algorithm needing
+the whole group's values at once (order statistics / trimming), done
+Arrow-batched per group rather than row-at-a-time.
+
+Determinism: both operators work in the exact scaled-integer domain
+(functions/rounding.py policy) — the UDAF sums int64 cents after
+sorting, so its double result is bit-identical to the SQL oracle's.
+
+Scale: a UDTF fans out rows map-side (no shuffle); the grouped UDAF
+shuffles once on the group key and holds ONE group per Arrow batch in
+memory — fine for bounded groups (orders per priority), the wrong tool
+for unbounded ones (use an algebraic/partial-aggregable form instead).
+"""
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+
+class BigramsUDTF:
+    """Lateral table function: (pos, bigram) rows per input text.
+
+    Decorated with ``udtf(...)`` inside the query function — DDL
+    return-type strings parse against the active session, so the
+    decorator can't run at import time.
+    """
+
+    def eval(self, text: str):
+        toks = text.lower().split(" ")
+        for i in range(len(toks) - 1):
+            yield i + 1, toks[i] + " " + toks[i + 1]
+
+
+@register(
+    "udtf_bigrams",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM documents
+        )
+        SELECT
+            doc_id,
+            CAST(i AS BIGINT)             AS pos,
+            toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM w, UNNEST(range(1, len(toks))) t(i)
+    """,
+    doc="Python UDTF (lateral table function): positional bigrams per document.",
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register(
+        "bigrams_udtf", udtf(BigramsUDTF, returnType="pos bigint, bigram string")
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM _udtf_docs d, LATERAL bigrams_udtf(d.text) b
+        """
+    )
+
+
+from pyspark.sql.types import DoubleType, LongType  # noqa: E402
+
+
+@pandas_udf(DoubleType())
+def _trimmed_mean_price(v: pd.Series) -> float:
+    """10%-trimmed mean in exact cents: sort, drop floor(n/10) from each
+    tail, integer-sum the middle. The double division sequence matches
+    the SQL oracle op-for-op, so results are bit-identical."""
+    import numpy as np
+
+    cents = np.sort(np.floor(v.to_numpy() * 100.0 + 0.5).astype("int64"))
+    k = len(cents) // 10
+    mid = cents[k : len(cents) - k]
+    return float(mid.sum()) / 100.0 / len(mid)
+
+
+# Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
+# one agg (INVALID_PANDAS_UDF_PLACEMENT) — the companion count is a
+# second pandas UDF instead of F.count.
+@pandas_udf(LongType())
+def _trimmed_kept(v: pd.Series) -> int:
+    n = len(v)
+    return n - 2 * (n // 10)
+
+
+@register(
+    "udaf_trimmed_mean",
+    oracle="""
+        WITH c AS (
+            SELECT
+                o_orderpriority,
+                CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        r AS (
+            SELECT
+                o_orderpriority, cents,
+                ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+                COUNT(*)     OVER (PARTITION BY o_orderpriority)                AS n
+            FROM c
+        )
+        SELECT
+            o_orderpriority,
+            CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*) AS trimmed_mean_price,
+            CAST(COUNT(*) AS BIGINT)                      AS n_kept
+        FROM r
+        WHERE rn > CAST(FLOOR(n / 10) AS BIGINT)
+          AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT)
+        GROUP BY o_orderpriority
+    """,
+    doc="Vectorized pandas-UDF grouped aggregate: exact 10%-trimmed mean per priority.",
+)
+def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        _trimmed_mean_price("o_totalprice").alias("trimmed_mean_price"),
+        _trimmed_kept("o_totalprice").alias("n_kept"),
+    )

@@ -47,6 +47,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.temporal",
     "stacktrend_spark.plans.mlprep",
     "stacktrend_spark.plans.skew",
+    "stacktrend_spark.plans.python_api",
 )
 
 
