@@ -676,3 +676,50 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     shingled = word_shingles(docs, "doc_id", "text", n=4)
     return fingerprint(shingled, "doc_id", num_fingerprints=2)
+
+
+# ---------------------------------------------------------------------------
+# Dedup 6 — pair→cluster assignment: connected components over the
+# embedding near-dup pairs (operators/graph.py). The oracle computes
+# the same components with a recursive CTE — expressible at sf0.01
+# scale, which keeps this iterative operator value-checked rather than
+# rows-only.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE
+        emb AS ({_SQL_EMB_CORPUS}),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {sql_round(_SQL_PAIR_COSINE, 6)} >= {_NEAR_DUP_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT vec_id, vec_id FROM emb
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+        )
+        SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    doc="Near-dup pairs → duplicate clusters via iterative min-label connected components.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.graph import connected_components
+
+    corpus = _emb_corpus(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(
+        corpus, threshold=_NEAR_DUP_THRESHOLD, dim=64
+    ).select("id_a", "id_b")
+    labels = connected_components(
+        pairs, nodes=corpus.select(F.col("vec_id").alias("node"))
+    )
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("component").cast("long").alias("cluster_id")
+    )

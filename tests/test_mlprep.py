@@ -67,3 +67,17 @@ def test_scalable_rank_equals_single_partition_window(spark, sf_dir):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_connected_components_invariants(spark):
+    """Both endpoints of every edge share a component; the component id
+    is the smallest member; isolated nodes self-label."""
+    from stacktrend_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 10, 11, 20, 21, 22, 99]], "node long")
+    got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
