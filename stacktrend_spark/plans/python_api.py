@@ -131,3 +131,61 @@ def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trimmed_mean_price("o_totalprice").alias("trimmed_mean_price"),
         _trimmed_kept("o_totalprice").alias("n_kept"),
     )
+
+
+def _reconcile(key, customers: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup kernel: one output row per customer key, combining the
+    customer row (0 or 1) with that key's order group (0..n rows).
+    Exact int-cents sums keep the result oracle-identical."""
+    import numpy as np
+
+    cents = (
+        int(np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
+        if len(orders)
+        else 0
+    )
+    bal = (
+        int(np.floor(customers["c_acctbal"].to_numpy()[0] * 100.0 + 0.5))
+        if len(customers)
+        else None
+    )
+    return pd.DataFrame(
+        {
+            "c_custkey": [key[0]],
+            "n_orders": [len(orders)],
+            "order_cents": [cents],
+            "acctbal_cents": [bal],
+        }
+    )
+
+
+@register(
+    "cogroup_reconcile",
+    oracle="""
+        SELECT
+            c.c_custkey,
+            CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+            CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)), 0) AS BIGINT)
+                AS order_cents,
+            CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    """,
+    doc="Cogrouped applyInPandas: per-key (customer row × order group) reconciliation.",
+)
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    out = (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy(F.col("o_custkey").alias("c_custkey")))
+        .applyInPandas(
+            _reconcile,
+            "c_custkey long, n_orders long, order_cents long, acctbal_cents long",
+        )
+    )
+    # oracle's LEFT JOIN keeps only customer-side keys; cogroup also
+    # emits order-only keys (none in the testdata, but filter to match
+    # the declared semantics regardless)
+    return out.filter(F.col("acctbal_cents").isNotNull())

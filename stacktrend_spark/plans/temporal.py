@@ -129,3 +129,67 @@ def range_join_halfday_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "resample_daily_gapfill",
+    # exact int-cents throughout; cumulative window is per-user over
+    # unique days so RANGE/ROWS framing differences can't matter
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE user_id < 50
+        ),
+        daily AS (
+            SELECT user_id, day, SUM(cents) AS c FROM ev GROUP BY user_id, day
+        ),
+        bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        days AS (
+            SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ),
+        users AS (SELECT DISTINCT user_id FROM ev)
+        SELECT
+            u.user_id,
+            epoch_us(d.day)                        AS day_us,
+            CAST(COALESCE(daily.c, 0) AS BIGINT)   AS day_value_cents,
+            CAST(SUM(COALESCE(daily.c, 0)) OVER (
+                PARTITION BY u.user_id ORDER BY d.day) AS BIGINT)
+                AS cum_value_cents
+        FROM users u
+        CROSS JOIN days d
+        LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+    """,
+    doc="Time-series resample: dense daily grid (sequence+explode), zero-fill, cumulative carry.",
+)
+def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.functions.rounding import iscale
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    daily = ev.groupBy("user_id", day).agg(F.sum(iscale("value", 2)).alias("c"))
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    # the day spine and user list are both tiny → broadcast the grid
+    # sides; the only data-sized shuffles are the daily agg and the
+    # (user, day) left join
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    filled = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "day_value_cents", F.coalesce(F.col("c"), F.lit(0)).cast("long")
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    return filled.select(
+        "user_id",
+        F.unix_micros("day").alias("day_us"),
+        "day_value_cents",
+        F.sum("day_value_cents").over(w).cast("long").alias("cum_value_cents"),
+    )
