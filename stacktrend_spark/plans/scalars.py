@@ -326,3 +326,39 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot/melt — the dual of pivot_status_by_segment (wide metric
+# columns → long (metric, value) rows). Map-side Expand, no shuffle
+# beyond the feeding aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_flag_metrics",
+    oracle=f"""
+        WITH wide AS (
+            SELECT
+                l_returnflag,
+                {sql_dsum('l_extendedprice')}         AS sum_price,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+                CAST(COUNT(*) AS DOUBLE)              AS n_items
+            FROM lineitem GROUP BY l_returnflag
+        )
+        UNPIVOT wide ON sum_price, sum_qty, n_items
+        INTO NAME metric VALUE metric_value
+    """,
+    doc="Unpivot (melt): wide per-flag metrics to long (metric, value) rows via Expand.",
+)
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_extendedprice").alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_price", "sum_qty", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
