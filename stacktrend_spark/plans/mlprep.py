@@ -282,3 +282,58 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf_lin", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout stats: cluster events by the Morton interleave of
+# (user_id, day) and show that each resulting "file" covers a bounded
+# rectangle of both dimensions — the data-skipping property a 100 TB
+# table needs when queried by either key (functions/zorder.py).
+# ---------------------------------------------------------------------------
+from stacktrend_spark.functions.zorder import sql_zorder_key2, zorder_key2  # noqa: E402
+
+_Z_BITS = 12
+_Z_FILE_SHIFT = 2 * _Z_BITS - 6  # 64 z-range buckets ("files")
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT
+                user_id & 4095                          AS ux,
+                CAST(epoch_us(ts) // 86400000000 AS BIGINT) & 4095 AS dy
+            FROM events
+        ),
+        z AS (
+            SELECT ux, dy,
+                   {sql_zorder_key2('ux', 'dy', 12)} >> {_Z_FILE_SHIFT} AS file_id
+            FROM keyed
+        )
+        SELECT
+            file_id,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(MIN(ux) AS BIGINT)  AS min_user,
+            CAST(MAX(ux) AS BIGINT)  AS max_user,
+            CAST(MIN(dy) AS BIGINT)  AS min_day,
+            CAST(MAX(dy) AS BIGINT)  AS max_day
+        FROM z GROUP BY file_id
+    """,
+    doc="Z-order (Morton) clustering stats: per z-range bucket, both dimensions stay bounded.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        (F.col("user_id").bitwiseAND(F.lit(4095))).alias("ux"),
+        (F.expr("unix_micros(ts) div 86400000000").bitwiseAND(F.lit(4095))).alias("dy"),
+    )
+    z = keyed.withColumn(
+        "file_id", F.shiftright(zorder_key2(F.col("ux"), F.col("dy"), _Z_BITS), _Z_FILE_SHIFT)
+    )
+    return z.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ux").cast("long").alias("min_user"),
+        F.max("ux").cast("long").alias("max_user"),
+        F.min("dy").cast("long").alias("min_day"),
+        F.max("dy").cast("long").alias("max_day"),
+    )

@@ -81,3 +81,23 @@ def test_connected_components_invariants(spark):
     nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 10, 11, 20, 21, 22, 99]], "node long")
     got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Morton interleave: Spark column expression vs pure-Python bits."""
+    from stacktrend_spark.functions.zorder import zorder_key2
+
+    def py_z(x: int, y: int, bits: int = 12) -> int:
+        acc = 0
+        for i in range(bits):
+            acc |= ((x >> i) & 1) << (2 * i)
+            acc |= ((y >> i) & 1) << (2 * i + 1)
+        return acc
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (4095, 4095), (1234, 987)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key2(F.col("x"), F.col("y"), 12).alias("z")).collect()
+    }
+    assert got == {(x, y): py_z(x, y) for x, y in rows}
