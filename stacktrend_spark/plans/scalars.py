@@ -362,3 +362,49 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe scalar functions (try_*) — dirty-data hygiene. At 100 TB a
+# single malformed cell must produce a NULL, not kill the job (ANSI
+# mode would throw). Corruption is synthesized deterministically so the
+# cleaning behavior itself is oracle-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_try_clean",
+    oracle="""
+        WITH dirty AS (
+            SELECT
+                event_id,
+                CASE WHEN event_id % 7 = 0 THEN 'x' || CAST(value AS VARCHAR)
+                     ELSE CAST(value AS VARCHAR) END AS num_str,
+                CAST(event_id % 5 AS BIGINT) AS den,
+                value,
+                CASE WHEN event_id % 3 = 0 THEN 'garbage'
+                     ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_str
+            FROM events
+        )
+        SELECT
+            event_id,
+            TRY_CAST(num_str AS DOUBLE)                  AS parsed_value,
+            value / NULLIF(den, 0)                       AS safe_ratio,
+            epoch_us(TRY_CAST(ts_str AS TIMESTAMP))      AS reparsed_ts_us
+        FROM dirty
+    """,
+    doc="try_cast / try_divide / try_to_timestamp: malformed cells become NULLs, never errors.",
+)
+def scalar_try_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    num_str = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("value").cast("string"))
+    ).otherwise(F.col("value").cast("string"))
+    ts_str = F.when(F.col("event_id") % 3 == 0, F.lit("garbage")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    den = (F.col("event_id") % 5).cast("long")
+    return ev.select(
+        "event_id",
+        num_str.try_cast("double").alias("parsed_value"),
+        F.try_divide(F.col("value"), F.nullif(den, F.lit(0))).alias("safe_ratio"),
+        F.unix_micros(F.try_to_timestamp(ts_str)).alias("reparsed_ts_us"),
+    )

@@ -295,3 +295,47 @@ def repo_activity(
             for f in BRONZE_ACTIVITY_SCHEMA.fields
         ]
     )
+
+
+def fetch_distributed(
+    requests_df: DataFrame,
+    transport_factory: Callable[[], Transport],
+    requests_per_minute: int = 80,
+) -> DataFrame:
+    """Executor-side fetch: the distributed replacement for the
+    driver-paginated loop (the swap SCALE.md promises).
+
+    ``requests_df`` is a manifest of (path, params_json) rows —
+    typically one per page or per repo. Each partition builds its OWN
+    transport via ``transport_factory`` (a picklable zero-arg callable:
+    connections can't ship from the driver) and its own rate limiter,
+    so a cluster of E executors sustains E × requests_per_minute
+    against a sharded/proxied API. Rows stream through Arrow batches;
+    the result keeps the manifest columns and appends the raw JSON
+    payload for the standard parse path (``repos_to_bronze``).
+
+    Use when the API allows parallel clients; the driver-side loop
+    remains the default because one global rate budget (the
+    reference's 80 req/min self-cap) is inherently serial.
+    """
+    import pandas as pd
+
+    def run(batches):
+        transport = transport_factory()
+        limiter = RateLimiter(per_minute=requests_per_minute)
+        for pdf in batches:
+            payloads = []
+            for path, params_json in zip(pdf["path"], pdf["params_json"]):
+                limiter.wait()
+                payloads.append(json.dumps(transport(path, json.loads(params_json))))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "params_json": pdf["params_json"],
+                    "payload_json": payloads,
+                }
+            )
+
+    return requests_df.mapInPandas(
+        run, "path string, params_json string, payload_json string"
+    )

@@ -119,3 +119,16 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_l")
         spark.sql("DROP TABLE IF EXISTS bkt_r")
+
+
+def test_flagship_query_stays_in_codegen(spark, sf_dir):
+    """q1's scan→filter→project→aggregate spine must run inside
+    WholeStageCodegen spans — dropping to interpreted eval is a silent
+    multi-× regression at scale. AQE only reveals codegen in the FINAL
+    plan, so materialize first and read the executed plan."""
+    df = all_queries()["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # count() builds a separate execution; collect finalizes THIS plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    # "*(n)" operator prefixes are the WholeStageCodegen markers
+    assert "*(" in executed

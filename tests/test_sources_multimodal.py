@@ -211,3 +211,30 @@ def test_detect_drift_severities(spark):
     )
     out = {r.repository_id: r.drift_severity for r in detect_drift(old, new).collect()}
     assert out == {2: "high", 3: "medium", 4: "medium", 5: "low"}
+
+
+def test_fetch_distributed_runs_executor_side(spark):
+    """The manifest-driven fetch must run via Arrow (MapInPandas) and
+    return one payload per request row."""
+    import json as _json
+
+    from stacktrend_spark.sources.rest import fetch_distributed
+
+    # nested closure: cloudpickle ships it by VALUE, so executors don't
+    # need the tests directory on their import path
+    def _fake_transport_factory():
+        def transport(path: str, params: dict):
+            return {"path": path, "page": params.get("page", 0), "items": [1, 2, 3]}
+
+        return transport
+
+    manifest = spark.createDataFrame(
+        [(f"/repos/{i}", _json.dumps({"page": i})) for i in range(12)],
+        "path string, params_json string",
+    ).repartition(4)
+    out = fetch_distributed(manifest, _fake_transport_factory, requests_per_minute=10**9)
+    rows = out.collect()
+    assert len(rows) == 12
+    payload = _json.loads(next(r["payload_json"] for r in rows if r["path"] == "/repos/3"))
+    assert payload == {"path": "/repos/3", "page": 3, "items": [1, 2, 3]}
+    assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
