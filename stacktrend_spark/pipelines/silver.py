@@ -198,3 +198,26 @@ def build_silver(
     cleaned = _metrics(_clean(labeled, as_of_date))
     good, bad = _validate(cleaned)
     return SilverResult(silver=good.select(*SILVER_COLUMNS), quarantined=bad)
+
+
+def observe_quality(df: DataFrame, name: str = "silver_quality"):
+    """Attach lazy data-quality counters to a plan (SURVEY §4
+    anti-pattern 1: the reference re-runs `.count()` three times before
+    classification, b2s:477-494 — each re-triggering full lineage).
+
+    ``Observation`` metrics ride along with whatever action
+    materializes ``df`` (typically the sink write): zero extra jobs,
+    zero extra scans. Returns (observed_df, observation); read
+    ``observation.get`` AFTER an action has run.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.size("data_quality_flags") > 0).cast("long")
+        ).alias("n_flagged"),
+    )
+    return observed, obs

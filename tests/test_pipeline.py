@@ -168,3 +168,19 @@ def test_medallion_store_roundtrip(spark, bronze, tmp_path_factory):
     # upsert idempotency through storage
     store.upsert(spark, bronze, "bronze", "github_repos", keys=["repository_id"])
     assert store.read(spark, "bronze", "github_repos").count() == bronze.count()
+
+
+def test_observe_quality_counts_without_extra_jobs(spark, sf_dir):
+    """Observation counters must match explicit counts while riding the
+    ONE materializing action (the 'log lazily' fix for the reference's
+    triple-count anti-pattern)."""
+    from stacktrend_spark.pipelines.silver import observe_quality
+
+    bronze = fixtures.bronze_repos(spark)
+    res = build_silver(bronze, RuleBasedClassifier(), AS_OF_DATE)
+    observed, obs = observe_quality(res.silver)
+    n = observed.count()  # the single action; metrics ride along
+    assert obs.get["n_rows"] == n
+    assert obs.get["n_flagged"] == res.silver.filter(
+        F.size("data_quality_flags") > 0
+    ).count()
