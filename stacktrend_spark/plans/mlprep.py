@@ -337,3 +337,105 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").cast("long").alias("min_day"),
         F.max("dy").cast("long").alias("max_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching: Levenshtein edit distance over candidate pairs.
+# The scale pattern is identical to the other dedup verifiers: generate
+# a SMALL candidate set first (here: same source + same length bucket),
+# THEN pay the O(m·n) distance only on candidates — never all-pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "text_levenshtein_pairs",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source, SUBSTRING(text, 1, 40) AS head,
+                   n_chars // 64 AS len_bucket
+            FROM documents WHERE doc_id < 100
+        )
+        SELECT
+            a.doc_id AS id_a,
+            b.doc_id AS id_b,
+            CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+        FROM d a JOIN d b
+          ON a.source = b.source AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    """,
+    doc="Levenshtein over blocked candidate pairs (source+length bucket) — fuzzy-dup primitive.",
+)
+def text_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "source",
+            F.substring("text", 1, 40).alias("head"),
+            F.expr("n_chars div 64").alias("len_bucket"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"), "source", "len_bucket",
+        F.col("head").alias("head_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "source", "len_bucket",
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(b, ["source", "len_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("head_a", "head_b").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map + array higher-order functions: build a per-source map of
+# lang → doc count, transform values to shares, filter small entries,
+# explode back to rows for the value check. Covers map_from_entries /
+# transform_values / map_filter / explode-of-map — all codegen'd.
+# ---------------------------------------------------------------------------
+@register(
+    "map_hof_lang_shares",
+    oracle="""
+        WITH counts AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (SELECT source, SUM(n) AS t FROM counts GROUP BY source)
+        SELECT
+            c.source, c.lang,
+            c.n,
+            CAST(c.n AS DOUBLE) / t.t AS share
+        FROM counts c JOIN tot t USING (source)
+        WHERE CAST(c.n AS DOUBLE) / t.t > 0.05
+    """,
+    doc="Map higher-order funcs: map_from_entries → transform_values → map_filter → explode.",
+)
+def map_hof_lang_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    per_source = counts.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "n"))).alias("lang_n"),
+        F.sum("n").alias("t"),
+    )
+    shared = per_source.select(
+        "source",
+        F.map_filter(
+            F.transform_values(
+                F.col("lang_n"),
+                lambda k, v: F.struct(
+                    v.alias("n"), (v.cast("double") / F.col("t")).alias("share")
+                ),
+            ),
+            lambda k, v: v["share"] > 0.05,
+        ).alias("filtered"),
+    )
+    exploded = shared.select("source", F.explode("filtered").alias("lang", "nv"))
+    return exploded.select(
+        "source", "lang", F.col("nv.n").alias("n"), F.col("nv.share").alias("share")
+    )
