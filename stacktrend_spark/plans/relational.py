@@ -427,3 +427,86 @@ def union_period_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return period(7, "7d").union(period(30, "30d")).union(period(90, "90d"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries — EXISTS / NOT EXISTS and a correlated scalar.
+# Catalyst rewrites these to semi/anti joins and a re-grouped join
+# respectively (decorrelation), so the SQL-level subquery surface rides
+# the same scale path as the explicit join queries.
+# ---------------------------------------------------------------------------
+@register(
+    "subquery_exists_orders",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
+    """,
+    doc="Correlated EXISTS + NOT EXISTS — decorrelated to semi ⋈ anti joins by Catalyst.",
+)
+def subquery_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM _sq_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM _sq_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM _sq_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
+        """
+    )
+
+
+@register(
+    "subquery_scalar_above_avg",
+    # AVG over exact int cents: one sum + one division per group in
+    # BOTH engines → bit-identical threshold, deterministic comparison
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT
+            o_orderpriority,
+            CAST(COUNT(*) AS BIGINT) AS n_above_own_avg
+        FROM o
+        WHERE cents > (
+            SELECT AVG(o2.cents) FROM o o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o_orderpriority
+    """,
+    doc="Correlated scalar subquery (price above the customer's own average), decorrelated.",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq2_orders")
+    return spark.sql(
+        """
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM _sq2_orders
+        )
+        SELECT
+            o_orderpriority,
+            CAST(COUNT(*) AS BIGINT) AS n_above_own_avg
+        FROM o
+        WHERE cents > (
+            SELECT AVG(o2.cents) FROM o o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        GROUP BY o_orderpriority
+        """
+    )
