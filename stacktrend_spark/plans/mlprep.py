@@ -439,3 +439,24 @@ def map_hof_lang_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.select(
         "source", "lang", F.col("nv.n").alias("n"), F.col("nv.share").alias("share")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted string aggregation (listagg): deterministic only with an
+# explicit order — Spark sorts the collected array, DuckDB orders
+# inside string_agg.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_string_concat_langs",
+    oracle="""
+        WITH d AS (SELECT DISTINCT source, lang FROM documents)
+        SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs
+        FROM d GROUP BY source
+    """,
+    doc="Sorted listagg per group: sort_array(collect_set) → concat_ws, order-deterministic.",
+)
+def agg_string_concat_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs")
+    )

@@ -431,3 +431,46 @@ def rank_global_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("price_rank") <= 100).select(
         "o_orderkey", "o_totalprice", "price_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit RANGE frame — a value-based sliding window (trailing 2 days
+# per user), the frame class the reference never narrows (§2.5 note).
+# Frames run on epoch-µs longs so both engines bound the range
+# identically.
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frame_trailing",
+    oracle="""
+        SELECT
+            event_id,
+            user_id,
+            epoch_us(ts) AS ts_us,
+            CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_2d,
+            CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+                AS sum_cents_trailing_2d
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="RANGE interval frame: trailing-2-day per-user count/sum on an epoch-µs axis.",
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import iscale
+
+    ev = load_table(spark, sf_dir, "events")
+    two_days_us = 2 * 86_400_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-two_days_us, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_2d"),
+        F.sum(iscale("value", 2)).over(w).cast("long").alias("sum_cents_trailing_2d"),
+    )
