@@ -51,6 +51,7 @@ HEADLINE = [
     "text_regex_tokens",
     "text_tfidf_topk",
     "split_train_test",
+    "pipeline_corpus_curation",
     "multimodal_features",
     "stream_tumbling_daily",
     "stream_session_windows",

@@ -723,3 +723,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("vec_id"), F.col("component").cast("long").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition — the end-to-end corpus-curation pipeline a
+# training-data run executes, chaining the north-star operators in one
+# plan: quality gate → language allowlist → exact dedup keeping the
+# canonical (smallest-id) copy → deterministic split → corpus stats.
+# Every stage is a narrow filter or a single keyed shuffle; nothing
+# here changes shape at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_corpus_curation",
+    oracle="""
+        WITH gated AS (
+            SELECT doc_id, lang, n_chars, LOWER(text) AS norm_text
+            FROM documents
+            WHERE n_chars BETWEEN 64 AND 4096
+              AND LEN(STRING_SPLIT(text, ' ')) >= 12
+              AND lang IN ('en', 'es', 'fr', 'de')
+        ),
+        canonical AS (
+            SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY norm_text
+        ),
+        kept AS (
+            SELECT g.* FROM gated g JOIN canonical c USING (doc_id)
+        )
+        SELECT
+            lang,
+            CASE WHEN doc_id % 10 < 8 THEN 'train'
+                 WHEN doc_id % 10 = 8 THEN 'val'
+                 ELSE 'test' END         AS split,
+            CAST(COUNT(*) AS BIGINT)     AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM kept
+        GROUP BY lang, CASE WHEN doc_id % 10 < 8 THEN 'train'
+                            WHEN doc_id % 10 = 8 THEN 'val'
+                            ELSE 'test' END
+    """,
+    doc="End-to-end corpus curation: quality gate → lang filter → exact dedup → split → stats.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        F.col("n_chars").between(64, 4096)
+        & (F.size(F.split("text", " ")) >= 12)
+        & F.col("lang").isin("en", "es", "fr", "de")
+    ).select("doc_id", "lang", "n_chars", F.lower("text").alias("norm_text"))
+    # exact dedup, canonical = smallest doc_id per normalized text; at
+    # scale the group key would be the md5 digest (dedup_exact's key) —
+    # same shuffle, fixed-width key
+    canonical = gated.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(canonical.select("doc_id"), "doc_id")
+    split = (
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 == 8, "val")
+        .otherwise("test")
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
