@@ -132,3 +132,15 @@ def test_flagship_query_stays_in_codegen(spark, sf_dir):
     assert "isFinalPlan=true" in executed
     # "*(n)" operator prefixes are the WholeStageCodegen markers
     assert "*(" in executed
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of join promises ONE shuffle (the per-key range window
+    over the union) — no inequality-join blow-up, no extra exchanges.
+    Formatted explain prints each node once in the tree and once in the
+    detail section; count the detail headers."""
+    import re
+
+    p = plan_of(all_queries()["asof_purchase_login"].fn(spark, sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n_exchanges == 1
