@@ -147,3 +147,33 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.regr_r2("l_extendedprice", "l_quantity"), 8).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n_pairs"),
     )
+
+
+@register(
+    "histogram_value_buckets",
+    # both sides bucket with the IDENTICAL double formula (min/max from
+    # exact 2-decimal values), so bin edges are bit-identical; the last
+    # bucket is closed via LEAST
+    oracle="""
+        WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+        SELECT
+            event_type,
+            CAST(LEAST(FLOOR((value - lo) / (hi - lo) * 10.0), 9.0) AS BIGINT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS n
+        FROM events, b
+        GROUP BY event_type, CAST(LEAST(FLOOR((value - lo) / (hi - lo) * 10.0), 9.0) AS BIGINT)
+    """,
+    doc="Equal-width 10-bin histogram per event_type — global bounds via a broadcast scalar agg.",
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10.0),
+        F.lit(9.0),
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
