@@ -48,6 +48,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.mlprep",
     "stacktrend_spark.plans.skew",
     "stacktrend_spark.plans.python_api",
+    "stacktrend_spark.plans.behavioral",
 )
 
 
