@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stacktrend_spark.functions.rounding import dsum, fround, sql_dsum, sql_round
+from stacktrend_spark.functions.rounding import (
+    dsum,
+    fround,
+    iscale,
+    sql_dsum,
+    sql_iscale,
+    sql_round,
+)
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -176,4 +183,82 @@ def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.crossJoin(F.broadcast(bounds))
         .groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier filter — the classic robust quality gate for training-data
+# curation. Parity trick per the module docstring: quantiles run in
+# cent-SCALED integer space (iscale), where interpolation at dyadic
+# fractions (.25/.75) and the ×1.5 fence arithmetic are all exact
+# dyadic-double operations — bit-identical across engines, so the
+# kept/outlier row SET is too. Plan: one groupBy for the per-type
+# fences (5 rows → broadcast back), one final agg. Two shuffles total;
+# the fence table stays dimension-sized at any data scale.
+# ---------------------------------------------------------------------------
+@register(
+    "outlier_iqr_filter",
+    oracle=f"""
+        WITH vals AS (
+            SELECT event_type, {sql_iscale("value")} AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        fences AS (
+            SELECT
+                event_type,
+                quantile_cont(v, 0.25) - 1.5 * (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)) AS lo,
+                quantile_cont(v, 0.75) + 1.5 * (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)) AS hi
+            FROM vals GROUP BY event_type
+        )
+        SELECT
+            vals.event_type,
+            COUNT(*) AS n_total,
+            COUNT(CASE WHEN v < lo OR v > hi THEN 1 END) AS n_outliers,
+            CAST(COALESCE(SUM(CASE WHEN v >= lo AND v <= hi THEN v END), 0) AS DOUBLE)
+                / 100.0 AS kept_value,
+            lo / 100.0 AS fence_lo,
+            hi / 100.0 AS fence_hi
+        FROM vals JOIN fences USING (event_type)
+        GROUP BY vals.event_type, lo, hi
+    """,
+    doc="IQR (1.5×) outlier gate per event type — exact scaled-int quantile space.",
+)
+def outlier_iqr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", iscale("value").alias("v")
+    )
+    fences = vals.groupBy("event_type").agg(
+        (
+            F.expr("percentile(v, 0.25)")
+            - 1.5 * (F.expr("percentile(v, 0.75)") - F.expr("percentile(v, 0.25)"))
+        ).alias("lo"),
+        (
+            F.expr("percentile(v, 0.75)")
+            + 1.5 * (F.expr("percentile(v, 0.75)") - F.expr("percentile(v, 0.25)"))
+        ).alias("hi"),
+    )
+    out = F.col("v") < F.col("lo")
+    hi_out = F.col("v") > F.col("hi")
+    return (
+        vals.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(out | hi_out, 1)).alias("n_outliers"),
+            (
+                F.coalesce(F.sum(F.when(~out & ~hi_out, F.col("v"))), F.lit(0)).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias("kept_value"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_outliers",
+            "kept_value",
+            (F.col("lo") / F.lit(100.0)).alias("fence_lo"),
+            (F.col("hi") / F.lit(100.0)).alias("fence_hi"),
+        )
     )
