@@ -144,3 +144,21 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     p = plan_of(all_queries()["asof_purchase_login"].fn(spark, sf_dir))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
     assert n_exchanges == 1
+
+
+def test_iqr_fences_broadcast(spark, sf_dir):
+    """The per-type IQR fence table is dimension-sized at any data
+    scale — joining it back must broadcast, never sort-merge the full
+    event stream."""
+    p = plan_of(all_queries()["outlier_iqr_filter"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    """Content-hash stratified sampling is a map-side filter: the only
+    Exchange in the plan is the final per-type summary aggregation."""
+    # formatted explain prints each node twice (tree + detail section);
+    # count tree nodes only.
+    p = plan_of(all_queries()["sample_stratified_hash"].fn(spark, sf_dir))
+    assert p.count("+- Exchange") == 1
