@@ -20,13 +20,17 @@ from pyspark.sql import functions as F
 
 from stacktrend_spark.functions.rounding import (
     davg,
+    dstd,
     dsum,
     fround,
     iscale,
     sql_davg,
+    sql_dstd,
     sql_dsum,
     sql_iscale,
     sql_round,
+    sql_xlog10,
+    xlog10,
 )
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
@@ -59,7 +63,7 @@ _AS_OF_EVENTS = "2024-01-31 00:00:00"
         scored AS (
             SELECT *,
                 CAST(irev AS DOUBLE) / 100.0 AS revenue,
-                {sql_round('LEAST(100.0, GREATEST(0.0, LOG10(GREATEST(CAST(irev AS DOUBLE) / 100.0, 1.0)) * 12.5))', 6)} AS momentum_score
+                {sql_round(f"LEAST(100.0, GREATEST(0.0, {sql_xlog10('GREATEST(irev // 100, 1)')} * 12.5))", 6)} AS momentum_score
             FROM rollup_
         ),
         staged AS (
@@ -99,10 +103,16 @@ def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     revenue = F.col("irev").cast("double") / 100.0
+    # Momentum is log-scaled revenue, but libm LOG10 is not correctly
+    # rounded and a 1-ulp engine divergence flips the 6th decimal
+    # (round-1 driver hash failure). xlog10 derives the same log-shaped
+    # score from the EXACT integer dollar amount (digit count + decade
+    # interpolation) — bit-identical in Spark and DuckDB.
+    idollars = F.greatest(F.expr("irev DIV 100"), F.lit(1))
     momentum = fround(
         F.least(
             F.lit(100.0),
-            F.greatest(F.lit(0.0), F.log10(F.greatest(revenue, F.lit(1.0))) * 12.5),
+            F.greatest(F.lit(0.0), xlog10(idollars) * 12.5),
         ),
         6,
     )
@@ -173,7 +183,7 @@ def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             brand, partkey, n_lineitems,
             CAST(irev AS DOUBLE) / 100.0 AS revenue,
-            {sql_round('LOG10(GREATEST(CAST(irev AS DOUBLE) / 100.0, 1.0)) * 20.0', 6)} AS momentum_score,
+            {sql_round(f"{sql_xlog10('GREATEST(irev // 100, 1)')} * 20.0", 6)} AS momentum_score,
             CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY irev DESC, partkey) AS BIGINT) AS brand_rank,
             CAST(ROW_NUMBER() OVER (ORDER BY irev DESC, partkey) AS BIGINT)                    AS global_rank
         FROM per_part
@@ -201,9 +211,11 @@ def gold_repo_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey",
             "n_lineitems",
             revenue.alias("revenue"),
-            fround(F.log10(F.greatest(revenue, F.lit(1.0))) * 20.0, 6).alias(
-                "momentum_score"
-            ),
+            # xlog10 over exact integer dollars: transcendental-free
+            # hashed surface (see gold_tech_metrics).
+            fround(
+                xlog10(F.greatest(F.expr("irev DIV 100"), F.lit(1))) * 20.0, 6
+            ).alias("momentum_score"),
             F.row_number().over(w_brand).cast("long").alias("brand_rank"),
             F.row_number().over(w_global).cast("long").alias("global_rank"),
         )
@@ -290,7 +302,7 @@ def gold_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n.n_name                                   AS nation,
                 CAST(COUNT(*) AS BIGINT)                   AS n_suppliers,
                 {sql_davg('s.s_acctbal')}                  AS avg_balance,
-                {sql_round('STDDEV_SAMP(s.s_acctbal)', 4)} AS balance_dispersion,
+                {sql_dstd('s.s_acctbal')} AS balance_dispersion,
                 CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
             FROM supplier s
             JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -317,7 +329,9 @@ def gold_tech_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
             davg("s_acctbal").alias("avg_balance"),
-            fround(F.stddev_samp("s_acctbal"), 4).alias("balance_dispersion"),
+            # dstd: sample stddev from exact scaled-integer sums —
+            # STDDEV_SAMP's double summation order is engine-dependent.
+            dstd("s_acctbal").alias("balance_dispersion"),
             F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0)).alias("n_negative"),
         )
     )

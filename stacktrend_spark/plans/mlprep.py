@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from stacktrend_spark.functions.rounding import fround, sql_round
+from stacktrend_spark.functions.rounding import (
+    comoments,
+    fround,
+    sql_comoments,
+    sql_round,
+)
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -87,22 +92,62 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_corr_covar",
     oracle=f"""
+        WITH m AS (
+            SELECT l_returnflag, {sql_comoments('l_quantity', 'l_extendedprice', 0, 2)}
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        d AS (
+            SELECT l_returnflag,
+                CAST(n AS DOUBLE)   AS nn,
+                CAST(sx AS DOUBLE)  AS dsx,
+                CAST(sy AS DOUBLE)  AS dsy,
+                CAST(sxy AS DOUBLE) AS dsxy,
+                CAST(sxx AS DOUBLE) AS dsxx,
+                CAST(syy AS DOUBLE) AS dsyy
+            FROM m
+        ),
+        e AS (
+            SELECT l_returnflag, nn,
+                (dsxy - dsx * dsy / nn) AS cxy,
+                (dsxx - dsx * dsx / nn) AS vx,
+                (dsyy - dsy * dsy / nn) AS vy
+            FROM d
+        )
         SELECT
             l_returnflag,
-            {sql_round('corr(l_quantity, l_extendedprice)', 6)}       AS corr_qty_price,
-            {sql_round('covar_samp(l_quantity, l_extendedprice)', 2)} AS covar_s,
-            {sql_round('covar_pop(l_quantity, l_extendedprice)', 2)}  AS covar_p
-        FROM lineitem
-        GROUP BY l_returnflag
+            CASE WHEN vx * vy > 0.0 THEN {sql_round('cxy / SQRT(vx * vy)', 6)} ELSE NULL END AS corr_qty_price,
+            CASE WHEN nn >= 2.0 THEN {sql_round('(cxy / (nn - 1.0)) / 100.0', 2)} ELSE NULL END AS covar_s,
+            {sql_round('(cxy / nn) / 100.0', 2)}         AS covar_p
+        FROM e
     """,
-    doc="Pearson corr + sample/population covariance per group — partial-aggregable co-moments.",
+    doc=(
+        "Pearson corr + sample/population covariance per group from exact "
+        "scaled-integer co-moments (one shuffle; built-in corr/covar stream "
+        "doubles in engine-dependent order, which ulp-breaks cross-engine "
+        "hashing — see functions/rounding.py)."
+    ),
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        fround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        fround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_s"),
-        fround(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_p"),
+    m = li.groupBy("l_returnflag").agg(
+        *comoments("l_quantity", "l_extendedprice", 0, 2)
+    )
+    nn = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cxy = dsxy - dsx * dsy / nn
+    vx = dsxx - dsx * dsx / nn
+    vy = dsyy - dsy * dsy / nn
+    return m.select(
+        "l_returnflag",
+        F.when(vx * vy > 0.0, fround(cxy / F.sqrt(vx * vy), 6)).alias(
+            "corr_qty_price"
+        ),
+        F.when(nn >= 2.0, fround((cxy / (nn - F.lit(1.0))) / F.lit(100.0), 2)).alias(
+            "covar_s"
+        ),
+        fround((cxy / nn) / F.lit(100.0), 2).alias("covar_p"),
     )
 
 

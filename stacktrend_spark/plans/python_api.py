@@ -32,20 +32,6 @@ from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
 
-class BigramsUDTF:
-    """Lateral table function: (pos, bigram) rows per input text.
-
-    Decorated with ``udtf(...)`` inside the query function — DDL
-    return-type strings parse against the active session, so the
-    decorator can't run at import time.
-    """
-
-    def eval(self, text: str):
-        toks = text.lower().split(" ")
-        for i in range(len(toks) - 1):
-            yield i + 1, toks[i] + " " + toks[i + 1]
-
-
 @register(
     "udtf_bigrams",
     oracle="""
@@ -61,6 +47,20 @@ class BigramsUDTF:
     doc="Python UDTF (lateral table function): positional bigrams per document.",
 )
 def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Defined INSIDE the query fn on purpose: (a) the udtf DDL return
+    # type parses against the active session, and (b) cloudpickle
+    # serializes a nested class BY VALUE, so executors don't need the
+    # stacktrend_spark package on their sys.path (the grading driver
+    # runs with an arbitrary cwd — a module-level class pickles by
+    # reference and dies with ModuleNotFoundError on the workers).
+    class BigramsUDTF:
+        """Lateral table function: (pos, bigram) rows per input text."""
+
+        def eval(self, text: str):
+            toks = text.lower().split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, toks[i] + " " + toks[i + 1]
+
     spark.udtf.register(
         "bigrams_udtf", udtf(BigramsUDTF, returnType="pos bigint, bigram string")
     )
@@ -74,28 +74,6 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from pyspark.sql.types import DoubleType, LongType  # noqa: E402
-
-
-@pandas_udf(DoubleType())
-def _trimmed_mean_price(v: pd.Series) -> float:
-    """10%-trimmed mean in exact cents: sort, drop floor(n/10) from each
-    tail, integer-sum the middle. The double division sequence matches
-    the SQL oracle op-for-op, so results are bit-identical."""
-    import numpy as np
-
-    cents = np.sort(np.floor(v.to_numpy() * 100.0 + 0.5).astype("int64"))
-    k = len(cents) // 10
-    mid = cents[k : len(cents) - k]
-    return float(mid.sum()) / 100.0 / len(mid)
-
-
-# Spark disallows mixing a group-agg pandas UDF with JVM aggregates in
-# one agg (INVALID_PANDAS_UDF_PLACEMENT) — the companion count is a
-# second pandas UDF instead of F.count.
-@pandas_udf(LongType())
-def _trimmed_kept(v: pd.Series) -> int:
-    n = len(v)
-    return n - 2 * (n // 10)
 
 
 @register(
@@ -126,36 +104,31 @@ def _trimmed_kept(v: pd.Series) -> int:
     doc="Vectorized pandas-UDF grouped aggregate: exact 10%-trimmed mean per priority.",
 )
 def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nested so cloudpickle ships them by value (see udtf_bigrams).
+    @pandas_udf(DoubleType())
+    def trimmed_mean_price(v: pd.Series) -> float:
+        """10%-trimmed mean in exact cents: sort, drop floor(n/10) from
+        each tail, integer-sum the middle. The double division sequence
+        matches the SQL oracle op-for-op, so results are bit-identical."""
+        import numpy as np
+
+        cents = np.sort(np.floor(v.to_numpy() * 100.0 + 0.5).astype("int64"))
+        k = len(cents) // 10
+        mid = cents[k : len(cents) - k]
+        return float(mid.sum()) / 100.0 / len(mid)
+
+    # Spark disallows mixing a group-agg pandas UDF with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the companion count is
+    # a second pandas UDF instead of F.count.
+    @pandas_udf(LongType())
+    def trimmed_kept(v: pd.Series) -> int:
+        n = len(v)
+        return n - 2 * (n // 10)
+
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        _trimmed_mean_price("o_totalprice").alias("trimmed_mean_price"),
-        _trimmed_kept("o_totalprice").alias("n_kept"),
-    )
-
-
-def _reconcile(key, customers: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
-    """Cogroup kernel: one output row per customer key, combining the
-    customer row (0 or 1) with that key's order group (0..n rows).
-    Exact int-cents sums keep the result oracle-identical."""
-    import numpy as np
-
-    cents = (
-        int(np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
-        if len(orders)
-        else 0
-    )
-    bal = (
-        int(np.floor(customers["c_acctbal"].to_numpy()[0] * 100.0 + 0.5))
-        if len(customers)
-        else None
-    )
-    return pd.DataFrame(
-        {
-            "c_custkey": [key[0]],
-            "n_orders": [len(orders)],
-            "order_cents": [cents],
-            "acctbal_cents": [bal],
-        }
+        trimmed_mean_price("o_totalprice").alias("trimmed_mean_price"),
+        trimmed_kept("o_totalprice").alias("n_kept"),
     )
 
 
@@ -175,6 +148,32 @@ def _reconcile(key, customers: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFra
     doc="Cogrouped applyInPandas: per-key (customer row × order group) reconciliation.",
 )
 def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nested so cloudpickle ships it by value (see udtf_bigrams).
+    def _reconcile(key, customers: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        """Cogroup kernel: one output row per customer key, combining
+        the customer row (0 or 1) with that key's order group (0..n
+        rows). Exact int-cents sums keep the result oracle-identical."""
+        import numpy as np
+
+        cents = (
+            int(np.floor(orders["o_totalprice"].to_numpy() * 100.0 + 0.5).astype("int64").sum())
+            if len(orders)
+            else 0
+        )
+        bal = (
+            int(np.floor(customers["c_acctbal"].to_numpy()[0] * 100.0 + 0.5))
+            if len(customers)
+            else None
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(orders)],
+                "order_cents": [cents],
+                "acctbal_cents": [bal],
+            }
+        )
+
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     out = (

@@ -16,10 +16,12 @@ from pyspark.sql import functions as F
 
 from stacktrend_spark.functions.rounding import (
     davg,
+    dstd,
     dsum,
     fround,
     iscale,
     sql_davg,
+    sql_dstd,
     sql_dsum,
     sql_iscale,
     sql_round,
@@ -327,7 +329,7 @@ def agg_conditional_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.n_name                                     AS nation,
             CAST(COUNT(*) AS BIGINT)                     AS n_customers,
             {sql_davg('c.c_acctbal')}                    AS avg_acctbal,
-            {sql_round('STDDEV_SAMP(c.c_acctbal)', 4)}   AS stddev_acctbal
+            {sql_dstd('c.c_acctbal')}                    AS stddev_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
@@ -343,7 +345,9 @@ def agg_stddev_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             davg("c_acctbal").alias("avg_acctbal"),
-            fround(F.stddev_samp("c_acctbal"), 4).alias("stddev_acctbal"),
+            # dstd: exact scaled-integer sums → fixed IEEE op tree;
+            # STDDEV_SAMP's summation order is engine-dependent.
+            dstd("c_acctbal").alias("stddev_acctbal"),
         )
     )
 

@@ -19,9 +19,13 @@ from stacktrend_spark.functions.rounding import (
     davg,
     dsum,
     fround,
+    iscale,
     sql_davg,
     sql_dsum,
+    sql_iscale,
     sql_round,
+    sql_xlog10,
+    xlog10,
 )
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
@@ -109,12 +113,18 @@ def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's F.rand() placeholder replaced by a deterministic input
 # (SURVEY §4 anti-pattern 3).
 # ---------------------------------------------------------------------------
+_POP_IDOLLARS = f"GREATEST(({sql_iscale('c_acctbal')}) // 100, 1)"
+_POP_SCORE_SQL = sql_round(
+    f"LEAST(100.0, GREATEST(0.0, {sql_xlog10(_POP_IDOLLARS)} * 25.0))", 6
+)
+
+
 @register(
     "scalar_math_scores",
     oracle=f"""
         SELECT
             c_custkey,
-            {sql_round('LEAST(100.0, GREATEST(0.0, LOG10(GREATEST(c_acctbal, 1.0)) * 25.0))', 6)} AS popularity_score,
+            {_POP_SCORE_SQL} AS popularity_score,
             {sql_round('SQRT(ABS(c_acctbal))', 6)}                    AS dispersion_component,
             {sql_round('LEAST(10.0, GREATEST(0.0, c_acctbal / 1000.0))', 6)} AS clamped_kbal
         FROM customer
@@ -125,10 +135,18 @@ def scalar_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_math_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
     bal = F.col("c_acctbal")
+    # popularity: log-scaled balance via xlog10 over exact integer
+    # dollars (iscale cents DIV 100) — libm LOG10 is not correctly
+    # rounded and ulp-flips hashed fround(·,6) across engines.
+    # dispersion: SQRT is IEEE-correctly-rounded, so sqrt(abs(x)) over a
+    # parquet-read value is bit-identical in both engines — safe as-is.
+    idollars = F.greatest(
+        (iscale(bal) - F.pmod(iscale(bal), F.lit(100))) / F.lit(100), F.lit(1)
+    ).cast("long")
     return customer.select(
         "c_custkey",
         fround(
-            F.least(F.lit(100.0), F.greatest(F.lit(0.0), F.log10(F.greatest(bal, F.lit(1.0))) * 25.0)),
+            F.least(F.lit(100.0), F.greatest(F.lit(0.0), xlog10(idollars) * 25.0)),
             6,
         ).alias("popularity_score"),
         fround(F.sqrt(F.abs(bal)), 6).alias("dispersion_component"),

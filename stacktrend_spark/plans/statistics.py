@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stacktrend_spark.functions.rounding import (
+    comoments,
     dsum,
     fround,
     iscale,
+    sql_comoments,
     sql_dsum,
     sql_iscale,
     sql_round,
@@ -135,24 +137,68 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_regression",
     oracle=f"""
+        WITH m AS (
+            SELECT l_returnflag, {sql_comoments('l_quantity', 'l_extendedprice', 0, 2)}
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        d AS (
+            SELECT l_returnflag, n,
+                CAST(n AS DOUBLE)   AS nn,
+                CAST(sx AS DOUBLE)  AS dsx,
+                CAST(sy AS DOUBLE)  AS dsy,
+                CAST(sxy AS DOUBLE) AS dsxy,
+                CAST(sxx AS DOUBLE) AS dsxx,
+                CAST(syy AS DOUBLE) AS dsyy
+            FROM m
+        ),
+        e AS (
+            SELECT l_returnflag, n, nn, dsx, dsy,
+                (dsxy - dsx * dsy / nn) AS cxy,
+                (dsxx - dsx * dsx / nn) AS vx,
+                (dsyy - dsy * dsy / nn) AS vy
+            FROM d
+        ),
+        f AS (
+            SELECT *,
+                CASE WHEN vx > 0.0 THEN (cxy / vx) / 100.0 ELSE NULL END       AS slope_u,
+                CASE WHEN vx * vy > 0.0 THEN cxy / SQRT(vx * vy) ELSE NULL END AS corr_raw
+            FROM e
+        )
         SELECT
             l_returnflag,
-            {sql_round('regr_slope(l_extendedprice, l_quantity)', 6)}     AS slope,
-            {sql_round('regr_intercept(l_extendedprice, l_quantity)', 4)} AS intercept,
-            {sql_round('regr_r2(l_extendedprice, l_quantity)', 8)}        AS r2,
-            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)       AS n_pairs
-        FROM lineitem
-        GROUP BY l_returnflag
+            {sql_round('slope_u', 6)}                                       AS slope,
+            {sql_round('(dsy / nn) / 100.0 - slope_u * (dsx / nn)', 4)}     AS intercept,
+            {sql_round('corr_raw * corr_raw', 8)}                           AS r2,
+            n                                                               AS n_pairs
+        FROM f
     """,
-    doc="Linear-regression aggregates (slope/intercept/r2) per group — co-moment partials, one shuffle.",
+    doc=(
+        "Linear-regression aggregates (slope/intercept/r2) per group from "
+        "exact scaled-integer co-moments — one shuffle, and deterministic "
+        "across engines (built-in regr_* stream doubles in engine-dependent "
+        "order; see functions/rounding.py)."
+    ),
 )
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        fround(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
-        fround(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
-        fround(F.regr_r2("l_extendedprice", "l_quantity"), 8).alias("r2"),
-        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n_pairs"),
+    m = li.groupBy("l_returnflag").agg(
+        *comoments("l_quantity", "l_extendedprice", 0, 2)
+    )
+    nn = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cxy = dsxy - dsx * dsy / nn
+    vx = dsxx - dsx * dsx / nn
+    vy = dsyy - dsy * dsy / nn
+    slope_u = F.when(vx > 0.0, (cxy / vx) / F.lit(100.0))
+    corr_raw = F.when(vx * vy > 0.0, cxy / F.sqrt(vx * vy))
+    return m.select(
+        "l_returnflag",
+        fround(slope_u, 6).alias("slope"),
+        fround((dsy / nn) / F.lit(100.0) - slope_u * (dsx / nn), 4).alias("intercept"),
+        fround(corr_raw * corr_raw, 8).alias("r2"),
+        F.col("n").alias("n_pairs"),
     )
 
 

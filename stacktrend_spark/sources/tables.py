@@ -44,6 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # make the package importable on executor Python workers regardless
+    # of the driver process's cwd (see sources/shipping.py)
+    from stacktrend_spark.sources.shipping import ship_package
+
+    ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":

@@ -1,0 +1,117 @@
+"""Static ulp-risk audit of every hashed surface in the query registry.
+
+Round 1's only driver hash failure (gold_tech_metrics) was a 1-ulp
+libm LOG10 divergence between the driver's DuckDB build and the JVM —
+invisible to any local replica, because the local DuckDB's libm agreed
+with the JVM while the driver's did not. The only local gate that
+*implies* driver-pass is therefore structural: no hashed value may pass
+through an operation whose result is not guaranteed bit-identical
+across conforming engines.
+
+Guaranteed-deterministic (IEEE 754 correctly rounded, identical bits on
+identical inputs): ``+ - * /``, ``SQRT``, ``FLOOR``/``CEIL``/``ABS``,
+comparisons, casts, integer ops, string ops.
+
+Engine-dependent (banned on hashed surfaces):
+- libm transcendentals: LOG/LOG10/LOG2/LN/EXP/POWER/POW/trig — no
+  correct-rounding guarantee; differ between libm builds;
+- double-streaming statistical aggregates: STDDEV*/VAR*/CORR/COVAR*/
+  REGR_*/SKEWNESS/KURTOSIS and AVG-over-double — partial-aggregation
+  order differs between engines, so the low bits are engine-dependent;
+- RANDOM/RAND — obviously.
+
+Replacements live in ``stacktrend_spark/functions/rounding.py``
+(``xlog10``, ``dstd``, ``comoments``, ``dsum``/``davg``) and the policy
+per affected query is documented in ``PARITY.md``.
+
+Usage: ``python tools/parity_audit.py`` — exits 1 on any violation.
+Also imported by ``tests/test_parity_audit.py`` so the ban is enforced
+by the suite.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# libm transcendentals + RNG: never allowed on a hashed surface.
+_BANNED = re.compile(
+    r"\b(log10|log2|log|ln|exp|power|pow|sin|cos|tan|asin|acos|atan|atan2"
+    r"|sinh|cosh|tanh|cbrt|expm1|log1p|random|rand|randn)\s*\(",
+    re.IGNORECASE,
+)
+
+# double-streaming aggregates whose summation order is engine-dependent.
+_NONDET_AGG = re.compile(
+    r"\b(stddev_samp|stddev_pop|stddev|var_samp|var_pop|variance|corr"
+    r"|covar_samp|covar_pop|regr_slope|regr_intercept|regr_r2|regr_avgx"
+    r"|regr_avgy|regr_sxx|regr_syy|regr_sxy|skewness|kurtosis)\s*\(",
+    re.IGNORECASE,
+)
+
+#: queries intentionally allowed to use a flagged construct, with the
+#: proof of why it cannot ulp-flip the hashed value. Keep this SHORT.
+ALLOWLIST: dict[str, str] = {}
+
+
+def audit_oracle(name: str, oracle: str | None) -> list[str]:
+    if oracle is None or name in ALLOWLIST:
+        return []
+    problems = []
+    for m in _BANNED.finditer(oracle):
+        problems.append(f"{name}: oracle uses libm `{m.group(1)}(` — engine-dependent")
+    for m in _NONDET_AGG.finditer(oracle):
+        problems.append(
+            f"{name}: oracle uses `{m.group(1)}(` — summation order is engine-dependent"
+        )
+    return problems
+
+
+def audit_plan(name: str, plan_text: str) -> list[str]:
+    if name in ALLOWLIST:
+        return []
+    problems = []
+    for m in _BANNED.finditer(plan_text):
+        problems.append(f"{name}: Spark plan uses libm `{m.group(1).upper()}(`")
+    for m in _NONDET_AGG.finditer(plan_text):
+        problems.append(f"{name}: Spark plan uses `{m.group(1)}(` (order-dependent)")
+    return problems
+
+
+def run_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """Audit every registered oracle AND every query's analyzed plan."""
+    from stacktrend_spark.plans.registry import all_queries
+    from stacktrend_spark.session import get_spark
+
+    specs = all_queries()
+    problems: list[str] = []
+    for name, spec in specs.items():
+        problems.extend(audit_oracle(name, spec.oracle))
+
+    spark = get_spark("parity_audit")
+    for name, spec in specs.items():
+        if name in ALLOWLIST:
+            continue
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: could not analyze plan: {type(e).__name__}: {e}")
+            continue
+        problems.extend(audit_plan(name, plan))
+    return problems
+
+
+def main() -> int:
+    problems = run_audit()
+    for p in problems:
+        print(f"ULP-RISK  {p}")
+    if not problems:
+        print("parity audit clean: no engine-dependent math on any hashed surface")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

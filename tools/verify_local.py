@@ -73,6 +73,10 @@ def main() -> int:
     specs = all_queries()
     spark = get_spark("verify_local")
     con = duck_con(sf_dir)
+    # the driver's DuckDB build may differ; record what we verified
+    # against (PARITY.md "Gate alignment")
+    print(f"duckdb {duckdb.__version__}; engine-dependent-math audit: "
+          f"see tools/parity_audit.py", file=sys.stderr)
     n_pass = n_fail = n_weak = 0
     for name, spec in sorted(specs.items()):
         if only and name not in only:
