@@ -1,17 +1,19 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) column plumbing with REAL codecs.
 
 Beyond-reference north-star capability: treat media payloads as opaque
 ``binary`` columns with typed metadata, and run decode / feature-extract
 / frame-sample as Arrow-batched Pandas transforms (``mapInPandas``) —
-the pattern a 100 TB training-data pipeline uses for real codecs.
+the pattern a 100 TB training-data pipeline uses for media corpora.
 
-The container has no image/audio libraries, so the actual codec step is
-STUBBED: ``decode_media`` raises ``NotImplementedError`` and the
-pipeline runs a clearly-marked deterministic fake decode instead. The
-Spark-side plumbing — binary schema, metadata struct, Arrow batch
-transfer in/out of pandas, UDF signatures, output schema — is real and
-oracle-tested (the fake decode is pure arithmetic on payload bytes, so
-DuckDB can mirror it exactly).
+The container has no media libraries, so the codecs are the pure-Python
+subset that needs none: binary PPM (P6) for images, RIFF/PCM WAV for
+audio, and a minimal length-prefixed frame container for video.
+``decode_media`` genuinely PARSES payload bytes (magic numbers, header
+fields, chunk walks) — there is no stub. The test corpus is
+synthesized deterministically from the documents table, so the DuckDB
+oracle can recompute every expected header field and body checksum in
+closed form; a decoder bug surfaces as a value mismatch against the
+oracle, which is exactly the honesty we want.
 
 100 TB notes: payload bytes ride the same columnar scan as everything
 else (Parquet binary + dictionary-encoded metadata); mapInPandas
@@ -24,6 +26,8 @@ payloads fits executor memory (media rows are fat: ~MBs/row vs ~KBs).
 
 from __future__ import annotations
 
+import re
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,85 +39,261 @@ from pyspark.sql import functions as F
 MEDIA_TYPES = ("image", "audio", "video")
 
 FEATURE_SCHEMA = (
-    "doc_id bigint, media_type string, n_bytes bigint, first_byte bigint, "
-    "width bigint, height bigint, n_frames bigint, frame_step bigint, "
-    "last_frame_offset bigint"
+    "doc_id bigint, media_type string, n_bytes bigint, body_offset bigint, "
+    "width bigint, height bigint, n_frames bigint, frame_size bigint, "
+    "sample_rate bigint, n_channels bigint, bit_depth bigint, "
+    "n_samples bigint, body_checksum bigint"
 )
 
+_VIDEO_MAGIC = b"VID0"
 
-def decode_media(payload: bytes, media_type: str):
-    """REAL codec entry point — NOT IMPLEMENTED in this container.
 
-    A deployment with codec libraries (pillow/librosa/pyav) plugs them
-    in here; everything downstream (schemas, batching, partitioning)
-    is unchanged.
-    """
-    raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "environment; the pipeline uses fake_decode() instead"
+# ---------------------------------------------------------------------------
+# Deterministic synthesis parameters — the SQL oracle mirrors these
+# formulas exactly (plans/northstar.py multimodal_features).
+# ---------------------------------------------------------------------------
+
+
+def media_params(doc_id: int, n_chars: int) -> dict:
+    kind = MEDIA_TYPES[doc_id % 3]
+    if kind == "image":
+        return {"kind": kind, "w": 8 + doc_id % 32, "h": 8 + (3 * doc_id) % 32}
+    if kind == "audio":
+        return {
+            "kind": kind,
+            "sr": 8000 + 1000 * (doc_id % 5),
+            "ch": 1 + doc_id % 2,
+            "ns": 50 + n_chars % 200,
+        }
+    return {
+        "kind": kind,
+        "w": 8 + doc_id % 16,
+        "h": 8 + (3 * doc_id) % 16,
+        "nf": 1 + doc_id % 8,
+    }
+
+
+def _body(n: int, seed: int) -> bytes:
+    """Deterministic pixel/frame bytes: byte i = (7i + seed) mod 256."""
+    return bytes((7 * i + seed) % 256 for i in range(n))
+
+
+def encode_ppm(w: int, h: int, seed: int) -> bytes:
+    """Binary PPM (P6): ASCII header, then w*h RGB triplets."""
+    return b"P6\n%d %d\n255\n" % (w, h) + _body(w * h * 3, seed)
+
+
+def encode_wav(sr: int, ch: int, ns: int, seed: int) -> bytes:
+    """Canonical 44-byte RIFF/PCM-16 WAV. Sample value i (as u16 LE):
+    (31i + seed) mod 65536."""
+    count = ns * ch
+    data = struct.pack(
+        "<%dH" % count, *((31 * i + seed) % 65536 for i in range(count))
+    )
+    byte_rate = sr * ch * 2
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + len(data),
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            ch,
+            sr,
+            byte_rate,
+            ch * 2,  # block align
+            16,  # bits per sample
+            b"data",
+            len(data),
+        )
+        + data
     )
 
 
-def fake_decode(n_bytes: int) -> tuple[int, int, int]:
-    """Deterministic stand-in for decode: derive (width, height,
-    n_frames) from payload size. Pure arithmetic → oracle-mirrorable."""
-    return 64 + n_bytes % 64, 64 + (7 * n_bytes) % 64, 1 + n_bytes % 8
+def encode_vid0(w: int, h: int, nf: int, seed: int) -> bytes:
+    """Minimal video container: magic + (n_frames, w, h) u32 LE, then
+    n_frames raw RGB frames back to back."""
+    return _VIDEO_MAGIC + struct.pack("<III", nf, w, h) + _body(nf * w * h * 3, seed)
 
 
-def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Synthesize the multimodal layout from the documents table:
-    payload = utf-8 bytes of the text (an opaque blob from here on),
-    media_type cycled deterministically by id."""
-    return docs.select(
-        F.col(id_col),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-        F.element_at(
-            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
-            (F.col(id_col) % len(MEDIA_TYPES) + 1).cast("int"),
-        ).alias("media_type"),
+def synthesize_payload(doc_id: int, n_chars: int) -> bytes:
+    p = media_params(doc_id, n_chars)
+    if p["kind"] == "image":
+        return encode_ppm(p["w"], p["h"], doc_id)
+    if p["kind"] == "audio":
+        return encode_wav(p["sr"], p["ch"], p["ns"], doc_id)
+    return encode_vid0(p["w"], p["h"], p["nf"], doc_id)
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — parse bytes, trust nothing from the synthesis side.
+# ---------------------------------------------------------------------------
+
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def decode_ppm(payload: bytes) -> dict:
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    off = m.end()
+    body = payload[off : off + w * h * 3]
+    if len(body) != w * h * 3:
+        raise ValueError("truncated PPM body")
+    return {
+        "body_offset": off,
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "frame_size": w * h * 3,
+        "body_checksum": sum(body),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    riff, _size, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, fmt, data_off, data_len = 12, None, None, None
+    while off + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, off)
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, off + 8)
+        elif cid == b"data":
+            data_off, data_len = off + 8, clen
+        off += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_off is None:
+        raise ValueError("missing fmt/data chunk")
+    _audio_format, ch, sr, _byte_rate, _block_align, bits = fmt
+    body = payload[data_off : data_off + data_len]
+    return {
+        "body_offset": data_off,
+        "n_frames": 1,
+        "frame_size": data_len,
+        "sample_rate": sr,
+        "n_channels": ch,
+        "bit_depth": bits,
+        "n_samples": data_len // (ch * (bits // 8)),
+        "body_checksum": sum(body),
+    }
+
+
+def decode_vid0(payload: bytes) -> dict:
+    if payload[:4] != _VIDEO_MAGIC:
+        raise ValueError("not a VID0 payload")
+    nf, w, h = struct.unpack_from("<III", payload, 4)
+    body = payload[16 : 16 + nf * w * h * 3]
+    if len(body) != nf * w * h * 3:
+        raise ValueError("truncated VID0 body")
+    return {
+        "body_offset": 16,
+        "width": w,
+        "height": h,
+        "n_frames": nf,
+        "frame_size": w * h * 3,
+        "body_checksum": sum(body),
+    }
+
+
+_DECODERS = {"image": decode_ppm, "audio": decode_wav, "video": decode_vid0}
+
+
+def decode_media(payload: bytes, media_type: str) -> dict:
+    """Parse a media payload's container format and return its
+    features. Pure Python (no codec libraries): binary PPM, RIFF/PCM
+    WAV, and the VID0 frame container."""
+    try:
+        dec = _DECODERS[media_type]
+    except KeyError:
+        raise ValueError(f"unknown media_type {media_type!r}") from None
+    return dec(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build the multimodal test corpus from the documents table:
+    (doc_id, media_type, payload) with REAL format bytes, parameters
+    derived deterministically from (doc_id, char count)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                synthesize_payload(int(d), len(t))
+                for d, t in zip(ids, pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": [MEDIA_TYPES[int(d) % 3] for d in ids],
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        batches, schema="doc_id bigint, media_type string, payload binary"
     )
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over (doc_id, payload,
-    media_type): byte stats + fake-decoded dimensions + frame-sampling
-    offsets. This is the real mapInPandas plumbing a codec-backed
-    deployment reuses verbatim."""
+    """Arrow-batched REAL decode over (doc_id, media_type, payload):
+    parse each payload's container header and body, emit typed
+    features (inapplicable fields NULL per media type)."""
+
+    cols = [
+        "body_offset",
+        "width",
+        "height",
+        "n_frames",
+        "frame_size",
+        "sample_rate",
+        "n_channels",
+        "bit_depth",
+        "n_samples",
+        "body_checksum",
+    ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf["payload"].map(len)
-            width, height, frames = zip(*(fake_decode(x) for x in n))
-            frames = pd.Series(frames, index=pdf.index)
-            step = n // frames
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": n,
-                    "first_byte": pdf["payload"].map(lambda b: b[0] if len(b) else -1),
-                    "width": pd.Series(width, index=pdf.index),
-                    "height": pd.Series(height, index=pdf.index),
-                    "n_frames": frames,
-                    "frame_step": step,
-                    "last_frame_offset": (frames - 1) * step,
-                }
-            )
+            feats = [
+                decode_media(p, mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["payload"].map(len),
+            }
+            for c in cols:
+                out[c] = pd.Series(
+                    [f.get(c) for f in feats], index=pdf.index, dtype="Int64"
+                )
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def sample_frame_offsets(features: DataFrame) -> DataFrame:
-    """Frame-sample plan: one row per sampled frame offset, derived
-    from the extracted (n_frames, frame_step). JVM-side explode — the
-    Python boundary was crossed once in extract_features."""
+    """Frame-sample plan: one row per frame byte-offset within the
+    payload, derived from the parsed (body_offset, n_frames,
+    frame_size). JVM-side explode — the Python boundary was crossed
+    once in extract_features."""
     return features.select(
         "doc_id",
         "media_type",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.col("n_frames") - 1),
-                lambda i: i * F.col("frame_step"),
+                lambda i: F.col("body_offset") + i * F.col("frame_size"),
             )
         ).alias("frame_offset"),
     )

@@ -97,6 +97,73 @@ class RuleBasedClassifier(Classifier):
         )
 
 
+#: fallback row used when a chunk exhausts its retries (the reference
+#: defaults failed classifications to Other/unknown/0.1 — llm:179-186)
+def _fallback(record: dict) -> dict:
+    return {
+        "repository_id": record["repository_id"],
+        "technology_category": "Other",
+        "technology_subcategory": "unknown",
+        "classification_confidence": 0.1,
+    }
+
+
+def classify_records(
+    records: list[dict],
+    post,
+    batch_size: int = 10,
+    max_retries: int = 3,
+    sleeper=None,
+) -> list[dict]:
+    """The executor-side classification kernel, transport-injected so
+    fault paths are testable without a live endpoint.
+
+    Preserves the reference's operational contract: batches of 10
+    (llm_classifier.py:56), 3 attempts with exponential backoff
+    ``min(4·2^attempt, 10)`` (llm:150-153, tenacity
+    ``wait_exponential(multiplier=1, min=4, max=10)``), failed chunks
+    fall back to Other/unknown/0.1 instead of failing the job. A
+    malformed response (bad JSON, missing key) counts as a failed
+    attempt exactly like a transport error.
+
+    ``post(body: bytes) -> bytes`` performs one API call.
+    """
+    import time as _time
+
+    sleep = sleeper if sleeper is not None else _time.sleep
+    out: list[dict] = []
+    for i in range(0, len(records), batch_size):
+        chunk = records[i : i + batch_size]
+        body = json.dumps({"repositories": chunk}).encode()
+        for attempt in range(max_retries):
+            try:
+                parsed = json.loads(post(body))
+                out.extend(parsed["classifications"])
+                break
+            except Exception:  # noqa: BLE001 — retry w/ backoff
+                if attempt == max_retries - 1:
+                    out.extend(_fallback(r) for r in chunk)
+                else:
+                    sleep(min(2**attempt * 4, 10))
+    return out
+
+
+def urllib_post(endpoint: str, api_key: str, timeout: float = 60.0):
+    """Production transport: one POST via urllib (zero-dependency, like
+    the reference's personal_repos_bronze_to_silver.py:99-259 variant)."""
+
+    def post(body: bytes) -> bytes:
+        req = urllib.request.Request(
+            endpoint,
+            data=body,
+            headers={"Content-Type": "application/json", "api-key": api_key},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read()
+
+    return post
+
+
 class LLMClassifier(Classifier):
     """LLM-backed classifier preserving the reference's operational
     contract — batch size 10 (llm_classifier.py:56), 3 retries with
@@ -106,7 +173,9 @@ class LLMClassifier(Classifier):
     scales with the cluster, not the driver.
 
     Requires an endpoint + key; without them ``classify`` raises — the
-    pipeline defaults to RuleBasedClassifier everywhere tests run.
+    pipeline defaults to RuleBasedClassifier everywhere tests run. The
+    retry/fallback kernel itself (``classify_records``) is
+    transport-injected and fault-tested offline.
     """
 
     BATCH_SIZE = 10
@@ -126,43 +195,16 @@ class LLMClassifier(Classifier):
         batch_size, max_retries = self.BATCH_SIZE, self.MAX_RETRIES
 
         def run(batches):
-            import time as _time
+            import pandas as pd
 
             for pdf in batches:
-                out = []
                 records = pdf[["repository_id", "name", "description"]].to_dict("records")
-                for i in range(0, len(records), batch_size):
-                    chunk = records[i : i + batch_size]
-                    body = json.dumps({"repositories": chunk}).encode()
-                    for attempt in range(max_retries):
-                        try:
-                            req = urllib.request.Request(
-                                endpoint,
-                                data=body,
-                                headers={
-                                    "Content-Type": "application/json",
-                                    "api-key": api_key,
-                                },
-                            )
-                            with urllib.request.urlopen(req, timeout=60) as resp:
-                                parsed = json.loads(resp.read())
-                            out.extend(parsed["classifications"])
-                            break
-                        except Exception:  # noqa: BLE001 — retry w/ backoff
-                            if attempt == max_retries - 1:
-                                out.extend(
-                                    {
-                                        "repository_id": r["repository_id"],
-                                        "technology_category": "Other",
-                                        "technology_subcategory": "unknown",
-                                        "classification_confidence": 0.1,
-                                    }
-                                    for r in chunk
-                                )
-                            else:
-                                _time.sleep(2**attempt * 4)
-                import pandas as pd
-
+                out = classify_records(
+                    records,
+                    post=urllib_post(endpoint, api_key),
+                    batch_size=batch_size,
+                    max_retries=max_retries,
+                )
                 yield pd.DataFrame(
                     out,
                     columns=[f.name for f in CLASSIFICATION_SCHEMA.fields],

@@ -102,7 +102,9 @@ def portfolio_overview(silver: DataFrame, as_of_date: str, top_k: int = 5) -> Da
 
     tech = top_list("technology_category")
     lang = top_list("primary_language")
-    joined = totals.crossJoin(tech).crossJoin(lang)
+    # all three sides are 1-row aggregates: hint broadcast so the plan
+    # stays a BroadcastNestedLoopJoin under AQE instead of a cartesian
+    joined = totals.crossJoin(F.broadcast(tech)).crossJoin(F.broadcast(lang))
     active_ratio = F.col("active_repositories") / F.greatest(
         F.col("total_repositories"), F.lit(1)
     )

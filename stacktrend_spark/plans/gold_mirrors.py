@@ -125,12 +125,26 @@ def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Experimental"),
     )
 
-    def rank(order_col: str) -> F.Column:
-        return (
-            F.row_number()
-            .over(W.orderBy(F.desc(order_col), F.asc("brand")))
-            .cast("long")
+    # Five ranks over five different orderings in ONE window pass: a
+    # single unordered global window collects the (bounded: 25 brands)
+    # group rows once — one Exchange, ZERO sorts — and each rank is
+    # `1 + |rows strictly ahead of me in that ordering|` via codegen'd
+    # array filters (brand is unique, so this equals ROW_NUMBER over
+    # (key DESC, brand ASC)). Five separate row_number windows would
+    # plan one exchange + five sorts. Only valid because cardinality is
+    # reference-bounded; the unbounded-scale rank lives in
+    # operators/ranking.py (rank_global_scalable, driver-green).
+    rows = F.collect_list(
+        F.struct("irev", "total_qty", "n_parts", "n_suppliers", "momentum_score", "brand")
+    ).over(W.partitionBy())
+
+    def rank(key: str) -> F.Column:
+        ahead = F.filter(
+            rows,
+            lambda r: (r[key] > F.col(key))
+            | ((r[key] == F.col(key)) & (r["brand"] < F.col("brand"))),
         )
+        return (F.size(ahead) + 1).cast("long")
 
     return staged.select(
         "brand",

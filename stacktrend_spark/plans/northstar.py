@@ -28,7 +28,7 @@ from stacktrend_spark.operators.dedup import (
     word_shingles,
     SIMHASH_BITS,
 )  # noqa: F401 — word_shingles/jaccard_pairs feed the quadratic baseline below
-from stacktrend_spark.operators.multimodal import attach_binary, extract_features
+from stacktrend_spark.operators.multimodal import extract_features, synthesize_media
 from stacktrend_spark.operators.similarity import cosine_near_dup_pairs, cosine_topk
 from stacktrend_spark.operators.text import (
     fingerprint,
@@ -473,35 +473,70 @@ def langdist_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal — binary payload + metadata + Arrow-batched feature
-# extraction (decode step stubbed deterministically; see
-# operators/multimodal.py)
+# Multimodal — REAL container formats (binary PPM / RIFF-PCM WAV / VID0
+# frame container), synthesized deterministically and genuinely PARSED
+# back by pure-Python decoders (operators/multimodal.py). The oracle
+# recomputes every header field and body checksum in closed form from
+# the synthesis formulas — a decoder (or encoder) bug mismatches.
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_features",
     oracle="""
-        WITH m AS (
-            SELECT
-                doc_id,
-                ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
-                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-                CAST(CASE WHEN LENGTH(text) > 0 THEN ascii(text[1]) ELSE -1 END AS BIGINT) AS first_byte
-            FROM documents
+        WITH p AS (
+            SELECT doc_id AS d, LENGTH(text) AS nc FROM documents
+        ),
+        m AS (
+            SELECT d,
+                ['image', 'audio', 'video'][CAST(d % 3 AS INTEGER) + 1] AS media_type,
+                8 + d % 32        AS iw,
+                8 + (3 * d) % 32  AS ih,
+                8000 + 1000 * (d % 5) AS sr,
+                1 + d % 2         AS ch,
+                50 + nc % 200     AS ns,
+                8 + d % 16        AS vw,
+                8 + (3 * d) % 16  AS vh,
+                1 + d % 8         AS nf
+            FROM p
         )
         SELECT
-            doc_id, media_type, n_bytes, first_byte,
-            64 + n_bytes % 64        AS width,
-            64 + (7 * n_bytes) % 64  AS height,
-            1 + n_bytes % 8          AS n_frames,
-            n_bytes // (1 + n_bytes % 8) AS frame_step,
-            (n_bytes % 8) * (n_bytes // (1 + n_bytes % 8)) AS last_frame_offset
+            d AS doc_id,
+            media_type,
+            CAST(CASE media_type
+                WHEN 'image' THEN 9 + LENGTH(CAST(iw AS VARCHAR)) + LENGTH(CAST(ih AS VARCHAR)) + iw * ih * 3
+                WHEN 'audio' THEN 44 + ns * ch * 2
+                ELSE 16 + nf * vw * vh * 3 END AS BIGINT) AS n_bytes,
+            CAST(CASE media_type
+                WHEN 'image' THEN 9 + LENGTH(CAST(iw AS VARCHAR)) + LENGTH(CAST(ih AS VARCHAR))
+                WHEN 'audio' THEN 44
+                ELSE 16 END AS BIGINT)                    AS body_offset,
+            CAST(CASE media_type WHEN 'image' THEN iw WHEN 'video' THEN vw END AS BIGINT) AS width,
+            CAST(CASE media_type WHEN 'image' THEN ih WHEN 'video' THEN vh END AS BIGINT) AS height,
+            CAST(CASE media_type WHEN 'video' THEN nf ELSE 1 END AS BIGINT)               AS n_frames,
+            CAST(CASE media_type
+                WHEN 'image' THEN iw * ih * 3
+                WHEN 'audio' THEN ns * ch * 2
+                ELSE vw * vh * 3 END AS BIGINT)           AS frame_size,
+            CAST(CASE media_type WHEN 'audio' THEN sr END AS BIGINT) AS sample_rate,
+            CAST(CASE media_type WHEN 'audio' THEN ch END AS BIGINT) AS n_channels,
+            CAST(CASE media_type WHEN 'audio' THEN 16 END AS BIGINT) AS bit_depth,
+            CAST(CASE media_type WHEN 'audio' THEN ns END AS BIGINT) AS n_samples,
+            CAST(CASE media_type
+                WHEN 'image' THEN list_sum(list_transform(range(iw * ih * 3), i -> (7 * i + d) % 256))
+                WHEN 'audio' THEN list_sum(list_transform(range(ns * ch),
+                    i -> ((31 * i + d) % 65536) % 256 + ((31 * i + d) % 65536) // 256))
+                ELSE list_sum(list_transform(range(nf * vw * vh * 3), i -> (7 * i + d) % 256))
+                END AS BIGINT)                            AS body_checksum
         FROM m
     """,
-    doc="Multimodal binary plumbing: payload bytes → mapInPandas feature extraction.",
+    doc=(
+        "Multimodal plumbing with real codecs: synthesize PPM/WAV/VID0 "
+        "payloads, parse them back via mapInPandas, oracle-check every "
+        "parsed header field + body checksum in closed form."
+    ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary(docs))
+    return extract_features(synthesize_media(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -162,3 +162,24 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
     # count tree nodes only.
     p = plan_of(all_queries()["sample_stratified_hash"].fn(spark, sf_dir))
     assert p.count("+- Exchange") == 1
+
+
+def test_tech_metrics_single_window_pass_no_sorts(spark, sf_dir):
+    """gold_tech_metrics computes 5 ranks over 5 orderings in ONE
+    unordered global window (collect_list + array-filter ranks over the
+    bounded 25-brand group set) — the plan must contain exactly one
+    Window node and ZERO Sort nodes (five row_number windows would plan
+    five sorts)."""
+    import re
+
+    p = plan_of(all_queries()["gold_tech_metrics"].fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Window", p, flags=re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Sort", p, flags=re.M)) == 0
+
+
+def test_portfolio_crossjoins_broadcast(spark, sf_dir):
+    """gold_portfolio_overview crossJoins three 1-row aggregates; the
+    broadcast hints must hold so AQE plans broadcast loops, not a
+    cartesian product."""
+    p = plan_of(all_queries()["gold_portfolio_overview"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p

@@ -8,11 +8,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from stacktrend_spark.operators.multimodal import (
-    attach_binary,
     decode_media,
+    encode_ppm,
+    encode_vid0,
+    encode_wav,
     extract_features,
-    fake_decode,
+    media_params,
     sample_frame_offsets,
+    synthesize_media,
+    synthesize_payload,
 )
 from stacktrend_spark.pipelines.classifier import detect_drift
 from stacktrend_spark.pipelines.schemas import (
@@ -159,28 +163,52 @@ def test_fetch_paginated_stops_on_short_page():
 # ---------------------------------------------------------------------------
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "image")
+def test_codec_round_trips():
+    """Every encoder's output parses back to the encoded parameters."""
+    img = decode_media(encode_ppm(12, 34, seed=5), "image")
+    assert (img["width"], img["height"]) == (12, 34)
+    assert img["frame_size"] == 12 * 34 * 3
+    assert img["body_checksum"] == sum((7 * i + 5) % 256 for i in range(12 * 34 * 3))
+
+    wav = decode_media(encode_wav(16000, 2, 100, seed=7), "audio")
+    assert (wav["sample_rate"], wav["n_channels"], wav["bit_depth"]) == (16000, 2, 16)
+    assert wav["n_samples"] == 100
+    assert wav["body_offset"] == 44
+
+    vid = decode_media(encode_vid0(8, 9, 4, seed=3), "video")
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (8, 9, 4)
+    assert vid["frame_size"] == 8 * 9 * 3
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_media(b"\x00\x01\x02\x03" * 20, "image")
+    with pytest.raises(ValueError):
+        decode_media(b"\x00\x01\x02\x03" * 20, "audio")
+    with pytest.raises(ValueError):
+        decode_media(b"junk", "video")
+    with pytest.raises(ValueError):
+        decode_media(b"P6\n1 1\n255\n\x00\x00\x00", "font")
 
 
 def test_multimodal_features_and_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
-    media = attach_binary(docs)
+    media = synthesize_media(docs)
     assert dict(media.dtypes)["payload"] == "binary"
     feats = extract_features(media).cache()
     row = feats.filter(F.col("doc_id") == 0).first()
     text0 = docs.filter(F.col("doc_id") == 0).first().text
-    assert (row.width, row.height, row.n_frames) == fake_decode(row.n_bytes)
     assert row.media_type == "image"  # 0 % 3
-    assert row.n_bytes == len(text0.encode("utf-8"))
-    assert row.first_byte == text0.encode("utf-8")[0]
+    p = media_params(0, len(text0))
+    assert (row.width, row.height) == (p["w"], p["h"])
+    assert row.n_bytes == len(synthesize_payload(0, len(text0)))
     frames = sample_frame_offsets(feats)
     per_doc = frames.groupBy("doc_id").count().join(feats, "doc_id")
     assert per_doc.filter(F.col("count") != F.col("n_frames")).count() == 0
-    # offsets bounded by payload size
+    # offsets land inside the payload, at/after the parsed body start
     joined = frames.join(feats, ["doc_id", "media_type"])
     assert joined.filter(F.col("frame_offset") >= F.col("n_bytes")).count() == 0
+    assert joined.filter(F.col("frame_offset") < F.col("body_offset")).count() == 0
 
 
 # ---------------------------------------------------------------------------
