@@ -9,6 +9,13 @@ Each query is timed as a full materialization (count of the result —
 forces the whole plan without driver-side toPandas overhead). A warmup
 query first absorbs JVM/codegen startup so per-query numbers reflect
 steady-state execution.
+
+Every headline query runs TWICE: ``queries`` reports the cold run
+(includes that query's own codegen compile — e.g. an unrolled 64-term
+dot product costs ~2.5 s to compile) and ``queries_warm`` the second
+run, which is the steady-state number round-over-round comparisons
+should use. ``value`` stays the cold total for continuity with
+BENCH_r01.json.
 """
 
 from __future__ import annotations
@@ -69,10 +76,14 @@ def main() -> None:
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        specs[name].fn(spark, sf_dir).count()
+        warm[name] = round(time.time() - t1, 3)
 
     print(
         json.dumps(
@@ -81,6 +92,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries_registered": len(specs),
             }

@@ -154,6 +154,7 @@ def cosine_near_dup_pairs(
     bucket_col: str = "label",
     round_decimals: int = 6,
     dim: int | None = None,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs
     inside the same coarse bucket with cosine >= threshold.
@@ -163,6 +164,18 @@ def cosine_near_dup_pairs(
     by bucket the join is co-located (no shuffle of the big side). At
     100 TB the bucket id comes from a k-means/LSH assignment upstream;
     here the testdata's ``label`` plays that role.
+
+    ``max_bucket_rows`` arms the HOT-BUCKET GUARD (operators/skew.py
+    rationale): a plain self-join sends each whole bucket to one task,
+    so one viral bucket serializes the stage. When a bucket holds more
+    than ``max_bucket_rows`` rows it is split into g =
+    ceil(rows/max_bucket_rows) deterministic chunks (hash of id), and
+    the self-join becomes a TRIANGLE GRID over chunk cells: a row in
+    chunk c joins as the left side of cells (c, c..g-1) and as the
+    right side of cells (0..c, c), so every unordered chunk pair meets
+    in exactly one cell and each cell is an independent join task of
+    ~(rows/g)² pair volume. Cold buckets get g = 1 and degenerate to
+    the plain path; results are row-identical either way.
     Returns (id_a, id_b, cosine_sim).
     """
     # stored-array unroll with per-element casts when dim is known —
@@ -178,14 +191,46 @@ def cosine_near_dup_pairs(
         vec_expr.alias("vec"),
         norm(F.col(vec_col), dim).alias("nrm"),
     )
-    a = sides.select(
-        F.col("id").alias("id_a"), "bucket",
-        F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"),
-    )
-    b = sides.select(
-        F.col("id").alias("id_b"), "bucket",
-        F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"),
-    )
+    join_keys = ["bucket"]
+    if max_bucket_rows is not None:
+        # per-bucket split factor from a (tiny, broadcast) count table
+        counts = (
+            embeddings.groupBy(F.col(bucket_col).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .select(
+                "bucket",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("_bn") / F.lit(max_bucket_rows))
+                )
+                .cast("int")
+                .alias("_g"),
+            )
+        )
+        sides = sides.join(F.broadcast(counts), "bucket").withColumn(
+            "_c", F.pmod(F.hash(F.col("id")), F.col("_g"))
+        )
+        join_keys = ["bucket", "_cx", "_cy"]
+        a = sides.select(
+            F.col("id").alias("id_a"), "bucket",
+            F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"),
+            F.col("_c").alias("_cx"),
+            F.explode(F.sequence(F.col("_c"), F.col("_g") - 1)).alias("_cy"),
+        )
+        b = sides.select(
+            F.col("id").alias("id_b"), "bucket",
+            F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"),
+            F.explode(F.sequence(F.lit(0), F.col("_c"))).alias("_cx"),
+            F.col("_c").alias("_cy"),
+        )
+    else:
+        a = sides.select(
+            F.col("id").alias("id_a"), "bucket",
+            F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"),
+        )
+        b = sides.select(
+            F.col("id").alias("id_b"), "bucket",
+            F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"),
+        )
     if dim is not None:
         terms = [
             F.element_at(F.col("vec_a"), i).cast("double")
@@ -202,9 +247,21 @@ def cosine_near_dup_pairs(
             lambda acc, x: acc + x,
         )
     sim = fround(raw_dot / (F.col("nrm_a") * F.col("nrm_b")), round_decimals)
+    joined = a.join(b, join_keys)
+    if max_bucket_rows is not None:
+        # diagonal cells (cx == cy) see each unordered pair twice →
+        # orient by id; off-diagonal cells see it exactly once but in
+        # arbitrary id order (left side = lower chunk, not lower id) →
+        # keep both orders' single occurrence and normalize below
+        joined = joined.filter(
+            (F.col("_cx") != F.col("_cy")) | (F.col("id_a") < F.col("id_b"))
+        )
+        out_a = F.least("id_a", "id_b").alias("id_a")
+        out_b = F.greatest("id_a", "id_b").alias("id_b")
+    else:
+        joined = joined.filter(F.col("id_a") < F.col("id_b"))
+        out_a, out_b = F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        joined.select(out_a, out_b, sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -22,6 +22,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from stacktrend_spark.operators.delta_backend import (
+    delta_available,
+    merge_into_delta,
+)
 from stacktrend_spark.operators.merge import (
     merge_insert_only,
     merge_preserve,
@@ -32,8 +36,16 @@ LAYERS = ("bronze", "silver", "gold")
 
 
 class MedallionStore:
-    def __init__(self, root: str):
+    """``backend`` is "delta" when delta-spark is importable (storage
+    merges run as true MERGE INTO — operators/delta_backend.py), else
+    "parquet" (relational emulation + overwrite). Same API either way;
+    pass ``backend="parquet"`` to force the emulation."""
+
+    def __init__(self, root: str, backend: str | None = None):
         self.root = root
+        self.backend = backend or ("delta" if delta_available() else "parquet")
+        if self.backend not in ("delta", "parquet"):
+            raise ValueError(f"unknown backend {self.backend!r}")
 
     def path(self, layer: str, table: str) -> str:
         if layer not in LAYERS:
@@ -44,17 +56,20 @@ class MedallionStore:
         return os.path.isdir(self.path(layer, table))
 
     def read(self, spark: SparkSession, layer: str, table: str) -> DataFrame:
-        return spark.read.parquet(self.path(layer, table))
+        return spark.read.format(self.backend).load(self.path(layer, table))
 
     def overwrite(
         self, df: DataFrame, layer: str, table: str, partition_by: list[str] | None = None
     ) -> None:
         """Full overwrite (S10): mode=overwrite + partitionBy — the
-        reference's overwriteSchema is implicit for parquet dirs."""
-        writer = df.write.mode("overwrite")
+        reference's overwriteSchema is implicit for parquet dirs and
+        passed explicitly on the delta path."""
+        writer = df.write.format(self.backend).mode("overwrite")
+        if self.backend == "delta":
+            writer = writer.option("overwriteSchema", "true")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(layer, table))
+        writer.save(self.path(layer, table))
 
     def upsert(
         self,
@@ -73,6 +88,18 @@ class MedallionStore:
         no-target case)."""
         if not self.exists(layer, table):
             merged = df if policy != "insert_only" else df.dropDuplicates(keys)
+        elif self.backend == "delta":
+            # true MERGE INTO: transactional, file-skipping, no rewrite
+            merge_into_delta(
+                spark,
+                self.path(layer, table),
+                df,
+                keys,
+                policy=policy,
+                preserve_cols=preserve_cols,
+                preserve_when=preserve_when,
+            )
+            return
         else:
             target = self.read(spark, layer, table).select(*df.columns)
             if policy == "upsert":

@@ -370,8 +370,14 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-dup pairs via bucket equi-join (label = coarse cell).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_rows arms the hot-bucket triangle-grid guard: cold
+    # buckets plan g=1 (plain bucket join); a bucket past 50k rows
+    # splits into independent cell tasks (operators/similarity.py)
     return cosine_near_dup_pairs(
-        _emb_corpus(spark, sf_dir), threshold=_NEAR_DUP_THRESHOLD, dim=64
+        _emb_corpus(spark, sf_dir),
+        threshold=_NEAR_DUP_THRESHOLD,
+        dim=64,
+        max_bucket_rows=50_000,
     )
 
 

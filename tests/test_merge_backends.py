@@ -1,0 +1,82 @@
+"""Backend-agnostic merge idempotency: the same policy matrix runs
+against whichever MedallionStore backend is active (true Delta MERGE
+INTO when delta-spark is importable, relational emulation + parquet
+overwrite otherwise), so a Delta-enabled environment re-proves the
+exact same semantics without test changes."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stacktrend_spark.operators.delta_backend import delta_available
+from stacktrend_spark.pipelines.medallion import MedallionStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return MedallionStore(str(tmp_path))
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k long, v string, conf double")
+
+
+def test_backend_selection(store):
+    expected = "delta" if delta_available() else "parquet"
+    assert store.backend == expected
+
+
+def test_upsert_idempotent(spark, store):
+    base = _rows(spark, [(1, "a", 0.5), (2, "b", 0.9)])
+    store.upsert(spark, base, "silver", "t", keys=["k"])
+    src = _rows(spark, [(2, "B", 0.7), (3, "c", 0.6)])
+    store.upsert(spark, src, "silver", "t", keys=["k"])
+    once = {(r.k, r.v) for r in store.read(spark, "silver", "t").collect()}
+    assert once == {(1, "a"), (2, "B"), (3, "c")}
+    # applying the same source again changes nothing
+    store.upsert(spark, src, "silver", "t", keys=["k"])
+    twice = {(r.k, r.v) for r in store.read(spark, "silver", "t").collect()}
+    assert twice == once
+
+
+def test_insert_only_idempotent(spark, store):
+    base = _rows(spark, [(1, "a", 0.5)])
+    store.upsert(spark, base, "silver", "ev", keys=["k"], policy="insert_only")
+    src = _rows(spark, [(1, "CHANGED", 0.1), (2, "b", 0.2), (2, "b-dup", 0.3)])
+    store.upsert(spark, src, "silver", "ev", keys=["k"], policy="insert_only")
+    got = {r.k: r.v for r in store.read(spark, "silver", "ev").collect()}
+    assert got[1] == "a"  # immutable: existing key untouched
+    assert got[2] in ("b", "b-dup") and len(got) == 2
+    # re-apply: still 2 rows, nothing mutated
+    store.upsert(spark, src, "silver", "ev", keys=["k"], policy="insert_only")
+    again = {r.k: r.v for r in store.read(spark, "silver", "ev").collect()}
+    assert again == got
+
+
+def test_preserve_keeps_confident_rows(spark, store):
+    base = _rows(spark, [(1, "good", 0.9), (2, "weak", 0.3)])
+    store.upsert(spark, base, "silver", "cls", keys=["k"], policy="preserve")
+    src = _rows(spark, [(1, "overwrite-attempt", 0.5), (2, "better", 0.8), (3, "new", 0.6)])
+    store.upsert(
+        spark,
+        src,
+        "silver",
+        "cls",
+        keys=["k"],
+        policy="preserve",
+        preserve_cols=["v", "conf"],
+        preserve_when=F.col("t.conf") >= 0.8,
+    )
+    got = {r.k: (r.v, r.conf) for r in store.read(spark, "silver", "cls").collect()}
+    assert got[1] == ("good", 0.9)  # confident target preserved
+    assert got[2] == ("better", 0.8)  # weak target refreshed
+    assert got[3] == ("new", 0.6)  # unmatched inserted
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_delta_path_writes_delta_log(spark, store, tmp_path):
+    base = _rows(spark, [(1, "a", 0.5)])
+    store.upsert(spark, base, "silver", "d", keys=["k"])
+    assert (tmp_path / "silver" / "d" / "_delta_log").is_dir()

@@ -101,3 +101,45 @@ def test_zorder_key_matches_python_reference(spark):
         for r in df.select("x", "y", zorder_key2(F.col("x"), F.col("y"), 12).alias("z")).collect()
     }
     assert got == {(x, y): py_z(x, y) for x, y in rows}
+
+
+def test_hot_bucket_guard_splits_and_preserves_pairs(spark):
+    """The embedding-cosine hot-bucket guard (triangle-grid self-join
+    decomposition) must produce EXACTLY the same pair set as the plain
+    bucket join while actually splitting the hot bucket into multiple
+    cells."""
+    import itertools
+
+    from stacktrend_spark.operators.similarity import cosine_near_dup_pairs
+
+    # one hot bucket (60 rows) + one cold bucket (5 rows)
+    rows = [
+        (i, "hot" if i < 60 else "cold", [float((i * 7 + j * 3) % 10 + 1) for j in range(4)])
+        for i in range(65)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    plain = cosine_near_dup_pairs(
+        emb, threshold=0.9, bucket_col="label", dim=4
+    )
+    guarded = cosine_near_dup_pairs(
+        emb, threshold=0.9, bucket_col="label", dim=4, max_bucket_rows=10
+    )
+    p = {(r.id_a, r.id_b, r.cosine_sim) for r in plain.collect()}
+    g = {(r.id_a, r.id_b, r.cosine_sim) for r in guarded.collect()}
+    assert g == p and len(p) > 0
+
+    # the guard really splits: hot bucket must spread over >1 chunk
+    # (g = ceil(60/10) = 6) while the cold bucket stays single-chunk
+    from pyspark.sql import functions as F2
+
+    counts = emb.groupBy("label").agg(F2.count(F2.lit(1)).alias("n"))
+    split = counts.select(
+        "label",
+        F2.greatest(F2.lit(1), F2.ceil(F2.col("n") / F2.lit(10))).alias("cells"),
+    ).collect()
+    by_label = {r.label: r.cells for r in split}
+    assert by_label["hot"] == 6 and by_label["cold"] == 1
+    # grid covers every unordered cell pair exactly once
+    cells = {(i, j) for i, j in itertools.product(range(6), range(6)) if i <= j}
+    assert len(cells) == 21
