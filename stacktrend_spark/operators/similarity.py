@@ -68,6 +68,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH — the second ANN scale path alongside
+# IVF. Hyperplanes are DERIVED, not random: component (p, j) comes from
+# an LCG over the flat index, divided by 2^31 (a dyadic division —
+# exact in doubles) and centered. Both engines can therefore rebuild
+# the exact same planes, which is what makes an LSH ANN oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)^dim:
+    component = ((1103515245·i + 12345) mod 2^31) / 2^31 − 0.5 over the
+    flat index i = p·dim + j (the classic glibc LCG constants). Every
+    value is a dyadic rational → bit-exact as a double literal in any
+    engine."""
+    return [
+        [
+            ((1103515245 * (p * dim + j) + 12345) % (1 << 31)) / float(1 << 31) - 0.5
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]], dim: int) -> Column:
+    """Signed-projection bucket id: bit p = (vec · plane_p >= 0),
+    bucket = Σ 2^p · bit_p. Zero shuffle — the signature is computed in
+    the same map as the scan. Plane dots deliberately use the compact
+    fold form (``dim=None``), not the unrolled form: n_planes × dim
+    unrolled terms bloat the generated code past the JIT's comfort
+    (~MB task binaries, seconds of compile) while the fold's per-row
+    interpreted cost is negligible next to the candidate-join rerank.
+    Left-fold order matches the unrolled chain and DuckDB's
+    list_dot_product, so signatures stay bit-identical (see ``dot``)."""
+    acc: Column | None = None
+    for p, w in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in w])
+        bit = F.when(dot(vec, lit_plane) >= 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc + bit
+    return acc.cast("long")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,

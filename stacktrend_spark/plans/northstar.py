@@ -28,8 +28,17 @@ from stacktrend_spark.operators.dedup import (
     word_shingles,
     SIMHASH_BITS,
 )  # noqa: F401 — word_shingles/jaccard_pairs feed the quadratic baseline below
-from stacktrend_spark.operators.multimodal import extract_features, synthesize_media
-from stacktrend_spark.operators.similarity import cosine_near_dup_pairs, cosine_topk
+from stacktrend_spark.operators.multimodal import (
+    extract_features,
+    sample_frame_offsets,
+    synthesize_media,
+)
+from stacktrend_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    lsh_bucket,
+    lsh_planes,
+)
 from stacktrend_spark.operators.text import (
     fingerprint,
     language_id,
@@ -828,4 +837,171 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity 3 — random-hyperplane (sign) LSH top-k: the second ANN
+# scale path next to IVF. Hyperplanes come from a deterministic LCG
+# (operators/similarity.lsh_planes), so both engines rebuild the exact
+# same signatures and the ANN result is value-checkable. Signature
+# computation is a zero-shuffle map; the candidate join is an equi-join
+# on the bucket id exactly like IVF.
+# ---------------------------------------------------------------------------
+_LSH_N_PLANES = 6
+_LSH_PLANES = lsh_planes(_LSH_N_PLANES, 64)
+
+
+def _sql_lsh_plane_dot(p: int) -> str:
+    lits = ", ".join(repr(x) for x in _LSH_PLANES[p])
+    return (
+        "list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),"
+        f" [{lits}])"
+    )
+
+
+_SQL_LSH_BUCKET = " + ".join(
+    f"(CASE WHEN {_sql_lsh_plane_dot(p)} >= 0.0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_LSH_N_PLANES)
+)
+
+
+@register(
+    "sim_lsh_topk",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   CAST({_SQL_LSH_BUCKET} AS BIGINT) AS lsh_bucket
+            FROM embeddings
+        )
+        SELECT * FROM (
+            SELECT
+                q.vec_id AS query_id,
+                c.vec_id AS neighbor_id,
+                {sql_round(_SQL_COSINE, 6)} AS cosine_sim,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY {sql_round(_SQL_COSINE, 6)} DESC, c.vec_id) AS BIGINT) AS sim_rank
+            FROM sig q JOIN sig c ON q.lsh_bucket = c.lsh_bucket
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        ) t WHERE sim_rank <= 3
+    """,
+    doc=(
+        "Sign-LSH cosine top-k: deterministic LCG hyperplanes → signed-"
+        "projection bucket (map-side, 0 shuffle) → equi-join on bucket → "
+        "exact rerank of the candidate set."
+    ),
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "lsh_bucket", lsh_bucket(F.col("embedding"), _LSH_PLANES, 64)
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=3, bucket_col="lsh_bucket", dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal 2 — frame sampling as a registered query: one row per
+# frame byte-offset, derived from the PARSED container headers (the
+# explode stays JVM-side; Python was crossed once in extract_features).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_offsets",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id AS d, LENGTH(text) AS nc FROM documents
+        ),
+        m AS (
+            SELECT d,
+                ['image', 'audio', 'video'][CAST(d % 3 AS INTEGER) + 1] AS media_type,
+                8 + d % 32        AS iw,
+                8 + (3 * d) % 32  AS ih,
+                1 + d % 2         AS ch,
+                50 + nc % 200     AS ns,
+                8 + d % 16        AS vw,
+                8 + (3 * d) % 16  AS vh,
+                1 + d % 8         AS nf
+            FROM p
+        ),
+        feat AS (
+            SELECT d, media_type,
+                CASE media_type
+                    WHEN 'image' THEN 9 + LENGTH(CAST(iw AS VARCHAR)) + LENGTH(CAST(ih AS VARCHAR))
+                    WHEN 'audio' THEN 44
+                    ELSE 16 END AS body_offset,
+                CASE media_type WHEN 'video' THEN nf ELSE 1 END AS n_frames,
+                CASE media_type
+                    WHEN 'image' THEN iw * ih * 3
+                    WHEN 'audio' THEN ns * ch * 2
+                    ELSE vw * vh * 3 END AS frame_size
+            FROM m
+        )
+        SELECT
+            d AS doc_id,
+            media_type,
+            CAST(body_offset + f * frame_size AS BIGINT) AS frame_offset
+        FROM feat, UNNEST(range(n_frames)) t(f)
+    """,
+    doc="Frame sampling over parsed media headers: JVM-side explode of per-frame byte offsets.",
+)
+def multimodal_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frame_offsets(extract_features(synthesize_media(docs)))
+
+
+# ---------------------------------------------------------------------------
+# Text 8 — PII redaction: the curation step every training-data
+# pipeline runs before release. PII is INJECTED deterministically (the
+# corpus has none), then redacted with engine-portable regexes (the
+# patterns below parse identically under Java regex and RE2) — counts
+# and redacted text are value-checked.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\d{3}-\\d{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        WITH synth AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            regexp_replace(
+                regexp_replace(raw, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                '{_PII_PHONE}', '[PHONE]', 'g')               AS redacted,
+            CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+        FROM synth
+    """,
+    doc=(
+        "PII redaction (emails + phone fragments): deterministic injection, "
+        "engine-portable regex redact + match counts; map-only, fused into "
+        "the scan at any scale."
+    ),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    synth = docs.select("doc_id", raw.alias("raw"))
+    return synth.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ).alias("redacted"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
     )

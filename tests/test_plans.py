@@ -183,3 +183,12 @@ def test_portfolio_crossjoins_broadcast(spark, sf_dir):
     cartesian product."""
     p = plan_of(all_queries()["gold_portfolio_overview"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
+
+
+def test_lsh_topk_joins_on_bucket_hash(spark, sf_dir):
+    """Sign-LSH ANN must candidate-join on the bucket id with a HASH
+    join (broadcast or shuffled) — a nested-loop scan would mean the
+    signature pruning isn't reaching the join."""
+    p = plan_of(all_queries()["sim_lsh_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
