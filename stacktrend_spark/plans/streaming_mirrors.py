@@ -166,3 +166,32 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return run_to_batch(deduped, "stream_dedup_events_sink", output_mode="append")
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+        SELECT
+            c.c_mktsegment,
+            e.event_type,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Stream-static enrichment: streaming events join a static customer "
+        "dim (broadcast per micro-batch) then roll up per (segment, type) — "
+        "the standard slowly-changing-dimension streaming pattern."
+    ),
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.sources.tables import load_table
+    from stacktrend_spark.streaming.events import enrich_with_static
+
+    ev = load_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return run_to_batch(
+        enrich_with_static(ev, cust), "stream_static_enrichment_sink"
+    )

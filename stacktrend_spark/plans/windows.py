@@ -474,3 +474,46 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_2d"),
         F.sum(iscale("value", 2)).over(w).cast("long").alias("sum_cents_trailing_2d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions — percent_rank / cume_dist / nth_value
+# (beyond the reference's rank/share surface). percent_rank and
+# cume_dist are exact rationals ((rank-1)/(n-1), peers/n) computed by
+# one correctly-rounded division on exact integers, so they hash
+# bit-identically without rounding; the ordering carries a unique
+# o_orderkey tiebreaker so nth_value's default running frame selects
+# the same row in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_distribution",
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_orderpriority,
+            PERCENT_RANK() OVER w AS pct_rank,
+            CUME_DIST()    OVER w AS cume,
+            NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+        FROM orders
+        WHERE o_orderkey <= 2000
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC, o_orderkey
+        )
+    """,
+    doc="percent_rank/cume_dist/nth_value per priority — exact-rational distribution stats.",
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import iscale
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc(iscale("o_totalprice")), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )

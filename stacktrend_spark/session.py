@@ -9,6 +9,7 @@ at runtime (skew joins, partition coalescing, broadcast conversion).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -46,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed tables (operators/bucketing.py) go through
+        # saveAsTable; keep the warehouse out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "stacktrend_warehouse"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -248,3 +248,24 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_static(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: the streaming side joins a static
+    dimension snapshot (re-read per micro-batch, so slowly-changing
+    dims refresh without restarting the query). Spark plans the static
+    side as a broadcast per batch — no stream-side state, no watermark
+    needed for an inner equi-join against static data. Per-type rollup
+    keeps the sink small; sums ride exact scaled ints."""
+    from stacktrend_spark.functions.rounding import iscale
+
+    joined = events.join(
+        F.broadcast(customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(iscale("value", 2)).alias("sum_cents"),
+    )

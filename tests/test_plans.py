@@ -8,6 +8,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from stacktrend_spark.operators.dedup import simhash_narrow
 from stacktrend_spark.plans.registry import all_queries
 from stacktrend_spark.sources.tables import load_table
@@ -192,3 +194,26 @@ def test_lsh_topk_joins_on_bucket_hash(spark, sf_dir):
     p = plan_of(all_queries()["sim_lsh_topk"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p or "SortMergeJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketed tables pay the shuffle once at write time: an equi-join
+    of two same-bucketed tables on the bucket key must plan ZERO
+    Exchanges (operators/bucketing.py — the 100 TB recurring-join
+    lever)."""
+    import re
+
+    from stacktrend_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], buckets=8)
+    write_bucketed(li, "b_lineitem", ["o_orderkey"], buckets=8)
+    joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+    p = plan_of(joined)
+    assert "SortMergeJoin" in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
+    # and it actually produces the join's rows
+    assert joined.count() == li.count()
