@@ -169,6 +169,42 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_attribution",
+    oracle="""
+        SELECT
+            p.event_id                     AS purchase_id,
+            v.event_id                     AS view_id,
+            p.user_id,
+            epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 1 DAY
+         AND v.ts <= p.ts
+    """,
+    doc=(
+        "Stream-stream interval join (watermarked both sides): each "
+        "purchase pairs with the same user's views from the trailing "
+        "day — attribution with state bounded by the watermark horizon."
+    ),
+)
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.streaming.events import interval_join_streams
+
+    purchases = load_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    views = load_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    return run_to_batch(
+        interval_join_streams(purchases, views, "1 day"),
+        "stream_stream_attribution_sink",
+        output_mode="append",
+    )
+
+
+@register(
     "stream_static_enrichment",
     oracle="""
         SELECT

@@ -250,6 +250,37 @@ def upsert_sink(
     )
 
 
+def interval_join_streams(
+    purchases: DataFrame, views: DataFrame, lookback: str = "1 day"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase pairs with
+    the same user's view events from the trailing ``lookback`` window —
+    the attribution join (which views preceded this purchase?).
+
+    100 TB notes: both sides carry a watermark and the join condition
+    bounds event-time distance, so Spark derives a state-eviction
+    horizon for BOTH sides — state holds only the trailing window per
+    side, not history. The join shuffles both streams on user_id once;
+    output is append-mode (inner interval joins emit rows exactly when
+    matched, never revised)."""
+    p = purchases.withWatermark("ts", lookback).alias("p")
+    v = views.withWatermark("ts", lookback).alias("v")
+    joined = p.join(
+        v,
+        F.expr(
+            "p.user_id = v.user_id"
+            f" AND v.ts >= p.ts - INTERVAL {lookback}"
+            " AND v.ts <= p.ts"
+        ),
+    )
+    return joined.select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.user_id").alias("user_id"),
+        (F.unix_micros("p.ts") - F.unix_micros("v.ts")).alias("gap_us"),
+    )
+
+
 def enrich_with_static(
     events: DataFrame, customers: DataFrame
 ) -> DataFrame:
