@@ -1,0 +1,72 @@
+"""File-format source coverage: CSV, JSON-lines, and ORC readers.
+
+The reference ingests REST JSON and persists Delta/parquet only
+(SURVEY §2.1); a drop-in engine must also read the interchange formats
+a lake actually accumulates. This query round-trips three dimension
+tables through three formats — nation → CSV (header + quoted comment
+fields), region → JSON lines, supplier → ORC — then reads each back
+with a DECLARED schema and joins them.
+
+100 TB notes: schemas are declared, never inferred — schema inference
+is a full extra pass over the data. The CSV/JSON readers here are
+per-file splittable the same as parquet scans; the join puts the two
+tiny dims on the broadcast side so the supplier scan is the only
+distributed input.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+
+@register(
+    "source_format_roundtrip",
+    oracle="""
+        SELECT
+            r.r_name                          AS region_name,
+            CAST(COUNT(*) AS BIGINT)          AS n_suppliers,
+            CAST(SUM(s.s_suppkey) AS BIGINT)  AS sum_suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    """,
+    doc=(
+        "CSV/JSONL/ORC reader round-trip: three dims written to three "
+        "formats, read back with declared schemas, joined and rolled up."
+    ),
+)
+def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    base = os.path.join(tempfile.gettempdir(), "stacktrend_formats")
+    csv_path = f"{base}/nation_csv"
+    json_path = f"{base}/region_json"
+    orc_path = f"{base}/supplier_orc"
+
+    nation.write.mode("overwrite").option("header", True).csv(csv_path)
+    region.write.mode("overwrite").json(json_path)
+    supplier.write.mode("overwrite").orc(orc_path)
+
+    n = spark.read.schema(nation.schema).option("header", True).csv(csv_path)
+    r = spark.read.schema(region.schema).json(json_path)
+    s = spark.read.orc(orc_path)
+
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("s_suppkey").cast("long").alias("sum_suppkey"),
+        )
+    )

@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.skew",
     "stacktrend_spark.plans.python_api",
     "stacktrend_spark.plans.behavioral",
+    "stacktrend_spark.plans.formats",
 )
 
 
