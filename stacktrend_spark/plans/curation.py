@@ -1,0 +1,187 @@
+"""Training-corpus curation operators: decontamination + repetition gate.
+
+Two canonical large-scale LLM-data-pipeline steps the reference has no
+analogue for (its text handling stops at classification tags —
+bronze_to_silver.py tech/topic labels):
+
+- **Benchmark decontamination**: drop training documents that share any
+  word n-gram with a held-out benchmark set (the standard n-gram-overlap
+  decontamination used by every serious pretraining pipeline). Here the
+  "benchmark" is a deterministic slice of the documents table
+  (doc_id % 50 = 0) so the check is self-contained and oracle-able.
+- **Repetition quality gate** (Gopher-style): per-document duplicate-word
+  fraction and top-bigram share; documents dominated by a repeated
+  phrase fail the gate.
+
+100 TB notes: gram explosion is map-side (no shuffle until the
+aggregate); the benchmark gram set is tiny by construction (benchmarks
+are MBs, corpora are TBs) so the contamination join broadcasts it —
+the corpus is never shuffled at all. Repetition stats shuffle once on
+doc_id (the explode keeps doc_id as the partition key). Shares are
+single divisions of exact integers — correctly rounded IEEE ops,
+bit-identical across engines without rounding helpers (PARITY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+#: word n-gram width for decontamination (real pipelines use 10-13; the
+#: synthetic docs are ~10-40 words, so 8 keeps overlap non-degenerate)
+_NGRAM = 8
+
+
+def _word_ngrams(words_col: str, n: int):
+    """Array of space-joined word n-grams (empty when fewer than n words)."""
+    return F.expr(
+        f"if(size({words_col}) >= {n}, "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {n}))), "
+        "array())"
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - {_NGRAM - 1}),
+                       i -> array_to_string(w[i:i + {_NGRAM - 1}], ' '))) AS gram
+            FROM words
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        hits AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM (SELECT * FROM grams WHERE doc_id % 50 <> 0) c
+            JOIN bench b USING (gram)
+            GROUP BY 1
+        )
+        SELECT
+            w.doc_id,
+            CAST(GREATEST(len(w.w) - {_NGRAM - 1}, 0) AS BIGINT) AS n_grams,
+            CAST(COALESCE(h.n_hits, 0) AS BIGINT)                AS n_hits,
+            COALESCE(h.n_hits, 0) > 0                            AS contaminated
+        FROM words w
+        LEFT JOIN hits h USING (doc_id)
+        WHERE w.doc_id % 50 <> 0
+    """,
+    doc=(
+        f"{_NGRAM}-gram benchmark decontamination: training docs sharing any "
+        "word n-gram with the benchmark slice are flagged; benchmark grams "
+        "broadcast so the corpus never shuffles."
+    ),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    is_bench = F.col("doc_id") % 50 == 0
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams("w", _NGRAM)).alias("gram")
+    )
+    bench = grams.filter(is_bench).select("gram").distinct()
+    hits = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select(
+            "doc_id",
+            F.greatest(F.size("w") - (_NGRAM - 1), F.lit(0))
+            .cast("long")
+            .alias("n_grams"),
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> array_to_string(w[i:i + 1], ' '))) AS bg
+            FROM words
+        ),
+        bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM bgc GROUP BY 1
+        )
+        SELECT
+            s.doc_id,
+            CAST(len(s.w) AS BIGINT)                          AS n_words,
+            CAST(len(list_distinct(s.w)) AS BIGINT)           AS n_distinct,
+            t.top_bigram_count,
+            CAST(t.top_bigram_count AS DOUBLE) / t.n_bigrams  AS top_bigram_share,
+            1.0 - CAST(len(list_distinct(s.w)) AS DOUBLE) / len(s.w)
+                                                              AS dup_word_frac,
+            CAST(t.top_bigram_count AS DOUBLE) / t.n_bigrams <= 0.1
+                AND 1.0 - CAST(len(list_distinct(s.w)) AS DOUBLE) / len(s.w) <= 0.5
+                                                              AS keep
+        FROM words s
+        JOIN top t USING (doc_id)
+    """,
+    doc=(
+        "Gopher-style repetition gate: duplicate-word fraction + top-bigram "
+        "share per doc; shares are exact-integer divisions (ulp-safe)."
+    ),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    bigrams = docs.select(
+        "doc_id", F.explode(_word_ngrams("w", 2)).alias("bg")
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_count"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    stats = docs.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+    )
+    top_share = F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            "top_bigram_count",
+            top_share.alias("top_bigram_share"),
+            dup_frac.alias("dup_word_frac"),
+            ((top_share <= 0.1) & (dup_frac <= 0.5)).alias("keep"),
+        )
+    )

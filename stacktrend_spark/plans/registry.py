@@ -50,6 +50,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.python_api",
     "stacktrend_spark.plans.behavioral",
     "stacktrend_spark.plans.formats",
+    "stacktrend_spark.plans.curation",
 )
 
 

@@ -217,3 +217,12 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 0
     # and it actually produces the join's rows
     assert joined.count() == li.count()
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """Decontamination must broadcast the (tiny) benchmark gram set —
+    the corpus side must never shuffle for the contamination check
+    (plans/curation.py: benchmarks are MBs, corpora are TBs)."""
+    p = plan_of(all_queries()["text_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
