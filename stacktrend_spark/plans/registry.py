@@ -51,6 +51,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.behavioral",
     "stacktrend_spark.plans.formats",
     "stacktrend_spark.plans.curation",
+    "stacktrend_spark.plans.clustering",
 )
 
 
