@@ -63,6 +63,11 @@ HEADLINE = [
     "stream_tumbling_daily",
     "stream_session_windows",
     "stream_stateful_totals",
+    # r2 additions
+    "sim_lsh_topk",
+    "stream_stream_attribution",
+    "text_decontaminate",
+    "kmeans_recompute_centroids",
 ]
 
 

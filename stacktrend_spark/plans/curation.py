@@ -113,6 +113,90 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 16-bit multiplicative hash: odd multiplier → a bijection of the
+#: 16-bit space, so thresholds map exactly to sampling rates. Pure
+#: small-int modular arithmetic — no md5 parsing, no overflow, and
+#: bit-identical in any engine.
+_HASH16 = "((doc_id % 65536) * 40503 + 1299721) % 65536"
+
+
+@register(
+    "sample_domain_mix",
+    # target mix: source s gets weight w(s) = (index(s) % 4) + 1; the
+    # global budget is half the corpus. keep-threshold per source is
+    # pure integer arithmetic (DIV), so rates are exact and the kept
+    # row SET is deterministic — reruns and engines agree row-for-row.
+    oracle=f"""
+        WITH cnt AS (
+            SELECT source,
+                   CAST(SUBSTR(source, 4) AS BIGINT) % 4 + 1 AS weight,
+                   CAST(COUNT(*) AS BIGINT)                  AS n_docs
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) // 2 AS budget,
+                   CAST(SUM(weight) AS BIGINT)      AS sum_w
+            FROM cnt
+        ),
+        thr AS (
+            SELECT c.source, c.weight, c.n_docs,
+                   LEAST(65536, (65536 * t.budget * c.weight)
+                                // (t.sum_w * c.n_docs)) AS threshold
+            FROM cnt c CROSS JOIN tot t
+        ),
+        k AS (
+            SELECT d.source, d.n_chars, t.weight, t.n_docs, t.threshold,
+                   {_HASH16} < t.threshold AS kept
+            FROM documents d JOIN thr t USING (source)
+        )
+        SELECT source,
+               CAST(MAX(weight) AS BIGINT)    AS weight,
+               CAST(MAX(n_docs) AS BIGINT)    AS n_docs,
+               CAST(MAX(threshold) AS BIGINT) AS threshold,
+               CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN kept THEN n_chars END), 0) AS BIGINT)
+                                              AS sum_chars_kept
+        FROM k GROUP BY 1
+    """,
+    doc=(
+        "Weighted domain mixing: per-source keep-rates derived from a "
+        "target weight mix and a global budget, applied as a "
+        "deterministic 16-bit hash threshold — no RNG, map-only gate."
+    ),
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(
+        (F.substring("source", 4, 10).cast("long") % 4 + 1).alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = cnt.agg(
+        F.expr("CAST(SUM(n_docs) AS BIGINT) DIV 2").alias("budget"),
+        F.sum("weight").cast("long").alias("sum_w"),
+    )
+    thr = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        "n_docs",
+        F.least(
+            F.lit(65536),
+            F.expr("(65536 * budget * weight) DIV (sum_w * n_docs)"),
+        ).alias("threshold"),
+    )
+    k = docs.join(F.broadcast(thr), "source").withColumn(
+        "kept", F.expr(_HASH16) < F.col("threshold")
+    )
+    return k.groupBy("source").agg(
+        F.max("weight").cast("long").alias("weight"),
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.max("threshold").cast("long").alias("threshold"),
+        F.count(F.when(F.col("kept"), 1)).cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("sum_chars_kept"),
+    )
+
+
 @register(
     "text_repetition_filter",
     oracle="""
