@@ -65,3 +65,48 @@ def global_rank_scalable(
         .withColumn(rank_col, (F.col("_offset") + F.col("_lrank")).cast("long"))
         .drop("_pid", "_lrank", "_offset")
     )
+
+
+def global_running_sum_scalable(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` by ``order_cols``
+    without a single-partition window — same two-phase shape as
+    :func:`global_rank_scalable` but the per-partition driver step
+    carries partial SUMS instead of counts. ``order_cols`` must define
+    a total order (include a unique tiebreaker). The explicit ROWS
+    frame avoids the default RANGE frame's tie-grouping."""
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lsum", F.sum(value_col).over(w))
+        .persist()
+    )
+    partials = sorted(
+        (r["_pid"], r["_s"])
+        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in partials:
+        offsets.append((pid, acc))
+        acc += s
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(sum_col, (F.col("_offset") + F.col("_lsum")).cast("long"))
+        .drop("_pid", "_lsum", "_offset")
+    )

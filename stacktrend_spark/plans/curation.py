@@ -113,6 +113,54 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences",
+    # contiguous sequence packing: docs in doc_id order stream into
+    # fixed 2048-token windows; a doc belongs to the window its START
+    # offset falls in. Pure integer arithmetic end-to-end.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, n_chars // 4 AS tokens FROM documents
+        ),
+        r AS (
+            SELECT doc_id, tokens,
+                   SUM(tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT CAST((cum - tokens) // 2048 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT)               AS n_docs,
+               CAST(SUM(tokens) AS BIGINT)            AS sum_tokens,
+               CAST(MIN(doc_id) AS BIGINT)            AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT)            AS last_doc
+        FROM r GROUP BY 1
+    """,
+    doc=(
+        "Sequence packing for pretraining: contiguous 2048-token bins "
+        "over a SCALABLE two-phase running sum (range partition + local "
+        "prefix + broadcast offsets) — no single-partition window."
+    ),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr("n_chars DIV 4").alias("tokens"))
+    r = global_running_sum_scalable(t, [F.col("doc_id")], "tokens", "cum")
+    return (
+        r.withColumn("bin", F.expr("(cum - tokens) DIV 2048"))
+        .groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("sum_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
 #: 16-bit multiplicative hash: odd multiplier → a bijection of the
 #: 16-bit space, so thresholds map exactly to sampling rates. Pure
 #: small-int modular arithmetic — no md5 parsing, no overflow, and
