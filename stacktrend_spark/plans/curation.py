@@ -114,6 +114,203 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_semantic_curation",
+    # the full training-data funnel in ONE composed plan:
+    #   repetition gate → benchmark decontamination → weighted domain
+    #   mix (rates recomputed on the survivors) → sequence packing.
+    # Output: per-source funnel counts + the global packed-bin count.
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, source, n_chars, string_split(text, ' ') AS w
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> array_to_string(w[i:i + 1], ' '))) AS bg
+            FROM words
+        ),
+        bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+        top AS (
+            SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bgc GROUP BY 1
+        ),
+        quality AS (
+            SELECT w.* FROM words w JOIN top t USING (doc_id)
+            WHERE CAST(t.top_c AS DOUBLE) / t.n_bg <= 0.1
+              AND 1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w) <= 0.5
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - {_NGRAM - 1}),
+                       i -> array_to_string(w[i:i + {_NGRAM - 1}], ' '))) AS gram
+            FROM words
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        clean AS (
+            SELECT q.* FROM quality q
+            WHERE q.doc_id % 50 <> 0
+              AND NOT EXISTS (
+                  SELECT 1 FROM grams g JOIN bench b USING (gram)
+                  WHERE g.doc_id = q.doc_id
+              )
+        ),
+        cnt AS (
+            SELECT source,
+                   CAST(SUBSTR(source, 4) AS BIGINT) % 4 + 1 AS weight,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM clean GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) // 2 AS budget,
+                   CAST(SUM(weight) AS BIGINT) AS sum_w
+            FROM cnt
+        ),
+        thr AS (
+            SELECT c.source,
+                   LEAST(65536, (65536 * t.budget * c.weight)
+                                // (t.sum_w * c.n)) AS threshold
+            FROM cnt c CROSS JOIN tot t
+        ),
+        sampled AS (
+            SELECT cl.doc_id, cl.source, cl.n_chars // 4 AS tokens
+            FROM clean cl JOIN thr t USING (source)
+            WHERE ((cl.doc_id % 65536) * 40503 + 1299721) % 65536 < t.threshold
+        ),
+        packed AS (
+            SELECT tokens,
+                   SUM(tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM sampled
+        ),
+        nbins AS (
+            SELECT CAST(COUNT(DISTINCT (cum - tokens) // 2048) AS BIGINT)
+                   AS n_bins
+            FROM packed
+        )
+        SELECT i.source,
+               i.n_input,
+               CAST(COALESCE(q.n, 0) AS BIGINT)   AS n_quality,
+               CAST(COALESCE(c.n, 0) AS BIGINT)   AS n_clean,
+               CAST(COALESCE(s.n, 0) AS BIGINT)   AS n_sampled,
+               CAST(COALESCE(s.tok, 0) AS BIGINT) AS tokens_sampled,
+               nb.n_bins                          AS n_bins_global
+        FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input
+              FROM documents GROUP BY 1) i
+        LEFT JOIN (SELECT source, COUNT(*) AS n FROM quality GROUP BY 1) q
+               USING (source)
+        LEFT JOIN (SELECT source, COUNT(*) AS n FROM clean GROUP BY 1) c
+               USING (source)
+        LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(tokens) AS tok
+                   FROM sampled GROUP BY 1) s USING (source)
+        CROSS JOIN nbins nb
+    """,
+    doc=(
+        "Flagship LLM-data funnel: repetition gate → n-gram "
+        "decontamination → weighted domain mix → sequence packing, "
+        "composed in one plan; per-source funnel counts, integer-only."
+    ),
+)
+def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+
+    # stage 1 — repetition gate (Gopher-style)
+    bg = docs.select("doc_id", F.explode(_word_ngrams("w", 2)).alias("bg"))
+    top = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    top_share = F.col("top_c").cast("double") / F.col("n_bg")
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct("w")).cast("double") / F.size("w")
+    )
+    quality = (
+        docs.join(top, "doc_id")
+        .filter((top_share <= 0.1) & (dup_frac <= 0.5))
+        .select("doc_id", "source", "n_chars", "w")
+    )
+
+    # stage 2 — benchmark decontamination (bench grams broadcast)
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams("w", _NGRAM)).alias("gram")
+    )
+    is_bench = F.col("doc_id") % 50 == 0
+    bench = grams.filter(is_bench).select("gram").distinct()
+    contaminated = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.filter(~is_bench).join(contaminated, "doc_id", "left_anti")
+
+    # stage 3 — weighted domain mix, rates recomputed on the survivors
+    cnt = clean.groupBy("source").agg(
+        (F.substring("source", 4, 10).cast("long") % 4 + 1).alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tot = cnt.agg(
+        F.expr("CAST(SUM(n) AS BIGINT) DIV 2").alias("budget"),
+        F.sum("weight").cast("long").alias("sum_w"),
+    )
+    thr = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(65536), F.expr("(65536 * budget * weight) DIV (sum_w * n)")
+        ).alias("threshold"),
+    )
+    sampled = (
+        clean.join(F.broadcast(thr), "source")
+        .filter(F.expr(_HASH16) < F.col("threshold"))
+        .select("doc_id", "source", F.expr("n_chars DIV 4").alias("tokens"))
+    )
+
+    # stage 4 — sequence packing on the sampled survivors
+    packed = global_running_sum_scalable(
+        sampled.select("doc_id", "tokens"), [F.col("doc_id")], "tokens", "cum"
+    )
+    nbins = packed.agg(
+        F.countDistinct(F.expr("(cum - tokens) DIV 2048"))
+        .cast("long")
+        .alias("n_bins_global")
+    )
+
+    # funnel counts per source
+    n_input = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input")
+    )
+    n_quality = quality.groupBy("source").agg(F.count(F.lit(1)).alias("nq"))
+    n_clean = clean.groupBy("source").agg(F.count(F.lit(1)).alias("nc"))
+    n_sampled = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("tokens").alias("tok")
+    )
+    return (
+        n_input.join(n_quality, "source", "left")
+        .join(n_clean, "source", "left")
+        .join(n_sampled, "source", "left")
+        .crossJoin(F.broadcast(nbins))
+        .select(
+            "source",
+            "n_input",
+            F.coalesce("nq", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("n_clean"),
+            F.coalesce("ns", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("tok", F.lit(0)).cast("long").alias("tokens_sampled"),
+            "n_bins_global",
+        )
+    )
+
+
+@register(
     "pack_sequences",
     # contiguous sequence packing: docs in doc_id order stream into
     # fixed 2048-token windows; a doc belongs to the window its START
