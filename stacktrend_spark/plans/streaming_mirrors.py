@@ -205,6 +205,101 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_user_totals",
+    # result = totals over ALL events, however they were split between
+    # the batch seed and the streamed increments — the invariant that
+    # makes incremental materialization trustworthy.
+    oracle="""
+        SELECT
+            user_id,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "foreachBatch incremental materialization: a batch-seeded totals "
+        "table is additively upserted by the streamed remainder — final "
+        "state equals the full batch aggregate (split-invariant)."
+    ),
+)
+def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from stacktrend_spark.functions.rounding import iscale
+    from stacktrend_spark.sources.tables import load_table
+
+    base = os.path.join(tempfile.gettempdir(), "stream_upsert_totals")
+    shutil.rmtree(base, ignore_errors=True)
+    target = os.path.join(base, "table")
+    checkpoint = os.path.join(base, "ckpt")
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(iscale("value", 2)).cast("long").alias("sum_cents"),
+        )
+
+    # seed: materialize totals for a deterministic slice of history
+    seed = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    totals(seed).write.mode("overwrite").parquet(target)
+
+    # stream the remainder; each micro-batch merges ADDITIVELY by key
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = totals(batch_df)
+        current = batch_df.sparkSession.read.parquet(target)
+        merged = (
+            current.select(
+                "user_id",
+                F.col("n_events").alias("t_n"),
+                F.col("sum_cents").alias("t_s"),
+            )
+            .join(
+                batch.select(
+                    "user_id",
+                    F.col("n_events").alias("s_n"),
+                    F.col("sum_cents").alias("s_s"),
+                ),
+                "user_id",
+                "full_outer",
+            )
+            .select(
+                "user_id",
+                (F.coalesce("t_n", F.lit(0)) + F.coalesce("s_n", F.lit(0)))
+                .cast("long")
+                .alias("n_events"),
+                (F.coalesce("t_s", F.lit(0)) + F.coalesce("s_s", F.lit(0)))
+                .cast("long")
+                .alias("sum_cents"),
+            )
+        )
+        # parquet has no atomic overwrite-in-place: stage then swap.
+        # With delta-spark present this whole function is one
+        # `MERGE INTO t USING s ... UPDATE SET t.n = t.n + s.n`
+        # (operators/merge.py delta backend) — file-level rewrite with
+        # data skipping instead of a full-table swap.
+        staged = target + ".staged"
+        merged.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(target)
+        os.rename(staged, target)
+
+    rest = load_events_stream(spark, sf_dir).filter(F.col("event_id") % 3 != 0)
+    q = (
+        rest.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.read.parquet(target)
+
+
+@register(
     "stream_static_enrichment",
     oracle="""
         SELECT
