@@ -514,3 +514,49 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_mode_nation_per_segment",
+    # mode via two-phase count + deterministic argmax (highest count,
+    # lowest key on ties) — no engine-specific MODE() function, so both
+    # engines compute the identical row.
+    oracle="""
+        WITH c AS (
+            SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT c_mktsegment, c_nationkey, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY n DESC, c_nationkey
+                   ) AS rn
+            FROM c
+        )
+        SELECT c_mktsegment,
+               CAST(c_nationkey AS BIGINT) AS mode_nationkey,
+               n                           AS mode_count
+        FROM r WHERE rn = 1
+    """,
+    doc="Mode per group: two-phase count + tie-broken argmax (portable MODE()).",
+)
+def agg_mode_nation_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("c_nationkey"))
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("mode_nationkey"),
+            F.col("n").alias("mode_count"),
+        )
+    )

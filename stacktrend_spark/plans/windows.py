@@ -486,6 +486,45 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same row in both engines.
 # ---------------------------------------------------------------------------
 @register(
+    "window_first_last",
+    # last_value needs the FULL frame: the default running frame makes
+    # it the current row — a classic window-semantics trap, pinned here
+    # identically in both engines.
+    oracle="""
+        SELECT
+            o_orderkey,
+            o_orderpriority,
+            FIRST_VALUE(o_orderkey) OVER w AS best_key,
+            LAST_VALUE(o_orderkey)  OVER w AS worst_key
+        FROM orders
+        WHERE o_orderkey <= 2000
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                     o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    doc="first_value/last_value over the full partition frame (explicit ROWS frame).",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import iscale
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.desc(iscale("o_totalprice")), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("best_key"),
+        F.last("o_orderkey").over(w).alias("worst_key"),
+    )
+
+
+@register(
     "window_rank_distribution",
     oracle="""
         SELECT
