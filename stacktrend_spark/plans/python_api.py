@@ -188,3 +188,47 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emits order-only keys (none in the testdata, but filter to match
     # the declared semantics regardless)
     return out.filter(F.col("acctbal_cents").isNotNull())
+
+
+@register(
+    "arrow_doc_stats",
+    oracle="""
+        SELECT
+            doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_utf8,
+            CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+                                         AS n_spaces
+        FROM documents
+    """,
+    doc=(
+        "mapInArrow doc stats: zero-copy Arrow batches through "
+        "pyarrow.compute kernels — the no-pandas-materialization path "
+        "for byte/binary-level work; map-only, no shuffle."
+    ),
+)
+def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the Python-eval API surface next to the UDTF / pandas
+    UDAF / cogrouped applyInPandas: ``mapInArrow`` hands the raw Arrow
+    RecordBatch to Python with NO pandas conversion — for string/binary
+    kernels that pyarrow.compute runs vectorized, the cheapest Python
+    path there is (exact integer outputs, so cross-engine-safe)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "n_chars_utf8", "n_spaces"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id bigint, n_chars_utf8 bigint, n_spaces bigint"
+    )
