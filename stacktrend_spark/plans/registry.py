@@ -74,6 +74,16 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: against the driver), then every family that has never had a
 #: driver-green row. Long-green relational basics rotate to the back —
 #: they are re-provable in any later round.
+#:
+#: Round-3 rotation candidates (added in r2, so still never
+#: driver-checked): sim_lsh_topk, multimodal_frame_offsets,
+#: text_pii_redact, window_rank_distribution, window_first_last,
+#: stream_static_enrichment, stream_stream_attribution,
+#: stream_upsert_user_totals, source_format_roundtrip,
+#: text_decontaminate, text_repetition_filter, sample_domain_mix,
+#: pack_sequences, pipeline_semantic_curation, kmeans_assign_cells,
+#: kmeans_recompute_centroids, agg_mode_nation_per_segment,
+#: arrow_doc_stats.
 _PRIORITY: tuple[str, ...] = (
     # changed this round (transcendental-free hashed surfaces)
     "gold_tech_metrics",
