@@ -75,3 +75,64 @@ def connected_components(
             break
     sym.unpersist()
     return labels
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank (d=0.85) in exact scaled-integer arithmetic.
+
+    Every quantity is a BIGINT in units of ``1/scale``: ranks start at
+    ``scale // N``, each node contributes ``rank // out_degree`` along
+    its out-edges, and the damping update is
+    ``(15*scale) // (100*N) + (85 * incoming) // 100`` — all integer
+    division, so the result is bit-identical in any engine (the float
+    formulation would accumulate engine-dependent summation order).
+    Total mass stays ≤ ``scale``, so intermediates fit int64 with
+    85× headroom.
+
+    Scale notes (100 TB): the edge list persists once; each iteration
+    is one shuffle — join ranks (partitioned by node) to edges
+    (partitioned by src, co-located after the first round under AQE),
+    then a groupBy(dst) sum. Ranks are O(nodes) ≪ O(edges). A fixed
+    iteration count (not a convergence loop) keeps the plan static and
+    the output deterministic.
+
+    Returns (node, rank_scaled). Nodes are taken from edge sources —
+    for symmetric edge lists that is every node; pass dangling nodes
+    as self-loop-free extra sources if needed.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node")).persist()
+    n_nodes = nodes.count()  # O(1) driver scalar, sanctioned iterative pattern
+    base = (15 * scale) // (100 * n_nodes)
+    ranks = nodes.select("node", F.lit(scale // n_nodes).alias("rank"))
+    edeg = e.join(deg, "src").persist()
+    prev = None
+    for _ in range(iterations):
+        contrib = (
+            edeg.join(ranks, edeg["src"] == ranks["node"])
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(incoming, 0)) DIV 100")
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    return ranks.select("node", F.col("rank").cast("long").alias("rank_scaled"))

@@ -1,0 +1,100 @@
+"""Iterative graph analytics: PageRank over a co-purchase graph.
+
+Graph: parts are nodes; two parts are connected when they appear in
+the same order (distinct undirected pairs, materialized as both
+directed edges). PageRank then surfaces the parts most central to
+co-purchase behavior — the "customers who bought X also bought"
+primitive.
+
+Cross-engine discipline: the float PageRank update is NOT
+reproducible across engines (summation order over in-edges is
+engine-dependent), so ranks live in exact scaled-integer space — see
+``operators/graph.pagerank_scaled``. The oracle unrolls the same
+fixed-point iterations as SQL CTEs with identical integer division,
+so both engines produce the same BIGINTs bit-for-bit.
+
+Scale notes (100 TB): the edge build is a self-join on the order key
+(co-partitioned) plus one distinct; each PageRank iteration is one
+shuffle (ranks ⋈ edges on src, then groupBy dst). Edges persist
+once; ranks are O(parts) ≪ O(lineitem). Top-k is TakeOrdered — no
+global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from stacktrend_spark.operators.graph import pagerank_scaled
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+_SCALE = 10**12
+_ITER = 3
+_TOP = 50
+
+
+def _pagerank_oracle(iterations: int = _ITER) -> str:
+    ctes = [
+        """edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        )""",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM deg)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {_SCALE} // (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+                SELECT n2.node,
+                       ({15 * _SCALE} // (100 * (SELECT n FROM nn)))
+                       + (85 * COALESCE(c.incoming, 0)) // 100 AS pr
+                FROM nodes n2 LEFT JOIN (
+                    SELECT e.dst, SUM(r.pr // d.deg) AS incoming
+                    FROM edges e
+                    JOIN r{k - 1} r ON r.node = e.src
+                    JOIN deg d ON d.src = e.src
+                    GROUP BY e.dst
+                ) c ON c.dst = n2.node
+            )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT part_id, rank_scaled, pr_rank FROM (
+            SELECT node AS part_id,
+                   CAST(pr AS BIGINT) AS rank_scaled,
+                   CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT)
+                       AS pr_rank
+            FROM r{iterations}
+        ) t WHERE pr_rank <= {_TOP}
+    """
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the part co-purchase graph — exact scaled-int iterations, top-50.",
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    ranks = pagerank_scaled(edges, iterations=_ITER, scale=_SCALE)
+    top = ranks.orderBy(F.desc("rank_scaled"), "node").limit(_TOP)
+    w = W.orderBy(F.desc("rank_scaled"), "node")
+    return top.select(
+        F.col("node").alias("part_id"),
+        "rank_scaled",
+        F.row_number().over(w).cast("long").alias("pr_rank"),
+    )

@@ -52,6 +52,8 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.formats",
     "stacktrend_spark.plans.curation",
     "stacktrend_spark.plans.clustering",
+    "stacktrend_spark.plans.lakehouse",
+    "stacktrend_spark.plans.graphrank",
 )
 
 
