@@ -514,3 +514,62 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top_share <= 0.1) & (dup_frac <= 0.5)).alias("keep"),
         )
     )
+
+
+@register(
+    "dedup_doc_prefix",
+    # the 'g' flag on DuckDB's regexp_replace matches Spark's
+    # replace-all default; md5 is bit-identical in both engines
+    oracle=r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   SUBSTR(text, 1, LENGTH(text) - 20) AS text
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   md5(SUBSTR(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')),
+                              1, 64)) AS prefix_digest
+            FROM corpus
+        )
+        SELECT prefix_digest,
+               MIN(doc_id)              AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM keyed GROUP BY prefix_digest
+    """,
+    doc="Prefix-key dedup: normalized 64-char head digest — the crawl boilerplate-collapse pass.",
+)
+def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/prefix deduplication: crawl corpora are full of
+    documents that differ only after a shared head (mirrors, pagination
+    tails, truncations). Keying on a digest of the normalized 64-char
+    prefix collapses them in ONE map-side digest + one shuffle —
+    the cheap pass that runs before MinHash-LSH in a curation funnel
+    (same corpus construction as dedup_minhash_lsh's near-dup corpus,
+    whose truncated copies this pass catches exactly).
+
+    Scale: digest keys are uniform — skew-free shuffle; the map side
+    is pure codegen string ops, no UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 20)").alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(
+            F.substring(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                1,
+                64,
+            )
+        ).alias("prefix_digest"),
+    )
+    return keyed.groupBy("prefix_digest").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )

@@ -1005,3 +1005,67 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
         F.regexp_count(F.col("raw"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity 3 — ANN quality evaluation: recall@k of the IVF-bucketed
+# path against the exact brute-force baseline, in one query. This is
+# the metric that decides whether the 100 TB scale path (sim_ivf_topk)
+# is good enough to replace the exact scan — an engine that ships an
+# ANN operator must also ship its evaluation.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_recall_eval",
+    # recall stays in integer space: n_hits of k=3, reported as
+    # (n_hits*1000) DIV 3 — no float division for engines to disagree on
+    oracle=f"""
+        WITH bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {sql_round(_SQL_COSINE, 6)} DESC, c.vec_id) AS r
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ) t WHERE r <= 3
+        ),
+        ivf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {sql_round(_SQL_COSINE, 6)} DESC, c.vec_id) AS r
+                FROM embeddings q JOIN embeddings c ON q.label = c.label
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ) t WHERE r <= 3
+        )
+        SELECT b.query_id,
+               CAST(COUNT(i.neighbor_id) AS BIGINT)        AS n_hits,
+               CAST((COUNT(i.neighbor_id) * 1000) // 3 AS BIGINT) AS recall_milli
+        FROM bf b LEFT JOIN ivf i
+          ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.query_id
+    """,
+    doc="recall@3 of IVF-bucketed ANN vs exact brute force, per query — integer recall.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both paths share one scan lineage; ground truth is the exact
+    broadcast-queries × corpus scan, the candidate is the bucketed
+    equi-join. The hit join is on (query, neighbor) — k·|queries| rows,
+    trivially broadcastable at any scale."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(emb, queries, k=3, dim=64).select("query_id", "neighbor_id")
+    ivf = cosine_topk(emb, queries, k=3, bucket_col="label", dim=64).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr("(n_hits * 1000) DIV 3").alias("recall_milli"),
+        )
+    )

@@ -16,7 +16,7 @@ exactly representable, making Spark's ``percentile`` and DuckDB's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from stacktrend_spark.functions.rounding import (
@@ -307,4 +307,174 @@ def outlier_iqr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lo") / F.lit(100.0)).alias("fence_lo"),
             (F.col("hi") / F.lit(100.0)).alias("fence_hi"),
         )
+    )
+
+
+@register(
+    "rolling_zscore_anomaly",
+    # the z² test stays ENTIRELY in integer space: with window count n,
+    # sum S and sum-of-squares Q over scaled cents x,
+    #     |z| > 3  ⟺  (n·x − S)²·(n−1) > 9·n·(n·Q − S²)
+    # (multiply the z definition through by its denominators). No
+    # division, no sqrt, no floats → bit-identical flags in any engine.
+    # Magnitudes at cents scale: x ≤ ~6e4 ⇒ (n·x−S)²·(n−1) ≤ ~3e13 and
+    # 9n(nQ−S²) ≤ ~3e14 — comfortable int64 headroom.
+    oracle=f"""
+        WITH v AS (
+            SELECT event_id, user_id, ts, {sql_iscale("value")} AS cents
+            FROM events WHERE value IS NOT NULL
+        ),
+        w AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, cents,
+                   CAST(COUNT(*) OVER win AS BIGINT)           AS win_n,
+                   CAST(SUM(cents) OVER win AS BIGINT)         AS s1,
+                   CAST(SUM(cents * cents) OVER win AS BIGINT) AS s2
+            FROM v
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, ts_us, cents AS value_cents, win_n,
+               (win_n >= 10 AND
+                (win_n * cents - s1) * (win_n * cents - s1) * (win_n - 1)
+                    > 9 * win_n * (win_n * s2 - s1 * s1)) AS is_anomaly
+        FROM w
+    """,
+    doc="Rolling 20-event z-score anomaly flag per user — exact integer z² test, no floats.",
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: flag events whose value sits
+    more than 3 sample standard deviations from the trailing-20 mean.
+
+    One window pass = one shuffle on user_id; the three window
+    aggregates share a frame so Spark computes them in a single
+    WindowExec. At 100 TB the same plan runs inside date-partitioned
+    buckets (the window needs only 19 rows of lookback across a
+    boundary — handled by reading one partition of overlap).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        iscale("value").alias("cents"),
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    n = F.count(F.lit(1)).over(win).cast("long")
+    s1 = F.sum("cents").over(win).cast("long")
+    s2 = F.sum(F.col("cents") * F.col("cents")).over(win).cast("long")
+    dev = n * F.col("cents") - s1
+    flagged = v.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("cents").alias("value_cents"),
+        n.alias("win_n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value_cents",
+        "win_n",
+        (
+            (F.col("win_n") >= 10)
+            & (
+                (F.col("win_n") * F.col("value_cents") - F.col("s1"))
+                * (F.col("win_n") * F.col("value_cents") - F.col("s1"))
+                * (F.col("win_n") - 1)
+                > 9
+                * F.col("win_n")
+                * (F.col("win_n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            )
+        ).alias("is_anomaly"),
+    )
+    return flagged
+
+
+@register(
+    "feature_quantile_bins",
+    # decile fences are DISCRETE order statistics picked by a pure
+    # integer index — fence_k = value at row 1 + ((n−1)·k) // 10 of the
+    # (cents, orderkey) ordering — so unlike interpolated quantiles
+    # there is no float arithmetic for engines to disagree on. Bin id =
+    # number of fences strictly below the value.
+    oracle="""
+        WITH v AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn
+            FROM v
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM v),
+        fences AS (
+            SELECT k, (SELECT cents FROM ranked
+                       WHERE rn = 1 + ((n - 1) * k) // 10) AS fence
+            FROM nn, UNNEST(range(1, 10)) t(k)
+        ),
+        bins AS (
+            SELECT o.o_orderkey, o.cents,
+                   (SELECT COUNT(*) FROM fences f WHERE o.cents > f.fence)
+                       AS bin_id
+            FROM v o
+        )
+        SELECT CAST(bin_id AS BIGINT)   AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(cents)               AS min_cents,
+               MAX(cents)               AS max_cents,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM bins GROUP BY bin_id
+    """,
+    doc="Decile feature binning with exact integer-index fences (QuantileDiscretizer shape).",
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bin a numeric feature with deterministic discrete fences.
+
+    The fence computation ranks (cents, key) globally — a single-
+    partition window here, acceptable because only the 9 fence rows
+    survive it. At 100 TB you'd compute the same order statistics with
+    the two-phase partition-histogram selection in
+    ``operators/ranking.rank_global_scalable`` or a sampled sketch;
+    the bin-assignment side (broadcast 9 fences, one comparison scan)
+    already scales as-is.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderkey", iscale("o_totalprice").alias("cents")
+    )
+    ranked = v.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_orderkey")).alias("rn"),
+    )
+    nn = v.agg(F.count(F.lit(1)).alias("n"))
+    # integer index: (n-1)*k/10 floor — integer DIV matches DuckDB `//`
+    targets = (
+        spark.range(1, 10)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(nn))
+        .select("k", F.expr("1 + ((n - 1) * k) DIV 10").alias("target_rn"))
+    )
+    fences = ranked.join(
+        F.broadcast(targets), ranked["rn"] == targets["target_rn"]
+    ).select(F.col("cents").alias("fence"))
+    fence_arr = fences.agg(F.sort_array(F.collect_list("fence")).alias("farr"))
+    binned = v.crossJoin(F.broadcast(fence_arr)).select(
+        "o_orderkey",
+        "cents",
+        F.expr("size(filter(farr, f -> cents > f))").cast("long").alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").cast("long").alias("sum_cents"),
     )

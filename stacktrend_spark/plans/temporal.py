@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stacktrend_spark.functions.rounding import sql_iscale
 from stacktrend_spark.operators.temporal import asof_join, range_join_banded
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
@@ -192,4 +193,74 @@ def resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("day").alias("day_us"),
         "day_value_cents",
         F.sum("day_value_cents").over(w).cast("long").alias("cum_value_cents"),
+    )
+
+
+@register(
+    "twap_user_value",
+    # exact integer surface: duration in whole seconds (µs DIV 1e6),
+    # value in cents; Σ(cents·dur_s) ≤ ~6e4 · 2.6e6 · segments — summed
+    # 128-bit-wide on both sides (Spark long sum is exact here with
+    # ~1e3 headroom at any oracle-checked sf; DuckDB sums to HUGEINT
+    # and casts back). TWAP itself is integer division — no floats.
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   epoch_us(ts) AS ts_us,
+                   {sql_iscale('value')} AS cents,
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+            FROM events WHERE value IS NOT NULL
+        ),
+        seg AS (
+            SELECT user_id, cents, (next_us - ts_us) // 1000000 AS dur_s
+            FROM seq WHERE next_us IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)            AS n_segments,
+               CAST(SUM(cents * dur_s) AS BIGINT)  AS weighted_cents_s,
+               CAST(SUM(dur_s) AS BIGINT)          AS held_s,
+               CAST(CASE WHEN SUM(dur_s) > 0
+                         THEN SUM(cents * dur_s) // SUM(dur_s) END AS BIGINT)
+                   AS twap_cents
+        FROM seg GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user: hold-until-next-event weighting, exact ints.",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP: each event's value is 'held' until the user's next event;
+    the average weights by hold duration, not event count — the
+    standard market-data aggregation the naive AVG gets wrong.
+
+    One window pass (lead) + one groupBy, both partitioned by user —
+    a single shuffle. At 100 TB the same two-op plan runs per
+    date-bucket with one row of cross-boundary lookahead.
+    """
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.functions.rounding import iscale
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        iscale("value").alias("cents"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    seg = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        "cents",
+        F.expr("(next_us - ts_us) DIV 1000000").alias("dur_s"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias("weighted_cents_s"),
+        F.sum("dur_s").cast("long").alias("held_s"),
+        F.when(
+            F.sum("dur_s") > 0,
+            F.expr("sum(cents * dur_s) DIV sum(dur_s)"),
+        )
+        .cast("long")
+        .alias("twap_cents"),
     )
