@@ -70,3 +70,50 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_suppkey").cast("long").alias("sum_suppkey"),
         )
     )
+
+
+@register(
+    "source_binary_files",
+    # the oracle never touches the files: it recomputes length/digest
+    # from the SAME document rows the writer serialized, so a pass
+    # proves the binaryFile source read back exactly what was written
+    # (octet_length on the UTF-8 encoding mirrors Spark's byte length)
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text)                                  AS digest
+        FROM documents WHERE doc_id < 20
+    """,
+    doc="binaryFile source: opaque-bytes ingestion round-trip with length+digest parity.",
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion front door: raw files → (path, bytes) rows
+    via Spark's `binaryFile` source, the step that feeds
+    operators/multimodal.py's decode UDFs in a real pipeline.
+
+    The write side materializes 20 documents as .bin files (bounded
+    driver loop — mirrors the N≤20 pattern documented in
+    sources/rest.py; at scale files land via the object store, not the
+    driver). The read side is the scalable half being exercised:
+    binaryFile lists and reads files distributed, one task per file
+    group, content as an opaque binary column.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()  # bounded: 20 rows, write-side fixture only
+    )
+    base = os.path.join(tempfile.gettempdir(), "stacktrend_binfiles")
+    os.makedirs(base, exist_ok=True)
+    for row in docs:
+        with open(os.path.join(base, f"{row.doc_id}.bin"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    df = spark.read.format("binaryFile").load(f"{base}/*.bin")
+    return df.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )

@@ -505,3 +505,87 @@ def agg_string_concat_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.concat_ws(",", F.sort_array(F.collect_set("lang"))).alias("langs")
     )
+
+
+@register(
+    "feature_standardize",
+    # every double on the surface flows through one mirrored
+    # correctly-rounded op tree over exact scaled-integer group sums
+    # (see functions/rounding.py dstd notes): z = (x − S/n)/σ with
+    # σ = sqrt((s2 − S²/n)/(n−1))/100, minmax = (x−min)/(max−min).
+    oracle="""
+        WITH v AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        g AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT)  AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s1,
+                   SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2,
+                   MIN(cents) AS mn, MAX(cents) AS mx
+            FROM v GROUP BY o_orderpriority
+        ),
+        d AS (
+            SELECT v.o_orderkey, v.o_orderpriority, v.cents,
+                   CAST(g.n AS DOUBLE)  AS nn,
+                   CAST(g.s1 AS DOUBLE) AS ds1,
+                   CAST(g.s2 AS DOUBLE) AS ds2,
+                   g.mn, g.mx
+            FROM v JOIN g USING (o_orderpriority)
+        )
+        SELECT o_orderkey, o_orderpriority, cents,
+               FLOOR(
+                   (CAST(cents AS DOUBLE) - ds1 / nn)
+                   / (SQRT(GREATEST((ds2 - ds1 * ds1 / nn) / (nn - 1.0), 0.0)))
+                   * 1e6 + 0.5) / 1e6                          AS z_score,
+               FLOOR(
+                   CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6                          AS minmax
+        FROM d
+        WHERE nn >= 2.0 AND mx > mn AND ds2 * nn > ds1 * ds1
+    """,
+    doc="Per-group feature standardization: z-score + min-max scaling from exact group sums.",
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level feature scaling — the last transform before training
+    data leaves the pipeline. Group statistics come from ONE exact
+    integer aggregate (broadcast back to rows), so the whole transform
+    is a map over the fact table: no second shuffle, no UDFs.
+    At 100 TB the stats side is k rows (k = #groups) — always
+    broadcastable.
+    """
+    from stacktrend_spark.functions.rounding import iscale
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_orderkey", "o_orderpriority", iscale("o_totalprice").alias("cents")
+    )
+    g = v.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("s2"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+    d = v.join(F.broadcast(g), "o_orderpriority")
+    nn = F.col("n").cast("double")
+    ds1 = F.col("s1").cast("double")
+    ds2 = F.col("s2").cast("double")
+    sd = F.sqrt(
+        F.greatest((ds2 - ds1 * ds1 / nn) / (nn - F.lit(1.0)), F.lit(0.0))
+    )
+    return d.filter(
+        (F.col("n") >= 2) & (F.col("mx") > F.col("mn")) & (ds2 * nn > ds1 * ds1)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        fround((F.col("cents").cast("double") - ds1 / nn) / sd, 6).alias("z_score"),
+        fround(
+            (F.col("cents") - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double"),
+            6,
+        ).alias("minmax"),
+    )

@@ -478,3 +478,91 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("max_cents"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+#: the four lineitem measures for the correlation matrix, with their
+#: decimal grains (corr is scale-free, so grains only guarantee
+#: exactness of the integer sums, never the statistic's units)
+_CORR_VARS = [("qty", "l_quantity", 0), ("price", "l_extendedprice", 2),
+              ("disc", "l_discount", 2), ("tax", "l_tax", 2)]
+_CORR_PAIRS = [(a, b) for i, (a, _, _) in enumerate(_CORR_VARS)
+               for (b, _, _) in _CORR_VARS[i + 1:]]
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS nn"]
+    for name, col, d in _CORR_VARS:
+        i = sql_iscale(col, d)
+        sums.append(f"CAST(SUM({i}) AS DOUBLE) AS s_{name}")
+        sums.append(
+            f"CAST(SUM(CAST(({i}) AS HUGEINT) * CAST(({i}) AS HUGEINT)) AS DOUBLE)"
+            f" AS q_{name}"
+        )
+    for a, b in _CORR_PAIRS:
+        ia = sql_iscale(dict((n, c) for n, c, _ in _CORR_VARS)[a],
+                        dict((n, d) for n, _, d in _CORR_VARS)[a])
+        ib = sql_iscale(dict((n, c) for n, c, _ in _CORR_VARS)[b],
+                        dict((n, d) for n, _, d in _CORR_VARS)[b])
+        sums.append(
+            f"CAST(SUM(CAST(({ia}) AS HUGEINT) * CAST(({ib}) AS HUGEINT)) AS DOUBLE)"
+            f" AS x_{a}_{b}"
+        )
+    rows = []
+    for a, b in _CORR_PAIRS:
+        corr = (
+            f"(x_{a}_{b} - s_{a} * s_{b} / nn) / "
+            f"(SQRT(q_{a} - s_{a} * s_{a} / nn) * SQRT(q_{b} - s_{b} * s_{b} / nn))"
+        )
+        rows.append(
+            f"SELECT '{a}' AS var_x, '{b}' AS var_y, "
+            f"{sql_round(corr, 8)} AS corr FROM m"
+        )
+    return f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem) " + \
+        " UNION ALL ".join(rows)
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle=_corr_matrix_oracle(),
+    doc="Pairwise correlation matrix over four measures — ONE exact-sums pass, 6 pairs.",
+)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise correlations from a single aggregate: 4 sums +
+    4 sums-of-squares + 6 cross-sums in one shuffle-free partial-agg
+    pass (vs 6 separate corr() scans). The 128-bit sums keep cross
+    products exact past 1e12 rows; each corr derives through the same
+    mirrored op tree as agg_corr_covar.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ints = {n: iscale(c, d) for n, c, d in _CORR_VARS}
+    aggs = [F.count(F.lit(1)).cast("double").alias("nn")]
+    for n, _, _ in _CORR_VARS:
+        aggs.append(F.sum(ints[n]).cast("double").alias(f"s_{n}"))
+        aggs.append(
+            F.sum((ints[n] * ints[n]).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"q_{n}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((ints[a] * ints[b]).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"x_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    out = None
+    for a, b in _CORR_PAIRS:
+        corr = (
+            (F.col(f"x_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("nn"))
+            / (
+                F.sqrt(F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("nn"))
+                * F.sqrt(F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("nn"))
+            )
+        )
+        row = m.select(
+            F.lit(a).alias("var_x"),
+            F.lit(b).alias("var_y"),
+            fround(corr, 8).alias("corr"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -264,3 +264,59 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_cents"),
     )
+
+
+@register(
+    "rollup_time_multigrain",
+    # hypertable-style continuous aggregate: hour/day/week rollups in
+    # ONE scan via GROUPING SETS (1 Expand + 1 shuffle, not 3 scans);
+    # grain is labeled from GROUPING() so null buckets are unambiguous
+    oracle=f"""
+        SELECT
+            CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                 WHEN GROUPING(d) = 0 THEN 'day'
+                 ELSE 'week' END                        AS grain,
+            epoch_us(COALESCE(h, d, w))                 AS bucket_us,
+            CAST(COUNT(*) AS BIGINT)                    AS n_events,
+            CAST(SUM({sql_iscale("value")}) AS BIGINT)  AS sum_cents
+        FROM (
+            SELECT value,
+                   date_trunc('hour', ts) AS h,
+                   date_trunc('day',  ts) AS d,
+                   date_trunc('week', ts) AS w
+            FROM events WHERE value IS NOT NULL
+        )
+        GROUP BY GROUPING SETS ((h), (d), (w))
+    """,
+    doc="Multi-resolution time rollup (hour/day/week) in one GROUPING SETS pass.",
+)
+def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downsampling ladder a time-series store maintains as
+    continuous aggregates, computed in one pass: Expand replicates each
+    row 3× with a grain tag, then one hash aggregate. At 100 TB the
+    fine grain dominates output cardinality, so bucket keys stay
+    near-uniform — no skew; partial aggregation collapses each
+    partition's rows before the shuffle.
+    """
+    from stacktrend_spark.functions.rounding import iscale
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev.select(
+        iscale("value").alias("cents"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+    ).createOrReplaceTempView("_mg_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT
+            CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                 WHEN GROUPING(d) = 0 THEN 'day'
+                 ELSE 'week' END                 AS grain,
+            unix_micros(COALESCE(h, d, w))       AS bucket_us,
+            COUNT(*)                             AS n_events,
+            CAST(SUM(cents) AS BIGINT)           AS sum_cents
+        FROM _mg_events
+        GROUP BY GROUPING SETS ((h), (d), (w))
+        """
+    )
