@@ -50,6 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # testdata parquet stores µs timestamps without isAdjustedToUTC; Spark 4
+    # would infer TIMESTAMP_NTZ, which unix_micros()/window() reject. Read as
+    # plain TIMESTAMP instead — under the UTC session zone the epoch values
+    # are identical to DuckDB's naive-timestamp reading.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

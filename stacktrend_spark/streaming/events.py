@@ -33,29 +33,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stacktrend_spark.functions.rounding import dsum
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
-#: explicit source schema (streaming file sources cannot infer).
-#: ``ts`` arrives as int64 epoch-nanos because the testdata parquet
-#: carries TIMESTAMP(NANOS), which Spark only reads via
-#: spark.sql.legacy.parquet.nanosAsLong (see sources/tables.py).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from stacktrend_spark.functions.rounding import dsum
 
 SESSION_GAP = "30 minutes"  # batch twin uses 30*60*1e6 µs (windows.py)
 
@@ -63,19 +43,27 @@ SESSION_GAP = "30 minutes"  # batch twin uses 30*60*1e6 µs (windows.py)
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet with explicit schema.
 
-    Mirrors the batch loader's nanos handling: read epoch-nanos as
-    int64, truncate to µs (lossless — testdata is µs-grained), convert
-    to a real timestamp for event-time semantics.
+    Streaming file sources cannot infer, and the testdata's ``ts``
+    physical type has changed across driver rounds (TIMESTAMP(NANOS)
+    read as int64 via nanosAsLong vs plain µs TIMESTAMP), so the schema
+    is probed from the parquet footer with a batch read rather than
+    declared statically. The probe reads metadata only — no data scan.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    probed = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probed)
         # glob, not a literal file path: the file-stream source derives
         # basePath from a glob's parent dir, but rejects a plain file
         .parquet(f"{sf_dir.rstrip('/')}/events.parque*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict((f.name, f.dataType.simpleString()) for f in probed)["ts"] == "bigint":
+        # legacy nanos path: truncate to µs (lossless — data is µs-grained)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 day") -> DataFrame:
