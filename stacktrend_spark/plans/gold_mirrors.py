@@ -44,53 +44,47 @@ _AS_OF_EVENTS = "2024-01-31 00:00:00"
 # when-chain → five W1 rank columns → composite risk score.
 # Mirror: per-brand market metrics from lineitem ⋈ part.
 # ---------------------------------------------------------------------------
-@register(
-    "gold_tech_metrics",
-    oracle=f"""
-        WITH rollup_ AS (
-            SELECT
-                p.p_brand                                        AS brand,
-                CAST(COUNT(*) AS BIGINT)                         AS n_lineitems,
-                CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT)      AS n_parts,
-                CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)      AS n_suppliers,
-                SUM({sql_iscale('l.l_extendedprice')})           AS irev,
-                SUM(CAST(l.l_quantity AS BIGINT))                AS total_qty,
-                {sql_davg('l.l_extendedprice')}                  AS avg_price
-            FROM lineitem l
-            JOIN part p ON l.l_partkey = p.p_partkey
-            GROUP BY p.p_brand
-        ),
-        scored AS (
-            SELECT *,
-                CAST(irev AS DOUBLE) / 100.0 AS revenue,
-                {sql_round(f"LEAST(100.0, GREATEST(0.0, {sql_xlog10('GREATEST(irev // 100, 1)')} * 12.5))", 6)} AS momentum_score
-            FROM rollup_
-        ),
-        staged AS (
-            SELECT *,
-                CASE WHEN momentum_score >= 80 THEN 'Mainstream'
-                     WHEN momentum_score >= 60 THEN 'Growth'
-                     WHEN momentum_score >= 40 THEN 'Emerging'
-                     ELSE 'Experimental' END AS lifecycle_stage
-            FROM scored
-        )
+# Round-3 parity hardening: round 2's all-IEEE-correctly-rounded float
+# surface STILL hash-failed in the driver environment (local DuckDB is
+# bit-identical), so every hashed score column is now derived FULLY in
+# int64 space and emitted as exact micro-units (×1e6 BIGINT):
+#   avg_price_micro          = round(irev·10⁴ / n)            [µ-dollars]
+#   momentum_score_micro     = clamp(xlog10µ(dollars)·25 DIV 2, 0, 1e8)
+#   concentration_risk_micro = clamp(1e8 − momentum + supp·1e6, 0, 1e8)
+# where xlog10µ is the decade-interpolated log10 (see rounding.xlog10)
+# computed with integer rounding: (d−1)·1e6 + (2·(x−p)·1e6 + 9p) DIV 18p.
+# Divide by 1e6 for the reference's 0–100 scale (pipelines/gold.py keeps
+# the user-facing float form). Int64 headroom: irev·2e4 < 9.2e18 holds
+# to ~$4.6e12 revenue per brand; (x−p)·2e6 likewise — far beyond the
+# oracle-checked scales (at 100 TB you'd widen to DecimalType).
+# The four probe_tm_* queries below re-register round 2's float
+# constructs column-by-column so CORRECTNESS_r3 bisects which float op
+# diverges in the driver environment.
+
+# 10^(ndig-1) as an exact BIGINT via CASE (valid in both dialects;
+# idollars = irev // 100 has at most 17 digits for int64 irev).
+_TM_IP_SPARK = _TM_IP_DUCK = "CASE ndig " + " ".join(
+    f"WHEN {k} THEN CAST({10 ** (k - 1)} AS BIGINT)" for k in range(1, 19)
+) + " END"
+
+_TM_ROLLUP_SQL = f"""
         SELECT
-            brand, n_lineitems, n_parts, n_suppliers, total_qty, revenue,
-            avg_price, momentum_score, lifecycle_stage,
-            CAST(ROW_NUMBER() OVER (ORDER BY irev DESC, brand)          AS BIGINT) AS revenue_rank,
-            CAST(ROW_NUMBER() OVER (ORDER BY total_qty DESC, brand)    AS BIGINT) AS volume_rank,
-            CAST(ROW_NUMBER() OVER (ORDER BY n_parts DESC, brand)      AS BIGINT) AS breadth_rank,
-            CAST(ROW_NUMBER() OVER (ORDER BY n_suppliers DESC, brand)  AS BIGINT) AS supplier_rank,
-            CAST(ROW_NUMBER() OVER (ORDER BY momentum_score DESC, brand) AS BIGINT) AS momentum_rank,
-            {sql_round('LEAST(100.0, GREATEST(0.0, 100.0 - momentum_score + CAST(n_suppliers AS DOUBLE)))', 6)} AS concentration_risk
-        FROM staged
-    """,
-    doc="Gold tech_metrics: A1 → momentum → lifecycle CASE → 5 W1 ranks → risk (s2g:133-311).",
-)
-def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+            p.p_brand                                        AS brand,
+            CAST(COUNT(*) AS BIGINT)                         AS n_lineitems,
+            CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT)      AS n_parts,
+            CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)      AS n_suppliers,
+            CAST(SUM({sql_iscale('l.l_extendedprice')}) AS BIGINT) AS irev,
+            CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+"""
+
+
+def _tm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rollup = (
+    return (
         li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
@@ -99,30 +93,85 @@ def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.sum(iscale("l_extendedprice")).alias("irev"),
             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
-            davg("l_extendedprice").alias("avg_price"),
         )
     )
-    revenue = F.col("irev").cast("double") / 100.0
-    # Momentum is log-scaled revenue, but libm LOG10 is not correctly
-    # rounded and a 1-ulp engine divergence flips the 6th decimal
-    # (round-1 driver hash failure). xlog10 derives the same log-shaped
-    # score from the EXACT integer dollar amount (digit count + decade
-    # interpolation) — bit-identical in Spark and DuckDB.
-    idollars = F.greatest(F.expr("irev DIV 100"), F.lit(1))
-    momentum = fround(
-        F.least(
-            F.lit(100.0),
-            F.greatest(F.lit(0.0), xlog10(idollars) * 12.5),
+
+
+@register(
+    "gold_tech_metrics",
+    oracle=f"""
+        WITH rollup_ AS ({_TM_ROLLUP_SQL}),
+        dig AS (
+            SELECT *, LENGTH(CAST(GREATEST(irev // 100, 1) AS VARCHAR)) AS ndig,
+                   CAST(GREATEST(irev // 100, 1) AS BIGINT) AS idollars
+            FROM rollup_
         ),
-        6,
-    )
-    scored = rollup.withColumn("revenue", revenue).withColumn("momentum_score", momentum)
-    staged = scored.withColumn(
-        "lifecycle_stage",
-        F.when(F.col("momentum_score") >= 80, "Mainstream")
-        .when(F.col("momentum_score") >= 60, "Growth")
-        .when(F.col("momentum_score") >= 40, "Emerging")
-        .otherwise("Experimental"),
+        pw AS (
+            SELECT *, {_TM_IP_DUCK} AS ip FROM dig
+        ),
+        scored AS (
+            SELECT *,
+                CAST(CAST(ndig - 1 AS BIGINT) * 1000000
+                     + (2 * (idollars - ip) * 1000000 + 9 * ip) // (18 * ip) AS BIGINT) AS ilogm,
+                CAST((2 * irev * 10000 + n_lineitems) // (2 * n_lineitems) AS BIGINT) AS avg_price_micro
+            FROM pw
+        ),
+        mom AS (
+            SELECT *,
+                CAST(LEAST(100000000, GREATEST(0, (ilogm * 25) // 2)) AS BIGINT) AS momentum_score_micro
+            FROM scored
+        ),
+        staged AS (
+            SELECT *,
+                CASE WHEN momentum_score_micro >= 80000000 THEN 'Mainstream'
+                     WHEN momentum_score_micro >= 60000000 THEN 'Growth'
+                     WHEN momentum_score_micro >= 40000000 THEN 'Emerging'
+                     ELSE 'Experimental' END AS lifecycle_stage
+            FROM mom
+        )
+        SELECT
+            brand, n_lineitems, n_parts, n_suppliers, total_qty,
+            CAST(irev AS BIGINT) AS revenue_cents,
+            avg_price_micro, momentum_score_micro, lifecycle_stage,
+            CAST(ROW_NUMBER() OVER (ORDER BY irev DESC, brand)          AS BIGINT) AS revenue_rank,
+            CAST(ROW_NUMBER() OVER (ORDER BY total_qty DESC, brand)    AS BIGINT) AS volume_rank,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_parts DESC, brand)      AS BIGINT) AS breadth_rank,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_suppliers DESC, brand)  AS BIGINT) AS supplier_rank,
+            CAST(ROW_NUMBER() OVER (ORDER BY momentum_score_micro DESC, brand) AS BIGINT) AS momentum_rank,
+            CAST(LEAST(100000000, GREATEST(0,
+                 100000000 - momentum_score_micro + n_suppliers * 1000000)) AS BIGINT) AS concentration_risk_micro
+        FROM staged
+    """,
+    doc="Gold tech_metrics: A1 → momentum → lifecycle CASE → 5 W1 ranks → risk (s2g:133-311); scores as exact µ-unit BIGINTs.",
+)
+def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = (
+        _tm_rollup(spark, sf_dir)
+        .withColumn("idollars", F.greatest(F.expr("irev DIV 100"), F.lit(1).cast("long")))
+        .withColumn("ndig", F.length(F.col("idollars").cast("string")))
+        .withColumn("ip", F.expr(_TM_IP_SPARK))
+        .withColumn(
+            "ilogm",
+            F.expr(
+                "CAST(CAST(ndig - 1 AS BIGINT) * 1000000"
+                " + (2 * (idollars - ip) * 1000000 + 9 * ip) DIV (18 * ip) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "avg_price_micro",
+            F.expr("CAST((2 * irev * 10000 + n_lineitems) DIV (2 * n_lineitems) AS BIGINT)"),
+        )
+        .withColumn(
+            "momentum_score_micro",
+            F.expr("CAST(LEAST(100000000, GREATEST(0, (ilogm * 25) DIV 2)) AS BIGINT)"),
+        )
+        .withColumn(
+            "lifecycle_stage",
+            F.when(F.col("momentum_score_micro") >= 80000000, "Mainstream")
+            .when(F.col("momentum_score_micro") >= 60000000, "Growth")
+            .when(F.col("momentum_score_micro") >= 40000000, "Emerging")
+            .otherwise("Experimental"),
+        )
     )
 
     # Five ranks over five different orderings in ONE window pass: a
@@ -135,7 +184,7 @@ def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference-bounded; the unbounded-scale rank lives in
     # operators/ranking.py (rank_global_scalable, driver-green).
     rows = F.collect_list(
-        F.struct("irev", "total_qty", "n_parts", "n_suppliers", "momentum_score", "brand")
+        F.struct("irev", "total_qty", "n_parts", "n_suppliers", "momentum_score_micro", "brand")
     ).over(W.partitionBy())
 
     def rank(key: str) -> F.Column:
@@ -152,27 +201,117 @@ def gold_tech_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "n_suppliers",
         "total_qty",
-        "revenue",
-        "avg_price",
-        "momentum_score",
+        F.col("irev").alias("revenue_cents"),
+        "avg_price_micro",
+        "momentum_score_micro",
         "lifecycle_stage",
         rank("irev").alias("revenue_rank"),
         rank("total_qty").alias("volume_rank"),
         rank("n_parts").alias("breadth_rank"),
         rank("n_suppliers").alias("supplier_rank"),
-        rank("momentum_score").alias("momentum_rank"),
-        fround(
-            F.least(
-                F.lit(100.0),
-                F.greatest(
-                    F.lit(0.0),
-                    F.lit(100.0)
-                    - F.col("momentum_score")
-                    + F.col("n_suppliers").cast("double"),
-                ),
-            ),
-            6,
-        ).alias("concentration_risk"),
+        rank("momentum_score_micro").alias("momentum_rank"),
+        F.expr(
+            "CAST(LEAST(100000000, GREATEST(0,"
+            " 100000000 - momentum_score_micro + n_suppliers * 1000000)) AS BIGINT)"
+        ).alias("concentration_risk_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-environment bisection probes: round 2's float constructs,
+# re-registered ONE COLUMN AT A TIME. Locally every one of these is
+# bit-identical to the DuckDB oracle (verified r2); the driver has
+# failed the combined surface twice, so each probe isolates one float
+# op family — whichever probe comes back hash_match=false in
+# CORRECTNESS_r3 names the culprit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "probe_tm_avg_price",
+    oracle=f"""
+        SELECT p.p_brand AS brand, {sql_davg('l.l_extendedprice')} AS avg_price
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+    doc="tech_metrics probe: davg float surface only (fround of exact-int sum / count).",
+)
+def probe_tm_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(davg("l_extendedprice").alias("avg_price"))
+    )
+
+
+@register(
+    "probe_tm_revenue",
+    oracle=f"""
+        WITH rollup_ AS ({_TM_ROLLUP_SQL})
+        SELECT brand, CAST(irev AS DOUBLE) / 100.0 AS revenue FROM rollup_
+    """,
+    doc="tech_metrics probe: exact-int sum cast to double / 100.0 (single IEEE division).",
+)
+def probe_tm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tm_rollup(spark, sf_dir).select(
+        "brand", (F.col("irev").cast("double") / 100.0).alias("revenue")
+    )
+
+
+@register(
+    "probe_tm_momentum",
+    oracle=f"""
+        WITH rollup_ AS ({_TM_ROLLUP_SQL})
+        SELECT brand,
+            {sql_round(f"LEAST(100.0, GREATEST(0.0, {sql_xlog10('GREATEST(irev // 100, 1)')} * 12.5))", 6)} AS momentum_score
+        FROM rollup_
+    """,
+    doc="tech_metrics probe: xlog10 decade-interpolated float momentum only.",
+)
+def probe_tm_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = _tm_rollup(spark, sf_dir)
+    idollars = F.greatest(F.expr("irev DIV 100"), F.lit(1))
+    momentum = fround(
+        F.least(F.lit(100.0), F.greatest(F.lit(0.0), xlog10(idollars) * 12.5)), 6
+    )
+    return rollup.select("brand", momentum.alias("momentum_score"))
+
+
+@register(
+    "probe_tm_ranks",
+    oracle=f"""
+        WITH rollup_ AS ({_TM_ROLLUP_SQL})
+        SELECT brand,
+            CAST(ROW_NUMBER() OVER (ORDER BY irev DESC, brand)         AS BIGINT) AS revenue_rank,
+            CAST(ROW_NUMBER() OVER (ORDER BY total_qty DESC, brand)    AS BIGINT) AS volume_rank,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_parts DESC, brand)      AS BIGINT) AS breadth_rank,
+            CAST(ROW_NUMBER() OVER (ORDER BY n_suppliers DESC, brand)  AS BIGINT) AS supplier_rank
+        FROM rollup_
+    """,
+    doc="tech_metrics probe: collect_list single-pass rank mechanism vs ROW_NUMBER (pure ints).",
+)
+def probe_tm_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rollup = _tm_rollup(spark, sf_dir)
+    rows = F.collect_list(
+        F.struct("irev", "total_qty", "n_parts", "n_suppliers", "brand")
+    ).over(W.partitionBy())
+
+    def rank(key: str) -> F.Column:
+        ahead = F.filter(
+            rows,
+            lambda r: (r[key] > F.col(key))
+            | ((r[key] == F.col(key)) & (r["brand"] < F.col("brand"))),
+        )
+        return (F.size(ahead) + 1).cast("long")
+
+    return rollup.select(
+        "brand",
+        rank("irev").alias("revenue_rank"),
+        rank("total_qty").alias("volume_rank"),
+        rank("n_parts").alias("breadth_rank"),
+        rank("n_suppliers").alias("supplier_rank"),
     )
 
 

@@ -111,7 +111,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             COALESCE(o_orderpriority, 'ALL') AS orderpriority,
             COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
             CAST(COUNT(*) AS BIGINT)         AS n_orders,
-            SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_total
+            CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         """
