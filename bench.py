@@ -10,16 +10,21 @@ forces the whole plan without driver-side toPandas overhead). A warmup
 query first absorbs JVM/codegen startup so per-query numbers reflect
 steady-state execution.
 
-Every headline query runs TWICE: ``queries`` reports the cold run
-(includes that query's own codegen compile — e.g. an unrolled 64-term
-dot product costs ~2.5 s to compile) and ``queries_warm`` the second
-run, which is the steady-state number round-over-round comparisons
-should use. ``value`` stays the cold total for continuity with
-BENCH_r01.json.
+Every headline query runs TWICE: cold (includes that query's own
+codegen compile) and warm (steady state — the number round-over-round
+comparisons should use).
+
+Output discipline (round 2's full line overflowed the driver's tail
+capture → BENCH_r02 "parsed": null): the LAST stdout line is a COMPACT
+JSON summary — totals, per-query cold seconds rounded to 2 dp, and
+per-table input stats so round-over-round ratios are interpretable
+when the testdata is regenerated. The full detail (cold + warm per
+query, unrounded) is written to BENCH_FULL.json next to this script.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -71,6 +76,25 @@ HEADLINE = [
 ]
 
 
+def input_stats(sf_dir: str) -> dict[str, dict[str, int]]:
+    """Per-table row counts + byte sizes from parquet footers (no Spark
+    jobs) — pins what the bench actually read, so an unexplained
+    round-over-round slowdown is attributable to data vs code."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict[str, int]] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        try:
+            stats[name] = {
+                "rows": pq.read_metadata(path).num_rows,
+                "bytes": os.path.getsize(path),
+            }
+        except Exception:
+            stats[name] = {"rows": -1, "bytes": os.path.getsize(path)}
+    return stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -90,20 +114,36 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).count()
         warm[name] = round(time.time() - t1, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries_registered": len(specs),
-            }
-        )
-    )
+    tables = input_stats(sf_dir)
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries_registered": len(specs),
+        "input_tables": tables,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Compact summary LAST so a tail capture always gets a complete,
+    # parseable line: cold seconds at 2 dp; warm only as totals; table
+    # stats compressed to rows only.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "warm_total": round(sum(warm.values()), 2),
+        "sf": full["sf"],
+        "input_rows": {n: s["rows"] for n, s in tables.items()},
+        "detail": "BENCH_FULL.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

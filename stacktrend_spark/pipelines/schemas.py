@@ -106,6 +106,7 @@ SILVER_COLUMNS = [
     "primary_language",
     "language_distribution",
     "topics_standardized",
+    "keywords",
     "technology_category",
     "technology_subcategory",
     "classification_confidence",

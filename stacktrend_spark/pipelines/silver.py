@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stacktrend_spark.functions.keywords import extract_keywords
 from stacktrend_spark.functions.langdist import language_distribution
 from stacktrend_spark.pipelines.classifier import Classifier, apply_classification
 from stacktrend_spark.pipelines.schemas import SILVER_COLUMNS
@@ -62,6 +63,10 @@ def _clean(bronze: DataFrame, as_of_date: str) -> DataFrame:
                 F.col("topics").isNotNull(),
                 F.transform(F.col("topics"), lambda x: F.lower(F.trim(x))),
             ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "keywords",
+            extract_keywords(F.col("description_clean"), F.col("topics_standardized")),
         )
         .withColumn(
             "license_category",

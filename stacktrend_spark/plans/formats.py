@@ -48,7 +48,9 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     supplier = load_table(spark, sf_dir, "supplier")
 
-    base = os.path.join(tempfile.gettempdir(), "stacktrend_formats")
+    # per-invocation dir: a fixed path lets concurrent harness processes
+    # overwrite each other's files mid-read
+    base = tempfile.mkdtemp(prefix="stacktrend_formats_")
     csv_path = f"{base}/nation_csv"
     json_path = f"{base}/region_json"
     orc_path = f"{base}/supplier_orc"
@@ -104,8 +106,7 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()  # bounded: 20 rows, write-side fixture only
     )
-    base = os.path.join(tempfile.gettempdir(), "stacktrend_binfiles")
-    os.makedirs(base, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="stacktrend_binfiles_")
     for row in docs:
         with open(os.path.join(base, f"{row.doc_id}.bin"), "wb") as fh:
             fh.write(row.text.encode("utf-8"))

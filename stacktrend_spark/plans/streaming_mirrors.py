@@ -231,7 +231,9 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.functions.rounding import iscale
     from stacktrend_spark.sources.tables import load_table
 
-    base = os.path.join(tempfile.gettempdir(), "stream_upsert_totals")
+    # per-invocation dir: a fixed path let two concurrent harness
+    # processes clobber each other's sink (observed as partial totals)
+    base = tempfile.mkdtemp(prefix="stream_upsert_totals_")
     shutil.rmtree(base, ignore_errors=True)
     target = os.path.join(base, "table")
     checkpoint = os.path.join(base, "ckpt")

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stacktrend_spark.sources.search_gen import SearchQuery
 from stacktrend_spark.pipelines.schemas import (
     BRONZE_ACTIVITY_SCHEMA,
     BRONZE_REPOS_SCHEMA,
@@ -111,11 +112,23 @@ def fetch_paginated(
     per_page: int = 100,
     items_key: str | None = None,
     limiter: RateLimiter | None = None,
+    pages: Iterable[int] | None = None,
 ) -> list[dict]:
     """Generic pagination loop (gdi:169-197 / pri:91-131): request
     pages until an empty page or the page cap; optionally unwrap a
-    search-style ``{"items": [...]}`` envelope."""
+    search-style ``{"items": [...]}`` envelope. An explicit ``pages``
+    set (gdi:170's random 3-of-5 sampling) overrides the sequential
+    1..max_pages walk; empty pages are skipped, not terminal, since
+    sampled pages aren't contiguous."""
     out: list[dict] = []
+    if pages is not None:
+        for page in pages:
+            if limiter is not None:
+                limiter.wait()
+            payload = transport(path, {**params, "page": page, "per_page": per_page})
+            items = payload[items_key] if items_key else payload
+            out.extend(items or [])
+        return out
     for page in range(1, max_pages + 1):
         if limiter is not None:
             limiter.wait()
@@ -185,7 +198,7 @@ def repos_to_bronze(
 def search_repositories(
     spark: SparkSession,
     transport: Transport,
-    queries: Iterable[str],
+    queries: "Iterable[str | SearchQuery]",
     partition_date: str,
     ingestion_ts: str,
     star_threshold: int = 1000,
@@ -194,18 +207,29 @@ def search_repositories(
     limiter: RateLimiter | None = None,
 ) -> DataFrame:
     """Trend-pipeline ingestion source (gdi:104-197): run each search
-    query paginated, pool results, dedup + star-filter distributed."""
+    query paginated, pool results, dedup + star-filter distributed.
+
+    Entries may be plain query strings (stars-desc, first ``max_pages``
+    pages) or ``search_gen.SearchQuery`` plans carrying their own
+    sort/order and sampled page set (gdi:168-175)."""
     pooled: list[dict] = []
     for q in queries:
+        if isinstance(q, str):
+            params = {"q": q, "sort": "stars", "order": "desc"}
+            pages: Iterable[int] | None = None
+        else:
+            params = {"q": q.query, "sort": q.sort, "order": q.order}
+            pages = q.pages
         pooled.extend(
             fetch_paginated(
                 transport,
                 "/search/repositories",
-                {"q": q, "sort": "stars", "order": "desc"},
+                params,
                 max_pages=max_pages,
                 per_page=per_page,
                 items_key="items",
                 limiter=limiter,
+                pages=pages,
             )
         )
     return repos_to_bronze(

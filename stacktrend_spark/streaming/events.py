@@ -180,7 +180,10 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [cents]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # project BEFORE the Python stage: only (user_id, value) crosses the
+    # Arrow boundary, not the full event row — at 100 TB that's the
+    # difference between shuffling 2 columns and shuffling the table
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         USER_TOTALS_SCHEMA,
         _USER_TOTALS_STATE,

@@ -47,3 +47,11 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         else:
             ok = (av == bv) | (av.isna() & bv.isna())
             assert ok.all(), f"{name}.{c}: values differ"
+
+
+def test_priority_window_fully_registered():
+    """A typo'd or not-yet-registered _PRIORITY name silently costs a
+    driver window slot (all_queries skips it) — catch it here instead."""
+    from stacktrend_spark.plans.registry import priority_gaps
+
+    assert priority_gaps() == []

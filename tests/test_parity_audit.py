@@ -32,3 +32,28 @@ def test_audit_catches_libm_in_plan():
     assert not audit_plan("q", "Project [SQRT(cast(x as double)) AS s]")
     # substrings of identifiers must not trip the word boundary
     assert not audit_plan("q", "Project [last_login AS l, dialog AS d]")
+
+
+def test_audit_catches_decimal_hashed_surfaces(spark):
+    """Seeded round-2 regression: `SUM(bigint) / 100.0` in raw Spark SQL
+    types the result decimal(27,6); both the plan gate and the schema
+    gate must flag it, while the deliberate decimal(38,0) exact-integer
+    wide sums stay allowed."""
+    from tools.parity_audit import audit_output_schema, audit_plan_decimals
+
+    df = spark.range(5).selectExpr("sum(id) / 100.0 AS sum_total")
+    # the analyzed plan prints only the scale-0 input casts; the
+    # fractional-scale promotion shows up in the OUTPUT schema — that
+    # gate is the one that catches the real regression
+    assert audit_output_schema("q", df.schema)
+    # the plan gate catches fractional-scale decimals wherever a plan
+    # does print them
+    assert audit_plan_decimals("q", "Project [cast(x as decimal(27,6)) AS v]")
+    assert not audit_plan_decimals("q", "Project [cast(x as decimal(38,0)) AS v]")
+
+    ok = spark.range(5).selectExpr(
+        "cast(sum(cast(id as decimal(38,0))) as double) / 100.0 AS sum_total"
+    )
+    ok_plan = ok._jdf.queryExecution().analyzed().toString()
+    assert not audit_plan_decimals("q", ok_plan)
+    assert not audit_output_schema("q", ok.schema)

@@ -55,6 +55,51 @@ _NONDET_AGG = re.compile(
 #: proof of why it cannot ulp-flip the hashed value. Keep this SHORT.
 ALLOWLIST: dict[str, str] = {}
 
+# Round-2 driver-red class: a raw-SQL float literal next to an integer
+# expression silently types the result DECIMAL in Spark (e.g.
+# `SUM(bigint) / 100.0` → decimal(27,6)) while DuckDB emits DOUBLE —
+# the value-string hash then sees `:120000` vs `:12`. Two gates:
+# output-schema (no DecimalType may reach a hashed output) and
+# plan-level (no fractional-scale decimal arithmetic anywhere in the
+# plan, where Spark's scale-bounded decimal rounding diverges from the
+# oracle's correctly-rounded IEEE double ops). Scale-0 decimals are
+# exact integers — the deliberate dstd/comoments decimal(38,0) wide
+# sums — and stay allowed.
+_PLAN_DECIMAL = re.compile(r"decimal\((\d+),\s*(\d+)\)", re.IGNORECASE)
+
+
+def audit_plan_decimals(name: str, plan_text: str) -> list[str]:
+    if name in ALLOWLIST:
+        return []
+    flagged = sorted(
+        {
+            f"decimal({m.group(1)},{m.group(2)})"
+            for m in _PLAN_DECIMAL.finditer(plan_text)
+            if m.group(2) != "0"
+        }
+    )
+    return [
+        f"{name}: Spark plan carries fractional-scale {d} arithmetic — "
+        "Spark's decimal rounding diverges from the oracle's IEEE double ops"
+        for d in flagged
+    ]
+
+
+def audit_output_schema(name: str, schema) -> list[str]:
+    """No hashed output column may be DECIMAL-typed: the two engines
+    stringify decimals differently (trailing zeros / scale), so even
+    value-equal results hash apart. Exact integer work belongs in
+    BIGINT; exact fractional work in BIGINT micro-units or a final
+    correctly-rounded DOUBLE cast."""
+    if name in ALLOWLIST:
+        return []
+    return [
+        f"{name}: output column `{f.name}` is {f.dataType.simpleString()} — "
+        "decimal-typed hashed columns diverge from the DOUBLE-typed oracle"
+        for f in schema.fields
+        if f.dataType.typeName() == "decimal"
+    ]
+
 
 def audit_oracle(name: str, oracle: str | None) -> list[str]:
     if oracle is None or name in ALLOWLIST:
@@ -101,6 +146,10 @@ def run_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
             problems.append(f"{name}: could not analyze plan: {type(e).__name__}: {e}")
             continue
         problems.extend(audit_plan(name, plan))
+        if spec.oracle is not None:
+            # decimal gates only matter where values are hash-compared
+            problems.extend(audit_plan_decimals(name, plan))
+            problems.extend(audit_output_schema(name, df.schema))
     return problems
 
 
