@@ -49,6 +49,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from stacktrend_spark.sources.shipping import ship_package
 
     ship_package(spark)
+    # Deliberately SESSION-WIDE (not per-read): the driver hands us its
+    # own SparkSession and runs oracle-compared queries through it, so
+    # every read in that session must see the same timestamp semantics.
+    # UTC session zone (DuckDB timestamps are UTC-naive) and no-NTZ
+    # inference affect only how naive parquet timestamps are surfaced —
+    # any unrelated read in the same session inherits UTC semantics too,
+    # which is this engine's documented policy (same as session.py).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # testdata parquet stores µs timestamps without isAdjustedToUTC; Spark 4
     # would infer TIMESTAMP_NTZ, which unix_micros()/window() reject. Read as
@@ -56,17 +63,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # are identical to DuckDB's naive-timestamp reading.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    if name == "events":
+    if name == "events" and _ts_is_nanos(path):
+        # TIMESTAMP(NANOS) physical type (round-1 testdata): Spark can't
+        # read it natively; read nanos as int64 and truncate to µs
+        # (lossless — the data is µs-grained)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer division: epoch-nanos (~1.7e18) exceeds double's 2^53
-            # mantissa, so a float divide here would be off by ±1 µs
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        # integer division: epoch-nanos (~1.7e18) exceeds double's 2^53
+        # mantissa, so a float divide here would be off by ±1 µs
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """Probe the parquet LOGICAL type of events.ts via the footer.
+
+    The nanosAsLong branch must fire only for genuine TIMESTAMP(NANOS)
+    physical storage. Probing Spark's inferred dtype for ``bigint`` was
+    ambiguous: a future regeneration storing ts as a true INT64 µs
+    column would also read as bigint and the ÷1000 would silently
+    corrupt timestamps 1000×. pyarrow reads metadata only — no scan.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        field = pq.read_schema(path).field("ts")
+    except (KeyError, OSError):
+        return False
+    return str(field.type) == "timestamp[ns]"
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:

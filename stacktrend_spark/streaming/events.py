@@ -49,10 +49,17 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is probed from the parquet footer with a batch read rather than
     declared statically. The probe reads metadata only — no data scan.
     """
+    from stacktrend_spark.sources.tables import _ts_is_nanos
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir.rstrip('/')}/events.parquet"
+    # probe the parquet LOGICAL type (footer only, no scan) — the same
+    # guard as load_table: nanosAsLong must fire only for genuine
+    # TIMESTAMP(NANOS) storage, never for a plain int64 column
+    nanos = _ts_is_nanos(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probed = spark.read.parquet(path).schema
     raw = (
         spark.readStream.schema(probed)
@@ -60,7 +67,7 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # basePath from a glob's parent dir, but rejects a plain file
         .parquet(f"{sf_dir.rstrip('/')}/events.parque*")
     )
-    if dict((f.name, f.dataType.simpleString()) for f in probed)["ts"] == "bigint":
+    if nanos:
         # legacy nanos path: truncate to µs (lossless — data is µs-grained)
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw
