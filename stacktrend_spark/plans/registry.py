@@ -132,6 +132,17 @@ _PRIORITY: tuple[str, ...] = (
     "pipeline_trend_gold",
     "pipeline_personal_gold",
     "search_query_plan",
+    # remaining window slots: explicit high-value re-proofs (flagship +
+    # the r2-changed float surfaces) rather than whatever registration
+    # order happens to put at index 43-49
+    "q1_pricing_summary",
+    "gold_repo_ranks",
+    "gold_tech_health",
+    "agg_stddev_acctbal",
+    "scalar_math_scores",
+    "gold_adoption_matrix",
+    "merge_upsert_orders",
+    "dedup_minhash_lsh",
 )
 
 

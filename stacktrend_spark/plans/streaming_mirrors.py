@@ -139,6 +139,14 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: streaming/events.stateful_user_totals_tws (the Spark 4
+# transformWithStateInPandas successor to the operator above) is NOT
+# registered as a driver query: the v2 API's state protocol needs
+# google.protobuf, which this environment lacks (import-guarded in the
+# operator; tests/test_streaming.py skips accordingly). The v1
+# applyInPandasWithState query above stays the proven surface.
+
+
 @register(
     "stream_dedup_events",
     oracle="""
@@ -193,10 +201,20 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.streaming.events import interval_join_streams
 
-    purchases = load_events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
+    # project to the 3 join-relevant columns BEFORE the stream-stream
+    # join: only (event_id, user_id, ts) enters join state and the
+    # shuffle — at scale the state store holds a horizon of 3-column
+    # rows, not full events
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
     )
-    views = load_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    views = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "ts")
+    )
     return run_to_batch(
         interval_join_streams(purchases, views, "1 day"),
         "stream_stream_attribution_sink",

@@ -199,6 +199,81 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals as ``stateful_user_totals``, on
+    Spark 4's ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState (SPARK-49474 arbitrary stateful processing
+    v2): typed state handles (ValueState here; List/Map state and
+    timers available), explicit init/close lifecycle, and a
+    RocksDB-backed state store, which is the 100 TB answer — state
+    spills to local SSD with changelog checkpointing instead of living
+    in executor heap.
+
+    Both implementations are kept deliberately: applyInPandasWithState
+    is the stable API users run today; this is the migration target.
+    Identical output lets the driver oracle pin them to the same
+    values.
+    """
+    # the v2 state protocol speaks protobuf between the JVM state server
+    # and the Python worker; without it the stream fails at runtime with
+    # an opaque worker-init error — fail fast and clearly instead
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python worker environment; use stateful_user_totals "
+            "(applyInPandasWithState) here instead"
+        ) from e
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _USER_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider;
+    # session-wide on purpose (same scope policy as the parity confs) —
+    # HDFSBackedStateStore queries in the same session keep working on
+    # RocksDB too.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserTotals(),
+            outputStructType=USER_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_batch(
     stream_df: DataFrame,
     name: str,

@@ -109,3 +109,34 @@ def test_upsert_sink_foreachbatch(spark, sf_dir, tmp_path):
     n_events = load_table(spark, sf_dir, "events").count()
     assert result.select("event_id").distinct().count() == result.count()
     assert result.count() == n_events
+
+
+def test_stateful_totals_tws_matches_v1_or_skips(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas successor: value-identical to
+    the applyInPandasWithState operator. Skips where the v2 state
+    protocol's protobuf dependency is absent (this container)."""
+    import pytest
+
+    from stacktrend_spark.streaming.events import (
+        run_to_batch,
+        load_events_stream,
+        stateful_user_totals,
+        stateful_user_totals_tws,
+    )
+
+    ev = load_events_stream(spark, sf_dir)
+    try:
+        tws = stateful_user_totals_tws(ev)
+    except NotImplementedError as e:
+        pytest.skip(str(e))
+    got = run_to_batch(tws, "tws_test_sink", output_mode="update").orderBy("user_id").collect()
+    want = (
+        run_to_batch(
+            stateful_user_totals(load_events_stream(spark, sf_dir)),
+            "tws_v1_sink",
+            output_mode="update",
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert got == want
