@@ -169,3 +169,112 @@ def kmeans_recompute_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.col("n_members"))
         ).alias("centroid_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup for
+# pretraining corpora — cluster embeddings with k-means, prune
+# near-identical pairs WITHIN each cluster, keep one representative per
+# duplicate group. The published motivation is exactly the IVF
+# argument: within-cluster pairing makes the pair volume sum(cellᵢ²)
+# instead of N², and cells are independent join tasks. Composed here
+# from three already-proven operators: the Lloyd assignment above
+# (broadcast centroids, map-side argmin), the bucketed
+# cosine_near_dup_pairs (with its hot-bucket triangle-grid guard), and
+# iterative min-label connected components. The corpus is northstar's
+# planted near-dup corpus so the prune provably fires.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_semdedup",
+    oracle=f"""
+        WITH RECURSIVE
+        emb0 AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   embedding[1:56] || [{", ".join("CAST(0 AS FLOAT)" for _ in range(8))}] AS embedding,
+                   label
+            FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        cent AS (
+            SELECT vec_id AS cid, {_SQL_D.format("embedding")} AS cvec
+            FROM emb0 WHERE vec_id < {_K}
+        ),
+        pts AS (SELECT vec_id, {_SQL_D.format("embedding")} AS v FROM emb0),
+        d AS (
+            SELECT p.vec_id, p.v, c.cid,
+                   list_dot_product(p.v, p.v) + list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(p.v, c.cvec) AS dist2
+            FROM pts p CROSS JOIN cent c
+        ),
+        asg AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT vec_id, v, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE FLOOR((list_dot_product(a.v, b.v)
+                    / (SQRT(list_dot_product(a.v, a.v))
+                       * SQRT(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5)
+                  / 1000000.0 >= 0.85
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT vec_id, vec_id FROM pts
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        comp AS (
+            SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT
+            c.vec_id,
+            CAST(a.cid AS BIGINT)        AS cell,
+            CAST(c.cluster_id AS BIGINT) AS cluster_id,
+            c.vec_id = c.cluster_id      AS kept
+        FROM comp c JOIN asg a ON c.vec_id = a.vec_id
+    """,
+    doc=(
+        "SemDeDup (arXiv:2303.09540): k-means cells -> within-cell "
+        "cosine prune -> component representative; kept = min-id of the "
+        "duplicate group."
+    ),
+)
+def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.graph import connected_components
+    from stacktrend_spark.operators.similarity import cosine_near_dup_pairs
+    from stacktrend_spark.plans.northstar import _NEAR_DUP_THRESHOLD, _emb_corpus
+
+    corpus = _emb_corpus(spark, sf_dir)
+    asg = _assignment(corpus).select("vec_id", F.col("cid").alias("cell"))
+    pe = corpus.join(asg, "vec_id")
+    pairs = cosine_near_dup_pairs(
+        pe,
+        threshold=_NEAR_DUP_THRESHOLD,
+        bucket_col="cell",
+        dim=64,
+        max_bucket_rows=2000,  # hot-cell triangle-grid guard armed
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, nodes=corpus.select(F.col("vec_id").alias("node"))
+    )
+    return (
+        comp.select(F.col("node").alias("vec_id"), "component")
+        .join(asg, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("component").cast("long").alias("cluster_id"),
+            (F.col("vec_id") == F.col("component")).alias("kept"),
+        )
+    )

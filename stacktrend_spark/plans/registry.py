@@ -142,7 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math_scores",
     "gold_adoption_matrix",
     "merge_upsert_orders",
-    "dedup_minhash_lsh",
+    "pipeline_semdedup",
 )
 
 

@@ -226,3 +226,40 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     p = plan_of(all_queries()["text_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_validation_counts_single_aggregate_no_extra_scans(spark, sf_dir):
+    """The whole rules ledger must cost ONE scan + ONE aggregate: every
+    rule evaluates map-side into the same projection. A per-rule scan
+    would multiply a 100 TB audit by the rule count."""
+    import re
+
+    p = plan_of(all_queries()["validation_violations"].fn(spark, sf_dir))
+    # count numbered plan nodes (each appears once in the tree and once
+    # in the detail section; the detail header is "(N) NodeName")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    # one partial + one final hash aggregate pair, single exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_keyword_extraction_is_fused_map_only(spark, sf_dir):
+    """Keyword extraction is pure array/string exprs fused into the
+    scan's projection: zero exchanges, zero Python evals."""
+    p = plan_of(all_queries()["silver_keyword_extraction"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Python" not in p  # no UDF/eval nodes
+
+
+def test_tech_metrics_micro_scores_stay_bigint(spark, sf_dir):
+    """The flagship's hashed score columns are exact BIGINT micro-units
+    (PARITY.md Tier 0) — a refactor reintroducing doubles or decimals
+    here reopens the driver-environment float lottery."""
+    df = all_queries()["gold_tech_metrics"].fn(spark, sf_dir)
+    types = dict(df.dtypes)
+    for c in (
+        "revenue_cents",
+        "avg_price_micro",
+        "momentum_score_micro",
+        "concentration_risk_micro",
+    ):
+        assert types[c] == "bigint", (c, types[c])
