@@ -54,7 +54,11 @@ _GAP_US = 30 * 60 * 1_000_000  # keep in sync with SESSION_GAP
 )
 def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events_stream(spark, sf_dir)
-    return run_to_batch(tumbling_counts(ev, "1 day"), "stream_tumbling_daily_sink")
+    return run_to_batch(
+        tumbling_counts(ev, "1 day"),
+        "stream_tumbling_daily_sink",
+        state_partitions=8,
+    )
 
 
 @register(
@@ -73,7 +77,9 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events_stream(spark, sf_dir)
     return run_to_batch(
-        sliding_user_activity(ev, "2 days", "1 day"), "stream_sliding_2d_sink"
+        sliding_user_activity(ev, "2 days", "1 day"),
+        "stream_sliding_2d_sink",
+        state_partitions=8,
     )
 
 
@@ -114,7 +120,9 @@ def stream_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events_stream(spark, sf_dir)
-    return run_to_batch(session_windows(ev), "stream_session_windows_sink")
+    return run_to_batch(
+        session_windows(ev), "stream_session_windows_sink", state_partitions=8
+    )
 
 
 @register(
@@ -135,7 +143,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events_stream(spark, sf_dir)
     return run_to_batch(
-        stateful_user_totals(ev), "stream_stateful_totals_sink", output_mode="update"
+        stateful_user_totals(ev),
+        "stream_stateful_totals_sink",
+        output_mode="update",
+        # NO state_partitions override here: this operator's cost is the
+        # Python workers, not the state stores — 32 partitions = 32
+        # parallel Arrow/pandas workers (measured faster than 8)
     )
 
 
@@ -173,7 +186,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    return run_to_batch(deduped, "stream_dedup_events_sink", output_mode="append")
+    return run_to_batch(
+        deduped, "stream_dedup_events_sink", output_mode="append", state_partitions=8
+    )
 
 
 @register(
@@ -219,6 +234,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join_streams(purchases, views, "1 day"),
         "stream_stream_attribution_sink",
         output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -344,5 +360,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     return run_to_batch(
-        enrich_with_static(ev, cust), "stream_static_enrichment_sink"
+        enrich_with_static(ev, cust),
+        "stream_static_enrichment_sink",
+        state_partitions=8,
     )

@@ -279,6 +279,7 @@ def run_to_batch(
     name: str,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan to completion over the currently
     available input (``trigger(availableNow)``) into an in-memory sink
@@ -286,19 +287,38 @@ def run_to_batch(
 
     This is the bridge that lets the driver's batch-oriented oracle
     gate check streaming plans value-for-value.
+
+    ``state_partitions`` right-sizes the stateful shuffle for the run:
+    a stateful operator instantiates one state store PER shuffle
+    partition, and store setup/commit dominates small runs (measured at
+    sf0.1: the stream-stream interval join fell 8.7 s → 2.4 s going
+    32 → 4 partitions, identical results). Spark pins a streaming
+    query's state partitioning at first start, which is exactly why
+    it's a per-query knob here — at cluster scale you size it to load
+    once, up front. The session conf is restored after start.
     """
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        # must stay set for the WHOLE run: micro-batch planning reads
+        # the conf lazily after start(), not at start. Restored after
+        # termination; queries here run sequentially per session.
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_s)
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

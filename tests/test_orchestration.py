@@ -190,3 +190,64 @@ def test_personal_pipeline_end_to_end(spark, tmp_path):
     for t in ("portfolio_overview", "repo_health_dashboard", "development_velocity"):
         assert store.exists("gold", t), t
         assert out[f"gold.{t}"].count() > 0, t
+
+
+def test_extract_keywords_matches_python_reference(spark):
+    """Seeded random corpus vs an independent Python reference of the
+    pinned semantics (topics[:5] lowered in order, then vocabulary-order
+    matches, first-occurrence dedup, cap 10)."""
+    import random
+
+    rng = random.Random(77)
+    words = ["Api", "zeta", "DATA", "ml", "toolbox", "web", "x1", "Framework", "cli"]
+    rows = []
+    for _ in range(60):
+        desc = (
+            None
+            if rng.random() < 0.15
+            else " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        )
+        topics = (
+            None
+            if rng.random() < 0.15
+            else [rng.choice(words) + str(rng.randint(0, 3)) for _ in range(rng.randint(0, 8))]
+        )
+        rows.append((desc, topics))
+
+    def ref(desc, topics):
+        out = []
+        for t in (topics or [])[:5]:
+            t = t.strip().lower()
+            if t not in out:
+                out.append(t)
+        d = (desc or "").lower()
+        for k in TECH_KEYWORDS:
+            if k in d and k not in out:
+                out.append(k)
+        return out[:10]
+
+    df = spark.createDataFrame(rows, "description string, topics array<string>")
+    got = df.select(
+        extract_keywords(F.col("description"), F.col("topics")).alias("kw")
+    ).collect()
+    for (desc, topics), row in zip(rows, got):
+        assert row.kw == ref(desc, topics), (desc, topics)
+
+
+def test_violation_counts_consistent_with_explode(spark):
+    """The one-aggregate counts and the per-record explode must agree
+    on every rule over the fixture corpus."""
+    df = bronze_repos(spark)
+    counts = {
+        r.rule_name: r.n_violations
+        for r in violation_counts(df, BRONZE_RULES).collect()
+    }
+    exploded = (
+        violations(df, BRONZE_RULES, key="repository_id")
+        .groupBy("rule_name")
+        .count()
+        .collect()
+    )
+    from_explode = {r.rule_name: r["count"] for r in exploded}
+    for name, n in counts.items():
+        assert from_explode.get(name, 0) == n, name
