@@ -96,7 +96,9 @@ def run_trend_pipeline(
     )
     silver = store.read(spark, "silver", "github_curated")
     out["silver.github_curated"] = silver
-    out["silver.github_quarantine"] = result.quarantined
+    # read back from storage (like every other layer): the lazy
+    # quarantine plan still references the PRE-overwrite silver files
+    out["silver.github_quarantine"] = store.read(spark, "silver", "github_quarantine")
 
     # Stage 3 — silver_to_gold (dependsOn stage 2): seven tables off
     # the one stored silver copy

@@ -78,7 +78,11 @@ def violation_counts(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Audit summary: (layer, rule_name, n_violations) — one aggregate
     pass, all rules evaluated map-side, zero counts preserved."""
     aggs = [
-        F.sum(_rule_col(df, r).cast("long")).alias(f"{r.layer}:{r.name}")
+        # coalesce: SUM over zero rows is NULL, but an empty layer has
+        # zero violations (matches COUNT(*) FILTER oracle semantics)
+        F.coalesce(F.sum(_rule_col(df, r).cast("long")), F.lit(0).cast("long")).alias(
+            f"{r.layer}:{r.name}"
+        )
         for r in rules
     ]
     wide = df.agg(*aggs)

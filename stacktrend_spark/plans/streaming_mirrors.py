@@ -266,9 +266,9 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.sources.tables import load_table
 
     # per-invocation dir: a fixed path let two concurrent harness
-    # processes clobber each other's sink (observed as partial totals)
+    # processes clobber each other's sink (observed as partial totals);
+    # mkdtemp's exclusive creation IS the reservation — don't remove it
     base = tempfile.mkdtemp(prefix="stream_upsert_totals_")
-    shutil.rmtree(base, ignore_errors=True)
     target = os.path.join(base, "table")
     checkpoint = os.path.join(base, "ckpt")
 

@@ -86,8 +86,18 @@ def _ts_is_nanos(path: str) -> bool:
     column would also read as bigint and the ÷1000 would silently
     corrupt timestamps 1000×. pyarrow reads metadata only — no scan.
     """
+    import glob as _glob
+    import os as _os
+
     import pyarrow.parquet as pq
 
+    if _os.path.isdir(path):
+        # Spark-style directory dataset: probe the first part file (all
+        # parts share one schema) — read_schema on the dir itself raises
+        parts = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        path = parts[0]
     try:
         field = pq.read_schema(path).field("ts")
     except (KeyError, OSError):
