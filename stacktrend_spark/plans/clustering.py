@@ -77,23 +77,9 @@ def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assignment(emb: DataFrame) -> DataFrame:
-    """(vec_id, cell) for every vector — the argmin over broadcast centroids."""
-    cent = emb.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    d = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        (
-            dot(F.col("embedding"), F.col("embedding"))
-            + dot(F.col("cvec"), F.col("cvec"))
-            - F.lit(2) * dot(F.col("embedding"), F.col("cvec"))
-        ).alias("dist2"),
-    )
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
-    )
-    return d.withColumn("rn", rn).filter(F.col("rn") == 1).select("vec_id", "cid")
+    """(vec_id, cid) for every vector — the argmin over broadcast
+    centroids (rn=1 of the ranked assignment below)."""
+    return _assignment_ranked(emb).filter(F.col("rn") == 1).select("vec_id", "cid")
 
 
 @register(
@@ -278,3 +264,104 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") == F.col("component")).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF top-k (nprobe=2): the standard IVF recall lever. A
+# single-probe query misses true neighbors that fell just across its
+# cell boundary; probing the nprobe nearest cells recovers them at
+# nprobe× the candidate cost (still sum(cellᵢ²)-shaped, never N²). The
+# query side simply EXPLODES into one row per probed cell — the proven
+# bucketed cosine_topk join then does the rest unchanged, because each
+# corpus vector lives in exactly one cell so no (query, neighbor) pair
+# can appear twice.
+# ---------------------------------------------------------------------------
+
+_NPROBE = 2
+
+
+@register(
+    "sim_ivf_multiprobe",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, {_SQL_D.format("embedding")} AS cvec
+            FROM embeddings WHERE vec_id < {_K}
+        ),
+        pts AS (SELECT vec_id, embedding, {_SQL_D.format("embedding")} AS v FROM embeddings),
+        d AS (
+            SELECT p.vec_id, p.embedding, p.v, c.cid,
+                   list_dot_product(p.v, p.v) + list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(p.v, c.cvec) AS dist2
+            FROM pts p CROSS JOIN cent c
+        ),
+        ranked AS (
+            SELECT vec_id, embedding, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+            FROM d
+        ),
+        corpus AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+        probes AS (
+            SELECT vec_id, embedding, cid FROM ranked
+            WHERE rn <= {_NPROBE} AND vec_id < 20
+        )
+        SELECT * FROM (
+            SELECT
+                q.vec_id AS query_id,
+                c.vec_id AS neighbor_id,
+                FLOOR((list_dot_product({_SQL_D.format("q.embedding")}, {_SQL_D.format("c.embedding")})
+                    / (SQRT(list_dot_product({_SQL_D.format("q.embedding")}, {_SQL_D.format("q.embedding")}))
+                       * SQRT(list_dot_product({_SQL_D.format("c.embedding")}, {_SQL_D.format("c.embedding")})))) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY FLOOR((list_dot_product({_SQL_D.format("q.embedding")}, {_SQL_D.format("c.embedding")})
+                        / (SQRT(list_dot_product({_SQL_D.format("q.embedding")}, {_SQL_D.format("q.embedding")}))
+                           * SQRT(list_dot_product({_SQL_D.format("c.embedding")}, {_SQL_D.format("c.embedding")})))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                        c.vec_id) AS BIGINT) AS sim_rank
+            FROM probes q JOIN corpus c ON q.cid = c.cid
+            WHERE q.vec_id <> c.vec_id
+        ) t WHERE sim_rank <= 3
+    """,
+    doc=(
+        f"Multi-probe IVF cosine top-k (nprobe={_NPROBE}): each query "
+        "probes its 2 nearest k-means cells — the IVF recall lever; "
+        "candidates stay cell-bounded."
+    ),
+)
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.similarity import cosine_topk
+    from stacktrend_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ranked = _assignment_ranked(emb)
+    corpus = emb.join(
+        ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell")),
+        "vec_id",
+    )
+    probes = emb.filter(F.col("vec_id") < 20).join(
+        ranked.filter(F.col("rn") <= _NPROBE).select(
+            "vec_id", F.col("cid").alias("cell")
+        ),
+        "vec_id",
+    )
+    return cosine_topk(corpus, probes, k=3, bucket_col="cell", dim=64)
+
+
+def _assignment_ranked(emb: DataFrame) -> DataFrame:
+    """(vec_id, cid, rn): every vector's centroids ordered by distance —
+    rn=1 is the Lloyd assignment, rn<=nprobe the probe set."""
+    cent = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    d = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (
+            dot(F.col("embedding"), F.col("embedding"))
+            + dot(F.col("cvec"), F.col("cvec"))
+            - F.lit(2) * dot(F.col("embedding"), F.col("cvec"))
+        ).alias("dist2"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    )
+    return d.withColumn("rn", rn).select("vec_id", "cid", "rn")

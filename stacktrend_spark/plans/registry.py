@@ -139,7 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "gold_repo_ranks",
     "gold_tech_health",
     "agg_stddev_acctbal",
-    "scalar_math_scores",
+    "sim_ivf_multiprobe",
     "gold_adoption_matrix",
     "merge_upsert_orders",
     "pipeline_semdedup",
