@@ -73,6 +73,11 @@ HEADLINE = [
     "stream_stream_attribution",
     "text_decontaminate",
     "kmeans_recompute_centroids",
+    # r3 additions
+    "pipeline_semdedup",
+    "sim_ivf_multiprobe",
+    "validation_violations",
+    "silver_keyword_extraction",
 ]
 
 

@@ -79,8 +79,39 @@ def test_connected_components_invariants(spark):
         "id_a long, id_b long",
     )
     nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 10, 11, 20, 21, 22, 99]], "node long")
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
     got = {r["node"]: r["component"] for r in connected_components(edges, nodes).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+    assert got == want
+    # distributed min-label loop (fast path disabled) must agree exactly
+    slow = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, nodes, driver_fastpath_max_edges=0
+        ).collect()
+    }
+    assert slow == want
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    """Driver union-find fast path vs distributed min-label loop on a
+    seeded random graph: identical labelings."""
+    import random
+
+    from stacktrend_spark.operators.graph import connected_components
+
+    rng = random.Random(5)
+    # small + dense: the distributed path runs diameter-many iterations
+    # (each several Spark jobs), so keep the graph's diameter tiny
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    fast = {r["node"]: r["component"] for r in connected_components(e, nodes).collect()}
+    slow = {
+        r["node"]: r["component"]
+        for r in connected_components(e, nodes, driver_fastpath_max_edges=0).collect()
+    }
+    assert fast == slow
 
 
 def test_zorder_key_matches_python_reference(spark):
