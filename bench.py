@@ -112,6 +112,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
+        # clean slate per query: several operators persist() small
+        # intermediates they cannot unpersist (the result depends on
+        # them lazily); without this the cache accumulates across the
+        # run and later queries measure GC pressure, not themselves
+        spark.catalog.clearCache()
         t0 = time.time()
         specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
