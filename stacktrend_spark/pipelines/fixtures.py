@@ -34,7 +34,11 @@ _LICENSES = ["MIT License", "Apache License 2.0", "GNU GPLv3", "BSD 3-Clause", "
 _WORDS = ["spark", "data", "agent", "web", "infra", "tool", "lab", "kit", "flow", "hub"]
 
 
-def bronze_repos(spark: SparkSession, n: int = 300, seed: int = 42) -> DataFrame:
+def bronze_repos_rows(n: int = 300, seed: int = 42) -> list[tuple]:
+    """The raw seed rows, spark-free — the pipeline oracles embed these
+    as a VALUES CTE so DuckDB recomputes the gold summary from the SAME
+    input the Spark pipeline consumes (independent recomputation, not a
+    pinned golden)."""
     rng = random.Random(seed)
     rows = []
     for i in range(n):
@@ -82,12 +86,16 @@ def bronze_repos(spark: SparkSession, n: int = 300, seed: int = 42) -> DataFrame
                 AS_OF_DATE,
             )
         )
-    return spark.createDataFrame(rows, BRONZE_REPOS_SCHEMA)
+    return rows
 
 
-def bronze_activity(
-    spark: SparkSession, repo_ids: list[int], n: int = 2000, seed: int = 42
-) -> DataFrame:
+def bronze_repos(spark: SparkSession, n: int = 300, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(bronze_repos_rows(n, seed), BRONZE_REPOS_SCHEMA)
+
+
+def bronze_activity_rows(
+    repo_ids: list[int], n: int = 2000, seed: int = 42
+) -> list[tuple]:
     rng = random.Random(seed + 1)
     rows = []
     for i in range(n):
@@ -110,4 +118,12 @@ def bronze_activity(
                 AS_OF_DATE,
             )
         )
-    return spark.createDataFrame(rows, BRONZE_ACTIVITY_SCHEMA)
+    return rows
+
+
+def bronze_activity(
+    spark: SparkSession, repo_ids: list[int], n: int = 2000, seed: int = 42
+) -> DataFrame:
+    return spark.createDataFrame(
+        bronze_activity_rows(repo_ids, n, seed), BRONZE_ACTIVITY_SCHEMA
+    )

@@ -247,7 +247,11 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             user_id,
             CAST(COUNT(*) AS BIGINT) AS n_events,
-            SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+            -- outer CAST is load-bearing: DuckDB types SUM(BIGINT) as
+            -- HUGEINT, which hash-diverges from Spark's BIGINT even when
+            -- every value is equal (r3 red; see stream_stateful_totals)
+            CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                AS sum_cents
         FROM events
         GROUP BY 1
     """,
@@ -342,7 +346,9 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.c_mktsegment,
             e.event_type,
             CAST(COUNT(*) AS BIGINT) AS n_events,
-            SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) AS sum_cents
+            -- outer CAST: DuckDB SUM(BIGINT) -> HUGEINT hash divergence
+            CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                AS sum_cents
         FROM events e
         JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2

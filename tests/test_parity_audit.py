@@ -57,3 +57,34 @@ def test_audit_catches_decimal_hashed_surfaces(spark):
     ok_plan = ok._jdf.queryExecution().analyzed().toString()
     assert not audit_plan_decimals("q", ok_plan)
     assert not audit_output_schema("q", ok.schema)
+
+
+def test_audit_catches_bare_integer_sum_in_oracle(spark):
+    """Seeded round-3 regression: DuckDB types SUM(BIGINT) as HUGEINT
+    (and SUM over a casted int as DECIMAL(38,0)) while Spark emits
+    BIGINT — the oracle-side dual of the round-2 decimal bug. The
+    type-kind gate must flag the bare form and pass the CAST-wrapped
+    form, and must also catch int-vs-float kind mismatches."""
+    import duckdb
+
+    from tools.parity_audit import audit_oracle_types, duck_describe
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 1::BIGINT AS k, 2.5::DOUBLE AS v")
+    schema = (
+        spark.range(1)
+        .selectExpr("id AS k", "CAST(id AS LONG) AS sum_cents")
+        .schema
+    )
+
+    bare = duck_describe(con, "SELECT k, SUM(k) AS sum_cents FROM t GROUP BY 1")
+    assert audit_oracle_types("q", bare, schema)
+
+    wrapped = duck_describe(
+        con, "SELECT k, CAST(SUM(k) AS BIGINT) AS sum_cents FROM t GROUP BY 1;"
+    )
+    assert not audit_oracle_types("q", wrapped, schema)
+
+    # kind mismatch: oracle emits DOUBLE where Spark emits BIGINT
+    mismatch = duck_describe(con, "SELECT k, v AS sum_cents FROM t")
+    assert audit_oracle_types("q", mismatch, schema)

@@ -114,6 +114,69 @@ def audit_oracle(name: str, oracle: str | None) -> list[str]:
     return problems
 
 
+# Round-3 driver-red class (the dual of the round-2 one): DuckDB widens
+# SUM/AVG over integer inputs to HUGEINT / DECIMAL(38,0) while Spark
+# stays BIGINT, so the ORACLE-side value representation hash-diverges
+# even when every number is equal (stream_static_enrichment +
+# stream_upsert_user_totals, r3). The robust gate is not a regex over
+# the SQL text but the oracle's own result types: DESCRIBE the oracle
+# against DuckDB and require every column to land in the same type
+# *kind* (int/float/str/ts/date/bool) as the Spark output — and never
+# HUGEINT or DECIMAL at all.
+
+_DUCK_KINDS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
+    # DATE and TIMESTAMP share one kind: the driver canonicalizes both
+    # to datetime64[us] before hashing (gold_trend_daily is green with a
+    # Spark ts vs an oracle DATE), so only cross-family drift matters.
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "temporal",
+    "TIMESTAMP": "temporal", "TIMESTAMP WITH TIME ZONE": "temporal",
+    "TIMESTAMP_NS": "temporal", "TIMESTAMP_MS": "temporal",
+    "TIMESTAMP_S": "temporal",
+}
+
+_SPARK_KINDS = {
+    "byte": "int", "short": "int", "integer": "int", "long": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "temporal",
+    "timestamp": "temporal", "timestamp_ntz": "temporal",
+}
+
+
+def duck_describe(con, oracle: str) -> list[tuple[str, str]]:
+    """Column (name, type) of an oracle per DuckDB's own analyzer —
+    DESCRIBE plans without executing, so this is cheap."""
+    rows = con.execute("DESCRIBE " + oracle.rstrip().rstrip(";")).fetchall()
+    return [(r[0], r[1]) for r in rows]
+
+
+def audit_oracle_types(name: str, duck_cols, spark_schema) -> list[str]:
+    if name in ALLOWLIST:
+        return []
+    problems = []
+    spark_kinds = {
+        f.name: _SPARK_KINDS.get(f.dataType.typeName()) for f in spark_schema.fields
+    }
+    for col, dtype in duck_cols:
+        d = dtype.upper()
+        if d.startswith("DECIMAL") or "HUGEINT" in d:
+            problems.append(
+                f"{name}: oracle column `{col}` is {dtype} — DuckDB widens "
+                "integer SUM/AVG to HUGEINT/DECIMAL, which hash-diverges from "
+                "Spark BIGINT; wrap the aggregate in CAST(... AS BIGINT)"
+            )
+            continue
+        sk, dk = spark_kinds.get(col), _DUCK_KINDS.get(d)
+        if sk is not None and dk is not None and sk != dk:
+            problems.append(
+                f"{name}: oracle column `{col}` is {dtype} ({dk}) but Spark "
+                f"emits {sk} — the hashed value strings diverge"
+            )
+    return problems
+
+
 def audit_plan(name: str, plan_text: str) -> list[str]:
     if name in ALLOWLIST:
         return []
@@ -127,14 +190,22 @@ def audit_plan(name: str, plan_text: str) -> list[str]:
 
 def run_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
     """Audit every registered oracle AND every query's analyzed plan."""
+    import duckdb
+
     from stacktrend_spark.plans.registry import all_queries
     from stacktrend_spark.session import get_spark
+    from stacktrend_spark.sources.tables import TABLES
 
     specs = all_queries()
     problems: list[str] = []
     for name, spec in specs.items():
         problems.extend(audit_oracle(name, spec.oracle))
 
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
+        )
     spark = get_spark("parity_audit")
     for name, spec in specs.items():
         if name in ALLOWLIST:
@@ -156,6 +227,15 @@ def run_audit(sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
             # decimal gates only matter where values are hash-compared
             problems.extend(audit_plan_decimals(name, plan))
             problems.extend(audit_output_schema(name, df.schema))
+            try:
+                duck_cols = duck_describe(con, spec.oracle)
+            except Exception as e:  # noqa: BLE001
+                problems.append(
+                    f"{name}: oracle failed DuckDB DESCRIBE: "
+                    f"{type(e).__name__}: {e}"
+                )
+                continue
+            problems.extend(audit_oracle_types(name, duck_cols, df.schema))
     return problems
 
 
