@@ -158,17 +158,87 @@ def search_query_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Master-pipeline entry points, run end-to-end against a throwaway
-# MedallionStore on the deterministic fixtures. Multi-stage stateful
-# storage composition is not SQL-expressible — registered without an
-# oracle (driver records the rows-only check); the value-level goldens
-# live in tests/test_orchestration.py.
+# MedallionStore on the deterministic fixtures. The full multi-stage
+# composition runs exactly as before (every layer persisted and read
+# back); the RETURNED surface is the exact-integer/string projection of
+# the final stored gold table, so the driver can hash-compare it against
+# an independent DuckDB recomputation: the oracle embeds the SAME seed
+# rows (fixtures.bronze_repos_rows / bronze_activity_rows) as a VALUES
+# CTE and re-derives the gold summary in SQL from scratch — it shares
+# the INPUT with the Spark pipeline, not any intermediate. Float
+# surfaces (log10 momentum, velocity doubles) stay out of the hashed
+# projection per PARITY.md Tier 0; value-level goldens for them live in
+# tests/test_orchestration.py.
 # ---------------------------------------------------------------------------
+
+
+def _sql_lit(s: str | None) -> str:
+    return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _trend_gold_oracle() -> str:
+    from datetime import datetime
+
+    from stacktrend_spark.pipelines.classifier import _RULES
+    from stacktrend_spark.pipelines.fixtures import AS_OF_DATE, bronze_repos_rows
+
+    as_of = datetime.strptime(AS_OF_DATE, "%Y-%m-%d")
+    vals = []
+    for r in bronze_repos_rows():
+        rid, name, pushed = r[0], r[1], r[8]
+        stars, watchers, forks = r[10], r[11], r[12]
+        topics, lic = r[16], r[17]
+        vals.append(
+            f"({rid}, {_sql_lit(name)}, {_sql_lit(' '.join(topics))}, "
+            f"{_sql_lit(lic)}, {stars}, {forks}, {watchers}, "
+            f"{(as_of - pushed).days})"
+        )
+    cat_whens = " ".join(
+        f"WHEN haystack LIKE '%{kw}%' THEN '{category}'"
+        for kw, category, _sub in _RULES
+    )
+    return f"""
+        WITH seed(repository_id, name, topics, license_name, stars, forks,
+                  watchers, days_since_push) AS (VALUES {', '.join(vals)}),
+        -- b2s quality gate: missing/blank names quarantine
+        kept AS (
+            SELECT *, lower(coalesce(name, '')) || ' ' || topics AS haystack
+            FROM seed WHERE name IS NOT NULL AND trim(name) <> ''
+        ),
+        -- first-match-wins rule classifier + license categorization
+        cat AS (
+            SELECT CASE {cat_whens} ELSE 'Other' END AS technology_category,
+                CASE WHEN license_name IS NULL THEN 'none'
+                     WHEN license_name LIKE '%MIT%' OR license_name LIKE '%Apache%'
+                          OR license_name LIKE '%BSD%' THEN 'permissive'
+                     WHEN license_name LIKE '%GPL%' THEN 'copyleft'
+                     ELSE 'other' END AS license_category,
+                stars, forks, watchers, days_since_push
+            FROM kept
+        ),
+        agg AS (
+            SELECT technology_category,
+                CAST(COUNT(*) AS BIGINT) AS total_repositories,
+                CAST(SUM(stars) AS BIGINT) AS total_stars,
+                CAST(SUM(forks) AS BIGINT) AS total_forks,
+                CAST(SUM(watchers) AS BIGINT) AS total_watchers,
+                CAST(SUM(CASE WHEN days_since_push <= 90 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS active_repositories,
+                CAST(COUNT(DISTINCT license_category) AS BIGINT)
+                    AS license_diversity_count
+            FROM cat GROUP BY 1
+        )
+        SELECT agg.*, CAST(ROW_NUMBER() OVER (
+                ORDER BY total_stars DESC, technology_category ASC
+            ) AS BIGINT) AS popularity_rank
+        FROM agg
+    """
 
 
 @register(
     "pipeline_trend_gold",
-    oracle=None,
-    doc="run_trend_pipeline (dfp:14-173): bronze→silver→7 gold tables against a MedallionStore; returns gold.tech_metrics.",
+    oracle=_trend_gold_oracle(),
+    doc="run_trend_pipeline (dfp:14-173): bronze→silver→7 gold tables against a MedallionStore; returns the exact-integer projection of gold.tech_metrics.",
 )
 def pipeline_trend_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.pipelines.fixtures import AS_OF_DATE, bronze_repos
@@ -177,27 +247,122 @@ def pipeline_trend_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = MedallionStore(tempfile.mkdtemp(prefix="trend_store_"))
     out = run_trend_pipeline(spark, store, bronze_repos(spark), AS_OF_DATE)
-    return out["gold.tech_metrics"].orderBy("technology_category")
+    tm = out["gold.tech_metrics"]
+    return tm.select(
+        "technology_category",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "total_repositories",
+                "total_stars",
+                "total_forks",
+                "total_watchers",
+                "active_repositories",
+                "license_diversity_count",
+                "popularity_rank",
+            )
+        ],
+    ).orderBy("technology_category")
+
+
+def _personal_gold_oracle() -> str:
+    from stacktrend_spark.pipelines.fixtures import (
+        AS_OF_DATE,
+        bronze_activity_rows,
+        bronze_repos_rows,
+    )
+
+    ids = [r[0] for r in bronze_repos_rows(n=120)]
+    vals = []
+    for a in bronze_activity_rows(ids, n=800):
+        rid, atype, ts = a[0], a[1], a[4]
+        adds, dels, files = a[6], a[7], a[8]
+        vals.append(
+            f"({rid}, '{atype}', TIMESTAMP '{ts.isoformat(sep=' ')}', "
+            f"{'NULL' if adds is None else adds}, "
+            f"{'NULL' if dels is None else dels}, "
+            f"{'NULL' if files is None else files})"
+        )
+    # velocity doubles mirror the Spark op order exactly: every op is a
+    # correctly-rounded IEEE +*/ or LEAST, so the derived trend label is
+    # bit-deterministic; explicit DOUBLE casts keep DuckDB's
+    # decimal-literal typing out of the arithmetic
+    return f"""
+        WITH act(repository_id, activity_type, activity_date, additions,
+                 deletions, changed_files) AS (VALUES {', '.join(vals)}),
+        agg AS (
+            SELECT repository_id,
+                CAST(SUM(CASE WHEN activity_type = 'commit' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS total_commits,
+                CAST(SUM(CASE WHEN activity_type = 'issue' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS total_issues,
+                CAST(SUM(CASE WHEN activity_type = 'release' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS total_releases,
+                CAST(SUM(COALESCE(additions, 0)) AS BIGINT) AS lines_added,
+                CAST(SUM(COALESCE(deletions, 0)) AS BIGINT) AS lines_deleted,
+                CAST(SUM(COALESCE(changed_files, 0)) AS BIGINT) AS files_changed
+            FROM act
+            WHERE activity_date >=
+                TIMESTAMP '{AS_OF_DATE} 00:00:00' - INTERVAL 30 DAY
+            GROUP BY 1
+        ),
+        vel AS (
+            SELECT *, LEAST(CAST(1.0 AS DOUBLE),
+                (CAST(total_commits AS DOUBLE) / CAST(30 AS DOUBLE))
+                    * CAST(0.4 AS DOUBLE)
+                + LEAST(CAST(1.0 AS DOUBLE),
+                        CAST(lines_added AS DOUBLE) / CAST(1000.0 AS DOUBLE))
+                    * CAST(0.3 AS DOUBLE)
+                + LEAST(CAST(1.0 AS DOUBLE),
+                        CAST(files_changed AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                    * CAST(0.3 AS DOUBLE)) AS dv
+            FROM agg
+        )
+        SELECT repository_id, total_commits, total_issues, total_releases,
+            lines_added, lines_deleted, files_changed,
+            CASE WHEN dv >= CAST(0.7 AS DOUBLE) THEN 'increasing'
+                 WHEN dv >= CAST(0.3 AS DOUBLE) THEN 'stable'
+                 ELSE 'decreasing' END AS activity_trend,
+            '{AS_OF_DATE}' AS measurement_date
+        FROM vel
+    """
 
 
 @register(
     "pipeline_personal_gold",
-    oracle=None,
-    doc="run_personal_pipeline (prdfp:14-222): repos+activity bronze→silver→3 portfolio gold tables; returns gold.development_velocity.",
+    oracle=_personal_gold_oracle(),
+    doc="run_personal_pipeline (prdfp:14-222): repos+activity bronze→silver→3 portfolio gold tables; returns the exact-integer projection of gold.development_velocity.",
 )
 def pipeline_personal_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.pipelines.fixtures import (
         AS_OF_DATE,
         bronze_activity,
         bronze_repos,
+        bronze_repos_rows,
     )
     from stacktrend_spark.pipelines.medallion import MedallionStore
     from stacktrend_spark.pipelines.orchestration import run_personal_pipeline
 
     repos = bronze_repos(spark, n=120)
-    ids = [r.repository_id for r in repos.select("repository_id").collect()]
+    ids = [r[0] for r in bronze_repos_rows(n=120)]
     store = MedallionStore(tempfile.mkdtemp(prefix="personal_store_"))
     out = run_personal_pipeline(
         spark, store, repos, bronze_activity(spark, ids, n=800), AS_OF_DATE
     )
-    return out["gold.development_velocity"].orderBy("repository_id")
+    dv = out["gold.development_velocity"]
+    return dv.select(
+        F.col("repository_id").cast("long").alias("repository_id"),
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in (
+                "total_commits",
+                "total_issues",
+                "total_releases",
+                "lines_added",
+                "lines_deleted",
+                "files_changed",
+            )
+        ],
+        "activity_trend",
+        "measurement_date",
+    ).orderBy("repository_id")
