@@ -276,20 +276,44 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = os.path.join(base, "table")
     checkpoint = os.path.join(base, "ckpt")
 
+    # The totals table is hash-bucketed into partition directories by
+    # user_id so a micro-batch touches only the buckets its keys hash
+    # to: the read prunes to touched partitions and the write swaps
+    # only those directories — per-batch I/O is O(batch keys · bucket
+    # size), NOT O(table) (the r3 full-table stage-and-swap was a
+    # named scale-killer). At scale, size n_buckets ≈ table_rows /
+    # target_bucket_rows; with delta-spark present this whole function
+    # is one `MERGE INTO t USING s ... UPDATE SET t.n = t.n + s.n`
+    # (operators/merge.py delta backend) — file-level rewrite with data
+    # skipping and an atomic log instead of directory swaps.
+    n_buckets = 32
+
     def totals(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(iscale("value", 2)).cast("long").alias("sum_cents"),
         )
 
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.col("user_id"), F.lit(n_buckets)).cast("int")
+        )
+
     # seed: materialize totals for a deterministic slice of history
     seed = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
-    totals(seed).write.mode("overwrite").parquet(target)
+    bucketed(totals(seed)).write.mode("overwrite").partitionBy("bucket").parquet(
+        target
+    )
 
     # stream the remainder; each micro-batch merges ADDITIVELY by key
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = totals(batch_df)
-        current = batch_df.sparkSession.read.parquet(target)
+        batch = bucketed(totals(batch_df))
+        # bounded collect: ≤ n_buckets ints, the partition-pruning list
+        touched = sorted(r[0] for r in batch.select("bucket").distinct().collect())
+        current = (
+            batch_df.sparkSession.read.parquet(target)
+            .filter(F.col("bucket").isin(touched))  # directory-pruned scan
+        )
         merged = (
             current.select(
                 "user_id",
@@ -315,15 +339,22 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_cents"),
             )
         )
-        # parquet has no atomic overwrite-in-place: stage then swap.
-        # With delta-spark present this whole function is one
-        # `MERGE INTO t USING s ... UPDATE SET t.n = t.n + s.n`
-        # (operators/merge.py delta backend) — file-level rewrite with
-        # data skipping instead of a full-table swap.
-        staged = target + ".staged"
-        merged.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(target)
-        os.rename(staged, target)
+        # parquet has no atomic overwrite-in-place, and Spark (rightly)
+        # refuses to overwrite a path it is reading: stage the touched
+        # buckets, then swap ONLY those partition directories — the
+        # same commit pattern as dynamic partition overwrite.
+        staged = target + f".staged-{batch_id}"
+        bucketed(merged).write.mode("overwrite").partitionBy("bucket").parquet(
+            staged
+        )
+        for k in touched:
+            src = os.path.join(staged, f"bucket={k}")
+            dst = os.path.join(target, f"bucket={k}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(staged)
 
     rest = load_events_stream(spark, sf_dir).filter(F.col("event_id") % 3 != 0)
     q = (
@@ -336,7 +367,7 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     finally:
         q.stop()
-    return spark.read.parquet(target)
+    return spark.read.parquet(target).select("user_id", "n_events", "sum_cents")
 
 
 @register(
