@@ -68,6 +68,10 @@ HEADLINE = [
     "stream_tumbling_daily",
     "stream_session_windows",
     "stream_stateful_totals",
+    # --- end of the round-1 set: everything above is COMPARABLE, the
+    # pinned subset behind `comparable_total` (identical membership to
+    # BASELINE.json's r1 bench, so round-over-round deltas never need
+    # tail archaeology). Additions go BELOW this line only.
     # r2 additions
     "sim_lsh_topk",
     "stream_stream_attribution",
@@ -79,6 +83,9 @@ HEADLINE = [
     "validation_violations",
     "silver_keyword_extraction",
 ]
+
+#: the r1-membership prefix of HEADLINE (see marker above)
+COMPARABLE = HEADLINE[:29]
 
 
 def input_stats(sf_dir: str) -> dict[str, dict[str, int]]:
@@ -132,6 +139,9 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "comparable_total": round(sum(timings[n] for n in COMPARABLE), 3),
+        "comparable_warm_total": round(sum(warm[n] for n in COMPARABLE), 3),
+        "comparable_n": len(COMPARABLE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries_registered": len(specs),
         "input_tables": tables,
@@ -149,6 +159,8 @@ def main() -> None:
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "warm_total": round(sum(warm.values()), 2),
+        "comparable_total": full["comparable_total"],
+        "comparable_warm_total": full["comparable_warm_total"],
         "sf": full["sf"],
         "input_rows": {n: s["rows"] for n, s in tables.items()},
         "detail": "BENCH_FULL.json",

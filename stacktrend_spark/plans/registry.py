@@ -80,69 +80,71 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: queries added this round. Long-green rows rotate to the back — they
 #: are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # r2 DRIVER-RED, fixed this round — must re-prove first
-    "gold_tech_metrics",
-    "grouping_sets_orders",
-    # driver-environment float bisection probes (see gold_mirrors.py)
-    "probe_tm_avg_price",
-    "probe_tm_revenue",
-    "probe_tm_momentum",
-    "probe_tm_ranks",
-    # never driver-checked: windows + aggregates
-    "agg_mode_nation_per_segment",
-    "window_first_last",
-    "window_rank_distribution",
-    # never driver-checked: similarity / ANN
-    "sim_lsh_topk",
-    "ann_recall_eval",
-    "dedup_doc_prefix",
-    # never driver-checked: multimodal + formats
-    "multimodal_frame_offsets",
-    "arrow_doc_stats",
-    "source_format_roundtrip",
-    "source_binary_files",
-    # never driver-checked: streaming mirrors
+    # ROUND-4 WINDOW. Every registered query has now been driver-checked
+    # at least once (r1-r3); cumulative green is 131/136 with the only
+    # 2 reds fixed this round. Slots: the 2 fixed streaming oracles +
+    # the 2 newly-oracled pipeline entries first, then freshness
+    # rotation oldest-green-first (the 42 rows last proven in r1), then
+    # the 4 most parity-fragile r2 rows.
+    # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
-    "stream_stream_attribution",
     "stream_upsert_user_totals",
-    # never driver-checked: text / curation
-    "text_pii_redact",
-    "text_decontaminate",
-    "text_repetition_filter",
-    "sample_domain_mix",
-    "pack_sequences",
-    "pipeline_semantic_curation",
-    # never driver-checked: feature engineering / statistics
-    "rolling_zscore_anomaly",
-    "feature_quantile_bins",
-    "corr_matrix_lineitem",
-    "feature_standardize",
-    "twap_user_value",
-    "rollup_time_multigrain",
-    # never driver-checked: clustering / graph / lakehouse
-    "kmeans_assign_cells",
-    "kmeans_recompute_centroids",
-    "pagerank_copurchase",
-    "cdc_latest_state",
-    "scd2_event_type_history",
-    "data_quality_audit",
-    # round-3 additions (registered below as they land)
-    "silver_keyword_extraction",
-    "validation_violations",
+    # -- previously rows-only, real seed-CTE oracles added this round
     "pipeline_trend_gold",
     "pipeline_personal_gold",
-    "search_query_plan",
-    # remaining window slots: explicit high-value re-proofs (flagship +
-    # the r2-changed float surfaces) rather than whatever registration
-    # order happens to put at index 43-49
-    "q1_pricing_summary",
-    "gold_repo_ranks",
-    "gold_tech_health",
-    "agg_stddev_acctbal",
-    "sim_ivf_multiprobe",
-    "gold_adoption_matrix",
-    "merge_upsert_orders",
-    "pipeline_semdedup",
+    # -- last proven in r1: gold mirrors
+    "gold_trend_daily",
+    "gold_lang_stats",
+    "gold_market_pulse",
+    "gold_portfolio_overview",
+    "gold_repo_health_dashboard",
+    "gold_development_velocity",
+    # -- last proven in r1: joins + merge family
+    "join_anti_inactive_customers",
+    "join_left_customer_orders",
+    "join_revenue_by_nation",
+    "join_semi_active_suppliers",
+    "merge_insert_only_events",
+    "merge_preserve_classification",
+    # -- last proven in r1: aggregates / relational shapes
+    "agg_conditional_by_priority",
+    "agg_global_market_pulse",
+    "distinct_status_priority",
+    "pivot_status_by_segment",
+    "rollup_revenue",
+    "unpivot_flag_metrics",
+    "union_period_metrics",
+    "subquery_exists_orders",
+    "subquery_scalar_above_avg",
+    "topk_orders",
+    # -- last proven in r1: windows
+    "window_lag_monthly_trend",
+    "window_range_frame_trailing",
+    "window_rank_global",
+    "window_rank_in_group",
+    "window_running_total",
+    "window_share_global",
+    "window_share_of_region",
+    "rank_global_scalable",
+    "sessionize_events",
+    # -- last proven in r1: scalars / json / arrays
+    "scalar_conditional_tiers",
+    "scalar_datetime_parts",
+    "scalar_string_clean",
+    "scalar_try_clean",
+    "json_extract_props",
+    "array_word_cooccurrence",
+    # -- last proven in r1: dedup / similarity
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    # -- most parity-fragile rows last proven in r2 (float/cents/UDAF)
+    "stream_stateful_totals",
+    "agg_corr_covar",
+    "scalar_math_scores",
+    "udaf_trimmed_mean",
 )
 
 
