@@ -254,8 +254,11 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         max_bucket_rows=2000,  # hot-cell triangle-grid guard armed
     ).select("id_a", "id_b")
+    # nodes come from the CACHED pe (same vec_id set as corpus — the
+    # assignment join is key-preserving), not from corpus, whose
+    # unpersisted plan would re-run the scan + fan-out per consumer
     comp = connected_components(
-        pairs, nodes=corpus.select(F.col("vec_id").alias("node"))
+        pairs, nodes=pe.select(F.col("vec_id").alias("node"))
     )
     return (
         comp.select(F.col("node").alias("vec_id"), "component")
@@ -335,7 +338,9 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.sources.tables import fan_out
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    ranked = _assignment_ranked(emb)
+    # two consumers (corpus rn=1, probes rn<=nprobe): persist so the
+    # centroid cross-join + window runs once, not per consumer
+    ranked = _assignment_ranked(emb).persist()
     corpus = emb.join(
         ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell")),
         "vec_id",
@@ -356,16 +361,31 @@ def _assignment_ranked(emb: DataFrame) -> DataFrame:
     """(vec_id, cid, rn): every vector's centroids ordered by distance —
     rn=1 is the Lloyd assignment, rn<=nprobe the probe set. Unrolled
     codegen dots (dim known) — bit-equal to the interpreted fold, ~4×
-    faster per pair (operators/similarity.dot)."""
+    faster per pair (operators/similarity.dot).
+
+    The two SELF-dots are hoisted into per-side projections before the
+    join: they are per-point/per-centroid values, so inlining them in
+    the pair expression (as r3 did) tripled both the per-pair work and
+    the analyzed-plan/codegen size of the join stage — the fixed cost
+    the r3 bench flagged. Projects don't collapse across a join, so
+    Catalyst keeps them hoisted; ``(pn2 + cn2) - 2·dot`` reproduces the
+    exact former op order, bit-identical values."""
     cent = emb.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        dot(F.col("embedding"), F.col("embedding"), _DIM).alias("cn2"),
     )
-    d = emb.crossJoin(F.broadcast(cent)).select(
+    pts = emb.select(
+        "vec_id",
+        "embedding",
+        dot(F.col("embedding"), F.col("embedding"), _DIM).alias("pn2"),
+    )
+    d = pts.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
         (
-            dot(F.col("embedding"), F.col("embedding"), _DIM)
-            + dot(F.col("cvec"), F.col("cvec"), _DIM)
+            F.col("pn2")
+            + F.col("cn2")
             - F.lit(2) * dot(F.col("embedding"), F.col("cvec"), _DIM)
         ).alias("dist2"),
     )
