@@ -82,6 +82,9 @@ HEADLINE = [
     "sim_ivf_multiprobe",
     "validation_violations",
     "silver_keyword_extraction",
+    # r4 additions
+    "text_chunk_windows",
+    "embedding_quantize_int8",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -393,3 +393,83 @@ def _assignment_ranked(emb: DataFrame) -> DataFrame:
         W.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
     )
     return d.withColumn("rn", rn).select("vec_id", "cid", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Per-vector symmetric int8 scalar quantization — the compression stage
+# a 100 TB ANN index needs before it fits in memory (4× smaller than
+# float32; the IVF/LSH candidate join then reranks the few survivors
+# against the full-precision vectors). Map-only: amax and codes are
+# per-row column expressions, zero shuffles until the tiny per-vector
+# aggregate. Every hashed output is an exact integer: codes come from
+# FLOOR((x/amax)·127 + 0.5) with the identical IEEE op order on both
+# engines, and the scale is emitted as a micro-unit BIGINT.
+# Beyond-reference addition (training-data pipeline family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding,
+                       x -> ABS(CAST(x AS DOUBLE)))) AS amax,
+                   embedding
+            FROM embeddings
+        ),
+        d AS (SELECT vec_id, amax, unnest(embedding) AS x FROM e),
+        c AS (
+            SELECT vec_id, amax,
+                   CASE WHEN amax = 0 THEN 0
+                        ELSE CAST(FLOOR((CAST(x AS DOUBLE) / amax) * 127 + 0.5)
+                                  AS BIGINT) END AS code
+            FROM d
+        )
+        SELECT vec_id,
+               CAST(FLOOR(MAX(amax) * 1000000.0 + 0.5) AS BIGINT) AS scale_micro,
+               CAST(SUM(code) AS BIGINT)          AS sum_codes,
+               CAST(SUM(ABS(code)) AS BIGINT)     AS sum_abs_codes,
+               CAST(MAX(ABS(code)) AS BIGINT)     AS max_abs_code,
+               CAST(COUNT(CASE WHEN ABS(code) = 127 THEN 1 END) AS BIGINT)
+                                                  AS n_saturated
+        FROM c GROUP BY 1
+    """,
+    doc=(
+        "Per-vector symmetric int8 quantization (code = "
+        "floor(x/amax*127 + 0.5)): the ANN index compression stage; "
+        "map-only with integer-exact per-vector code summaries."
+    ),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    amax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    d = emb.select(
+        "vec_id",
+        amax.alias("amax"),
+        F.explode(F.col("embedding")).alias("x"),
+    )
+    code = (
+        F.when(F.col("amax") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("x").cast("double") / F.col("amax")) * 127 + F.lit(0.5))
+        )
+        .cast("long")
+    )
+    return (
+        d.select("vec_id", "amax", code.alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.floor(F.max("amax") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("scale_micro"),
+            F.sum("code").cast("long").alias("sum_codes"),
+            F.sum(F.abs(F.col("code"))).cast("long").alias("sum_abs_codes"),
+            F.max(F.abs(F.col("code"))).cast("long").alias("max_abs_code"),
+            F.count(F.when(F.abs(F.col("code")) == 127, 1))
+            .cast("long")
+            .alias("n_saturated"),
+        )
+    )

@@ -573,3 +573,81 @@ def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking — the RAG / pretraining-prep step
+# that turns long documents into overlapping fixed-width token windows.
+# Map-only (split → sequence → explode → slice), so at 100 TB it is a
+# single scan with zero shuffles; chunk counts derive from pure integer
+# arithmetic, so the chunk SET is deterministic and engine-identical.
+# Beyond-reference addition (training-data pipeline family).
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # window width (tokens)
+_CHUNK_S = 48  # stride (16-token overlap)
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, n, w,
+                   unnest(generate_series(0,
+                       CASE WHEN n > {_CHUNK_W}
+                            THEN (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+                            ELSE 0 END)) AS chunk_id
+            FROM words
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(w[chunk_id * {_CHUNK_S} + 1 :
+                         LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)])
+                    AS BIGINT) AS chunk_tokens,
+               array_to_string(w[chunk_id * {_CHUNK_S} + 1 :
+                                 LEAST(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)],
+                               ' ') AS chunk_text
+        FROM chunks
+    """,
+    doc=(
+        f"Sliding-window chunking ({_CHUNK_W}-token windows, stride "
+        f"{_CHUNK_S}): overlapping chunks for RAG/pretraining prep — "
+        "map-only, no shuffle, integer-exact chunk grid."
+    ),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_last = (  # index of the last window: ceil((n-W)/S) for n>W else 0
+        F.when(
+            n > _CHUNK_W,
+            F.expr(f"(size(split(text, ' ')) - {_CHUNK_W} + {_CHUNK_S} - 1) "
+                   f"DIV {_CHUNK_S}"),
+        ).otherwise(F.lit(0))
+    )
+    chunked = docs.select(
+        "doc_id",
+        w.alias("w"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_id"),
+    )
+    sliced = F.slice(
+        F.col("w"),
+        F.col("chunk_id") * _CHUNK_S + 1,
+        F.least(
+            F.lit(_CHUNK_W),
+            F.col("n") - F.col("chunk_id") * _CHUNK_S,
+        ),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sliced).cast("long").alias("chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
