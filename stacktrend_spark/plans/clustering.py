@@ -363,29 +363,23 @@ def _assignment_ranked(emb: DataFrame) -> DataFrame:
     codegen dots (dim known) — bit-equal to the interpreted fold, ~4×
     faster per pair (operators/similarity.dot).
 
-    The two SELF-dots are hoisted into per-side projections before the
-    join: they are per-point/per-centroid values, so inlining them in
-    the pair expression (as r3 did) tripled both the per-pair work and
-    the analyzed-plan/codegen size of the join stage — the fixed cost
-    the r3 bench flagged. Projects don't collapse across a join, so
-    Catalyst keeps them hoisted; ``(pn2 + cn2) - 2·dot`` reproduces the
-    exact former op order, bit-identical values."""
+    MEASURED NOTE (r4): an attempt to hoist the two self-dots into
+    per-side pre-join projections (they are per-point/per-centroid, so
+    on paper the pair expression shrinks 3×) REGRESSED semdedup cold
+    time ~2× (35–43 s vs 19–23 s at sf0.1, 3 trials each, fresh JVMs).
+    Whole-stage codegen already subexpression-eliminates the self-dots
+    inside one fused stage; the extra projections only grew the
+    analyzed plan and split the codegen span. Keep the dots inline —
+    the fused single-stage plan is both the fast and the simple one."""
     cent = emb.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cvec"),
-        dot(F.col("embedding"), F.col("embedding"), _DIM).alias("cn2"),
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    pts = emb.select(
-        "vec_id",
-        "embedding",
-        dot(F.col("embedding"), F.col("embedding"), _DIM).alias("pn2"),
-    )
-    d = pts.crossJoin(F.broadcast(cent)).select(
+    d = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
         (
-            F.col("pn2")
-            + F.col("cn2")
+            dot(F.col("embedding"), F.col("embedding"), _DIM)
+            + dot(F.col("cvec"), F.col("cvec"), _DIM)
             - F.lit(2) * dot(F.col("embedding"), F.col("cvec"), _DIM)
         ).alias("dist2"),
     )
