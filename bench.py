@@ -85,6 +85,11 @@ HEADLINE = [
     # r4 additions
     "text_chunk_windows",
     "embedding_quantize_int8",
+    "er_blocked_name_match",
+    "triangle_count_copurchase",
+    "max_concurrent_intervals",
+    "corpus_shard_assign",
+    "source_schema_evolution",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -651,3 +651,73 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sliced).cast("long").alias("chunk_tokens"),
         F.array_join(sliced, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch sharding — the "global shuffle" of a training-data
+# pipeline. Real pretraining runs need each epoch's corpus order to be
+# (a) uniformly mixed, (b) reproducible, and (c) computable without a
+# global sort: shard = f(doc_id, epoch) via a salted md5 nibble gives a
+# stable 16-way partition per epoch that any worker can recompute
+# locally. Map-only until the tiny (epoch, shard) aggregate — at 100 TB
+# the shard assignment rides along with the scan; nothing shuffles but
+# the 48-row summary. Beyond-reference addition.
+# ---------------------------------------------------------------------------
+
+#: epochs per training run and shards per epoch
+_N_EPOCHS = 3
+_N_SHARDS = 16
+
+
+@register(
+    "corpus_shard_assign",
+    oracle=f"""
+        WITH assign AS (
+            SELECT d.doc_id, d.n_chars, e.epoch,
+                   STRPOS('0123456789abcdef',
+                          SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                     || CAST(e.epoch AS VARCHAR)), 1, 1)) - 1
+                       AS shard
+            FROM documents d
+            CROSS JOIN (SELECT unnest(generate_series(0, {_N_EPOCHS - 1}))
+                        AS epoch) e
+        )
+        SELECT
+            CAST(epoch AS BIGINT)      AS epoch,
+            CAST(shard AS BIGINT)      AS shard,
+            CAST(COUNT(*) AS BIGINT)   AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(MIN(doc_id) AS BIGINT)  AS min_doc,
+            CAST(MAX(doc_id) AS BIGINT)  AS max_doc
+        FROM assign
+        GROUP BY 1, 2
+    """,
+    doc=(
+        f"Deterministic epoch sharding: shard = md5(doc_id:epoch) first "
+        f"nibble over {_N_SHARDS} shards x {_N_EPOCHS} epochs — the "
+        "reproducible global shuffle of a training pipeline, map-only."
+    ),
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    epochs = spark.range(_N_EPOCHS).select(F.col("id").alias("epoch"))
+    # hex nibble -> int via position in the hex alphabet: identical
+    # semantics in Spark (locate) and DuckDB (STRPOS), no hex parsing
+    shard = F.expr(
+        "locate(substring(md5(cast(concat(cast(doc_id as string), ':', "
+        "cast(epoch as string)) as binary)), 1, 1), '0123456789abcdef') - 1"
+    )
+    return (
+        docs.crossJoin(F.broadcast(epochs))
+        .select("doc_id", "n_chars", "epoch", shard.alias("shard"))
+        .groupBy(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("shard").cast("long").alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

@@ -118,3 +118,54 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    # the oracle recomputes the merged read closed-form over orders:
+    # even keys were written WITHOUT o_totalprice (v1 schema) so their
+    # merged value is NULL; odd keys carry it. Cents are exact ints.
+    oracle="""
+        SELECT
+            CAST(o_orderkey % 2 AS BIGINT)   AS writer_version,
+            CAST(COUNT(*) AS BIGINT)         AS n_rows,
+            CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+                                             AS n_with_price,
+            CAST(COALESCE(SUM(CASE WHEN o_orderkey % 2 = 1
+                     THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                 END), 0) AS BIGINT)         AS sum_price_cents
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=(
+        "Schema-evolution read: two parquet writer generations (v1 "
+        "lacks o_totalprice), one mergeSchema scan; missing column "
+        "nulls verified closed-form. Schema merge is footer-only — no "
+        "data pass."
+    ),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="stacktrend_evo_")
+    v1 = f"{base}/gen=1"
+    v2 = f"{base}/gen=2"
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").parquet(v1)
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(v2)
+
+    merged = spark.read.option("mergeSchema", True).parquet(v1, v2)
+    return merged.groupBy(
+        (F.col("o_orderkey") % 2).cast("long").alias("writer_version")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("n_with_price"),
+        F.coalesce(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_price_cents"),
+    )

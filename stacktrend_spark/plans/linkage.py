@@ -1,0 +1,337 @@
+"""Record-linkage + graph-analytics operators: blocked entity
+resolution, interval-concurrency sweep-line, and co-purchase triangle
+counting.
+
+Beyond-reference additions (the reference's joins stop at equi/anti
+shapes — SURVEY §2.3); these are the classic "the data is dirty / the
+data is a graph" steps of a large-scale data-curation pipeline.
+
+100 TB notes:
+
+- **Blocked ER** never goes pairwise over RECORDS: candidate pairs are
+  generated over DISTINCT attribute values per block (64 names here vs
+  2 000–20 000 rows; real corpora: thousands of distinct names vs
+  billions of rows), then weighted back by per-value record counts.
+  Pairwise cost scales with distinct-value cardinality, not corpus
+  size — the only shuffles are two small aggregates and a within-block
+  value join.
+- **Sweep-line concurrency** is per-key windowed (each event_type's
+  delta stream sorts independently) plus ONE global sweep via the
+  two-phase range-partition running sum (operators/ranking.py) — no
+  single-partition window anywhere.
+- **Triangle counting** orients every edge low-degree → high-degree
+  (rank-based orientation): wedge volume drops from Σ deg² to
+  O(m^1.5) — the standard distributed triangle bound (Suri & Vassilvitskii,
+  WWW'11) — and each triangle is enumerated exactly once. Edges come
+  pre-deduped from a quantity-filtered co-purchase projection, so the
+  heavy lineitem table is scanned once, narrowly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+#: levenshtein radii for the ER match tiers (0 = exact duplicate)
+_ER_NEAR1 = 1
+_ER_NEAR2 = 2
+
+
+@register(
+    "er_blocked_name_match",
+    oracle=f"""
+        WITH p AS (
+            SELECT p_partkey,
+                   p_name,
+                   string_split(p_name, ' ')[-1] AS blk
+            FROM part
+        ),
+        g AS (
+            SELECT blk, p_name, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM p GROUP BY 1, 2
+        ),
+        cross_pairs AS (
+            SELECT a.blk,
+                   levenshtein(a.p_name, b.p_name) AS d,
+                   a.cnt * b.cnt                   AS w
+            FROM g a JOIN g b
+              ON a.blk = b.blk AND a.p_name < b.p_name
+        )
+        SELECT
+            g.blk                                   AS block,
+            CAST(SUM(g.cnt) AS BIGINT)              AS n_records,
+            CAST(COUNT(*) AS BIGINT)                AS n_distinct_names,
+            CAST(SUM(g.cnt * (g.cnt - 1) / 2) AS BIGINT) AS n_exact_pairs,
+            CAST(COALESCE((SELECT SUM(w) FROM cross_pairs c
+                           WHERE c.blk = g.blk AND c.d <= {_ER_NEAR1}), 0)
+                 AS BIGINT)                         AS n_near1_pairs,
+            CAST(COALESCE((SELECT SUM(w) FROM cross_pairs c
+                           WHERE c.blk = g.blk AND c.d <= {_ER_NEAR2}), 0)
+                 AS BIGINT)                         AS n_near2_pairs
+        FROM g
+        GROUP BY 1
+    """,
+    doc=(
+        "Blocked entity resolution over part names: block on the noun "
+        "token, collapse to distinct names per block, levenshtein-match "
+        "distinct values, weight matches back by record counts — "
+        "pairwise cost scales with distinct values, not rows."
+    ),
+)
+def er_blocked_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    g = p.groupBy("blk", "p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    # distinct-value candidate pairs within a block: at most
+    # |values|^2/2 per block regardless of corpus size
+    cross = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.blk").alias("blk"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("d"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
+        )
+        .groupBy("blk")
+        .agg(
+            F.sum(F.when(F.col("d") <= _ER_NEAR1, F.col("w"))).alias("w1"),
+            F.sum(F.when(F.col("d") <= _ER_NEAR2, F.col("w"))).alias("w2"),
+        )
+    )
+    per_block = g.groupBy(F.col("blk").alias("block")).agg(
+        F.sum("cnt").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_names"),
+        F.sum((F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_exact_pairs"),
+    )
+    return (
+        per_block.join(
+            F.broadcast(cross), per_block.block == cross.blk, "left"
+        )
+        .select(
+            "block",
+            "n_records",
+            "n_distinct_names",
+            "n_exact_pairs",
+            F.coalesce(F.col("w1"), F.lit(0)).cast("long").alias("n_near1_pairs"),
+            F.coalesce(F.col("w2"), F.lit(0)).cast("long").alias("n_near2_pairs"),
+        )
+    )
+
+
+#: minimum line quantity for a "bulk co-purchase" edge
+_TRI_MIN_QTY = 40
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem WHERE l_quantity >= {_TRI_MIN_QTY}
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        nodes AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY 1
+    """,
+    doc=(
+        "Per-part triangle counts in the bulk co-purchase graph "
+        "(parts sharing an order at qty >= 40). Edges oriented "
+        "low-degree->high-degree so wedge volume is O(m^1.5), each "
+        "triangle enumerated once."
+    ),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    # rank-based orientation: direct each edge toward the higher
+    # (degree, id) endpoint; every wedge then sits at its lowest-rank
+    # corner, capping per-node wedge fan-out at out-degree^2 with
+    # out-degree <= sqrt(2m) in aggregate -> O(m^1.5) wedges total
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = F.broadcast(deg).alias("du")
+    dv = F.broadcast(deg).alias("dv")
+    oriented = (
+        und.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(
+                (F.col("du.deg") < F.col("dv.deg"))
+                | ((F.col("du.deg") == F.col("dv.deg")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        # three consumers (e1/e2/e3): without the persist each alias
+        # recomputes the scan -> pair-join -> distinct -> degree chain
+        .persist()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.t") == F.col("e2.s"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("part_key"))
+        .unionAll(tri.select(F.col("y").alias("part_key")))
+        .unionAll(tri.select(F.col("z").alias("part_key")))
+    )
+    return nodes.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+@register(
+    "max_concurrent_intervals",
+    oracle="""
+        WITH iv AS (
+            SELECT event_id, event_type,
+                   epoch_us(ts) AS s_us,
+                   epoch_us(ts)
+                     + CAST(FLOOR(value * 60000000.0 + 0.5) AS BIGINT) AS e_us
+            FROM events
+        ),
+        deltas AS (
+            SELECT event_type, s_us AS t_us, 1 AS delta, event_id FROM iv
+            UNION ALL
+            SELECT event_type, e_us AS t_us, -1 AS delta, event_id FROM iv
+        ),
+        swept AS (
+            SELECT event_type,
+                   SUM(delta) OVER (
+                       PARTITION BY event_type
+                       ORDER BY t_us, delta, event_id
+                       ROWS UNBOUNDED PRECEDING) AS running
+            FROM deltas
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+                   CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+            FROM swept GROUP BY 1
+        ),
+        global_swept AS (
+            SELECT SUM(delta) OVER (
+                       ORDER BY t_us, delta, event_id
+                       ROWS UNBOUNDED PRECEDING) AS running
+            FROM deltas
+        )
+        SELECT * FROM per_type
+        UNION ALL
+        SELECT '__all__' AS event_type,
+               CAST(MAX(running) AS BIGINT)     AS peak_concurrent,
+               CAST(COUNT(*) / 2 AS BIGINT)     AS n_intervals
+        FROM global_swept
+    """,
+    doc=(
+        "Interval-concurrency sweep-line: events as [ts, ts+value min) "
+        "intervals, +1/-1 deltas, peak overlap per type (partitioned "
+        "window) and globally (two-phase scalable running sum — no "
+        "single-partition window)."
+    ),
+)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    ev = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros("ts")
+    e_us = s_us + F.floor(F.col("value") * 60000000.0 + F.lit(0.5)).cast("long")
+    iv = ev.select(
+        "event_id", "event_type", s_us.alias("s_us"), e_us.alias("e_us")
+    )
+    deltas = iv.select(
+        "event_type", F.col("s_us").alias("t_us"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e_us").alias("t_us"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    # per-type sweep: each type's delta stream sorts within its own
+    # partition — parallel across types, no global sort
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t_us", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per_type = (
+        deltas.withColumn("running", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max("running").cast("long").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+    )
+    # global sweep: range-partitioned two-phase running sum (the
+    # single-partition-window trap is the thing this operator avoids)
+    swept = global_running_sum_scalable(
+        deltas,
+        order_cols=[F.col("t_us"), F.col("delta"), F.col("event_id")],
+        value_col="delta",
+        sum_col="running",
+    )
+    global_row = swept.agg(
+        F.max("running").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    ).select(
+        F.lit("__all__").alias("event_type"), "peak_concurrent", "n_intervals"
+    )
+    return per_type.unionAll(global_row)
