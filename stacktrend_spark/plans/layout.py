@@ -1,0 +1,121 @@
+"""Physical-layout queries: bucketed co-located joins and
+hive-partitioned reads with partition pruning.
+
+These register the engine's two layout operators (operators/bucketing,
+plus the hive-style partitioned write/read below) as oracle-checked
+queries, so the driver hash-proves not just the plan SHAPE (pinned in
+tests/test_plans.py) but the results the layouts produce.
+
+100 TB notes:
+
+- **Bucketing** pays the fact-table shuffle once at write time; every
+  later equi-join on the bucket key plans with ZERO Exchange — at
+  1000 executors that is the difference between a nightly job and an
+  hourly one. The query below joins two same-bucketed tables and the
+  companion plan test asserts the exchange-free shape.
+- **Partition pruning** is the scan-side twin: a hive-partitioned
+  layout turns a predicate on the partition column into directory
+  listing, so a 100 TB table with 5 000 daily partitions reads only
+  the day it needs. The companion plan test asserts the filter lands
+  in PartitionFilters (metadata), not PushedFilters (data).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+#: bucket count for the co-located join demo (matches both sides)
+_N_BUCKETS = 8
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+        SELECT
+            o.o_orderpriority                 AS priority,
+            CAST(COUNT(*) AS BIGINT)          AS n_lines,
+            CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                 AS BIGINT)                   AS sum_price_cents
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY 1
+    """,
+    doc=(
+        f"Co-located join over two tables bucketed {_N_BUCKETS}-way on "
+        "the join key: the write pays the shuffle once, the join plans "
+        "with zero Exchange (plan shape pinned in tests/test_plans.py)."
+    ),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_join_frame(spark, sf_dir)
+
+
+def _bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the registered query and the plan-shape test."""
+    from stacktrend_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    write_bucketed(orders, "b_colocated_orders", ["o_orderkey"], _N_BUCKETS)
+    write_bucketed(li, "b_colocated_lineitem", ["o_orderkey"], _N_BUCKETS)
+    joined = bucketed_join(
+        spark, "b_colocated_orders", "b_colocated_lineitem", ["o_orderkey"]
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_price_cents"),
+    )
+
+
+@register(
+    "source_partition_pruning",
+    oracle="""
+        SELECT
+            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+            CAST(COUNT(*) AS BIGINT)                    AS n_events,
+            CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                                        AS sum_value_cents
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    doc=(
+        "Hive-partitioned write (partitionBy event_type) + pruned read: "
+        "the event_type predicate resolves at directory-listing time "
+        "(PartitionFilters), so only 1 of 5 partitions is scanned — "
+        "plan shape pinned in tests/test_plans.py."
+    ),
+)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pruned_read_frame(spark, sf_dir)
+
+
+def _pruned_read_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the registered query and the plan-shape test."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="stacktrend_hivepart_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    pruned = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
+    return pruned.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day_no")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    )

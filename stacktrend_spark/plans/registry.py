@@ -54,6 +54,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.clustering",
     "stacktrend_spark.plans.lakehouse",
     "stacktrend_spark.plans.linkage",
+    "stacktrend_spark.plans.layout",
     "stacktrend_spark.plans.graphrank",
     "stacktrend_spark.plans.reference_api",
 )

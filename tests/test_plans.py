@@ -263,3 +263,34 @@ def test_tech_metrics_micro_scores_stay_bigint(spark, sf_dir):
         "concentration_risk_micro",
     ):
         assert types[c] == "bigint", (c, types[c])
+
+
+def test_registered_bucketed_query_exchange_free_join(spark, sf_dir):
+    """The REGISTERED bucketed query (plans/layout.py) must keep the
+    exchange-free join: the only Exchange allowed in the whole plan is
+    the single-partition shuffle for the final small aggregate."""
+    import re
+
+    from stacktrend_spark.plans.layout import _bucketed_join_frame
+
+    p = plan_of(_bucketed_join_frame(spark, sf_dir))
+    assert "SortMergeJoin" in p
+    joins = p.split("SortMergeJoin")[0]
+    assert len(re.findall(r"^\(\d+\) Exchange", joins, flags=re.M)) == 0
+
+
+def test_partition_pruning_filter_is_metadata_only(spark, sf_dir):
+    """The partitioned read's event_type predicate must land in
+    PartitionFilters (directory listing), NOT survive as a data filter
+    over the scanned rows (plans/layout.py)."""
+    from stacktrend_spark.plans.layout import _pruned_read_frame
+
+    p = plan_of(_pruned_read_frame(spark, sf_dir))
+    part_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "event_type" in part_lines[0]
+    data_filters = [
+        l
+        for l in p.splitlines()
+        if l.strip().startswith("Condition") and "event_type" in l
+    ]
+    assert not data_filters
