@@ -721,3 +721,95 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass heavy hitters — the scalable "frequent items" pattern. A
+# single groupBy over every n-gram of a 100 TB corpus shuffles the full
+# gram stream; the two-pass form shuffles (1) a deterministic 1/8
+# sample and (2) only the candidate grams that sample heavy (semi-join
+# broadcast against the corpus stream). Items are compared by integer
+# CROSS-MULTIPLICATION against the frequency threshold (n·1000 ≥ total
+# for 0.1%), so there is no division anywhere and the oracle replicates
+# the arithmetic exactly. The deterministic sample makes the usual
+# statistical miss-risk reproducible: both engines see the identical
+# sample, candidates, and final set. Beyond-reference addition.
+# ---------------------------------------------------------------------------
+
+#: heavy-hitter rate: n/total >= 1/_HH_RATE_INV (0.1%)
+_HH_RATE_INV = 1000
+#: deterministic sample: doc_id % _HH_SAMPLE_MOD == 0 (1/8 of docs)
+_HH_SAMPLE_MOD = 8
+
+
+@register(
+    "heavy_hitters_twopass",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM words
+        ),
+        total AS (SELECT COUNT(*) AS t FROM grams),
+        sample_counts AS (
+            SELECT gram, COUNT(*) AS sn FROM grams
+            WHERE doc_id % {_HH_SAMPLE_MOD} = 0 GROUP BY 1
+        ),
+        candidates AS (
+            -- sample-heavy at half the target rate, scaled by the
+            -- sample modulus: sn * mod * rate_inv * 2 >= total
+            SELECT gram FROM sample_counts, total
+            WHERE sn * {_HH_SAMPLE_MOD} * {_HH_RATE_INV} * 2 >= t
+        ),
+        exact AS (
+            SELECT g.gram, COUNT(*) AS n
+            FROM grams g JOIN candidates c USING (gram)
+            GROUP BY 1
+        )
+        SELECT gram AS bigram, CAST(n AS BIGINT) AS n_occurrences
+        FROM exact, total
+        WHERE n * {_HH_RATE_INV} >= t
+    """,
+    doc=(
+        f"Two-pass heavy hitters over word bigrams (rate 1/{_HH_RATE_INV}): "
+        f"deterministic 1/{_HH_SAMPLE_MOD} doc sample nominates candidates, "
+        "exact pass counts only those — integer cross-multiplied "
+        "thresholds, no division, full-corpus shuffle avoided."
+    ),
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    total = grams.count()  # bounded driver scalar (single long)
+    sample_counts = (
+        grams.filter(F.col("doc_id") % _HH_SAMPLE_MOD == 0)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("sn"))
+    )
+    candidates = sample_counts.filter(
+        F.col("sn") * _HH_SAMPLE_MOD * _HH_RATE_INV * 2 >= F.lit(total)
+    ).select("gram")
+    exact = (
+        grams.join(F.broadcast(candidates), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.filter(F.col("n") * _HH_RATE_INV >= F.lit(total)).select(
+        F.col("gram").alias("bigram"),
+        F.col("n").cast("long").alias("n_occurrences"),
+    )

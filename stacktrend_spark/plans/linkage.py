@@ -335,3 +335,83 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"), "peak_concurrent", "n_intervals"
     )
     return per_type.unionAll(global_row)
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "interval_overlap_join",
+    # oracle enumerates overlaps directly with the inequality join —
+    # the banded equi-join below produces the identical pair SET
+    oracle="""
+        WITH iv AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_us(ts) AS s_us,
+                   epoch_us(ts)
+                     + CAST(FLOOR(value * 60000000.0 + 0.5) AS BIGINT) AS e_us
+            FROM events
+        )
+        SELECT a.event_id                         AS purchase_id,
+               b.event_id                         AS view_id,
+               CAST(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)
+                    AS BIGINT)                    AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'purchase' AND b.event_type = 'view'
+         AND a.s_us < b.e_us AND b.s_us < a.e_us
+    """,
+    doc=(
+        "Interval-interval overlap join (purchase vs view activity "
+        "windows per user): intervals explode to the day-bands they "
+        "span (<=2 here), band+user equi-join bounds candidates, exact "
+        "overlap verified second — never an unbounded inequality join."
+    ),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros("ts")
+    e_us = s_us + F.floor(F.col("value") * 60000000.0 + F.lit(0.5)).cast("long")
+    iv = ev.select(
+        "event_id", "user_id", "event_type", s_us.alias("s_us"), e_us.alias("e_us")
+    )
+    # each interval lands in every day-band it touches; spans are
+    # bounded (value <= ~10h) so the explosion factor is <= 2
+    banded = iv.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / _DAY_US).cast("long"),
+                (F.col("e_us") / _DAY_US).cast("long"),
+            )
+        ).alias("band"),
+    )
+    a = banded.filter(F.col("event_type") == "purchase").alias("a")
+    b = banded.filter(F.col("event_type") == "view").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.s_us") < F.col("b.e_us"))
+            & (F.col("b.s_us") < F.col("a.e_us")),
+        )
+        .select(
+            F.col("a.event_id").alias("purchase_id"),
+            F.col("b.event_id").alias("view_id"),
+            (
+                F.least(F.col("a.e_us"), F.col("b.e_us"))
+                - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        # a pair overlapping across a band boundary appears once per
+        # shared band — dedup to the pair set
+        .distinct()
+    )
+    return pairs
