@@ -90,6 +90,10 @@ HEADLINE = [
     "max_concurrent_intervals",
     "corpus_shard_assign",
     "source_schema_evolution",
+    "bucketed_join_colocated",
+    "source_partition_pruning",
+    "interval_overlap_join",
+    "heavy_hitters_twopass",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

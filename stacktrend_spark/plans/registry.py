@@ -82,19 +82,38 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: queries added this round. Long-green rows rotate to the back — they
 #: are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-4 WINDOW. Every registered query has now been driver-checked
-    # at least once (r1-r3); cumulative green is 131/136 with the only
-    # 2 reds fixed this round. Slots: the 2 fixed streaming oracles +
-    # the 2 newly-oracled pipeline entries first, then freshness
-    # rotation oldest-green-first (the 42 rows last proven in r1), then
-    # the 4 most parity-fragile r2 rows.
+    # ROUND-4 WINDOW (rebalanced mid-round). Never-driver-checked
+    # queries outrank freshness rotation, so the 11 operators added
+    # this round take slots first; then the 2 fixed streaming oracles +
+    # the 2 newly-oracled pipeline entries; then the 4 most
+    # parity-fragile r2 rows; the remaining 31 slots stay on the
+    # oldest-green (r1) rotation, keeping its float/window/json-fragile
+    # members and rotating out the simplest set-op/join shapes (all
+    # r1-green, re-provable any later round).
+    # -- NEW this round, never inside a driver window
+    "text_chunk_windows",
+    "embedding_quantize_int8",
+    "er_blocked_name_match",
+    "triangle_count_copurchase",
+    "max_concurrent_intervals",
+    "corpus_shard_assign",
+    "source_schema_evolution",
+    "bucketed_join_colocated",
+    "source_partition_pruning",
+    "interval_overlap_join",
+    "heavy_hitters_twopass",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
     # -- previously rows-only, real seed-CTE oracles added this round
     "pipeline_trend_gold",
     "pipeline_personal_gold",
-    # -- last proven in r1: gold mirrors
+    # -- most parity-fragile rows last proven in r2 (float/cents/UDAF)
+    "stream_stateful_totals",
+    "agg_corr_covar",
+    "scalar_math_scores",
+    "udaf_trimmed_mean",
+    # -- freshness rotation, last proven in r1: gold mirrors
     "gold_trend_daily",
     "gold_lang_stats",
     "gold_market_pulse",
@@ -102,27 +121,19 @@ _PRIORITY: tuple[str, ...] = (
     "gold_repo_health_dashboard",
     "gold_development_velocity",
     # -- last proven in r1: joins + merge family
-    "join_anti_inactive_customers",
     "join_left_customer_orders",
     "join_revenue_by_nation",
-    "join_semi_active_suppliers",
-    "merge_insert_only_events",
     "merge_preserve_classification",
     # -- last proven in r1: aggregates / relational shapes
     "agg_conditional_by_priority",
     "agg_global_market_pulse",
-    "distinct_status_priority",
     "pivot_status_by_segment",
     "rollup_revenue",
     "unpivot_flag_metrics",
-    "union_period_metrics",
-    "subquery_exists_orders",
     "subquery_scalar_above_avg",
-    "topk_orders",
     # -- last proven in r1: windows
     "window_lag_monthly_trend",
     "window_range_frame_trailing",
-    "window_rank_global",
     "window_rank_in_group",
     "window_running_total",
     "window_share_global",
@@ -132,21 +143,13 @@ _PRIORITY: tuple[str, ...] = (
     # -- last proven in r1: scalars / json / arrays
     "scalar_conditional_tiers",
     "scalar_datetime_parts",
-    "scalar_string_clean",
     "scalar_try_clean",
     "json_extract_props",
     "array_word_cooccurrence",
     # -- last proven in r1: dedup / similarity
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "sim_bruteforce_topk",
-    # -- most parity-fragile rows last proven in r2 (float/cents/UDAF)
-    "stream_stateful_totals",
-    "agg_corr_covar",
-    "scalar_math_scores",
-    "udaf_trimmed_mean",
 )
 
 
