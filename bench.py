@@ -94,6 +94,9 @@ HEADLINE = [
     "source_partition_pruning",
     "interval_overlap_join",
     "heavy_hitters_twopass",
+    "variant_props_rollup",
+    "sample_exact_k_per_group",
+    "containment_join_keywords",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

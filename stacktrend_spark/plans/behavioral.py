@@ -213,3 +213,48 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sampled_value"),
         )
     )
+
+
+@register(
+    "sample_exact_k_per_group",
+    # md5-hex ranks sort identically in both engines; the (hash, id)
+    # tiebreaker makes the selected SET deterministic, and row_number
+    # semantics agree — so the sample is bit-reproducible anywhere
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS rk
+            FROM events
+        )
+        SELECT event_type,
+               CAST(event_id AS BIGINT) AS event_id,
+               CAST(rk AS BIGINT)       AS sample_rank
+        FROM ranked WHERE rk <= 100
+    """,
+    doc=(
+        "Exact-k-per-group deterministic sample (k=100): hash-ranked "
+        "row_number per stratum — the reproducible fixed-size "
+        "eval-split primitive (threshold sampling gives a RATE, this "
+        "gives a COUNT). Per-group window, no global sort."
+    ),
+)
+def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string").cast("binary"))
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(h, F.col("event_id"))
+    )
+    return (
+        ev.select("event_type", "event_id", rk.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 100)
+        .select(
+            "event_type",
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+    )

@@ -813,3 +813,98 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gram").alias("bigram"),
         F.col("n").cast("long").alias("n_occurrences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (subset) join — keyword alerting over a corpus: a query
+# matches a document when ALL its terms appear in the document. The
+# scalable form is an inverted-index join: explode documents to
+# DISTINCT (doc, token), equi-join the (tiny, broadcast) query-term
+# list, and a query matches where its hit-count equals its term count.
+# Corpus-side cost is one explode + one aggregate; there is never a
+# doc×query cross product. Beyond-reference addition.
+# ---------------------------------------------------------------------------
+
+#: number of two-term keyword queries (built from the corpus vocabulary)
+_N_KW_QUERIES = 10
+
+
+@register(
+    "containment_join_keywords",
+    oracle=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS vid
+            FROM (SELECT DISTINCT tok FROM toks)
+        ),
+        queries AS (
+            SELECT a.vid AS query_id, a.tok AS term FROM vocab a
+            WHERE a.vid <= {_N_KW_QUERIES}
+            UNION ALL
+            SELECT a.vid AS query_id, b.tok AS term
+            FROM vocab a JOIN vocab b ON b.vid = a.vid + 1
+            WHERE a.vid <= {_N_KW_QUERIES}
+        ),
+        hits AS (
+            SELECT q.query_id, t.doc_id, COUNT(*) AS n_hit
+            FROM toks t JOIN queries q ON t.tok = q.term
+            GROUP BY 1, 2
+        )
+        SELECT
+            CAST(query_id AS BIGINT) AS query_id,
+            CAST(COUNT(CASE WHEN n_hit = 2 THEN 1 END) AS BIGINT)
+                                     AS n_matching_docs,
+            CAST(COUNT(*) AS BIGINT) AS n_partial_docs
+        FROM hits
+        GROUP BY 1
+    """,
+    doc=(
+        f"Containment join: {_N_KW_QUERIES} two-term keyword queries "
+        "(adjacent vocabulary pairs) matched against documents via an "
+        "inverted-index equi-join — a query matches where its hit "
+        "count equals its term count; no doc x query product."
+    ),
+)
+def containment_join_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        # two consumers (vocabulary derivation + the index join):
+        # cache the deduped postings instead of re-exploding the corpus
+        .persist()
+    )
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("vid", F.row_number().over(W.orderBy("tok")))
+    )
+    # vocabulary is tiny (distinct tokens), so the single-partition
+    # window above is bounded; the query list built from it is then
+    # BROADCAST against the corpus-side token stream
+    a, b = vocab.alias("a"), vocab.alias("b")
+    queries = (
+        a.filter(F.col("a.vid") <= _N_KW_QUERIES)
+        .select(F.col("a.vid").alias("query_id"), F.col("a.tok").alias("term"))
+        .unionAll(
+            a.join(b, F.col("b.vid") == F.col("a.vid") + 1)
+            .filter(F.col("a.vid") <= _N_KW_QUERIES)
+            .select(
+                F.col("a.vid").alias("query_id"), F.col("b.tok").alias("term")
+            )
+        )
+    )
+    hits = (
+        toks.join(F.broadcast(queries), toks.tok == queries.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hits.groupBy(F.col("query_id").cast("long").alias("query_id")).agg(
+        F.count(F.when(F.col("n_hit") == 2, 1)).cast("long").alias("n_matching_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_partial_docs"),
+    )

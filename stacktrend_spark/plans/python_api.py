@@ -232,3 +232,43 @@ def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, "doc_id bigint, n_chars_utf8 bigint, n_spaces bigint"
     )
+
+
+@register(
+    "variant_props_rollup",
+    oracle="""
+        SELECT
+            event_type,
+            CAST(COUNT(*) AS BIGINT)                          AS n_events,
+            CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+            CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                                                              AS n_distinct_k,
+            CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "Spark 4 VARIANT ingestion: parse_json once into a variant "
+        "column, typed variant_get extraction, rollup — the "
+        "schema-on-read path for semi-structured 100 TB event lakes "
+        "(no per-query schema declaration, binary-encoded storage)."
+    ),
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant twin of json_extract_props (plans/scalars.py): that one
+    declares a struct schema up front; this one keeps the payload
+    schema-flexible as VARIANT and extracts typed paths on demand —
+    the right model when event payloads evolve faster than tables."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("p"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count_distinct(F.col("k")).cast("long").alias("n_distinct_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

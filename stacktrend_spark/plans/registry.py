@@ -102,6 +102,9 @@ _PRIORITY: tuple[str, ...] = (
     "source_partition_pruning",
     "interval_overlap_join",
     "heavy_hitters_twopass",
+    "variant_props_rollup",
+    "sample_exact_k_per_group",
+    "containment_join_keywords",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -127,9 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- last proven in r1: aggregates / relational shapes
     "agg_conditional_by_priority",
     "agg_global_market_pulse",
-    "pivot_status_by_segment",
-    "rollup_revenue",
-    "unpivot_flag_metrics",
     "subquery_scalar_above_avg",
     # -- last proven in r1: windows
     "window_lag_monthly_trend",
