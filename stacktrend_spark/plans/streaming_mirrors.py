@@ -356,7 +356,24 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.rename(src, dst)
         shutil.rmtree(staged)
 
-    rest = load_events_stream(spark, sf_dir).filter(F.col("event_id") % 3 != 0)
+    # stage the remainder as THREE files and feed them one per trigger:
+    # the merge then runs as a genuine multi-batch incremental build
+    # (3 successive partition-scoped upserts), not a single-batch
+    # degenerate case. Final state is order-independent because the
+    # merge is additive-commutative per key — so file arrival order
+    # cannot perturb the hashed result.
+    feed = os.path.join(base, "feed")
+    rest_batch = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 3 != 0
+    )
+    rest_batch.repartition(3, F.col("event_id")).write.mode("overwrite").parquet(
+        feed
+    )
+    rest = (
+        spark.readStream.schema(rest_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
     q = (
         rest.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)

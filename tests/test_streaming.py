@@ -140,3 +140,33 @@ def test_stateful_totals_tws_matches_v1_or_skips(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_staged_feed_yields_multiple_microbatches(spark, sf_dir, tmp_path):
+    """stream_upsert_user_totals stages its remainder as 3 files with
+    maxFilesPerTrigger=1 so the merge really runs incrementally; pin
+    that mechanism (a silent fall-back to one mega-batch would turn
+    the incremental claim into a single-batch degenerate case)."""
+    import pyspark.sql.functions as F
+
+    feed = str(tmp_path / "feed")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3, F.col("event_id")).write.parquet(feed)
+    batches = []
+
+    def count_batch(batch_df, batch_id):
+        batches.append((batch_id, batch_df.count()))
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    assert len(batches) == 3
+    assert sum(n for _, n in batches) == ev.count()
