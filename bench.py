@@ -97,6 +97,7 @@ HEADLINE = [
     "variant_props_rollup",
     "sample_exact_k_per_group",
     "containment_join_keywords",
+    "text_lm_score",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -908,3 +908,159 @@ def containment_join_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_hit") == 2, 1)).cast("long").alias("n_matching_docs"),
         F.count(F.lit(1)).cast("long").alias("n_partial_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM quality scoring — the CCNet/KenLM-style perplexity filter:
+# train a bigram language model on a held-in slice, score every
+# document by average bigram log-probability, gate on a threshold.
+# Real pipelines use a 5-gram KenLM; the mechanics that matter at
+# 100 TB are identical here: the LM is TINY relative to the corpus
+# (vocab², fits in a broadcast), scoring is a map-side broadcast join
+# + one groupBy(doc_id), and the corpus never shuffles for training
+# (the slice aggregates are the only exchanges). Log-probs use the
+# engine-exact decade-interpolated xlog10 (functions/rounding.py) and
+# are summed as micro-unit BIGINTs, so the score — and the KEEP
+# decision, an integer cross-multiplication — hash identically in any
+# engine. Beyond-reference addition.
+# ---------------------------------------------------------------------------
+
+#: LM training slice: doc_id % _LM_SLICE_MOD == 0
+_LM_SLICE_MOD = 10
+
+
+_LM_TERM_MICRO_SQL = None  # rendered below with sql_xlog10
+
+
+def _lm_oracle() -> str:
+    from stacktrend_spark.functions.rounding import sql_xlog10
+
+    lp = (
+        f"CAST(FLOOR(({sql_xlog10('cb1')} - {sql_xlog10('cu1')}) * 1000000.0"
+        " + 0.5) AS BIGINT)"
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i])) AS w1,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> w[i + 1])) AS w2
+            FROM words
+        ),
+        slice_bi AS (SELECT * FROM bi WHERE doc_id % {_LM_SLICE_MOD} = 0),
+        cb AS (SELECT w1, w2, COUNT(*) AS c FROM slice_bi GROUP BY 1, 2),
+        cu AS (SELECT w1, COUNT(*) AS c FROM slice_bi GROUP BY 1),
+        v AS (SELECT COUNT(DISTINCT w2) AS v FROM slice_bi),
+        terms AS (
+            SELECT b.doc_id,
+                   COALESCE(cb.c, 0) + 1              AS cb1,
+                   COALESCE(cu.c, 0) + v.v            AS cu1
+            FROM bi b
+            LEFT JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+            LEFT JOIN cu ON b.w1 = cu.w1
+            CROSS JOIN v
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT)  AS n_bigrams,
+                   CAST(SUM({lp}) AS BIGINT) AS sum_lp_micro
+            FROM terms GROUP BY 1
+        ),
+        g AS (
+            SELECT CAST(SUM(sum_lp_micro) AS BIGINT) AS tot_lp,
+                   CAST(SUM(n_bigrams) AS BIGINT)    AS tot_n
+            FROM scored
+        )
+        SELECT w.doc_id,
+               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT)    AS n_bigrams,
+               CAST(COALESCE(s.sum_lp_micro, 0) AS BIGINT) AS sum_lp_micro,
+               COALESCE(s.sum_lp_micro, 0) * g.tot_n
+                 >= g.tot_lp * COALESCE(s.n_bigrams, 0)    AS kept
+        FROM words w LEFT JOIN scored s USING (doc_id) CROSS JOIN g
+    """
+
+
+@register(
+    "text_lm_score",
+    oracle=None,  # bound right below (needs the rendered sql_xlog10)
+    doc=(
+        "Bigram-LM quality scoring (CCNet/KenLM-style): LM trained on "
+        f"the doc_id%{_LM_SLICE_MOD}==0 slice, add-1 smoothed, scores "
+        "as exact micro-unit xlog10 sums; keep-gate = at-or-above the "
+        "corpus-mean log-prob, as an integer cross-multiplication. LM broadcasts; corpus never shuffles "
+        "for training."
+    ),
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import xlog10
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    sl = bi.filter(F.col("doc_id") % _LM_SLICE_MOD == 0)
+    cb = sl.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = sl.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    # vocab size: bounded driver scalar (distinct successor types)
+    v = sl.select("w2").distinct().count()
+    terms = (
+        bi.join(F.broadcast(cb), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), ["w1"], "left")
+        .select(
+            "doc_id",
+            (F.coalesce("cb", F.lit(0)) + 1).alias("cb1"),
+            (F.coalesce("cu", F.lit(0)) + F.lit(v)).alias("cu1"),
+        )
+    )
+    lp_micro = F.floor(
+        (xlog10(F.col("cb1")) - xlog10(F.col("cu1"))) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    scored = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(lp_micro).cast("long").alias("sum_lp_micro"),
+    )
+    # self-calibrating gate: keep docs whose avg log-prob is at or
+    # above the corpus mean — as an integer cross-multiplication
+    # (sum·totN >= totSum·n), exact at any sf. Magnitude bound: |sum|
+    # <= 1e8 µ per doc and totN fits the corpus bigram count; at
+    # 1e12-bigram scale move both sides to DECIMAL(38,0)/HUGEINT or
+    # pre-divide by gcd — int64 here has 10^3 headroom at sf0.1.
+    g = scored.agg(
+        F.sum("sum_lp_micro").cast("long").alias("tot_lp"),
+        F.sum("n_bigrams").cast("long").alias("tot_n"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_lp_micro", F.lit(0))
+            .cast("long")
+            .alias("sum_lp_micro"),
+            (
+                F.coalesce("sum_lp_micro", F.lit(0)) * F.col("tot_n")
+                >= F.col("tot_lp") * F.coalesce("n_bigrams", F.lit(0))
+            ).alias("kept"),
+        )
+    )
+
+
+# bind the rendered oracle (sql_xlog10 import lives inside the helper
+# to keep module import light)
+from stacktrend_spark.plans.registry import _REGISTRY as _R  # noqa: E402
+
+_R["text_lm_score"].oracle = _lm_oracle()

@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "variant_props_rollup",
     "sample_exact_k_per_group",
     "containment_join_keywords",
+    "text_lm_score",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -135,7 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_monthly_trend",
     "window_range_frame_trailing",
     "window_rank_in_group",
-    "window_running_total",
     "window_share_global",
     "window_share_of_region",
     "rank_global_scalable",
