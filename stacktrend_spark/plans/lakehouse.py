@@ -280,3 +280,54 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+@register(
+    "table_fingerprint_buckets",
+    # canonical row string is integer-only (key + exact cents), md5'd,
+    # first 10 hex chars (40 bits) parsed as int64 and SUMMED per bucket
+    # (2^40 x 10^8 rows/bucket stays well under int64, so the checked
+    # casts of both engines never trip) — sums
+    # of ints are order-independent, so the fingerprint is stable under
+    # any partitioning/scan order in any engine
+    oracle="""
+        WITH rows_c AS (
+            SELECT o_orderkey % 16 AS bucket,
+                   CAST(('0x' || SUBSTR(md5(
+                       CAST(o_orderkey AS VARCHAR) || ':' ||
+                       CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+            FROM orders
+        )
+        SELECT CAST(bucket AS BIGINT)  AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(h) AS BIGINT)   AS fingerprint
+        FROM rows_c GROUP BY 1
+    """,
+    doc=(
+        "Anti-entropy bucket fingerprints: order-independent md5-sum "
+        "per key bucket — two replicas (or a source and its CDC "
+        "mirror) compare 16 rows instead of re-reading two tables; "
+        "mismatched buckets localize the diff for repair."
+    ),
+)
+def table_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    canon = F.concat(
+        F.col("o_orderkey").cast("string"), F.lit(":"), cents.cast("string")
+    )
+    h = F.conv(F.substring(F.md5(canon.cast("binary")), 1, 10), 16, 10).cast(
+        "long"
+    )
+    return (
+        orders.select(
+            (F.col("o_orderkey") % 16).cast("long").alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h").cast("long").alias("fingerprint"),
+        )
+    )

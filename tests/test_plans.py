@@ -294,3 +294,44 @@ def test_partition_pruning_filter_is_metadata_only(spark, sf_dir):
         if l.strip().startswith("Condition") and "event_type" in l
     ]
     assert not data_filters
+
+
+def test_heavy_hitter_candidates_broadcast(spark, sf_dir):
+    """The exact pass of the two-pass heavy hitters must BROADCAST the
+    candidate set against the gram stream — at 100 TB the full gram
+    stream must never shuffle (plans/curation.py)."""
+    p = plan_of(all_queries()["heavy_hitters_twopass"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lm_scoring_broadcasts_model(spark, sf_dir):
+    """Bigram-LM scoring joins the corpus against the (tiny) count
+    tables: both LM joins and the global-mean join must broadcast —
+    the corpus side must never shuffle for scoring."""
+    p = plan_of(all_queries()["text_lm_score"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_er_cross_pairs_stay_on_distinct_values(spark, sf_dir):
+    """Blocked ER's pairwise join runs over the per-block DISTINCT-name
+    aggregate, not over part rows: both join inputs must be
+    HashAggregate outputs (plans/linkage.py)."""
+    p = plan_of(all_queries()["er_blocked_name_match"].fn(spark, sf_dir))
+    import re
+
+    join_line = [l for l in p.splitlines() if "Join" in l and "Broadcast" in l]
+    assert join_line, "expected a broadcast join of the aggregated pair stats"
+    assert "SortMergeJoin" not in p
+    # levenshtein must be evaluated on the aggregated DISTINCT-name
+    # stream — its project consumes the aggregate's cnt outputs, never
+    # raw part rows
+    lev_lines = [l for l in p.splitlines() if "levenshtein" in l]
+    assert lev_lines and all("cnt#" in l for l in lev_lines)
+    # and column pruning collapses every scan to the single needed
+    # column (p_partkey itself is aggregated away before any join)
+    schema_lines = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schema_lines and all(
+        l.endswith("struct<p_name:string>") for l in schema_lines
+    )
