@@ -98,6 +98,7 @@ HEADLINE = [
     "sample_exact_k_per_group",
     "containment_join_keywords",
     "text_lm_score",
+    "table_fingerprint_buckets",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_exact_k_per_group",
     "containment_join_keywords",
     "text_lm_score",
+    "table_fingerprint_buckets",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -144,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_conditional_tiers",
     "scalar_datetime_parts",
     "scalar_try_clean",
-    "json_extract_props",
     "array_word_cooccurrence",
     # -- last proven in r1: dedup / similarity
     "dedup_minhash_lsh",
