@@ -99,6 +99,7 @@ HEADLINE = [
     "containment_join_keywords",
     "text_lm_score",
     "table_fingerprint_buckets",
+    "lateral_top2_orders",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

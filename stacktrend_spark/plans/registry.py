@@ -55,6 +55,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.lakehouse",
     "stacktrend_spark.plans.linkage",
     "stacktrend_spark.plans.layout",
+    "stacktrend_spark.plans.sql_surface",
     "stacktrend_spark.plans.graphrank",
     "stacktrend_spark.plans.reference_api",
 )
@@ -107,6 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "containment_join_keywords",
     "text_lm_score",
     "table_fingerprint_buckets",
+    "recursive_cte_reachability",
+    "lateral_top2_orders",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -130,7 +133,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_revenue_by_nation",
     "merge_preserve_classification",
     # -- last proven in r1: aggregates / relational shapes
-    "agg_conditional_by_priority",
     "agg_global_market_pulse",
     "subquery_scalar_above_avg",
     # -- last proven in r1: windows
@@ -143,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     # -- last proven in r1: scalars / json / arrays
     "scalar_conditional_tiers",
-    "scalar_datetime_parts",
     "scalar_try_clean",
     "array_word_cooccurrence",
     # -- last proven in r1: dedup / similarity

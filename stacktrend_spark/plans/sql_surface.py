@@ -1,0 +1,116 @@
+"""Pure-SQL-surface queries: recursive CTEs and LATERAL joins.
+
+A drop-in engine must accept the SQL users actually write, not only
+the DataFrame API. These two register Spark-4 SQL features end-to-end
+through ``spark.sql`` over registered temp views (SURVEY §2.1 S13):
+
+- **Recursive CTE** (Spark 4 ``WITH RECURSIVE``): bounded-depth
+  reachability over the bulk co-purchase graph — the BFS frontier
+  pattern. Each iteration is one distributed join of the frontier
+  against the edge table; Spark 4 supports UNION ALL recursion only,
+  so a DISTINCT inside the recursive term dedups each LEVEL (level-k
+  state = nodes reachable by some k-walk, capped at |V| — without it
+  the level carries raw walks and blows up by degree^k; measured
+  12.9 s → 3.5 s at sf0.1), and the final MIN(depth) aggregate
+  collapses levels to hop distances. Cross-level dedup (true
+  visited-set BFS) needs UNION recursion, which DuckDB has and Spark 4
+  does not yet. At 100 TB the edge table partitions on src and every
+  level reuses that partitioning.
+- **LATERAL join with correlated LIMIT**: per-customer top-2 orders —
+  the correlated top-N shape analysts write naturally. Catalyst
+  rewrites it to the same window/aggregate plans as the DataFrame
+  forms (no per-row re-execution), which is exactly what makes it safe
+  at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import register_views
+
+#: co-purchase edge quantity gate (matches plans/linkage.py triangles)
+_MIN_QTY = 40
+#: BFS depth cap
+_MAX_HOPS = 3
+
+_EDGES_SQL = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_quantity >= {_MIN_QTY}
+    )
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+"""
+
+#: recursion over {{edges}} — the fn binds a CACHED edge view (Spark
+#: re-evaluates non-materialized CTEs once per recursion level; caching
+#: the edge table cut sf0.1 cold time 12.7 s -> ~4 s), the oracle
+#: inlines the same SQL as a CTE (DuckDB materializes CTEs by default)
+_REACH_SQL = f"""
+    WITH RECURSIVE
+    seed AS (SELECT MIN(src) AS s FROM {{edges}}),
+    reach(node, depth) AS (
+        SELECT s, 0 FROM seed
+        UNION ALL
+        SELECT DISTINCT e.dst, r.depth + 1
+        FROM reach r JOIN {{edges}} e ON e.src = r.node
+        WHERE r.depth < {_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS part_key,
+           CAST(MIN(depth) AS BIGINT) AS hops
+    FROM reach
+    GROUP BY 1
+"""
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.cents
+    FROM customer c, LATERAL (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY cents DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register(
+    "recursive_cte_reachability",
+    # oracle = same recursion with the edge SQL inlined as a leading CTE
+    oracle=(
+        "WITH RECURSIVE cp_edges AS (" + _EDGES_SQL + "), "
+        + _REACH_SQL.format(edges="cp_edges").split("WITH RECURSIVE", 1)[1].lstrip()
+    ),
+    doc=(
+        f"WITH RECURSIVE BFS over the bulk co-purchase graph from the "
+        f"minimum-id part, depth <= {_MAX_HOPS}: hop distance per "
+        "reachable part. UNION ALL walks bounded by the depth cap, "
+        "one frontier-edge join per level, MIN(depth) collapse."
+    ),
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    edges = spark.sql(_EDGES_SQL).persist()
+    edges.createOrReplaceTempView("cp_edges_cached")
+    return spark.sql(_REACH_SQL.format(edges="cp_edges_cached"))
+
+
+@register(
+    "lateral_top2_orders",
+    oracle=_LATERAL_SQL,
+    doc=(
+        "LATERAL join with correlated ORDER BY ... LIMIT 2: top-2 "
+        "orders per BUILDING-segment customer — the analyst-native "
+        "correlated top-N, planned as window/aggregate not per-row "
+        "re-execution."
+    ),
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
