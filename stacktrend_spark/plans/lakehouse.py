@@ -331,3 +331,155 @@ def table_fingerprint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("long").alias("fingerprint"),
         )
     )
+
+
+@register(
+    "compliance_delete_audit",
+    # the pre-deletion impact report of a GDPR/right-to-be-forgotten
+    # sweep: one driver query, one row per affected table
+    oracle="""
+        WITH del AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        )
+        SELECT 'customer' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows_affected,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM del
+        UNION ALL
+        SELECT 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+        FROM orders o JOIN del d ON o.o_custkey = d.c_custkey
+        UNION ALL
+        SELECT 'lineitem',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN del d ON o.o_custkey = d.c_custkey
+    """,
+    doc=(
+        "Right-to-be-forgotten impact audit: a deletion key set "
+        "(broadcast) semi-joined through the FK chain customer -> "
+        "orders -> lineitem; per-table affected-row counts BEFORE any "
+        "destructive delete runs."
+    ),
+)
+def compliance_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_keys = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o_hit = orders.join(
+        F.broadcast(del_keys), orders.o_custkey == del_keys.c_custkey
+    )
+    li_hit = li.join(
+        F.broadcast(o_hit.select("o_orderkey", "o_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    a = del_keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_affected"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    ).select(F.lit("customer").alias("table_name"), "n_rows_affected", "n_keys")
+    b = o_hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_affected"),
+        F.count_distinct(F.col("o_custkey")).cast("long").alias("n_keys"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows_affected", "n_keys")
+    c = li_hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_affected"),
+        F.count_distinct(F.col("o_custkey")).cast("long").alias("n_keys"),
+    ).select(F.lit("lineitem").alias("table_name"), "n_rows_affected", "n_keys")
+    return a.unionAll(b).unionAll(c)
+
+
+@register(
+    "incremental_agg_maintenance",
+    # algebraic-aggregate maintenance proof: agg(full) must equal
+    # merge(agg(base), agg(delta)) for every key — the property that
+    # makes incremental materialized views trustworthy. The query
+    # OUTPUTS the comparison, so the driver hash-checks the proof.
+    oracle="""
+        WITH base AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+        delta AS (SELECT * FROM events WHERE event_id % 10 = 0),
+        merged AS (
+            SELECT user_id,
+                   SUM(n) AS n_events,
+                   SUM(s) AS sum_cents,
+                   MAX(mx) AS max_cents
+            FROM (
+                SELECT user_id, COUNT(*) AS n,
+                       SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS s,
+                       MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS mx
+                FROM base GROUP BY 1
+                UNION ALL
+                SELECT user_id, COUNT(*),
+                       SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)),
+                       MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                FROM delta GROUP BY 1
+            ) parts GROUP BY 1
+        ),
+        full_agg AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(MAX(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_cents
+            FROM events GROUP BY 1
+        )
+        SELECT f.user_id,
+               f.n_events,
+               f.sum_cents,
+               f.max_cents,
+               CAST(m.n_events AS BIGINT) = f.n_events
+                 AND CAST(m.sum_cents AS BIGINT) = f.sum_cents
+                 AND CAST(m.max_cents AS BIGINT) = f.max_cents AS consistent
+        FROM full_agg f JOIN merged m USING (user_id)
+    """,
+    doc=(
+        "Incremental-view maintenance proof: per-user totals computed "
+        "full vs merge(agg(base), agg(delta)) — the algebraic-merge "
+        "property that lets a 100 TB materialized view update from the "
+        "delta alone; the equality is part of the hashed output."
+    ),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    ev = ev.select("event_id", "user_id", cents.alias("cents"))
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.max("cents").alias("mx"),
+        )
+
+    base = agg(ev.filter(F.col("event_id") % 10 != 0))
+    delta = agg(ev.filter(F.col("event_id") % 10 == 0))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("m_n"),
+            F.sum("s").alias("m_s"),
+            F.max("mx").alias("m_mx"),
+        )
+    )
+    full = agg(ev).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("s").cast("long").alias("sum_cents"),
+        F.col("mx").cast("long").alias("max_cents"),
+    )
+    return full.join(merged, "user_id").select(
+        "user_id",
+        "n_events",
+        "sum_cents",
+        "max_cents",
+        (
+            (F.col("m_n").cast("long") == F.col("n_events"))
+            & (F.col("m_s").cast("long") == F.col("sum_cents"))
+            & (F.col("m_mx").cast("long") == F.col("max_cents"))
+        ).alias("consistent"),
+    )

@@ -110,6 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "table_fingerprint_buckets",
     "recursive_cte_reachability",
     "lateral_top2_orders",
+    "compliance_delete_audit",
+    "incremental_agg_maintenance",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -125,9 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "gold_trend_daily",
     "gold_lang_stats",
     "gold_market_pulse",
-    "gold_portfolio_overview",
     "gold_repo_health_dashboard",
-    "gold_development_velocity",
     # -- last proven in r1: joins + merge family
     "join_left_customer_orders",
     "join_revenue_by_nation",
