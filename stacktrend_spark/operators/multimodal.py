@@ -297,3 +297,52 @@ def sample_frame_offsets(features: DataFrame) -> DataFrame:
             )
         ).alias("frame_offset"),
     )
+
+
+def patch_grid(media: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patchify over the image payloads: REAL PPM decode,
+    then per-patch pixel sums on the numpy array — one output row per
+    (doc, patch_row, patch_col), boundary patches truncated. Pure map
+    (no shuffle), Arrow-batched; at 100 TB this is the image half of a
+    vision-pretraining tokenizer and runs at scan parallelism."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "patch_row": [], "patch_col": [],
+                "patch_w": [], "patch_h": [], "patch_sum": [],
+            }
+            for d, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "image":
+                    continue
+                info = decode_ppm(bytes(payload))
+                w, h, off = info["width"], info["height"], info["body_offset"]
+                arr = (
+                    np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                for pr in range((h + patch - 1) // patch):
+                    for pc in range((w + patch - 1) // patch):
+                        blk = arr[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        out["doc_id"].append(int(d))
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["patch_w"].append(blk.shape[1])
+                        out["patch_h"].append(blk.shape[0])
+                        out["patch_sum"].append(int(blk.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, patch_row bigint, patch_col bigint, "
+            "patch_w bigint, patch_h bigint, patch_sum bigint"
+        ),
+    )

@@ -1075,3 +1075,52 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_hits * 1000) DIV 3").alias("recall_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal 3 — ViT-style patch grid. The oracle recomputes every
+# patch sum closed-form from the synthesis formula body[i]=(7i+d)%256,
+# so the REAL decode + numpy patchify path is value-checked per patch.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_patch_grid",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id AS d, 8 + doc_id % 32 AS w, 8 + (3 * doc_id) % 32 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        grid AS (
+            SELECT d, w, h,
+                   unnest(range(CAST((h + 3) // 4 AS INTEGER))) AS pr
+            FROM p
+        ),
+        cells AS (
+            SELECT d, w, h, pr,
+                   unnest(range(CAST((w + 3) // 4 AS INTEGER))) AS pc
+            FROM grid
+        )
+        SELECT
+            d                                        AS doc_id,
+            CAST(pr AS BIGINT)                       AS patch_row,
+            CAST(pc AS BIGINT)                       AS patch_col,
+            CAST(LEAST(4, w - pc * 4) AS BIGINT)     AS patch_w,
+            CAST(LEAST(4, h - pr * 4) AS BIGINT)     AS patch_h,
+            CAST(list_sum(list_transform(
+                range(CAST(LEAST(4, h - pr * 4) AS INTEGER)),
+                rr -> list_sum(list_transform(
+                    range(CAST(LEAST(4, w - pc * 4) AS INTEGER) * 3),
+                    ck -> (7 * (((pr * 4 + rr) * w + pc * 4) * 3 + ck) + d)
+                          % 256)))) AS BIGINT)       AS patch_sum
+        FROM cells
+    """,
+    doc=(
+        "ViT-style 4x4 patchify over the image corpus: real PPM decode "
+        "+ numpy per-patch sums (pure map, Arrow-batched); every patch "
+        "sum oracle-checked closed-form against the synthesis formula."
+    ),
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.multimodal import patch_grid, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return patch_grid(synthesize_media(docs))

@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "lateral_top2_orders",
     "compliance_delete_audit",
     "incremental_agg_maintenance",
+    "multimodal_patch_grid",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -129,7 +130,6 @@ _PRIORITY: tuple[str, ...] = (
     "gold_market_pulse",
     "gold_repo_health_dashboard",
     # -- last proven in r1: joins + merge family
-    "join_left_customer_orders",
     "join_revenue_by_nation",
     "merge_preserve_classification",
     # -- last proven in r1: aggregates / relational shapes
