@@ -346,3 +346,46 @@ def patch_grid(media: DataFrame, patch: int = 4) -> DataFrame:
             "patch_w bigint, patch_h bigint, patch_sum bigint"
         ),
     )
+
+
+def audio_windows(media: DataFrame, window: int = 64) -> DataFrame:
+    """Windowed audio aggregation over REAL WAV payloads: parse the
+    RIFF container, reinterpret the PCM body as signed int16, and emit
+    per-window sample statistics — the audio half of a multimodal
+    tokenizer (fixed-length acoustic frames). Pure map, Arrow-batched,
+    scan parallelism; the boundary window is truncated."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "window_id": [], "n_samples": [],
+                "sum_samples": [], "sum_abs": [], "peak": [],
+            }
+            for d, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio":
+                    continue
+                info = decode_wav(bytes(payload))
+                count = info["n_samples"] * info["n_channels"]
+                samples = np.frombuffer(
+                    payload, dtype="<i2", count=count, offset=info["body_offset"]
+                ).astype(np.int64)
+                for w0 in range(0, count, window):
+                    blk = samples[w0 : w0 + window]
+                    out["doc_id"].append(int(d))
+                    out["window_id"].append(w0 // window)
+                    out["n_samples"].append(int(blk.size))
+                    out["sum_samples"].append(int(blk.sum()))
+                    out["sum_abs"].append(int(np.abs(blk).sum()))
+                    out["peak"].append(int(np.abs(blk).max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, window_id bigint, n_samples bigint, "
+            "sum_samples bigint, sum_abs bigint, peak bigint"
+        ),
+    )

@@ -1124,3 +1124,56 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return patch_grid(synthesize_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal 4 — windowed audio frames (the acoustic-tokenizer analog
+# of the patch grid): real WAV parse + int16 reinterpretation, oracled
+# closed-form from sample formula v_i = (31i + d) mod 65536.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id AS d,
+                   (50 + LENGTH(text) % 200) * (1 + doc_id % 2) AS cnt
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        wins AS (
+            SELECT d, cnt,
+                   unnest(range(CAST((cnt + 63) // 64 AS INTEGER))) AS w
+            FROM p
+        ),
+        agg AS (
+            SELECT d, w,
+                   LEAST(64, cnt - w * 64) AS n,
+                   list_transform(
+                       range(CAST(LEAST(64, cnt - w * 64) AS INTEGER)),
+                       j -> CASE WHEN (31 * (w * 64 + j) + d) % 65536 >= 32768
+                                 THEN (31 * (w * 64 + j) + d) % 65536 - 65536
+                                 ELSE (31 * (w * 64 + j) + d) % 65536 END
+                   ) AS s
+            FROM wins
+        )
+        SELECT d                                   AS doc_id,
+               CAST(w AS BIGINT)                   AS window_id,
+               CAST(n AS BIGINT)                   AS n_samples,
+               CAST(list_sum(s) AS BIGINT)         AS sum_samples,
+               CAST(list_sum(list_transform(s, x -> ABS(x))) AS BIGINT)
+                                                   AS sum_abs,
+               CAST(list_max(list_transform(s, x -> ABS(x))) AS BIGINT)
+                                                   AS peak
+        FROM agg
+    """,
+    doc=(
+        "Windowed audio frames (64-sample windows over real WAV PCM "
+        "int16): per-window sum / abs-sum / peak — the acoustic "
+        "tokenizer front-end; pure map, every value oracle-checked "
+        "closed-form."
+    ),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.multimodal import audio_windows, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_windows(synthesize_media(docs))

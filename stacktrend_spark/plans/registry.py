@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "compliance_delete_audit",
     "incremental_agg_maintenance",
     "multimodal_patch_grid",
+    "multimodal_audio_windows",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -131,7 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "gold_repo_health_dashboard",
     # -- last proven in r1: joins + merge family
     "join_revenue_by_nation",
-    "merge_preserve_classification",
+
     # -- last proven in r1: aggregates / relational shapes
     "agg_global_market_pulse",
     "subquery_scalar_above_avg",
