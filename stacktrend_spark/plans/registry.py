@@ -130,9 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "gold_lang_stats",
     "gold_market_pulse",
     "gold_repo_health_dashboard",
-    # -- last proven in r1: joins + merge family
+    # -- last proven in r1: joins + aggregates / relational shapes
     "join_revenue_by_nation",
-
     # -- last proven in r1: aggregates / relational shapes
     "agg_global_market_pulse",
     "subquery_scalar_above_avg",
