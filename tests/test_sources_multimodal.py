@@ -266,3 +266,61 @@ def test_fetch_distributed_runs_executor_side(spark):
     payload = _json.loads(next(r["payload_json"] for r in rows if r["path"] == "/repos/3"))
     assert payload == {"path": "/repos/3", "page": 3, "items": [1, 2, 3]}
     assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_patch_sums_reassemble_to_body_checksum(spark, sf_dir):
+    """Σ patch sums per image == the decoder's body checksum — the
+    patch grid partitions the pixel array exactly (no gap/overlap)."""
+    from stacktrend_spark.operators.multimodal import (
+        extract_features,
+        patch_grid,
+        synthesize_media,
+    )
+    from stacktrend_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    grid_tot = (
+        patch_grid(media)
+        .groupBy("doc_id")
+        .agg(F.sum("patch_sum").alias("s"))
+    )
+    feats = extract_features(media).filter(F.col("media_type") == "image")
+    joined = feats.join(grid_tot, "doc_id").select(
+        "doc_id", "body_checksum", "s"
+    )
+    bad = joined.filter(F.col("body_checksum") != F.col("s")).count()
+    assert bad == 0 and joined.count() > 0
+
+
+def test_audio_windows_partition_sample_stream(spark, sf_dir):
+    """Window n_samples sum == total PCM samples per doc, and each
+    window's |sum| <= sum_abs <= n * 32768."""
+    from stacktrend_spark.operators.multimodal import (
+        audio_windows,
+        extract_features,
+        synthesize_media,
+    )
+    from stacktrend_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    wins = audio_windows(media)
+    bad = wins.filter(
+        (F.abs(F.col("sum_samples")) > F.col("sum_abs"))
+        | (F.col("sum_abs") > F.col("n_samples") * 32768)
+        | (F.col("peak") > 32768)
+    ).count()
+    assert bad == 0
+    tot = wins.groupBy("doc_id").agg(F.sum("n_samples").alias("n"))
+    feats = extract_features(media).filter(F.col("media_type") == "audio")
+    mismatch = (
+        feats.join(tot, "doc_id")
+        .filter(F.col("n") != F.col("n_samples") * F.col("n_channels"))
+        .count()
+    )
+    assert mismatch == 0 and tot.count() > 0
