@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_agg_maintenance",
     "multimodal_patch_grid",
     "multimodal_audio_windows",
+    "window_running_distinct_users",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -140,7 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_range_frame_trailing",
     "window_rank_in_group",
     "window_share_global",
-    "window_share_of_region",
     "rank_global_scalable",
     "sessionize_events",
     # -- last proven in r1: scalars / json / arrays

@@ -556,3 +556,71 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@register(
+    "window_running_distinct_users",
+    oracle="""
+        WITH days AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no
+            FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day_no) AS d0 FROM days GROUP BY 1
+        ),
+        daily AS (
+            SELECT d.day_no,
+                   CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active,
+                   CAST(COUNT(DISTINCT CASE WHEN f.d0 = d.day_no
+                                            THEN d.user_id END) AS BIGINT)
+                       AS n_new
+            FROM days d JOIN first_seen f USING (user_id)
+            GROUP BY 1
+        )
+        SELECT day_no, n_active, n_new,
+               CAST(SUM(n_new) OVER (
+                   ORDER BY day_no ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS distinct_users_to_date
+        FROM daily
+    """,
+    doc=(
+        "Running DISTINCT-user count: COUNT(DISTINCT) OVER is "
+        "unsupported (and unscalable — per-frame dedup state); the "
+        "scalable rewrite attributes each user to their FIRST-seen day "
+        "and running-sums the first-seen counts. State per day = one "
+        "integer; the window runs over the tiny daily aggregate."
+    ),
+)
+def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_no")
+    )
+    # two independent aggregates, joined on the CALENDAR key (bounded
+    # by days, broadcastable at any data scale) — never a join on
+    # user_id, whose cardinality grows with the data:
+    active = days.groupBy("day_no").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active")
+    )
+    new_per_day = (
+        days.groupBy("user_id")
+        .agg(F.min("day_no").alias("day_no"))
+        .groupBy("day_no")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    daily = active.join(F.broadcast(new_per_day), "day_no", "left").select(
+        "day_no",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    # the running sum is over the DAILY aggregate (dozens of rows) —
+    # a single-partition window here is bounded by calendar days, not
+    # data volume; it never touches event-level rows
+    w = W.orderBy("day_no").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.col("day_no").cast("long").alias("day_no"),
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("distinct_users_to_date"),
+    )
