@@ -258,3 +258,67 @@ def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sample_rank").cast("long").alias("sample_rank"),
         )
     )
+
+
+@register(
+    "event_pattern_match",
+    # MATCH_RECOGNIZE-style sequence detection: a strict
+    # view -> click -> purchase run (no intervening events for the
+    # user) completing within 24 hours of the first step
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS t_us,
+                   LAG(event_type, 1) OVER w AS p1_type,
+                   LAG(event_type, 2) OVER w AS p2_type,
+                   LAG(event_id, 2)  OVER w AS start_id,
+                   LAG(t_us, 2)      OVER w AS start_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               start_id                           AS view_event_id,
+               event_id                           AS purchase_event_id,
+               CAST(t_us - start_us AS BIGINT)    AS elapsed_us
+        FROM seq
+        WHERE event_type = 'purchase'
+          AND p1_type = 'click'
+          AND p2_type = 'view'
+          AND t_us - start_us <= 86400000000
+    """,
+    doc=(
+        "Sequence-pattern detection (MATCH_RECOGNIZE analog): strict "
+        "consecutive view->click->purchase within 24h via per-user "
+        "ordered lags — one window partition per user, no self-joins, "
+        "no per-user arrays; state is 2 lagged rows."
+    ),
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.lag("event_type", 1).over(w).alias("p1_type"),
+        F.lag("event_type", 2).over(w).alias("p2_type"),
+        F.lag("event_id", 2).over(w).alias("start_id"),
+        F.lag(F.unix_micros("ts"), 2).over(w).alias("start_us"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("p1_type") == "click")
+            & (F.col("p2_type") == "view")
+            & (F.col("t_us") - F.col("start_us") <= 86_400_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("start_id").alias("view_event_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            (F.col("t_us") - F.col("start_us")).cast("long").alias("elapsed_us"),
+        )
+    )

@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_patch_grid",
     "multimodal_audio_windows",
     "window_running_distinct_users",
+    "event_pattern_match",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -140,7 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_monthly_trend",
     "window_range_frame_trailing",
     "window_rank_in_group",
-    "window_share_global",
     "rank_global_scalable",
     "sessionize_events",
     # -- last proven in r1: scalars / json / arrays
