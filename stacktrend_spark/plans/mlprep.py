@@ -589,3 +589,88 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("minmax"),
     )
+
+
+@register(
+    "quantile_normalize_lengths",
+    # percentile buckets use the ARITHMETIC form ((rank-1)*100)//N + 1
+    # on BOTH engines (never NTILE, whose remainder-distribution rule
+    # differs from this formula), so bucket assignment is exact-integer
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+                   COUNT(*) OVER (PARTITION BY source)               AS n
+            FROM documents
+        ),
+        src_pct AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(((r - 1) * 100) // n + 1 AS BIGINT) AS pct
+            FROM ranked
+        ),
+        granked AS (
+            SELECT n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr,
+                   COUNT(*) OVER ()                             AS gn
+            FROM documents
+        ),
+        bounds AS (
+            SELECT CAST(((gr - 1) * 100) // gn + 1 AS BIGINT) AS pct,
+                   CAST(MAX(n_chars) AS BIGINT) AS boundary_chars
+            FROM granked GROUP BY 1
+        )
+        SELECT s.doc_id, s.source,
+               CAST(s.n_chars AS BIGINT) AS n_chars,
+               s.pct,
+               b.boundary_chars          AS normalized_chars
+        FROM src_pct s JOIN bounds b USING (pct)
+    """,
+    doc=(
+        "Cross-source quantile normalization of document lengths: each "
+        "doc's within-source percentile maps to the global length "
+        "distribution's boundary value — the distribution-shift "
+        "equalizer for mixing corpora. Per-source windows parallel by "
+        "source; the global rank uses the two-phase scalable ranker; "
+        "the 100-row boundary table broadcasts."
+    ),
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    sw = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    n_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    src_pct = (
+        docs.withColumn("r", F.row_number().over(sw))
+        .join(F.broadcast(n_src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.expr("((r - 1) * 100) DIV n") + 1).cast("long").alias("pct"),
+        )
+    )
+    granked = global_rank_scalable(
+        docs.select("doc_id", "n_chars"),
+        order_cols=[F.col("n_chars"), F.col("doc_id")],
+        rank_col="gr",
+    )
+    gn = granked.count()  # bounded driver scalar
+    bounds = (
+        granked.select(
+            (F.expr(f"((gr - 1) * 100) DIV {gn}") + 1).cast("long").alias("pct"),
+            "n_chars",
+        )
+        .groupBy("pct")
+        .agg(F.max("n_chars").cast("long").alias("boundary_chars"))
+    )
+    return src_pct.join(F.broadcast(bounds), "pct").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "pct",
+        "boundary_chars",
+    ).withColumnRenamed("boundary_chars", "normalized_chars")

@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_audio_windows",
     "window_running_distinct_users",
     "event_pattern_match",
+    "quantile_normalize_lengths",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -141,7 +142,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_monthly_trend",
     "window_range_frame_trailing",
     "window_rank_in_group",
-    "rank_global_scalable",
     "sessionize_events",
     # -- last proven in r1: scalars / json / arrays
     "scalar_conditional_tiers",
