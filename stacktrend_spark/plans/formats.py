@@ -169,3 +169,87 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_price_cents"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+        SELECT r.r_regionkey                    AS region_key,
+               CAST(COUNT(*) AS BIGINT)         AS n_nations,
+               CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_nationkey
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    """,
+    doc=(
+        "Native XML round-trip (Spark 4 built-in xml source): nation "
+        "written as row-tagged XML, read back with a DECLARED schema, "
+        "joined to region. (Avro is NOT bundled in this environment — "
+        "format('avro') raises FAILED_TO_FIND_DATA_SOURCE — so XML is "
+        "the fourth interchange format after CSV/JSONL/ORC.)"
+    ),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = tempfile.mkdtemp(prefix="stacktrend_xml_")
+    path = f"{base}/nation_xml"
+    nation.write.format("xml").option("rowTag", "nation").save(path)
+    n = (
+        spark.read.format("xml")
+        .schema(nation.schema)
+        .option("rowTag", "nation")
+        .load(path)
+    )
+    return (
+        n.join(F.broadcast(region), n.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_regionkey").alias("region_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+        )
+    )
+
+
+@register(
+    "source_compression_roundtrip",
+    # identical aggregate per codec proves each roundtrip is lossless;
+    # codec byte sizes are env-dependent so they stay OUT of the
+    # hashed surface (logged via bench/input stats instead)
+    oracle="""
+        WITH agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT)          AS sum_cents
+            FROM orders
+        )
+        SELECT codec, n_rows, sum_cents
+        FROM agg, (VALUES ('snappy'), ('zstd'), ('gzip')) AS c(codec)
+        ORDER BY codec
+    """,
+    doc=(
+        "Compression-codec round-trip: orders written as parquet under "
+        "snappy/zstd/gzip, each read back and aggregated — identical "
+        "values per codec prove lossless storage; sizes are "
+        "env-dependent and excluded from the hashed surface."
+    ),
+)
+def source_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="stacktrend_codec_")
+    out = None
+    for codec in ("gzip", "snappy", "zstd"):
+        path = f"{base}/{codec}"
+        orders.write.option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        agg = back.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("sum_cents"),
+        ).select(F.lit(codec).alias("codec"), "n_rows", "sum_cents")
+        out = agg if out is None else out.unionAll(agg)
+    return out

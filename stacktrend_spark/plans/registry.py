@@ -117,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_distinct_users",
     "event_pattern_match",
     "quantile_normalize_lengths",
+    "source_xml_roundtrip",
+    "source_compression_roundtrip",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -129,7 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math_scores",
     "udaf_trimmed_mean",
     # -- freshness rotation, last proven in r1: gold mirrors
-    "gold_trend_daily",
     "gold_lang_stats",
     "gold_market_pulse",
     "gold_repo_health_dashboard",
@@ -144,7 +145,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_rank_in_group",
     "sessionize_events",
     # -- last proven in r1: scalars / json / arrays
-    "scalar_conditional_tiers",
     "scalar_try_clean",
     "array_word_cooccurrence",
     # -- last proven in r1: dedup / similarity
