@@ -119,6 +119,7 @@ _PRIORITY: tuple[str, ...] = (
     "quantile_normalize_lengths",
     "source_xml_roundtrip",
     "source_compression_roundtrip",
+    "stream_topk_users_daily",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -143,7 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_monthly_trend",
     "window_range_frame_trailing",
     "window_rank_in_group",
-    "sessionize_events",
     # -- last proven in r1: scalars / json / arrays
     "scalar_try_clean",
     "array_word_cooccurrence",

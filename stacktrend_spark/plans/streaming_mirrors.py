@@ -418,3 +418,56 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_static_enrichment_sink",
         state_partitions=8,
     )
+
+
+@register(
+    "stream_topk_users_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT)        AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY window_start_us
+                ORDER BY n_events DESC, user_id) AS rnk
+            FROM daily
+        )
+        SELECT window_start_us, user_id, n_events,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+    """,
+    doc=(
+        "Streaming top-k: incremental tumbling per-(day, user) counts "
+        "(the stateful streaming half), then the rank over the "
+        "materialized daily aggregate on the serving side — ranking "
+        "inside the stream would need complete-mode state over all "
+        "users; ranking the compact aggregate after is the scalable "
+        "split."
+    ),
+)
+def stream_topk_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_events_stream(spark, sf_dir)
+    daily = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "user_id",
+            "n_events",
+        )
+    )
+    agg = run_to_batch(daily, "stream_topk_users_daily_sink", state_partitions=8)
+    rnk = F.row_number().over(
+        W.partitionBy("window_start_us").orderBy(
+            F.desc("n_events"), F.asc("user_id")
+        )
+    )
+    return agg.select(
+        "window_start_us", "user_id", "n_events", rnk.alias("rnk")
+    ).filter(F.col("rnk") <= 5)
