@@ -120,6 +120,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_xml_roundtrip",
     "source_compression_roundtrip",
     "stream_topk_users_daily",
+    "agg_weighted_median",
+    "join_null_safe_buckets",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -139,7 +141,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_revenue_by_nation",
     # -- last proven in r1: aggregates / relational shapes
     "agg_global_market_pulse",
-    "subquery_scalar_above_avg",
     # -- last proven in r1: windows
     "window_lag_monthly_trend",
     "window_range_frame_trailing",
@@ -149,7 +150,6 @@ _PRIORITY: tuple[str, ...] = (
     "array_word_cooccurrence",
     # -- last proven in r1: dedup / similarity
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "sim_bruteforce_topk",
 )
 

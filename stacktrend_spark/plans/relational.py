@@ -560,3 +560,56 @@ def agg_mode_nation_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@register(
+    "join_null_safe_buckets",
+    # null-safe equality (Spark <=>, SQL IS NOT DISTINCT FROM): NULL
+    # bucket keys MATCH each other instead of dropping out — the
+    # semantics dimension/bridge tables with unknown keys need
+    oracle="""
+        WITH o AS (
+            SELECT NULLIF(o_orderkey % 5, 0) AS bucket,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM orders
+        ),
+        dim AS (
+            SELECT NULLIF(k, 0) AS bucket,
+                   CASE WHEN k = 0 THEN 'unknown' ELSE 'tier_' || k END AS label
+            FROM (SELECT unnest(generate_series(0, 4)) AS k)
+        )
+        SELECT d.label,
+               CAST(COUNT(o.cents) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(o.cents), 0) AS BIGINT) AS sum_cents
+        FROM dim d JOIN o ON d.bucket IS NOT DISTINCT FROM o.bucket
+        GROUP BY 1
+    """,
+    doc=(
+        "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL "
+        "bucket joins the NULL dimension row instead of vanishing — "
+        "still plans as a hash join (null-safe keys are hashable), "
+        "unlike general inequality predicates."
+    ),
+)
+def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.nullif(F.col("o_orderkey") % 5, F.lit(0)).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dim = spark.range(5).select(
+        F.nullif(F.col("id"), F.lit(0)).alias("bucket"),
+        F.when(F.col("id") == 0, F.lit("unknown"))
+        .otherwise(F.concat(F.lit("tier_"), F.col("id").cast("string")))
+        .alias("label"),
+    )
+    return (
+        o.join(F.broadcast(dim), o.bucket.eqNullSafe(dim.bucket))
+        .groupBy("label")
+        .agg(
+            F.count("cents").cast("long").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sum_cents"),
+        )
+    )

@@ -566,3 +566,70 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "agg_weighted_median",
+    # weighted median: smallest price whose cumulative quantity share
+    # reaches half the group's total — all arithmetic exact-integer
+    # (cents x quantity), the threshold an integer cross-multiplication
+    oracle="""
+        WITH v AS (
+            SELECT l_returnflag,
+                   CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT l_returnflag, cents, qty,
+                   SUM(qty) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY cents, qty
+                       ROWS UNBOUNDED PRECEDING) AS cq,
+                   SUM(qty) OVER (PARTITION BY l_returnflag) AS tq
+            FROM v
+        )
+        SELECT l_returnflag,
+               CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+               CAST(MIN(tq) AS BIGINT)    AS total_quantity
+        FROM cum
+        WHERE cq * 2 >= tq
+        GROUP BY 1
+    """,
+    doc=(
+        "Weighted median price per return flag (weights = quantities): "
+        "per-group cumulative-weight window, threshold by integer "
+        "cross-multiplication (cq*2 >= tq) — the robust-stat the plain "
+        "median family lacks; windows partition per group, no global "
+        "sort."
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents", "qty")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = v.select(
+        "l_returnflag",
+        "cents",
+        F.sum("qty").over(wcum).alias("cq"),
+        F.sum("qty").over(wall).alias("tq"),
+    )
+    return (
+        cum.filter(F.col("cq") * 2 >= F.col("tq"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("long").alias("weighted_median_cents"),
+            F.min("tq").cast("long").alias("total_quantity"),
+        )
+    )
