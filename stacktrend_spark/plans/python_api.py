@@ -272,3 +272,83 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("k")).cast("long").alias("n_distinct_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+@register(
+    "grouped_map_mad",
+    # lower-median convention keeps every output an exact integer:
+    # med = sorted[(n-1)//2], mad = lower-median of |x - med| — both
+    # selected by explicit ROW_NUMBER in the oracle, no interpolation
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, cents AS med_cents FROM (
+                SELECT event_type, cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY cents) AS r,
+                       COUNT(*) OVER (PARTITION BY event_type)     AS n
+                FROM v
+            ) WHERE r = (n - 1) // 2 + 1
+        ),
+        dev AS (
+            SELECT v.event_type, ABS(v.cents - m.med_cents) AS d
+            FROM v JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, d AS mad_cents FROM (
+                SELECT event_type, d,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY d) AS r,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+            ) WHERE r = (n - 1) // 2 + 1
+        )
+        SELECT m.event_type,
+               CAST((SELECT COUNT(*) FROM v WHERE v.event_type = m.event_type)
+                    AS BIGINT)                   AS n_events,
+               CAST(m.med_cents AS BIGINT)       AS median_cents,
+               CAST(a.mad_cents AS BIGINT)       AS mad_cents
+        FROM med m JOIN mad a USING (event_type)
+    """,
+    doc=(
+        "Grouped-map applyInPandas: per-event-type median + MAD in "
+        "exact cents (lower-median convention — integer in, integer "
+        "out). The grouped-map API surface: one pandas frame per "
+        "group, groups process in parallel; group cardinality is "
+        "bounded (event types), so no group outgrows a worker."
+    ),
+)
+def grouped_map_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["cents"].sort_values().reset_index(drop=True)
+        n = len(c)
+        med = int(c.iloc[(n - 1) // 2])
+        d = (pdf["cents"] - med).abs().sort_values().reset_index(drop=True)
+        m = int(d.iloc[(n - 1) // 2])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [n],
+                "median_cents": [med],
+                "mad_cents": [m],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        mad,
+        schema=(
+            "event_type string, n_events bigint, "
+            "median_cents bigint, mad_cents bigint"
+        ),
+    )
