@@ -322,3 +322,198 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t_us") - F.col("start_us")).cast("long").alias("elapsed_us"),
         )
     )
+
+
+@register(
+    "market_basket_rules",
+    # association rules over bulk co-purchases: support exact-integer,
+    # confidence/lift as exact ppm via integer DIV (no float division
+    # on the hashed surface)
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem WHERE l_quantity >= 40
+        ),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+        item AS (SELECT l_partkey, COUNT(*) AS c FROM li GROUP BY 1),
+        pair AS (
+            SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS cxy
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        )
+        SELECT p.x AS antecedent, p.y AS consequent,
+               CAST(p.cxy AS BIGINT)                          AS support_n,
+               CAST(p.cxy * 1000000 // ia.c AS BIGINT)        AS confidence_ppm,
+               CAST(p.cxy * n.n_orders * 1000000
+                    // (ia.c * ic.c) AS BIGINT)               AS lift_ppm
+        FROM pair p
+        JOIN item ia ON ia.l_partkey = p.x
+        JOIN item ic ON ic.l_partkey = p.y
+        CROSS JOIN n
+    """,
+    doc=(
+        "Association rules (support/confidence/lift) over bulk "
+        "co-purchases: pair supports from one self-join + HAVING gate; "
+        "confidence and lift as exact ppm integers (DIV, no float "
+        "division); item counts broadcast back onto surviving pairs."
+    ),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()  # bounded scalar
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 2)
+    )
+    ia = F.broadcast(item.select(F.col("l_partkey").alias("x"), F.col("c").alias("ca")))
+    ic = F.broadcast(item.select(F.col("l_partkey").alias("y"), F.col("c").alias("cc")))
+    return (
+        pair.join(ia, "x")
+        .join(ic, "y")
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("cxy").cast("long").alias("support_n"),
+            F.expr("cxy * 1000000 DIV ca").cast("long").alias("confidence_ppm"),
+            F.expr(f"cxy * {n_orders}L * 1000000 DIV (ca * cc)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+@register(
+    "events_markov_transition",
+    # event-type transition counts from per-user ordered sequences;
+    # row-normalized probabilities as exact ppm integers
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS cur,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        t AS (
+            SELECT cur, nxt, COUNT(*) AS c FROM seq
+            WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        row_tot AS (SELECT cur, SUM(c) AS tot FROM t GROUP BY 1)
+        SELECT t.cur AS from_type, t.nxt AS to_type,
+               CAST(t.c AS BIGINT)                     AS n_transitions,
+               CAST(t.c * 1000000 // r.tot AS BIGINT)  AS prob_ppm
+        FROM t JOIN row_tot r USING (cur)
+    """,
+    doc=(
+        "Markov transition matrix over per-user event sequences: LEAD "
+        "per user partition (no self-join), row-normalized to exact "
+        "ppm integers — the behavioral-model fitting step."
+    ),
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    t = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    row_tot = t.groupBy("cur").agg(F.sum("c").alias("tot"))
+    return (
+        t.join(F.broadcast(row_tot), "cur")
+        .select(
+            F.col("cur").alias("from_type"),
+            F.col("nxt").alias("to_type"),
+            F.col("c").cast("long").alias("n_transitions"),
+            F.expr("c * 1000000 DIV tot").cast("long").alias("prob_ppm"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_scores",
+    # RFM quintiles via the exact arithmetic bucket formula
+    # ((rank-1)*5) DIV n + 1 (identical on both engines; never NTILE)
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+                   CAST(COUNT(*) AS BIGINT)                      AS freq,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT)                               AS monetary_cents
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY last_us, o_custkey)        AS rr,
+                   ROW_NUMBER() OVER (ORDER BY freq, o_custkey)           AS rf,
+                   ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) AS rm,
+                   COUNT(*) OVER ()                                       AS n
+            FROM base
+        )
+        SELECT o_custkey AS cust_key, freq, monetary_cents,
+               CAST(((rr - 1) * 5) // n + 1 AS BIGINT) AS r_score,
+               CAST(((rf - 1) * 5) // n + 1 AS BIGINT) AS f_score,
+               CAST(((rm - 1) * 5) // n + 1 AS BIGINT) AS m_score
+        FROM ranked
+    """,
+    doc=(
+        "RFM quintile scoring per customer (recency/frequency/"
+        "monetary): three global ranks via the two-phase scalable "
+        "ranker, bucketed by exact integer arithmetic — the classic "
+        "marketing-mart scoring table."
+    ),
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_us"
+        ),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    ranked = base
+    for rank_col, order_col in (
+        ("rr", "last_us"),
+        ("rf", "freq"),
+        ("rm", "monetary_cents"),
+    ):
+        ranked = global_rank_scalable(
+            ranked,
+            order_cols=[F.col(order_col), F.col("o_custkey")],
+            rank_col=rank_col,
+        )
+    n = base.count()  # bounded scalar
+    return ranked.select(
+        F.col("o_custkey").alias("cust_key"),
+        "freq",
+        "monetary_cents",
+        (F.expr(f"((rr - 1) * 5) DIV {n}") + 1).cast("long").alias("r_score"),
+        (F.expr(f"((rf - 1) * 5) DIV {n}") + 1).cast("long").alias("f_score"),
+        (F.expr(f"((rm - 1) * 5) DIV {n}") + 1).cast("long").alias("m_score"),
+    )
