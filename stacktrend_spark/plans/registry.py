@@ -122,6 +122,10 @@ _PRIORITY: tuple[str, ...] = (
     "stream_topk_users_daily",
     "agg_weighted_median",
     "join_null_safe_buckets",
+    "grouped_map_mad",
+    "market_basket_rules",
+    "events_markov_transition",
+    "customer_rfm_scores",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -135,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_trimmed_mean",
     # -- freshness rotation, last proven in r1: gold mirrors
     "gold_lang_stats",
-    "gold_market_pulse",
     "gold_repo_health_dashboard",
     # -- last proven in r1: joins + aggregates / relational shapes
     "join_revenue_by_nation",
@@ -143,11 +146,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_global_market_pulse",
     # -- last proven in r1: windows
     "window_lag_monthly_trend",
-    "window_range_frame_trailing",
     "window_rank_in_group",
     # -- last proven in r1: scalars / json / arrays
-    "scalar_try_clean",
-    "array_word_cooccurrence",
     # -- last proven in r1: dedup / similarity
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
