@@ -517,3 +517,60 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(f"((rf - 1) * 5) DIV {n}") + 1).cast("long").alias("f_score"),
         (F.expr(f"((rm - 1) * 5) DIV {n}") + 1).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "user_activity_streaks",
+    # gaps-and-islands: consecutive-day runs via the day_no - rank
+    # constant-per-island trick (no self-joins, no iteration)
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, day_no,
+                   day_no - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day_no) AS island
+            FROM days
+        ),
+        islands AS (
+            SELECT user_id, island,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   CAST(MIN(day_no) AS BIGINT) AS start_day
+            FROM grp GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)  AS n_streaks,
+               CAST(MAX(len) AS BIGINT)  AS longest_streak,
+               CAST(MIN(start_day) AS BIGINT) AS first_active_day
+        FROM islands GROUP BY 1
+    """,
+    doc=(
+        "Gaps-and-islands: per-user consecutive-active-day streaks via "
+        "the day_no - row_number constant-per-island identity — one "
+        "partitioned window + two aggregates, no self-joins or "
+        "iteration."
+    ),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day_no")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day_no")
+    grp = days.withColumn(
+        "island", F.col("day_no") - F.row_number().over(w)
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day_no").cast("long").alias("start_day"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.min("start_day").cast("long").alias("first_active_day"),
+    )

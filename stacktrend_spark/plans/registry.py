@@ -126,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "market_basket_rules",
     "events_markov_transition",
     "customer_rfm_scores",
+    "user_activity_streaks",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -143,7 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     # -- last proven in r1: joins + aggregates / relational shapes
     "join_revenue_by_nation",
     # -- last proven in r1: aggregates / relational shapes
-    "agg_global_market_pulse",
     # -- last proven in r1: windows
     "window_lag_monthly_trend",
     "window_rank_in_group",
