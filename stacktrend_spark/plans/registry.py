@@ -127,6 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_markov_transition",
     "customer_rfm_scores",
     "user_activity_streaks",
+    "agg_empty_input_semantics",
+    "agg_winsorized_balance",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -145,8 +147,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_revenue_by_nation",
     # -- last proven in r1: aggregates / relational shapes
     # -- last proven in r1: windows
-    "window_lag_monthly_trend",
-    "window_rank_in_group",
     # -- last proven in r1: scalars / json / arrays
     # -- last proven in r1: dedup / similarity
     "dedup_minhash_lsh",

@@ -613,3 +613,51 @@ def join_null_safe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "agg_empty_input_semantics",
+    # ANSI aggregate-on-empty-input semantics: a global aggregate over
+    # zero rows returns exactly ONE row with COUNT = 0 and null SUM/
+    # MIN/MAX — a classic engine-divergence trap (GROUP BY over empty
+    # input returns ZERO rows; both shapes are pinned here)
+    oracle="""
+        WITH none AS (SELECT * FROM orders WHERE o_orderkey < 0)
+        SELECT 'global' AS agg_shape,
+               CAST(COUNT(*) AS BIGINT)  AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM none
+        UNION ALL
+        SELECT 'grouped', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               CAST(MAX(o_orderkey) AS BIGINT)
+        FROM none GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Aggregate-on-empty-input semantics: global agg over zero rows "
+        "-> one row (COUNT 0, null SUM/MAX); grouped agg -> zero rows. "
+        "Pinned because engines historically diverge here and silent "
+        "drift corrupts every downstream COALESCE."
+    ),
+)
+def agg_empty_input_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    none = orders.filter(F.col("o_orderkey") < 0)
+    g = none.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    ).select(F.lit("global").alias("agg_shape"), "n_rows", "sum_key", "max_key")
+    grp = (
+        none.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select(
+            F.lit("grouped").alias("agg_shape"), "n_rows", "sum_key", "max_key"
+        )
+    )
+    return g.unionAll(grp)

@@ -633,3 +633,86 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tq").cast("long").alias("total_quantity"),
         )
     )
+
+
+@register(
+    "agg_winsorized_balance",
+    # winsorization clamps at exact rank-selected p5/p95 cut values
+    # (row_number selection, never interpolating percentiles), so the
+    # clamped sum is an exact integer on both engines
+    oracle="""
+        WITH v AS (
+            SELECT s_nationkey,
+                   CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM supplier
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents) AS r,
+                   COUNT(*) OVER () AS n
+            FROM v
+        ),
+        cuts AS (
+            SELECT
+                MAX(CASE WHEN r = GREATEST((n * 5) // 100, 1) THEN cents END)
+                    AS lo,
+                MAX(CASE WHEN r = LEAST((n * 95) // 100 + 1, n) THEN cents END)
+                    AS hi
+            FROM ranked
+        )
+        SELECT v.s_nationkey                     AS nation_key,
+               CAST(COUNT(*) AS BIGINT)          AS n_suppliers,
+               CAST(SUM(LEAST(GREATEST(v.cents, c.lo), c.hi)) AS BIGINT)
+                                                 AS winsorized_sum_cents,
+               CAST(SUM(CASE WHEN v.cents < c.lo OR v.cents > c.hi
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                                                 AS n_clamped
+        FROM v CROSS JOIN cuts c
+        GROUP BY 1
+    """,
+    doc=(
+        "Winsorized account balances per nation: p5/p95 cut values "
+        "selected by exact global rank (two-phase scalable ranker, no "
+        "percentile interpolation), broadcast back as a 1-row cut "
+        "table; clamped sums exact-integer."
+    ),
+)
+def agg_winsorized_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    sup = load_table(spark, sf_dir, "supplier")
+    v = sup.select(
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ranked = global_rank_scalable(
+        v.select("cents"), order_cols=[F.col("cents")], rank_col="r"
+    )
+    n = v.count()  # bounded scalar
+    lo_r = max((n * 5) // 100, 1)
+    hi_r = min((n * 95) // 100 + 1, n)
+    cuts = ranked.agg(
+        F.max(F.when(F.col("r") == lo_r, F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("r") == hi_r, F.col("cents"))).alias("hi"),
+    )
+    return (
+        v.crossJoin(F.broadcast(cuts))
+        .groupBy(F.col("s_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")))
+            .cast("long")
+            .alias("winsorized_sum_cents"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo"))
+                    | (F.col("cents") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+    )
