@@ -335,3 +335,32 @@ def test_er_cross_pairs_stay_on_distinct_values(spark, sf_dir):
     assert schema_lines and all(
         l.endswith("struct<p_name:string>") for l in schema_lines
     )
+
+
+def test_interval_overlap_is_a_hash_join_not_nested_loop(spark, sf_dir):
+    """Day-banding must turn the interval-overlap predicate into an
+    equi-join Catalyst can hash: a BroadcastNestedLoopJoin or
+    CartesianProduct here means the band key was lost and the join is
+    O(|A|x|B|) per user (plans/linkage.py)."""
+    p = plan_of(all_queries()["interval_overlap_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_compliance_audit_broadcasts_deletion_keys(spark, sf_dir):
+    """The right-to-be-forgotten audit must broadcast the (small)
+    deletion key set down the FK chain — a fact-side shuffle for a
+    key-list semi-join is a 100 TB anti-pattern (plans/lakehouse.py)."""
+    p = plan_of(all_queries()["compliance_delete_audit"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_market_basket_broadcasts_item_counts(spark, sf_dir):
+    """Confidence/lift attach per-item counts onto surviving pairs via
+    broadcast — re-shuffling the pair table on item keys would be a
+    second full shuffle of the largest intermediate
+    (plans/behavioral.py)."""
+    p = plan_of(all_queries()["market_basket_rules"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
