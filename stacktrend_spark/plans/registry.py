@@ -129,6 +129,9 @@ _PRIORITY: tuple[str, ...] = (
     "user_activity_streaks",
     "agg_empty_input_semantics",
     "agg_winsorized_balance",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "pareto_revenue_deciles",
     # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
     "stream_static_enrichment",
     "stream_upsert_user_totals",
@@ -141,10 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_math_scores",
     "udaf_trimmed_mean",
     # -- freshness rotation, last proven in r1: gold mirrors
-    "gold_lang_stats",
-    "gold_repo_health_dashboard",
     # -- last proven in r1: joins + aggregates / relational shapes
-    "join_revenue_by_nation",
     # -- last proven in r1: aggregates / relational shapes
     # -- last proven in r1: windows
     # -- last proven in r1: scalars / json / arrays

@@ -661,3 +661,108 @@ def agg_empty_input_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return g.unionAll(grp)
+
+
+@register(
+    "q6_forecast_revenue",
+    # TPC-H Q6 shape: map-only filter + one global sum. Revenue =
+    # price x discount as an exact integer product (cents x basis
+    # points), so the hashed value is engine-exact with no rounding
+    # helpers on the surface.
+    oracle="""
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_lines,
+            CAST(SUM(
+                CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)
+            ) AS BIGINT)             AS revenue_cents_bp
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape (forecast revenue change): all predicates push "
+        "to the scan, zero joins, one global sum — the purest "
+        "scan-bandwidth query; revenue as exact cents x basis-points."
+    ),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    bp = F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(cents * bp).cast("long").alias("revenue_cents_bp"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    # TPC-H Q3 shape: segment filter -> two joins -> per-order revenue
+    # -> top 10 (unique-key tiebreaker). Revenue in exact
+    # cents x (100 - bp) integers.
+    oracle="""
+        SELECT
+            l.l_orderkey,
+            CAST(SUM(
+                CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l.l_discount * 100.0 + 0.5) AS BIGINT))
+            ) AS BIGINT)                      AS revenue_units,
+            epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS orderdate_us
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 3
+        ORDER BY revenue_units DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape (shipping priority): segment dim broadcast, "
+        "order/lineitem equi-joins, per-order revenue rollup, "
+        "deterministic top-10 — the classic join-then-rank template."
+    ),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("timestamp")
+        < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    bp = F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+        )
+        .agg(F.sum(cents * (F.lit(100) - bp)).cast("long").alias("revenue_units"))
+        .select("l_orderkey", "revenue_units", "orderdate_us")
+        .orderBy(F.desc("revenue_units"), F.asc("l_orderkey"))
+        .limit(10)
+    )

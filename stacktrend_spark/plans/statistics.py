@@ -716,3 +716,88 @@ def agg_winsorized_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clamped"),
         )
     )
+
+
+@register(
+    "pareto_revenue_deciles",
+    # Pareto / concentration analysis: customers ranked by monetary
+    # desc, bucketed into deciles by exact integer arithmetic, each
+    # decile's cumulative revenue share in exact ppm
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS r,
+                   COUNT(*) OVER () AS n,
+                   SUM(cents) OVER () AS total
+            FROM m
+        ),
+        dec AS (
+            SELECT CAST(((r - 1) * 10) // n + 1 AS BIGINT) AS decile,
+                   cents, total
+            FROM ranked
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS decile_cents,
+                   MIN(total) AS total
+            FROM dec GROUP BY 1
+        )
+        SELECT decile, n_customers, decile_cents,
+               CAST(SUM(decile_cents) OVER (
+                   ORDER BY decile ROWS UNBOUNDED PRECEDING) * 1000000
+                   // total AS BIGINT) AS cum_share_ppm
+        FROM per
+    """,
+    doc=(
+        "Pareto concentration: customers ranked by revenue desc into "
+        "exact-arithmetic deciles; cumulative share per decile in "
+        "exact ppm — the 'top 10% carries X%' analysis. Global rank "
+        "via the two-phase scalable ranker; the decile window runs "
+        "over 10 rows."
+    ),
+)
+def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_rank_scalable(
+        m, order_cols=[F.desc("cents"), F.asc("o_custkey")], rank_col="r"
+    )
+    n = m.count()  # bounded scalar
+    total = m.agg(F.sum("cents")).collect()[0][0]  # bounded scalar
+    per = (
+        ranked.select(
+            (F.expr(f"((r - 1) * 10) DIV {n}") + 1).cast("long").alias("decile"),
+            "cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+        )
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.expr(
+            f"sum(decile_cents) over (order by decile rows between "
+            f"unbounded preceding and current row) * 1000000 DIV {total}"
+        )
+        .cast("long")
+        .alias("cum_share_ppm"),
+    )
