@@ -320,3 +320,53 @@ def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((h), (d), (w))
         """
     )
+
+
+@register(
+    "events_dow_seasonality",
+    # day-of-week derived ARITHMETICALLY from the epoch day number
+    # ((day + 4) % 7, 0=Sunday): Spark's dayofweek() is 1-based-Sunday
+    # while DuckDB's dayofweek() is 0-based-Sunday — deriving from
+    # integer arithmetic sidesteps the off-by-one entirely
+    oracle="""
+        WITH d AS (
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)  AS cents
+            FROM events
+        ),
+        per AS (
+            SELECT (day_no + 4) % 7 AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM d GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_events) AS n FROM per)
+        SELECT CAST(dow AS BIGINT) AS dow,
+               n_events, sum_cents,
+               CAST(n_events * 1000000 // tot.n AS BIGINT) AS share_ppm
+        FROM per, tot
+    """,
+    doc=(
+        "Day-of-week seasonality profile: DOW from integer epoch-day "
+        "arithmetic ((day+4)%7 — engine-neutral, unlike the 0- vs "
+        "1-based dayofweek() builtins), activity share per weekday in "
+        "exact ppm."
+    ),
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per = d.groupBy(((F.col("day_no") + 4) % 7).cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    tot = per.agg(F.sum("n_events").alias("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_events",
+        "sum_cents",
+        F.expr("n_events * 1000000 DIV n").cast("long").alias("share_ppm"),
+    )
