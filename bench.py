@@ -100,6 +100,13 @@ HEADLINE = [
     "text_lm_score",
     "table_fingerprint_buckets",
     "lateral_top2_orders",
+    "agg_weighted_median",
+    "events_markov_transition",
+    "customer_rfm_scores",
+    "user_activity_streaks",
+    "grouped_map_mad",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)
