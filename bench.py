@@ -143,6 +143,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         # clean slate per query: several operators persist() small
         # intermediates they cannot unpersist (the result depends on
@@ -152,9 +153,16 @@ def main() -> None:
         t0 = time.time()
         specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        specs[name].fn(spark, sf_dir).count()
-        warm[name] = round(time.time() - t1, 3)
+        # warm = MEDIAN of 3 runs (r5, verdict task 6): single warm
+        # runs moved ±0.3 s round-over-round with zero code change —
+        # the median floors that noise so real regressions show.
+        runs = []
+        for _ in range(3):
+            t1 = time.time()
+            specs[name].fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t1, 3))
+        warm_runs[name] = runs
+        warm[name] = sorted(runs)[1]
 
     tables = input_stats(sf_dir)
     full = {
@@ -163,9 +171,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_warm": warm,
+        "queries_warm_runs": warm_runs,
         "warm_total": round(sum(warm.values()), 3),
         "comparable_total": round(sum(timings[n] for n in COMPARABLE), 3),
         "comparable_warm_total": round(sum(warm[n] for n in COMPARABLE), 3),
+        "comparable_warm_median": round(sum(warm[n] for n in COMPARABLE), 3),
+        "warm_is_median_of": 3,
         "comparable_n": len(COMPARABLE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries_registered": len(specs),
@@ -186,6 +197,7 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 2),
         "comparable_total": full["comparable_total"],
         "comparable_warm_total": full["comparable_warm_total"],
+        "comparable_warm_median": full["comparable_warm_median"],
         "sf": full["sf"],
         "input_rows": {n: s["rows"] for n, s in tables.items()},
         "detail": "BENCH_FULL.json",

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from stacktrend_spark.operators.similarity import dot
+from stacktrend_spark.operators.similarity import rank_cells_arrow, with_cell_arrow
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -131,7 +131,7 @@ def _assignment(emb: DataFrame) -> DataFrame:
 )
 def kmeans_recompute_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = _assignment(emb).join(emb, "vec_id")
+    assigned = _assigned(emb)  # fused row+cell kernel — no corpus join
     comps = assigned.select(
         F.col("cid"),
         F.posexplode(F.col("embedding")).alias("dim0", "x"),
@@ -242,11 +242,12 @@ def pipeline_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.plans.northstar import _NEAR_DUP_THRESHOLD, _emb_corpus
 
     corpus = _emb_corpus(spark, sf_dir)
-    asg = _assignment(corpus).select("vec_id", F.col("cid").alias("cell"))
-    # cache once: the assigned corpus feeds the pair join (both sides +
+    # cache once: the assigned corpus feeds the pair kernel (rows +
     # the hot-cell counts) and the final labeling join — without this
-    # the centroid argmin recomputes per consumer (A10 cache-once rule)
-    pe = corpus.join(asg, "vec_id").persist()
+    # the centroid argmin recomputes per consumer (A10 cache-once
+    # rule). r5: _assigned fuses row+cell in the map kernel, so the
+    # r4 corpus ⋈ assignment shuffle (both sides corpus-sized) is gone.
+    pe = _assigned(corpus).withColumnRenamed("cid", "cell").persist()
     pairs = cosine_near_dup_pairs(
         pe,
         threshold=_NEAR_DUP_THRESHOLD,
@@ -354,39 +355,40 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(corpus, probes, k=3, bucket_col="cell", dim=64)
 
 
-_DIM = 64  # testdata embedding width — lets dot() unroll to codegen
+_DIM = 64  # testdata embedding width (fixed — feeds the Arrow kernels)
+
+
+def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """COLLECTED seed centroids (bounded: K=8 rows — the
+    broadcast-centroids pattern; K·dim floats ship in the kernel
+    closure, the corpus never joins or fans out against them)."""
+    rows = emb.filter(F.col("vec_id") < _K).select("vec_id", "embedding").collect()
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
 
 
 def _assignment_ranked(emb: DataFrame) -> DataFrame:
     """(vec_id, cid, rn): every vector's centroids ordered by distance —
-    rn=1 is the Lloyd assignment, rn<=nprobe the probe set. Unrolled
-    codegen dots (dim known) — bit-equal to the interpreted fold, ~4×
-    faster per pair (operators/similarity.dot).
+    rn=1 is the Lloyd assignment, rn<=nprobe the probe set.
 
-    MEASURED NOTE (r4): an attempt to hoist the two self-dots into
-    per-side pre-join projections (they are per-point/per-centroid, so
-    on paper the pair expression shrinks 3×) REGRESSED semdedup cold
-    time ~2× (35–43 s vs 19–23 s at sf0.1, 3 trials each, fresh JVMs).
-    Whole-stage codegen already subexpression-eliminates the self-dots
-    inside one fused stage; the extra projections only grew the
-    analyzed plan and split the codegen span. Keep the dots inline —
-    the fused single-stage plan is both the fast and the simple one."""
-    cent = emb.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    d = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        (
-            dot(F.col("embedding"), F.col("embedding"), _DIM)
-            + dot(F.col("cvec"), F.col("cvec"), _DIM)
-            - F.lit(2) * dot(F.col("embedding"), F.col("cvec"), _DIM)
-        ).alias("dist2"),
-    )
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
-    )
-    return d.withColumn("rn", rn).select("vec_id", "cid", "rn")
+    r5: scored in the Arrow numpy kernel (rank_cells_arrow) against
+    collected centroids. The r4 form cross-joined a broadcast centroid
+    table with a 3×64-term unrolled codegen dist² per pair; MEASURED
+    (r4 bench log) that paid MB-scale task binaries + seconds of
+    Catalyst analysis per query, the dominant fixed cost of
+    pipeline_semdedup / sim_ivf_multiprobe. The kernel is a
+    constant-size closure, the corpus never fans out 8×, and dist²
+    keeps the exact IEEE op order of the oracle (see rank_cells_arrow
+    parity note). An r4 attempt to shrink the unroll by hoisting
+    self-dots REGRESSED ~2× — the fix was to leave codegen entirely,
+    not rearrange it."""
+    return rank_cells_arrow(emb, _centroids(emb), _DIM)
+
+
+def _assigned(emb: DataFrame) -> DataFrame:
+    """Every emb row + its Lloyd cell as ``cid`` — the FUSED map-only
+    form (with_cell_arrow): consumers that need assigned rows skip the
+    corpus-sized ``emb ⋈ assignment`` shuffle entirely."""
+    return with_cell_arrow(emb, _centroids(emb), _DIM, out_col="cid")
 
 
 # ---------------------------------------------------------------------------
