@@ -346,8 +346,8 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.x AS antecedent, p.y AS consequent,
                CAST(p.cxy AS BIGINT)                          AS support_n,
                CAST(p.cxy * 1000000 // ia.c AS BIGINT)        AS confidence_ppm,
-               CAST(p.cxy * n.n_orders * 1000000
-                    // (ia.c * ic.c) AS BIGINT)               AS lift_ppm
+               CAST(CAST(p.cxy AS HUGEINT) * n.n_orders * 1000000
+                    // (CAST(ia.c AS HUGEINT) * ic.c) AS BIGINT) AS lift_ppm
         FROM pair p
         JOIN item ia ON ia.l_partkey = p.x
         JOIN item ic ON ic.l_partkey = p.y
@@ -391,8 +391,18 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").alias("antecedent"),
             F.col("y").alias("consequent"),
             F.col("cxy").cast("long").alias("support_n"),
+            # headroom (r5 ADVICE): confidence numerator cxy·1e6 stays
+            # int64-safe to cxy ≈ 9.2e12 pairs/rule — beyond any sf.
+            # The LIFT numerator cxy·n_orders·1e6 would overflow int64
+            # past ~1e2 TB-scale (cxy·n_orders > 9.2e12), where Spark
+            # non-ANSI silently wraps while DuckDB errors → both sides
+            # now widen to 128-bit (DECIMAL(38,0) / HUGEINT) before the
+            # exact integer DIV, so the surface is identical at any sf.
             F.expr("cxy * 1000000 DIV ca").cast("long").alias("confidence_ppm"),
-            F.expr(f"cxy * {n_orders}L * 1000000 DIV (ca * cc)")
+            F.expr(
+                f"CAST(cxy AS DECIMAL(38,0)) * {n_orders}L * 1000000"
+                " DIV (CAST(ca AS DECIMAL(38,0)) * cc)"
+            )
             .cast("long")
             .alias("lift_ppm"),
         )

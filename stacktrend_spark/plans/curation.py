@@ -795,7 +795,15 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    total = grams.count()  # bounded driver scalar (single long)
+    # bounded driver scalar. r5 (ADVICE): the gram total is derived
+    # ARITHMETICALLY from per-doc word counts — Σ(size(w)−1) — which
+    # scans documents once WITHOUT the explode, instead of counting the
+    # exploded gram stream (a full extra corpus explode). The corpus is
+    # now exploded twice, not three times: the 1/16 sample pass (filter
+    # pushed below the explode) and the exact candidates pass.
+    total = docs.select(
+        F.sum(F.size("w") - F.lit(1)).cast("long").alias("t")
+    ).collect()[0]["t"]
     sample_counts = (
         grams.filter(F.col("doc_id") % _HH_SAMPLE_MOD == 0)
         .groupBy("gram")
@@ -876,7 +884,9 @@ def containment_join_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
         # two consumers (vocabulary derivation + the index join):
-        # cache the deduped postings instead of re-exploding the corpus
+        # cache the deduped postings instead of re-exploding the corpus.
+        # No unpersist can live here (the returned plan is lazy); the
+        # bench/verify harnesses clearCache() between queries instead
         .persist()
     )
     vocab = (

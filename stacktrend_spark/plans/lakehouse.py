@@ -289,20 +289,32 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (2^40 x 10^8 rows/bucket stays well under int64, so the checked
     # casts of both engines never trip) — sums
     # of ints are order-independent, so the fingerprint is stable under
-    # any partitioning/scan order in any engine
-    oracle="""
+    # any partitioning/scan order in any engine.
+    # r5 (ADVICE): hex→int in the oracle is a per-nibble STRPOS fold
+    # (the corpus_shard_assign idiom, ANSI-portable) instead of the
+    # DuckDB-version-dependent '0x…' VARCHAR→BIGINT cast extension.
+    oracle=f"""
         WITH rows_c AS (
             SELECT o_orderkey % 16 AS bucket,
-                   CAST(('0x' || SUBSTR(md5(
+                   SUBSTR(md5(
                        CAST(o_orderkey AS VARCHAR) || ':' ||
                        CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
-                            AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+                            AS VARCHAR)), 1, 10) AS hx
             FROM orders
+        ),
+        parsed AS (
+            SELECT bucket,
+                   {" + ".join(
+                       f"(STRPOS('0123456789abcdef', SUBSTR(hx, {i + 1}, 1)) - 1)"
+                       f" * CAST({16 ** (9 - i)} AS BIGINT)"
+                       for i in range(10)
+                   )} AS h
+            FROM rows_c
         )
         SELECT CAST(bucket AS BIGINT)  AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(h) AS BIGINT)   AS fingerprint
-        FROM rows_c GROUP BY 1
+        FROM parsed GROUP BY 1
     """,
     doc=(
         "Anti-entropy bucket fingerprints: order-independent md5-sum "

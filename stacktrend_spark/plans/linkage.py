@@ -214,7 +214,9 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
         # three consumers (e1/e2/e3): without the persist each alias
-        # recomputes the scan -> pair-join -> distinct -> degree chain
+        # recomputes the scan -> pair-join -> distinct -> degree chain.
+        # No unpersist can live here (the returned plan is lazy); the
+        # bench/verify harnesses clearCache() between queries instead
         .persist()
     )
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")

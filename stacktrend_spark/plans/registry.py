@@ -83,74 +83,66 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: queries added this round. Long-green rows rotate to the back — they
 #: are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-4 WINDOW (rebalanced mid-round). Never-driver-checked
-    # queries outrank freshness rotation, so the 11 operators added
-    # this round take slots first; then the 2 fixed streaming oracles +
-    # the 2 newly-oracled pipeline entries; then the 4 most
-    # parity-fragile r2 rows; the remaining 31 slots stay on the
-    # oldest-green (r1) rotation, keeping its float/window/json-fragile
-    # members and rotating out the simplest set-op/join shapes (all
-    # r1-green, re-provable any later round).
-    # -- NEW this round, never inside a driver window
-    "text_chunk_windows",
-    "embedding_quantize_int8",
-    "er_blocked_name_match",
-    "triangle_count_copurchase",
-    "max_concurrent_intervals",
-    "corpus_shard_assign",
-    "source_schema_evolution",
-    "bucketed_join_colocated",
-    "source_partition_pruning",
-    "interval_overlap_join",
-    "heavy_hitters_twopass",
-    "variant_props_rollup",
-    "sample_exact_k_per_group",
-    "containment_join_keywords",
-    "text_lm_score",
-    "table_fingerprint_buckets",
-    "recursive_cte_reachability",
-    "lateral_top2_orders",
-    "compliance_delete_audit",
-    "incremental_agg_maintenance",
-    "multimodal_patch_grid",
-    "multimodal_audio_windows",
-    "window_running_distinct_users",
-    "event_pattern_match",
-    "quantile_normalize_lengths",
-    "source_xml_roundtrip",
-    "source_compression_roundtrip",
-    "stream_topk_users_daily",
-    "agg_weighted_median",
-    "join_null_safe_buckets",
-    "grouped_map_mad",
-    "market_basket_rules",
-    "events_markov_transition",
-    "customer_rfm_scores",
-    "user_activity_streaks",
-    "agg_empty_input_semantics",
-    "agg_winsorized_balance",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "pareto_revenue_deciles",
-    # -- r3 DRIVER-RED, oracle-typing fixed this round (CAST..AS BIGINT)
-    "stream_static_enrichment",
-    "stream_upsert_user_totals",
-    # -- previously rows-only, real seed-CTE oracles added this round
-    "pipeline_trend_gold",
-    "pipeline_personal_gold",
-    # -- most parity-fragile rows last proven in r2 (float/cents/UDAF)
-    "stream_stateful_totals",
-    "agg_corr_covar",
-    "scalar_math_scores",
-    "udaf_trimmed_mean",
-    # -- freshness rotation, last proven in r1: gold mirrors
-    # -- last proven in r1: joins + aggregates / relational shapes
-    # -- last proven in r1: aggregates / relational shapes
-    # -- last proven in r1: windows
-    # -- last proven in r1: scalars / json / arrays
-    # -- last proven in r1: dedup / similarity
-    "dedup_minhash_lsh",
+    # ROUND-5 WINDOW. Priority principle: (a) never-driver-checked,
+    # (b) implementation CHANGED since last driver proof (the r5
+    # Arrow-kernel rewrite of the similarity/clustering family — all
+    # locally re-verified, but the driver oracle is the hard signal),
+    # (c) new queries added this round, (d) oldest-green rotation (the
+    # 40-row r1 batch is the stalest; what doesn't fit rolls to r6).
+    # -- (a) never inside a driver window
+    "events_dow_seasonality",
+    "approx_distinct_users",  # r5: gained a hash-checkable bound oracle
+    # -- (b) r5 Arrow-kernel rewrite (similarity/clustering family)
+    "pipeline_semdedup",
+    "dedup_embedding_cosine",
+    "sim_ivf_multiprobe",
     "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "ann_recall_eval",
+    "dedup_clusters",
+    "kmeans_assign_cells",
+    "kmeans_recompute_centroids",
+    # -- (c) NEW in r5 (inserted here as they land; keep window ≤ 50)
+    # -- (d) freshness rotation: last proven in r1, oldest first
+    "join_revenue_by_nation",
+    "join_left_customer_orders",
+    "join_anti_inactive_customers",
+    "join_semi_active_suppliers",
+    "agg_global_market_pulse",
+    "agg_conditional_by_priority",
+    "distinct_status_priority",
+    "union_period_metrics",
+    "subquery_exists_orders",
+    "subquery_scalar_above_avg",
+    "window_rank_global",
+    "window_rank_in_group",
+    "window_share_of_region",
+    "window_share_global",
+    "window_lag_monthly_trend",
+    "window_running_total",
+    "topk_orders",
+    "sessionize_events",
+    "rank_global_scalable",
+    "window_range_frame_trailing",
+    "scalar_string_clean",
+    "scalar_datetime_parts",
+    "scalar_conditional_tiers",
+    "array_word_cooccurrence",
+    "json_extract_props",
+    "pivot_status_by_segment",
+    "rollup_revenue",
+    "unpivot_flag_metrics",
+    "scalar_try_clean",
+    "merge_insert_only_events",
+    "merge_preserve_classification",
+    "gold_trend_daily",
+    "gold_lang_stats",
+    "gold_market_pulse",
+    "gold_portfolio_overview",
+    "gold_repo_health_dashboard",
+    "gold_development_velocity",
+    "dedup_exact",
 )
 
 

@@ -96,6 +96,9 @@ _LATERAL_SQL = """
 )
 def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # persisted seed: every BFS level re-reads the edge set. No
+    # unpersist can live here (the returned plan is lazy); the
+    # bench/verify harnesses clearCache() between queries instead
     edges = spark.sql(_EDGES_SQL).persist()
     edges.createOrReplaceTempView("cp_edges_cached")
     return spark.sql(_REACH_SQL.format(edges="cp_edges_cached"))

@@ -120,17 +120,38 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    # HyperLogLog estimates are engine-specific — no value oracle is
-    # possible; the driver records the (weaker) rows-only check. The
-    # exact countDistinct rides along so the result is self-describing.
-    oracle=None,
-    doc="approx_count_distinct (HLL) per event_type vs exact — the 100 TB distinct-count path.",
+    # The HLL ESTIMATE is engine-specific, so it can't be hashed — but
+    # the row no longer hides behind a rows-only check (r4 verdict
+    # task 4): the hashed surface is the exact count plus a boolean
+    # asserting the Spark-side estimate landed within ±10 % of exact
+    # (5σ at rsd=0.02 — astronomically safe; observed ≤2 % at sf0.01).
+    # The oracle asserts the same columns with the bound literally
+    # TRUE, so a drifting/broken HLL flips the hash and the driver
+    # catches it.
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS approx_within_10pct
+        FROM events GROUP BY event_type
+    """,
+    doc=(
+        "approx_count_distinct (HLL) per event_type vs exact — the "
+        "100 TB distinct-count path, with a hash-checkable error-bound "
+        "surface (estimate within ±10% of exact, asserted as a column)."
+    ),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
         F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.10) * F.col("exact_users")
+        ).alias("approx_within_10pct"),
     )
 
 

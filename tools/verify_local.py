@@ -81,6 +81,12 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
+        # several plans persist() intermediates their lazy result
+        # depends on (triangle edges, token postings, CTE seeds) and
+        # cannot unpersist inside the callable; dropping the cache
+        # between queries keeps a 170-query session from accumulating
+        # executor memory (r5 ADVICE) — same discipline as bench.py
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
