@@ -1,0 +1,148 @@
+"""MERGE-INTO builder wiring for the Delta backend, exercised WITHOUT
+delta-spark (r5, verdict task 5).
+
+This container cannot install delta-spark (no pip/network), so the
+true-Delta integration assertions in ``test_merge_backends.py`` stay
+environment-gated. What CAN run everywhere is the policy → builder
+mapping in ``operators/delta_backend.merge_into_delta`` — the merge
+condition, clause order, per-policy clause set, and the preserve
+refresh map — against a recording fake of ``delta.tables.DeltaTable``
+injected into ``sys.modules``. A Delta-enabled environment re-proves
+the same wiring end-to-end via test_merge_backends with zero changes.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from stacktrend_spark.operators.delta_backend import merge_into_delta
+
+
+class _RecordingBuilder:
+    def __init__(self, log):
+        self.log = log
+
+    def whenMatchedUpdateAll(self):
+        self.log.append(("whenMatchedUpdateAll", None, None))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append(("whenNotMatchedInsertAll", None, None))
+        return self
+
+    def whenMatchedUpdate(self, condition=None, set=None):  # noqa: A002
+        self.log.append(("whenMatchedUpdate", condition, set))
+        return self
+
+    def execute(self):
+        self.log.append(("execute", None, None))
+
+
+class _RecordingTable:
+    def __init__(self, log):
+        self.log = log
+
+    def alias(self, name):
+        self.log.append(("alias", name, None))
+        return self
+
+    def merge(self, source, cond):
+        self.log.append(("merge", cond, source))
+        return _RecordingBuilder(self.log)
+
+
+@pytest.fixture()
+def fake_delta(monkeypatch):
+    """Inject a recording delta.tables module; yield the call log."""
+    log: list[tuple] = []
+
+    class _DeltaTable:
+        @staticmethod
+        def forPath(spark, path):
+            log.append(("forPath", path, None))
+            return _RecordingTable(log)
+
+    mod_tables = types.ModuleType("delta.tables")
+    mod_tables.DeltaTable = _DeltaTable
+    mod_delta = types.ModuleType("delta")
+    mod_delta.tables = mod_tables
+    monkeypatch.setitem(sys.modules, "delta", mod_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", mod_tables)
+    return log
+
+
+def _src(spark):
+    return spark.createDataFrame(
+        [(1, "a", 0.9), (1, "a-dup", 0.1), (2, "b", 0.5)],
+        "k long, v string, conf double",
+    )
+
+
+def _calls(log):
+    return [name for name, _, _ in log]
+
+
+def test_upsert_builder_wiring(spark, fake_delta):
+    merge_into_delta(spark, "/tmp/t", _src(spark), keys=["k"], policy="upsert")
+    assert _calls(fake_delta) == [
+        "forPath", "alias", "merge",
+        "whenMatchedUpdateAll", "whenNotMatchedInsertAll", "execute",
+    ]
+    cond = next(c for n, c, _ in fake_delta if n == "merge")
+    # null-safe key equality — NULL keys must match their own row, not
+    # silently fall through to INSERT (gdi:355-383 semantics)
+    assert cond == "t.k <=> s.k"
+
+
+def test_insert_only_dedupes_source_and_never_updates(spark, fake_delta):
+    merge_into_delta(
+        spark, "/tmp/t", _src(spark), keys=["k"], policy="insert_only"
+    )
+    names = _calls(fake_delta)
+    assert "whenMatchedUpdateAll" not in names
+    assert "whenMatchedUpdate" not in names
+    assert names[-2:] == ["whenNotMatchedInsertAll", "execute"]
+    # the source fed to merge() must be key-deduped (pri:424-431: one
+    # candidate row per key or the MERGE raises on duplicate matches)
+    merged_src = next(s for n, _, s in fake_delta if n == "merge")
+    assert merged_src.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_preserve_builder_order_and_refresh_map(spark, fake_delta):
+    merge_into_delta(
+        spark, "/tmp/t", _src(spark), keys=["k"], policy="preserve",
+        preserve_cols=["v"], preserve_when=F.col("t.conf") >= 0.8,
+    )
+    names = _calls(fake_delta)
+    # conditional preserve clause MUST precede the unconditional
+    # update-all (first matching WHEN clause wins in MERGE semantics —
+    # b2s:899-914); unmatched rows insert
+    assert names == [
+        "forPath", "alias", "merge",
+        "whenMatchedUpdate", "whenMatchedUpdateAll",
+        "whenNotMatchedInsertAll", "execute",
+    ]
+    _, condition, refresh = next(
+        t for t in fake_delta if t[0] == "whenMatchedUpdate"
+    )
+    assert condition is not None
+    # refresh map excludes preserved columns AND keys
+    assert set(refresh) == {"conf"}
+
+
+def test_preserve_requires_contract(spark, fake_delta):
+    with pytest.raises(ValueError, match="preserve policy needs"):
+        merge_into_delta(
+            spark, "/tmp/t", _src(spark), keys=["k"], policy="preserve"
+        )
+
+
+def test_unknown_policy_raises(spark, fake_delta):
+    with pytest.raises(ValueError, match="unknown merge policy"):
+        merge_into_delta(
+            spark, "/tmp/t", _src(spark), keys=["k"], policy="nope"
+        )

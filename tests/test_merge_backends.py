@@ -75,7 +75,16 @@ def test_preserve_keeps_confident_rows(spark, store):
     assert got[3] == ("new", 0.6)  # unmatched inserted
 
 
-@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+@pytest.mark.skipif(
+    not delta_available(),
+    reason=(
+        "delta-spark not importable — this container forbids pip/network "
+        "installs, so the true MERGE INTO path cannot execute here. The "
+        "builder wiring is still CI-proved by test_delta_builder_logic.py "
+        "(recording fake); a Delta-enabled env runs this integration "
+        "check unchanged."
+    ),
+)
 def test_delta_path_writes_delta_log(spark, store, tmp_path):
     base = _rows(spark, [(1, "a", 0.5)])
     store.upsert(spark, base, "silver", "d", keys=["k"])

@@ -364,3 +364,48 @@ def test_market_basket_broadcasts_item_counts(spark, sf_dir):
     (plans/behavioral.py)."""
     p = plan_of(all_queries()["market_basket_rules"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join EVIDENCE (r5, verdict task 7): on a deliberately
+    skewed join (90% of the big side on one key) with thresholds scaled
+    to local data volumes, the executed adaptive plan must actually
+    split the hot partition — the runtime remedy session.py promises
+    for sort-merge-join skew at 100 TB. Salting (operators/skew.py)
+    remains the tool for aggregation skew and stats-blind inputs;
+    this pins that the AQE path genuinely fires for join skew."""
+    tuned = {
+        # production defaults target 256 MB partitions; scale to the
+        # ~3 MB local shuffle so the same 5x-median trigger logic runs
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(0, 200_000, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = big.join(small, "k")
+        # 180k rows share k=0 -> one hot partition ~90x the median.
+        # collect() (not count()) so the materialized execution is the
+        # join df's OWN QueryExecution — executedPlan() below must show
+        # the final adaptive plan, not a fresh un-run one
+        assert len(joined.collect()) == 180_000 + 200
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, f"AQE skew split did not fire:\n{final}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

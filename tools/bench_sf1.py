@@ -1,0 +1,187 @@
+"""sf1 spot-bench (r5, verdict task 3): super-linearity detector.
+
+sf0.1 numbers cannot distinguish O(n) from O(n^1.5) — fixed overheads
+dominate. This tool synthesizes an sf1-scale dataset (10× sf0.1) for
+the tables the heaviest queries read, times those queries at BOTH
+scales in one session, and reports a per-query scaling exponent
+
+    alpha = log10(t_sf1 / t_sf0.1)        (warm medians)
+
+alpha ≈ 1 → linear; ≥ ~1.3 → investigate the plan. Results land in
+BENCH_SF1.json; the analysis narrative lives in SCALE.md.
+
+Synthesis (DuckDB, deterministic, no RNG): each table is replicated
+10× with primary/foreign keys shifted consistently per replica so
+per-key group sizes, join fan-outs and graph density stay AT the sf0.1
+distribution — i.e. the data grows the way a real 10× corpus grows,
+not by making every key 10× hotter:
+
+- embeddings: vec_id += i·N; every component perturbed by +i·0.001 so
+  replicas are not exact duplicates of each other (labels kept — cells
+  grow 10× in count, not in per-cell density beyond data growth)
+- documents: doc_id += i·N; a replica token appended to text so
+  MinHash/shingle paths don't see 10 exact copies
+- lineitem: l_orderkey/l_partkey/l_suppkey += i·(max+1) — co-purchase
+  degree distribution preserved
+- orders/customer: o_orderkey/o_custkey/c_custkey shifted consistently
+
+The generated dir lives under the system temp dir (same policy as the
+session warehouse) and is reused if present.
+
+Usage: python tools/bench_sf1.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF1_DIR = os.path.join(tempfile.gettempdir(), "stacktrend_sf1")
+SF01_DIR = "/root/testdata/sf0.1"
+
+#: the 6 heaviest bench queries (BENCH_FULL r4) and the tables they read
+HEAVY = [
+    "pipeline_semdedup",
+    "dedup_embedding_cosine",
+    "sim_ivf_multiprobe",
+    "dedup_minhash_lsh",
+    "triangle_count_copurchase",
+    "customer_rfm_scores",
+]
+
+_REPLICAS = 10
+
+
+def generate(target: str) -> None:
+    import duckdb
+
+    os.makedirs(target, exist_ok=True)
+    con = duckdb.connect()
+    src = SF01_DIR.rstrip("/")
+
+    def copy_scaled(name: str, select: str) -> None:
+        table_ref = "'" + src + "/" + name + ".parquet'"
+        con.execute(
+            f"COPY ({select.format(t=table_ref)}) "
+            f"TO '{target}/{name}.parquet' (FORMAT PARQUET)"
+        )
+
+    # shift offsets = max key + 1, computed from the source
+    mx = {
+        "vec": con.execute(
+            f"SELECT MAX(vec_id)+1 FROM '{src}/embeddings.parquet'"
+        ).fetchone()[0],
+        "doc": con.execute(
+            f"SELECT MAX(doc_id)+1 FROM '{src}/documents.parquet'"
+        ).fetchone()[0],
+        "ord": con.execute(
+            f"SELECT MAX(o_orderkey)+1 FROM '{src}/orders.parquet'"
+        ).fetchone()[0],
+        "cust": con.execute(
+            f"SELECT MAX(c_custkey)+1 FROM '{src}/customer.parquet'"
+        ).fetchone()[0],
+        "part": con.execute(
+            f"SELECT MAX(l_partkey)+1 FROM '{src}/lineitem.parquet'"
+        ).fetchone()[0],
+        "supp": con.execute(
+            f"SELECT MAX(l_suppkey)+1 FROM '{src}/lineitem.parquet'"
+        ).fetchone()[0],
+    }
+    rep = f"(SELECT unnest(generate_series(0, {_REPLICAS - 1})) AS i) r"
+
+    copy_scaled(
+        "embeddings",
+        f"""SELECT CAST(vec_id + i*{mx['vec']} AS BIGINT) AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x + i*0.001 AS FLOAT)) AS embedding,
+                   label
+            FROM {{t}}, {rep}""",
+    )
+    copy_scaled(
+        "documents",
+        f"""SELECT CAST(doc_id + i*{mx['doc']} AS BIGINT) AS doc_id,
+                   text || ' rep' || CAST(i AS VARCHAR) AS text,
+                   lang, source, n_chars + 5 AS n_chars
+            FROM {{t}}, {rep}""",
+    )
+    copy_scaled(
+        "lineitem",
+        f"""SELECT CAST(l_orderkey + i*{mx['ord']} AS BIGINT) AS l_orderkey,
+                   CAST(l_partkey + i*{mx['part']} AS BIGINT) AS l_partkey,
+                   CAST(l_suppkey + i*{mx['supp']} AS BIGINT) AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM {{t}}, {rep}""",
+    )
+    copy_scaled(
+        "orders",
+        f"""SELECT CAST(o_orderkey + i*{mx['ord']} AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey + i*{mx['cust']} AS BIGINT) AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM {{t}}, {rep}""",
+    )
+    copy_scaled(
+        "customer",
+        f"""SELECT CAST(c_custkey + i*{mx['cust']} AS BIGINT) AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM {{t}}, {rep}""",
+    )
+    # untouched small/dimension tables: plain copies keep load_table happy
+    for name in ("region", "nation", "supplier", "part", "events"):
+        shutil.copyfile(f"{src}/{name}.parquet", f"{target}/{name}.parquet")
+
+
+def main() -> None:
+    if "--regen" in sys.argv and os.path.isdir(SF1_DIR):
+        shutil.rmtree(SF1_DIR)
+    if not os.path.isdir(os.path.join(SF1_DIR)) or not os.path.exists(
+        os.path.join(SF1_DIR, "embeddings.parquet")
+    ):
+        print("generating sf1 dataset ...", file=sys.stderr)
+        generate(SF1_DIR)
+
+    from stacktrend_spark.plans.registry import all_queries
+    from stacktrend_spark.session import get_spark
+
+    spark = get_spark("bench_sf1")
+    specs = all_queries()
+    specs["q1_pricing_summary"].fn(spark, SF01_DIR).count()  # JVM warm
+    specs["sim_bruteforce_topk"].fn(spark, SF01_DIR).count()  # py workers warm
+
+    out: dict[str, dict] = {}
+    for name in HEAVY:
+        row: dict[str, float | list[float]] = {}
+        for tag, d in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            specs[name].fn(spark, d).count()
+            row[f"{tag}_cold"] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(3):
+                t1 = time.time()
+                specs[name].fn(spark, d).count()
+                runs.append(round(time.time() - t1, 3))
+            row[f"{tag}_warm_runs"] = runs
+            row[f"{tag}_warm"] = sorted(runs)[1]
+        alpha = math.log10(max(row["sf1_warm"], 1e-3) / max(row["sf0.1_warm"], 1e-3))
+        row["alpha_warm"] = round(alpha, 3)
+        out[name] = row
+        print(f"{name}: sf0.1 warm={row['sf0.1_warm']}s  "
+              f"sf1 warm={row['sf1_warm']}s  alpha={row['alpha_warm']}")
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH_SF1.json")
+    with open(path, "w") as f:
+        json.dump({"replicas": _REPLICAS, "queries": out}, f, indent=1, sort_keys=True)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
