@@ -107,6 +107,15 @@ HEADLINE = [
     "grouped_map_mad",
     "q6_forecast_revenue",
     "q3_shipping_priority",
+    # r5 additions
+    "kmv_distinct_sketch",
+    "kmv_union_jaccard",
+    "asof_nearest_click",
+    "ewma_purchase_value",
+    "compaction_bin_packing",
+    "table_diff_by_fingerprint",
+    "skyline_price_size",
+    "top_user_paths",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -113,3 +113,45 @@ def range_join_banded(
         .filter((F.col(point_ts) >= F.col(start_ts)) & upper)
         .drop("_band")
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_us: str,
+    right_us: str,
+    tolerance_us: int,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Nearest-within-tolerance join: for each left row, the single
+    right row sharing ``key`` whose timestamp is closest in EITHER
+    direction and within ``tolerance_us``; ties break on the lower
+    right id. Rows with no candidate drop (inner semantics).
+
+    The as-of complement: asof_join looks strictly backward; sensor
+    alignment / enrichment often wants nearest-in-time. Plan shape is
+    the banded range join (range_join_banded rationale): each left row
+    joins its time bucket ±1 (bucket width = tolerance), so candidate
+    fan-out is bounded by per-bucket density and the join is a pure
+    equi-join on (key, bucket) — never a time-sorted merge of the full
+    streams and never a cross product. Input ts columns are epoch-µs
+    longs (the repo's cross-engine convention).
+    """
+    lb = left.withColumn("_b", F.expr(f"{left_us} div {tolerance_us}"))
+    l3 = lb.withColumn(
+        "_jb", F.explode(F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1))
+    )
+    rb = right.withColumn("_jb", F.expr(f"{right_us} div {tolerance_us}"))
+    cand = l3.join(rb, [key, "_jb"]).filter(
+        F.abs(F.col(left_us) - F.col(right_us)) <= tolerance_us
+    )
+    w = W.partitionBy(left_id).orderBy(
+        F.abs(F.col(left_us) - F.col(right_us)).asc(), F.col(right_id).asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_b", "_jb", "_rn")
+    )

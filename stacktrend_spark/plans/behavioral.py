@@ -584,3 +584,74 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.min("start_day").cast("long").alias("first_active_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event paths — the per-entity ordered journey, aggregated. The
+# corpus-side cost is ONE groupBy (user, day) building the ordered
+# path string, then a tiny (path) count aggregate; the per-group sort
+# happens inside array_sort on collected structs — bounded by events/
+# user/day, never a global sort. Deterministic: the struct sort key is
+# (ts, event_id, type) — a total order both engines replicate.
+# Beyond-reference addition (behavioral family).
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS = 15
+
+
+@register(
+    "top_user_paths",
+    oracle=f"""
+        WITH paths AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY 1, 2
+        ),
+        counted AS (
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
+            FROM paths GROUP BY 1
+        )
+        SELECT path, n_journeys,
+               CAST(rn AS BIGINT) AS path_rank
+        FROM (
+            SELECT path, n_journeys,
+                   ROW_NUMBER() OVER (ORDER BY n_journeys DESC, path) AS rn
+            FROM counted
+        ) WHERE rn <= {_TOP_PATHS}
+    """,
+    doc=(
+        f"Top-{_TOP_PATHS} per-(user, day) event journeys: ordered path "
+        "strings built per group (array_sort over (ts, event_id) "
+        "structs — no global sort), counted, ranked with a unique "
+        "tiebreak."
+    ),
+)
+def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_journeys")
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("n_journeys"), F.asc("path")))
+    return (
+        counted.withColumn("path_rank", rn.cast("long"))
+        .filter(F.col("path_rank") <= _TOP_PATHS)
+        .select("path", "n_journeys", "path_rank")
+    )

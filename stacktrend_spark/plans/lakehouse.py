@@ -495,3 +495,253 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("m_mx").cast("long") == F.col("max_cents"))
         ).alias("consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning — the small-files problem. A streaming ingest
+# leaves thousands of KB-scale files per partition; the maintenance job
+# plans target-sized compaction bins BEFORE rewriting anything. The
+# planner here is volume-ordered next-fit: files ordered largest-first
+# (with a unique tiebreak), bin = cumulative-bytes-before DIV target —
+# deterministic, one pass, and expressible identically in any engine.
+# The running sum uses the two-phase scalable operator
+# (operators/ranking.global_running_sum_scalable) — the file CATALOG at
+# 100 TB is millions of rows, and a single-partition window over it is
+# the exact anti-pattern this repo bans. Beyond-reference addition
+# (lakehouse-ops family).
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_BYTES = 64 * 1024
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+        WITH files AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(LENGTH(props) + 32) AS BIGINT) AS est_bytes
+            FROM events GROUP BY 1, 2
+        ),
+        planned AS (
+            SELECT event_type, day, n_rows, est_bytes,
+                   CAST(COALESCE(SUM(est_bytes) OVER (
+                       ORDER BY est_bytes DESC, event_type, day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS before_bytes
+            FROM files
+        )
+        SELECT CAST(before_bytes // {_COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT)      AS n_files,
+               CAST(SUM(n_rows) AS BIGINT)   AS n_rows,
+               CAST(SUM(est_bytes) AS BIGINT) AS total_bytes
+        FROM planned GROUP BY 1
+    """,
+    doc=(
+        f"Compaction planner: (event_type, day) micro-files packed into "
+        f"~{_COMPACT_TARGET_BYTES}-byte bins by largest-first next-fit "
+        "over a two-phase scalable running sum — no single-partition "
+        "window over the file catalog."
+    ),
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.length("props") + F.lit(32)).cast("long").alias("est_bytes"),
+    )
+    summed = global_running_sum_scalable(
+        files,
+        order_cols=[F.desc("est_bytes"), F.asc("event_type"), F.asc("day")],
+        value_col="est_bytes",
+        sum_col="thru_bytes",
+    )
+    return (
+        summed.withColumn(
+            "bin_id",
+            F.expr(f"(thru_bytes - est_bytes) DIV {_COMPACT_TARGET_BYTES}"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("est_bytes").cast("long").alias("total_bytes"),
+        )
+        .select(F.col("bin_id").cast("long"), "n_files", "n_rows", "total_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy table diff — the drill-down half of
+# table_fingerprint_buckets. Version B is a deterministic mutation of
+# orders (both engines derive it identically): keys %500==0 reprice
+# (+1.00), keys %997==0 deleted, keys %1009==0 re-inserted shifted
+# past the keyspace. The repair protocol: (1) compare 64 per-bucket
+# order-independent fingerprints — O(1) rows move; (2) ONLY for
+# mismatched buckets, join row digests by key to count insert/delete/
+# update repairs. At 100 TB step 2's join is pre-filtered by the
+# bucket list (broadcast semi-join), so repair cost scales with the
+# DIFF, not the table. Beyond-reference addition (lakehouse-ops).
+# ---------------------------------------------------------------------------
+
+
+def _sql_row_digest(alias: str) -> str:
+    hx = (
+        f"SUBSTR(md5(CAST({alias}.o_orderkey AS VARCHAR) || ':' || "
+        f"CAST(CAST(FLOOR({alias}.o_totalprice * 100.0 + 0.5) AS BIGINT)"
+        " AS VARCHAR)), 1, 10)"
+    )
+    return " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({hx}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (9 - i)} AS BIGINT)"
+        for i in range(10)
+    )
+
+
+@register(
+    "table_diff_by_fingerprint",
+    oracle=f"""
+        WITH a AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+        ),
+        b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 1.00
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 997 <> 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_totalprice
+            FROM orders WHERE o_orderkey % 1009 = 0
+        ),
+        da AS (SELECT o_orderkey, o_orderkey % 64 AS bucket,
+                      {_sql_row_digest('a')} AS h FROM a),
+        db AS (SELECT o_orderkey, o_orderkey % 64 AS bucket,
+                      {_sql_row_digest('b')} AS h FROM b),
+        fa AS (SELECT bucket, COUNT(*) AS n_a, SUM(h) AS fp_a FROM da GROUP BY 1),
+        fb AS (SELECT bucket, COUNT(*) AS n_b, SUM(h) AS fp_b FROM db GROUP BY 1),
+        diff AS (
+            SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+                   COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+            FROM fa FULL JOIN fb ON fa.bucket = fb.bucket
+            WHERE COALESCE(fp_a, -1) <> COALESCE(fp_b, -1)
+               OR COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+        ),
+        dax AS (SELECT da.* FROM da JOIN diff d ON da.bucket = d.bucket),
+        dbx AS (SELECT db.* FROM db JOIN diff d ON db.bucket = d.bucket),
+        drill AS (
+            SELECT COALESCE(dax.bucket, dbx.bucket) AS bucket,
+                   COUNT(CASE WHEN dbx.o_orderkey IS NULL THEN 1 END) AS n_deleted,
+                   COUNT(CASE WHEN dax.o_orderkey IS NULL THEN 1 END) AS n_inserted,
+                   COUNT(CASE WHEN dax.o_orderkey IS NOT NULL
+                              AND dbx.o_orderkey IS NOT NULL
+                              AND dax.h <> dbx.h THEN 1 END) AS n_updated
+            FROM dax FULL JOIN dbx
+              ON dax.bucket = dbx.bucket AND dax.o_orderkey = dbx.o_orderkey
+            GROUP BY 1
+        )
+        SELECT CAST(d.bucket AS BIGINT) AS bucket,
+               CAST(d.n_a AS BIGINT) AS n_a, CAST(d.n_b AS BIGINT) AS n_b,
+               CAST(dr.n_deleted AS BIGINT)  AS n_deleted,
+               CAST(dr.n_inserted AS BIGINT) AS n_inserted,
+               CAST(dr.n_updated AS BIGINT)  AS n_updated
+        FROM diff d JOIN drill dr ON dr.bucket = d.bucket
+    """,
+    doc=(
+        "Anti-entropy repair drill: 64-bucket fingerprint compare "
+        "between a table and its mutated replica, then per-mismatched-"
+        "bucket key-level diff (deleted/inserted/updated counts) — "
+        "repair cost scales with the diff, not the table."
+    ),
+)
+def table_diff_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = (
+        orders.filter(F.col("o_orderkey") % 997 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 500 == 0, F.col("o_totalprice") + 1.00
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 1009 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        canon = F.concat(
+            F.col("o_orderkey").cast("string"), F.lit(":"), cents.cast("string")
+        )
+        return df.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 64).alias("bucket"),
+            F.conv(F.substring(F.md5(canon.cast("binary")), 1, 10), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+
+    da, db = digests(orders), digests(b)
+    fa = da.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_a"), F.sum("h").alias("fp_a")
+    )
+    fb = db.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("h").alias("fp_b")
+    )
+    diff = (
+        fa.join(fb, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("fp_a", F.lit(-1)).alias("fp_a"),
+            F.coalesce("fp_b", F.lit(-1)).alias("fp_b"),
+        )
+        .filter(
+            (F.col("fp_a") != F.col("fp_b")) | (F.col("n_a") != F.col("n_b"))
+        )
+        .select("bucket", "n_a", "n_b")
+    )
+    # drill restricted to mismatched buckets: broadcast the bucket list
+    bl = F.broadcast(diff.select("bucket"))
+    da_d = da.join(bl, "bucket")
+    db_d = db.join(bl, "bucket")
+    keyed = da_d.alias("x").join(
+        db_d.alias("y"),
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.o_orderkey") == F.col("y.o_orderkey")),
+        "full",
+    )
+    drill = keyed.groupBy(
+        F.coalesce(F.col("x.bucket"), F.col("y.bucket")).alias("bucket")
+    ).agg(
+        F.count(F.when(F.col("y.o_orderkey").isNull(), 1)).alias("n_deleted"),
+        F.count(F.when(F.col("x.o_orderkey").isNull(), 1)).alias("n_inserted"),
+        F.count(
+            F.when(
+                F.col("x.o_orderkey").isNotNull()
+                & F.col("y.o_orderkey").isNotNull()
+                & (F.col("x.h") != F.col("y.h")),
+                1,
+            )
+        ).alias("n_updated"),
+    )
+    return diff.join(drill, "bucket").select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_deleted").cast("long").alias("n_deleted"),
+        F.col("n_inserted").cast("long").alias("n_inserted"),
+        F.col("n_updated").cast("long").alias("n_updated"),
+    )

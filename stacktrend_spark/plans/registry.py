@@ -58,6 +58,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.sql_surface",
     "stacktrend_spark.plans.graphrank",
     "stacktrend_spark.plans.reference_api",
+    "stacktrend_spark.plans.sketches",
 )
 
 
@@ -104,6 +105,18 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_assign_cells",
     "kmeans_recompute_centroids",
     # -- (c) NEW in r5 (inserted here as they land; keep window ≤ 50)
+    "kmv_distinct_sketch",
+    "kmv_union_jaccard",
+    "asof_nearest_click",
+    "ewma_purchase_value",
+    "compaction_bin_packing",
+    "table_diff_by_fingerprint",
+    "skyline_price_size",
+    "top_user_paths",
+    # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
+    # regenerated testdata has no 'login' type, so the match set was
+    # vacuous): re-prove under the driver
+    "asof_purchase_login",
     # -- (d) freshness rotation: last proven in r1, oldest first
     "join_revenue_by_nation",
     "join_left_customer_orders",
@@ -134,15 +147,9 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_revenue",
     "unpivot_flag_metrics",
     "scalar_try_clean",
-    "merge_insert_only_events",
-    "merge_preserve_classification",
-    "gold_trend_daily",
-    "gold_lang_stats",
-    "gold_market_pulse",
-    "gold_portfolio_overview",
-    "gold_repo_health_dashboard",
-    "gold_development_velocity",
-    "dedup_exact",
+    # (r1-stale rows beyond slot 50 — merge_insert_only_events,
+    # merge_preserve_classification, the six gold mirrors and
+    # dedup_exact — roll to the r6 rotation)
 )
 
 

@@ -766,3 +766,69 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_units"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — multi-objective dominance filter:
+# the parts no other part beats on BOTH objectives (cheaper price,
+# larger size). The classic O(n log n) sweep: sort candidate points by
+# (price asc, size desc), keep a point iff its size strictly exceeds
+# the running max over all strictly-preceding points — equal-(price,
+# size) groups dedup first so mutual non-dominance is preserved.
+# Scale: the sweep runs over DISTINCT (price, size) points (orders of
+# magnitude fewer than rows; the dedup is the only corpus shuffle).
+# The single-ordered window over the point set is bounded by the
+# distinct-point count; at 100 TB with an unbounded point set the
+# two-phase pattern (operators/ranking.py) applies — the running max
+# carries per-range partials exactly like the running sum.
+# Beyond-reference addition (analytics family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                       AS price_cents,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY 1, 2
+        ),
+        swept AS (
+            SELECT price_cents, p_size, n_parts,
+                   MAX(p_size) OVER (
+                       ORDER BY price_cents ASC, p_size DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS max_before
+            FROM pts
+        )
+        SELECT price_cents, p_size, n_parts
+        FROM swept
+        WHERE max_before IS NULL OR p_size > max_before
+    """,
+    doc=(
+        "Skyline / Pareto frontier over (min price, max size): "
+        "dominance sweep on deduped points — kept iff size exceeds the "
+        "running max over the (price asc, size desc) prefix."
+    ),
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.floor(F.col("p_retailprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    w = (
+        W.orderBy(F.asc("price_cents"), F.desc("p_size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("max_before", F.max("p_size").over(w))
+        .filter(F.col("max_before").isNull() | (F.col("p_size") > F.col("max_before")))
+        .select("price_cents", "p_size", "n_parts")
+    )

@@ -1,0 +1,229 @@
+"""Mergeable distinct-count sketches with EXACTLY-reproducible
+estimates: the K-minimum-values (KMV) family.
+
+Beyond-reference addition (training-data pipeline / 100 TB analytics
+family; reference capability anchor: SURVEY §2.4 "absent: approx
+distinct"). HLL (`approx_distinct_users`, plans/statistics.py) is the
+production distinct-count path but its estimate is engine-opaque — it
+can only be oracle-checked through an error-bound column. KMV is the
+complementary sketch whose estimate is a PURE FUNCTION of the data:
+
+    h(x)  = first 40 bits of md5(x), parsed as int64
+    sketch = the K smallest distinct h values
+    |D| ≈ (K-1) · 2^40 DIV h_(K)     (integer division — exact)
+
+Both engines can rebuild the identical sketch bit-for-bit (md5 and the
+per-nibble hex parse are engine-neutral), so the ESTIMATE ITSELF is on
+the hashed surface — a sketch whose correctness gate is exact, not
+statistical. KMV sketches are mergeable (union = K smallest of the
+concatenation), which the pairwise-overlap query exercises.
+
+100 TB notes: the distinct-(group, h) aggregate is the only corpus
+shuffle; the rank-K cut is a `row_number <= K` filter, which Spark's
+WindowGroupLimit rewrites into a per-partition top-K push-down (no
+group's full hash set materializes in one task before the cut). The
+overlap query joins the per-type hash sets against a BROADCAST
+pair list (#type² rows), so candidate volume is bounded by
+K·#pairs after the cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+_K = 64
+_POW40 = 1 << 40  # normalization denominator for 40-bit hashes
+
+
+def _sql_hex40(expr: str) -> str:
+    """DuckDB: first 10 hex chars of md5(expr) parsed to int64 via the
+    per-nibble STRPOS fold (version-neutral — PARITY.md)."""
+    hx = f"SUBSTR(md5({expr}), 1, 10)"
+    return " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({hx}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (9 - i)} AS BIGINT)"
+        for i in range(10)
+    )
+
+
+def _spark_hex40(col) -> F.Column:
+    """Spark twin of _sql_hex40 (conv base-16; identical md5 input)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 10), 16, 10
+    ).cast("long")
+
+
+@register(
+    "kmv_distinct_sketch",
+    oracle=f"""
+        WITH uh AS (
+            SELECT DISTINCT event_type,
+                   {_sql_hex40("CAST(user_id AS VARCHAR)")} AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM uh
+        ),
+        mins AS (
+            SELECT event_type, COUNT(*) AS n_mins, MAX(h) AS h_k
+            FROM ranked WHERE rn <= {_K} GROUP BY 1
+        ),
+        ex AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY 1
+        )
+        SELECT m.event_type,
+               CAST(ex.exact_users AS BIGINT) AS exact_users,
+               CAST(CASE WHEN m.n_mins < {_K} THEN m.n_mins
+                         ELSE ({_K - 1} * CAST({_POW40} AS BIGINT)) // m.h_k
+                    END AS BIGINT) AS kmv_users,
+               CAST(ABS(CASE WHEN m.n_mins < {_K} THEN m.n_mins
+                             ELSE ({_K - 1} * CAST({_POW40} AS BIGINT)) // m.h_k
+                        END - ex.exact_users) * 1000000
+                    // ex.exact_users AS BIGINT) AS err_ppm
+        FROM mins m JOIN ex USING (event_type)
+    """,
+    doc=(
+        f"KMV (k={_K}) distinct-user sketch per event_type: estimate = "
+        f"(k-1)*2^40 DIV h_(k) over 40-bit md5 hashes — a distinct-count "
+        "sketch whose estimate is bit-reproducible in any engine, hashed "
+        "alongside the exact count and the realized error in ppm."
+    ),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type", _spark_hex40(F.col("user_id")).alias("h")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    mins = (
+        uh.withColumn("rn", rn)
+        .filter(F.col("rn") <= _K)  # WindowGroupLimit → per-partition top-K
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_mins"), F.max("h").alias("h_k"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = F.when(F.col("n_mins") < _K, F.col("n_mins")).otherwise(
+        F.expr(f"{_K - 1} * {_POW40}L DIV h_k")
+    )
+    return (
+        mins.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            est.cast("long").alias("kmv_users"),
+            F.expr(
+                f"abs(CASE WHEN n_mins < {_K} THEN n_mins"
+                f" ELSE {_K - 1} * {_POW40}L DIV h_k END - exact_users)"
+                " * 1000000 DIV exact_users"
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+    )
+
+
+@register(
+    "kmv_union_jaccard",
+    oracle=f"""
+        WITH mh AS (
+            SELECT DISTINCT event_type,
+                   {_sql_hex40("CAST(user_id AS VARCHAR)")} AS h
+            FROM events
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        pairs AS (
+            SELECT a.event_type AS ta, b.event_type AS tb
+            FROM types a JOIN types b ON a.event_type < b.event_type
+        ),
+        members AS (
+            SELECT p.ta, p.tb, m.h,
+                   MAX(CASE WHEN m.event_type = p.ta THEN 1 ELSE 0 END) AS ia,
+                   MAX(CASE WHEN m.event_type = p.tb THEN 1 ELSE 0 END) AS ib
+            FROM pairs p
+            JOIN mh m ON m.event_type IN (p.ta, p.tb)
+            GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT ta, tb, h, ia, ib,
+                   ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+            FROM members
+        ),
+        s AS (
+            SELECT ta, tb, COUNT(*) AS n, MAX(h) AS h_k,
+                   SUM(ia * ib) AS n_both
+            FROM ranked WHERE rn <= {_K} GROUP BY 1, 2
+        )
+        SELECT ta AS type_a, tb AS type_b,
+               CAST(CASE WHEN n < {_K} THEN n
+                         ELSE ({_K - 1} * CAST({_POW40} AS BIGINT)) // h_k
+                    END AS BIGINT) AS union_users_est,
+               CAST(n_both * 1000000 // n AS BIGINT) AS jaccard_ppm,
+               CAST(n_both * (CASE WHEN n < {_K} THEN n
+                                   ELSE ({_K - 1} * CAST({_POW40} AS BIGINT)) // h_k
+                              END) // n AS BIGINT) AS inter_users_est
+        FROM s
+    """,
+    doc=(
+        "KMV sketch MERGE: pairwise event-type audience overlap — the "
+        "union sketch is the K smallest hashes of either set, Jaccard = "
+        "share of union-sketch members present in both, intersection by "
+        "inclusion-exclusion on the sketch; every output an exact "
+        "integer reproducible in any engine."
+    ),
+)
+def kmv_union_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mh = ev.select(
+        "event_type", _spark_hex40(F.col("user_id")).alias("h")
+    ).distinct()
+    types = ev.select("event_type").distinct()
+    a, b = types.alias("a"), types.alias("b")
+    pairs = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+    )
+    members = (
+        mh.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)
+            ).alias("ia"),
+            F.max(
+                F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)
+            ).alias("ib"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("ta", "tb").orderBy("h"))
+    s = (
+        members.withColumn("rn", rn)
+        .filter(F.col("rn") <= _K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("h").alias("h_k"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+        )
+    )
+    est_sql = f"CASE WHEN n < {_K} THEN n ELSE {_K - 1} * {_POW40}L DIV h_k END"
+    return s.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.expr(est_sql).cast("long").alias("union_users_est"),
+        F.expr("n_both * 1000000 DIV n").cast("long").alias("jaccard_ppm"),
+        F.expr(f"n_both * ({est_sql}) DIV n").cast("long").alias("inter_users_est"),
+    )

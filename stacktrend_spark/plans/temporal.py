@@ -22,8 +22,14 @@ from stacktrend_spark.sources.tables import load_table
     # DuckDB ASOF JOIN picks the right row with the LARGEST right.ts
     # <= left.ts per key — exactly the backward-inclusive semantics of
     # operators/temporal.asof_join. Ties inside the right side (two
-    # logins at the same instant) don't occur in the testdata; the
+    # signups at the same instant) don't occur in the testdata; the
     # event_id tiebreaker below is for the LEFT side only.
+    # r5: the right side is the 'signup' stream — the regenerated
+    # testdata carries NO 'login' event type, which silently turned
+    # this into an all-miss LEFT join (every asof_* column NULL): still
+    # hash-green, but proving only the unmatched path. 'signup' plays
+    # the session-start role so the backward match is genuinely
+    # exercised; the registered name stays for ledger/bench continuity.
     oracle="""
         WITH purchases AS (
             SELECT event_id, user_id, ts, value FROM events
@@ -31,7 +37,7 @@ from stacktrend_spark.sources.tables import load_table
         ),
         logins AS (
             SELECT event_id AS login_event_id, user_id, ts AS login_ts
-            FROM events WHERE event_type = 'login'
+            FROM events WHERE event_type = 'signup'
         )
         SELECT
             p.event_id,
@@ -45,14 +51,17 @@ from stacktrend_spark.sources.tables import load_table
         ASOF LEFT JOIN logins l
             ON p.user_id = l.user_id AND p.ts >= l.login_ts
     """,
-    doc="As-of join: each purchase ⟵ most recent prior login per user (union+window plan).",
+    doc=(
+        "As-of join: each purchase ⟵ most recent prior signup per user "
+        "(union+window plan; both matched and unmatched paths live)."
+    ),
 )
 def asof_purchase_login(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    logins = events.filter(F.col("event_type") == "login").select(
+    logins = events.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", "event_id"
     )
     joined = asof_join(
@@ -369,4 +378,145 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_cents",
         F.expr("n_events * 1000000 DIV n").cast("long").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-within-tolerance join — the bidirectional as-of complement
+# (operators/temporal.nearest_join). Beyond-reference addition.
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_US = 24 * 3600 * 1_000_000  # ±24h (median nearest gap ~18h)
+
+
+@register(
+    "asof_nearest_click",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        l AS (
+            SELECT event_id AS login_event_id, user_id, epoch_us(ts) AS l_us
+            FROM events WHERE event_type = 'click'
+        ),
+        cand AS (
+            SELECT p.event_id, p.user_id, p.p_us, l.login_event_id, l.l_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY ABS(p.p_us - l.l_us), l.login_event_id
+                   ) AS rn
+            FROM p JOIN l ON p.user_id = l.user_id
+             AND ABS(p.p_us - l.l_us) <= {_NEAREST_TOL_US}
+        )
+        SELECT event_id, user_id,
+               CAST(p_us AS BIGINT)            AS ts_us,
+               CAST(login_event_id AS BIGINT)  AS nearest_click_id,
+               CAST(l_us AS BIGINT)            AS click_ts_us,
+               CAST(p_us - l_us AS BIGINT)     AS signed_gap_us
+        FROM cand WHERE rn = 1
+    """,
+    doc=(
+        "Nearest-within-±24h join (bidirectional as-of): each purchase "
+        "matched to its closest click either direction via the "
+        "tolerance-bucketed equi-join (no time-sorted merge, no cross "
+        "product); ties to the lower login id."
+    ),
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.temporal import nearest_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    login = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("login_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("l_us"),
+    )
+    return nearest_join(
+        p, login, key="user_id", left_us="p_us", right_us="l_us",
+        tolerance_us=_NEAREST_TOL_US,
+        left_id="event_id", right_id="login_event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("p_us").cast("long").alias("ts_us"),
+        F.col("login_event_id").cast("long").alias("nearest_click_id"),
+        F.col("l_us").cast("long").alias("click_ts_us"),
+        (F.col("p_us") - F.col("l_us")).cast("long").alias("signed_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dyadic EWMA — exponentially-weighted trailing value with α = 1/2.
+# Every weight is a power of two, so each term value·2^-(j+1) is an
+# EXACT double (mantissa shift) and the fixed-order 8-term sum is
+# bit-identical across engines (PARITY.md: IEEE + is correctly
+# rounded; identical operand order → identical bits). The hashed
+# surface therefore carries the raw double — no rounding needed.
+# Beyond-reference addition (temporal family).
+# ---------------------------------------------------------------------------
+
+_EWMA_TERMS = 8
+
+
+def _sql_ewma() -> str:
+    parts = [
+        "COALESCE(LAG(value, {j}) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), 0.0) / {d}".format(
+            j=j, d=float(2 ** (j + 1))
+        )
+        if j
+        else "value / 2.0"
+        for j in range(_EWMA_TERMS)
+    ]
+    return " + ".join(parts)
+
+
+@register(
+    "ewma_purchase_value",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT event_id, user_id,
+               epoch_us(ts) AS ts_us,
+               {_sql_ewma()} AS ewma_value,
+               CAST(LEAST(ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id),
+                    {_EWMA_TERMS}) AS BIGINT) AS n_terms
+        FROM p
+    """,
+    doc=(
+        f"Dyadic EWMA (alpha=1/2, {_EWMA_TERMS} trailing terms) of "
+        "purchase value per user: power-of-two weights make every term "
+        "and the fixed-order sum IEEE-exact, so the raw double is "
+        "hash-comparable with no rounding step."
+    ),
+)
+def ewma_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    acc = F.col("value") / F.lit(2.0)
+    for j in range(1, _EWMA_TERMS):
+        acc = acc + F.coalesce(F.lag("value", j).over(w), F.lit(0.0)) / F.lit(
+            float(2 ** (j + 1))
+        )
+    return p.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        acc.alias("ewma_value"),
+        F.least(F.row_number().over(w), F.lit(_EWMA_TERMS))
+        .cast("long")
+        .alias("n_terms"),
     )

@@ -409,3 +409,42 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_nearest_join_is_bucketed_equi_join(spark, sf_dir):
+    """Nearest-within-tolerance must plan as an equi-join on
+    (key, time-bucket) — a BroadcastNestedLoopJoin on the |gap| <= tol
+    predicate would be a cross product at 100 TB
+    (operators/temporal.nearest_join)."""
+    p = plan_of(all_queries()["asof_nearest_click"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_kmv_rank_cut_pushes_group_limit(spark, sf_dir):
+    """The KMV sketch's row_number <= K filter must become a
+    WindowGroupLimit (per-partition top-K push-down) — without it every
+    group's FULL distinct-hash set sorts in one task before the cut
+    (plans/sketches.py)."""
+    p = plan_of(all_queries()["kmv_distinct_sketch"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_compaction_running_sum_is_two_phase(spark, sf_dir):
+    """The compaction planner's running sum must come from the range-
+    partitioned two-phase operator — a single-partition global window
+    over the file catalog is the banned anti-pattern
+    (operators/ranking.global_running_sum_scalable)."""
+    p = plan_of(all_queries()["compaction_bin_packing"].fn(spark, sf_dir))
+    # two-phase = local window partitioned by _pid after a RangePartitioning
+    assert "rangepartitioning" in p.lower()
+    assert "SinglePartition" not in p.split("Window")[0] if "Window" in p else True
+
+
+def test_table_diff_drill_broadcasts_bucket_list(spark, sf_dir):
+    """The anti-entropy drill join must be pre-filtered by the (tiny,
+    broadcast) mismatched-bucket list so repair cost scales with the
+    diff, not the table (plans/lakehouse.table_diff_by_fingerprint)."""
+    p = plan_of(all_queries()["table_diff_by_fingerprint"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
