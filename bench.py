@@ -116,6 +116,9 @@ HEADLINE = [
     "table_diff_by_fingerprint",
     "skyline_price_size",
     "top_user_paths",
+    "bpe_pair_stats",
+    "approx_quantile_bounded",
+    "incremental_join_maintenance",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

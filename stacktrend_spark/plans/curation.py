@@ -1074,3 +1074,75 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 from stacktrend_spark.plans.registry import _REGISTRY as _R  # noqa: E402
 
 _R["text_lm_score"].oracle = _lm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate statistics — the inner loop of byte-pair-encoding
+# tokenizer training: count adjacent character pairs across the corpus,
+# weighted by word frequency. The scale-critical shape: the corpus
+# collapses to DISTINCT words + counts FIRST (one shuffle; vocabulary
+# is orders of magnitude smaller than the token stream), then the
+# O(word_len) pair explode runs over the vocabulary only — the classic
+# trick that makes BPE training corpus-size-independent per iteration.
+# Beyond-reference addition (text/tokenizer family).
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "bpe_pair_stats",
+    oracle=f"""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE LENGTH(w) >= 2
+            GROUP BY w
+        ),
+        pairs AS (
+            SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, wc
+            FROM words, UNNEST(range(1, LENGTH(w))) t(i)
+        ),
+        counted AS (
+            SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+            FROM pairs GROUP BY pair
+        )
+        SELECT pair, n_occurrences, CAST(rn AS BIGINT) AS pair_rank
+        FROM (
+            SELECT pair, n_occurrences,
+                   ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS rn
+            FROM counted
+        ) WHERE rn <= {_BPE_TOP}
+    """,
+    doc=(
+        f"BPE training inner loop: top-{_BPE_TOP} adjacent character "
+        "pairs weighted by word frequency — pair explode runs over the "
+        "DISTINCT-word vocabulary, not the raw token stream."
+    ),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("wc").cast("long").alias("n_occurrences")
+    )
+    rn = F.row_number().over(W.orderBy(F.desc("n_occurrences"), F.asc("pair")))
+    return (
+        counted.withColumn("pair_rank", rn.cast("long"))
+        .filter(F.col("pair_rank") <= _BPE_TOP)
+        .select("pair", "n_occurrences", "pair_rank")
+    )

@@ -745,3 +745,135 @@ def table_diff_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inserted").cast("long").alias("n_inserted"),
         F.col("n_updated").cast("long").alias("n_updated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance — the IVM algebra for a
+# materialized join aggregate. A view V = agg(A ⋈ B) kept current as
+# batches arrive must NOT recompute from scratch; with deltas ΔA, ΔB:
+#
+#   ΔV = agg(ΔA ⋈ B_old) ⊎ agg(A_old ⋈ ΔB) ⊎ agg(ΔA ⋈ ΔB)
+#
+# (⊎ = additive merge of count/sum partials — the same decomposability
+# that makes partial aggregation work). The query splits orders and
+# customer into old/delta slices deterministically, maintains
+# per-nation revenue through the three-term delta, and emits the
+# incremental result NEXT TO the full recompute with a consistency
+# boolean — the IVM correctness proof as a hashed surface. At 100 TB
+# the three delta joins touch |Δ|-sized inputs (broadcast the delta
+# side); the full recompute exists here only as the oracle's witness.
+# Beyond-reference addition (lakehouse/IVM family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+        WITH a_old AS (SELECT * FROM orders   WHERE o_orderkey % 101 <> 0),
+             a_new AS (SELECT * FROM orders   WHERE o_orderkey % 101 = 0),
+             b_old AS (SELECT * FROM customer WHERE c_custkey % 89 <> 0),
+             b_new AS (SELECT * FROM customer WHERE c_custkey % 89 = 0),
+             term AS (
+                SELECT c.c_nationkey AS nk, COUNT(*) AS n,
+                       SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents,
+                       0 AS is_delta
+                FROM a_old o JOIN b_old c ON o.o_custkey = c.c_custkey
+                GROUP BY 1
+                UNION ALL
+                SELECT c.c_nationkey, COUNT(*),
+                       SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)), 1
+                FROM a_new o JOIN b_old c ON o.o_custkey = c.c_custkey GROUP BY 1
+                UNION ALL
+                SELECT c.c_nationkey, COUNT(*),
+                       SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)), 1
+                FROM a_old o JOIN b_new c ON o.o_custkey = c.c_custkey GROUP BY 1
+                UNION ALL
+                SELECT c.c_nationkey, COUNT(*),
+                       SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)), 1
+                FROM a_new o JOIN b_new c ON o.o_custkey = c.c_custkey GROUP BY 1
+             ),
+             inc AS (
+                SELECT nk,
+                       CAST(SUM(CASE WHEN is_delta = 0 THEN n ELSE 0 END) AS BIGINT)
+                           AS base_n,
+                       CAST(SUM(CASE WHEN is_delta = 1 THEN n ELSE 0 END) AS BIGINT)
+                           AS delta_n,
+                       CAST(SUM(n) AS BIGINT)     AS total_n,
+                       CAST(SUM(cents) AS BIGINT) AS total_cents
+                FROM term GROUP BY 1
+             ),
+             full_v AS (
+                SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1
+             )
+        SELECT CAST(i.nk AS BIGINT) AS nationkey,
+               i.base_n, i.delta_n, i.total_n, i.total_cents,
+               (i.total_n = f.n AND i.total_cents = f.cents) AS consistent
+        FROM inc i JOIN full_v f ON i.nk = f.nk
+    """,
+    doc=(
+        "Incremental view maintenance for a join aggregate: three-term "
+        "delta algebra (dA*B + A*dB + dA*dB) merged into the base "
+        "partials, emitted next to the full recompute with a "
+        "consistency proof column."
+    ),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 101 != 0)
+    a_new = orders.filter(F.col("o_orderkey") % 101 == 0)
+    b_old = cust.filter(F.col("c_custkey") % 89 != 0)
+    b_new = cust.filter(F.col("c_custkey") % 89 == 0)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+
+    def term(a: DataFrame, b: DataFrame, is_delta: int) -> DataFrame:
+        return (
+            a.join(b, a["o_custkey"] == b["c_custkey"])
+            .groupBy(F.col("c_nationkey").alias("nk"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+            .withColumn("is_delta", F.lit(is_delta))
+        )
+
+    terms = (
+        term(a_old, b_old, 0)
+        .unionByName(term(a_new, b_old, 1))
+        .unionByName(term(a_old, b_new, 1))
+        .unionByName(term(a_new, b_new, 1))
+    )
+    inc = terms.groupBy("nk").agg(
+        F.sum(F.when(F.col("is_delta") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("base_n"),
+        F.sum(F.when(F.col("is_delta") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("delta_n"),
+        F.sum("n").cast("long").alias("total_n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    full_v = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("f_n"),
+            F.sum(cents).cast("long").alias("f_cents"),
+        )
+    )
+    return inc.join(full_v, "nk").select(
+        F.col("nk").cast("long").alias("nationkey"),
+        "base_n",
+        "delta_n",
+        "total_n",
+        "total_cents",
+        (
+            (F.col("total_n") == F.col("f_n"))
+            & (F.col("total_cents") == F.col("f_cents"))
+        ).alias("consistent"),
+    )

@@ -113,6 +113,9 @@ _PRIORITY: tuple[str, ...] = (
     "table_diff_by_fingerprint",
     "skyline_price_size",
     "top_user_paths",
+    "bpe_pair_stats",
+    "approx_quantile_bounded",
+    "incremental_join_maintenance",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -144,10 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "array_word_cooccurrence",
     "json_extract_props",
     "pivot_status_by_segment",
-    "rollup_revenue",
-    "unpivot_flag_metrics",
-    "scalar_try_clean",
-    # (r1-stale rows beyond slot 50 — merge_insert_only_events,
+    # (r1-stale rows beyond slot 50 — rollup_revenue,
+    # unpivot_flag_metrics, scalar_try_clean, merge_insert_only_events,
     # merge_preserve_classification, the six gold mirrors and
     # dedup_exact — roll to the r6 rotation)
 )

@@ -822,3 +822,106 @@ def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded approx-quantile — the approx_distinct_users pattern applied
+# to percentile_approx (the 100 TB quantile path: mergeable KLL/GK-ish
+# sketch, one pass, no sort). The sketch value is engine-specific, so
+# the hashed surface is (exact discrete percentiles) + booleans
+# asserting the Spark-side estimate landed inside the rank-error
+# window (±1% of n around the target rank — percentile_approx with
+# accuracy=10000 guarantees ±0.01% rank error, so 1% is a 100× margin
+# and the booleans are deterministically TRUE in any conforming build).
+# The exact side computes VALUE-AT-RANK (percentile_disc semantics) on
+# exact cents via one ranked window — engine-identical integers, no
+# interpolation ambiguity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_quantile_bounded",
+    oracle="""
+        WITH v AS (
+            SELECT l_returnflag AS flag,
+                   CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        r AS (
+            SELECT flag, cents,
+                   ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+                   COUNT(*) OVER (PARTITION BY flag) AS n
+            FROM v
+        )
+        SELECT flag,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.5) AS BIGINT), 1)
+                             THEN cents END) AS BIGINT) AS exact_p50_cents,
+               CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(n * 0.9) AS BIGINT), 1)
+                             THEN cents END) AS BIGINT) AS exact_p90_cents,
+               TRUE AS p50_within_rank_bound,
+               TRUE AS p90_within_rank_bound
+        FROM r GROUP BY flag
+    """,
+    doc=(
+        "Mergeable approx-quantile sketch (percentile_approx) with a "
+        "hash-checkable surface: exact value-at-rank percentiles plus "
+        "booleans pinning the estimate inside a ±1%-of-n rank window "
+        "(100x the sketch's guaranteed rank error)."
+    ),
+)
+def approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = W.partitionBy("flag").orderBy("cents")
+    r = v.select(
+        "flag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("flag")).alias("n"),
+    )
+
+    def at_rank(q: float) -> F.Column:
+        target = F.greatest(F.ceil(F.col("n") * q).cast("long"), F.lit(1))
+        return F.max(F.when(F.col("rn") == target, F.col("cents")))
+
+    exact = r.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        at_rank(0.5).cast("long").alias("exact_p50_cents"),
+        at_rank(0.9).cast("long").alias("exact_p90_cents"),
+    )
+    approx = v.groupBy("flag").agg(
+        F.percentile_approx("cents", 0.5, 10000).alias("a50"),
+        F.percentile_approx("cents", 0.9, 10000).alias("a90"),
+    )
+    # rank-window bound: the approx value's RANK must sit within ±1% of
+    # n around the target rank — check via exact values at the window
+    # edges (value-monotone ⇔ rank-monotone on sorted data)
+    def edge(q: float, sign: int) -> F.Column:
+        tol = F.greatest(F.ceil(F.col("n") * 0.01).cast("long"), F.lit(1))
+        base = F.greatest(F.ceil(F.col("n") * q).cast("long"), F.lit(1))
+        tgt = base + sign * tol
+        clamped = F.greatest(F.least(tgt, F.col("n").cast("long")), F.lit(1))
+        return F.max(F.when(F.col("rn") == clamped, F.col("cents")))
+
+    edges = r.groupBy("flag").agg(
+        edge(0.5, -1).alias("lo50"), edge(0.5, +1).alias("hi50"),
+        edge(0.9, -1).alias("lo90"), edge(0.9, +1).alias("hi90"),
+    )
+    return (
+        exact.join(approx, "flag").join(edges, "flag").select(
+            "flag",
+            "n_rows",
+            "exact_p50_cents",
+            "exact_p90_cents",
+            ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50")))
+            .alias("p50_within_rank_bound"),
+            ((F.col("a90") >= F.col("lo90")) & (F.col("a90") <= F.col("hi90")))
+            .alias("p90_within_rank_bound"),
+        )
+    )
