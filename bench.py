@@ -119,6 +119,8 @@ HEADLINE = [
     "bpe_pair_stats",
     "approx_quantile_bounded",
     "incremental_join_maintenance",
+    "dedup_simhash_hamming",
+    "kcore_copurchase_peel",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -98,3 +98,93 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_scaled",
         F.row_number().over(w).cast("long").alias("pr_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peel (r5) — graph summarization by iterative degree
+# pruning: repeatedly remove nodes of degree < k; what survives R
+# rounds approximates the k-core (exact once a round removes nothing).
+# The FIXED round count is what keeps the operator oracle-able: both
+# engines unroll the same R peel stages, so the surviving node set and
+# degrees are bit-identical — the same bounded-unroll discipline as
+# the PageRank fixed-point above. Each round is one degree aggregate +
+# one semi-join edge restriction (broadcast of the surviving-node set
+# once it shrinks below the threshold; Catalyst/AQE picks that up).
+# Beyond-reference addition (graph family).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 90  # degrees run 42-206 (median ~115): ~40% of nodes peel away
+             # over the rounds while a substantial core survives — both the
+             # removal cascade and the fixpoint are genuinely exercised
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{r} AS (
+                SELECT src FROM e{r - 1} GROUP BY src
+                HAVING COUNT(*) >= {_KCORE_K}
+            )"""
+        )
+        ctes.append(
+            f"""e{r} AS (
+                SELECT e.src, e.dst FROM e{r - 1} e
+                JOIN k{r} s ON e.src = s.src
+                JOIN k{r} t ON e.dst = t.src
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT CAST(src AS BIGINT) AS part_id,
+               CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM e{_KCORE_ROUNDS} GROUP BY src
+        """
+    )
+
+
+@register(
+    "kcore_copurchase_peel",
+    oracle=_kcore_oracle(),
+    doc=(
+        f"Bounded k-core (k={_KCORE_K}, {_KCORE_ROUNDS} peel rounds) of "
+        "the co-purchase graph: iterative degree-prune unrolled to a "
+        "fixed depth so both engines produce the identical surviving "
+        "node set and degrees."
+    ),
+)
+def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        )
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    ).select(F.col("src").cast("long").alias("part_id"), "core_degree")

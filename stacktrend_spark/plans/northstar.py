@@ -1177,3 +1177,112 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_windows(synthesize_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Dedup 6 (r5) — SimHash HAMMING-BAND search: the scale path for
+# near-dup retrieval over simhash signatures. Pigeonhole: two 32-bit
+# signatures within hamming distance 3 must agree EXACTLY on at least
+# one of 4 disjoint 8-bit bands, so band equi-joins produce a COMPLETE
+# candidate set for d<=3 and the popcount verify runs on candidates
+# only — never all pairs (the standard multi-index hamming search).
+# Near-dups are PLANTED (every 20th doc re-appears with its last word
+# dropped → a handful of token votes flip). Band ids come from an
+# exploded divisor array (integer div/mod only — no POW on any hashed
+# path); verify is bit_count(xor()) — exact integers in both engines.
+# SCALE NOTE: 8-bit bands (256 buckets) suit the 32-bit signature this
+# corpus carries (SIMHASH_BITS); at production corpus sizes the same
+# plan runs with 64-bit signatures and 16-bit bands (65 536 buckets per
+# band), keeping per-bucket candidate volume bounded — band width is
+# the knob, the join shape is unchanged.
+# ---------------------------------------------------------------------------
+
+_HAMMING_MAX = 3
+_SQL_SH_CORPUS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(w[1:GREATEST(len(w) - 1, 1)], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE doc_id % 20 = 0
+"""
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+        WITH corpus AS ({_SQL_SH_CORPUS}),
+        toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+            FROM corpus
+        ),
+        votes AS (
+            SELECT doc_id,
+            {_SQL_SIMHASH_VOTES}
+            FROM toks GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id, CAST({_SQL_SIMHASH_FOLD} AS BIGINT) AS simhash
+            FROM votes
+        ),
+        bands AS (
+            SELECT doc_id, simhash, dv, (simhash // dv) % 256 AS bv
+            FROM sh, UNNEST([1, 256, 65536, 16777216]) t(dv)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM bands a JOIN bands b
+              ON a.dv = b.dv AND a.bv = b.bv AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {_HAMMING_MAX}
+    """,
+    doc=(
+        f"SimHash hamming-band near-dup search: 4x8-bit band equi-join "
+        f"gives a pigeonhole-complete candidate set for d<={_HAMMING_MAX}; "
+        "popcount verify on candidates only — never all pairs."
+    ),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.dedup import simhash_narrow
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = fan_out(docs.unionByName(copies))
+    sh = simhash_narrow(corpus, "doc_id", "text")
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(F.lit(1), F.lit(256), F.lit(65536), F.lit(16777216))
+        ).alias("dv"),
+    ).withColumn("bv", F.expr("(simhash div dv) % 256"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.dv") == F.col("b.dv"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(ham <= _HAMMING_MAX)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )

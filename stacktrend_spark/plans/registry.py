@@ -116,6 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_pair_stats",
     "approx_quantile_bounded",
     "incremental_join_maintenance",
+    "dedup_simhash_hamming",
+    "kcore_copurchase_peel",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -145,9 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_datetime_parts",
     "scalar_conditional_tiers",
     "array_word_cooccurrence",
-    "json_extract_props",
-    "pivot_status_by_segment",
-    # (r1-stale rows beyond slot 50 — rollup_revenue,
+    # (r1-stale rows beyond slot 50 — json_extract_props,
+    # pivot_status_by_segment, rollup_revenue,
     # unpivot_flag_metrics, scalar_try_clean, merge_insert_only_events,
     # merge_preserve_classification, the six gold mirrors and
     # dedup_exact — roll to the r6 rotation)
