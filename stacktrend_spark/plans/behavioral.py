@@ -649,9 +649,11 @@ def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = paths.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("n_journeys")
     )
+    # TakeOrdered top-k FIRST (scalable global top-k: per-partition
+    # heaps, no global sort), then rank the <=K survivors — the only
+    # unpartitioned window runs over K rows (pagerank_copurchase shape)
+    top = counted.orderBy(F.desc("n_journeys"), F.asc("path")).limit(_TOP_PATHS)
     rn = F.row_number().over(W.orderBy(F.desc("n_journeys"), F.asc("path")))
-    return (
-        counted.withColumn("path_rank", rn.cast("long"))
-        .filter(F.col("path_rank") <= _TOP_PATHS)
-        .select("path", "n_journeys", "path_rank")
+    return top.select(
+        "path", "n_journeys", rn.cast("long").alias("path_rank")
     )

@@ -1140,9 +1140,8 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = pairs.groupBy("pair").agg(
         F.sum("wc").cast("long").alias("n_occurrences")
     )
+    # TakeOrdered top-k first (per-partition heaps, no global sort);
+    # the only unpartitioned window then ranks the <=K survivors
+    top = counted.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(_BPE_TOP)
     rn = F.row_number().over(W.orderBy(F.desc("n_occurrences"), F.asc("pair")))
-    return (
-        counted.withColumn("pair_rank", rn.cast("long"))
-        .filter(F.col("pair_rank") <= _BPE_TOP)
-        .select("pair", "n_occurrences", "pair_rank")
-    )
+    return top.select("pair", "n_occurrences", rn.cast("long").alias("pair_rank"))
