@@ -121,6 +121,7 @@ HEADLINE = [
     "incremental_join_maintenance",
     "dedup_simhash_hamming",
     "kcore_copurchase_peel",
+    "stream_kmv_daily_users",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

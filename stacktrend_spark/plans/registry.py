@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_join_maintenance",
     "dedup_simhash_hamming",
     "kcore_copurchase_peel",
+    "stream_kmv_daily_users",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -146,8 +147,8 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_string_clean",
     "scalar_datetime_parts",
     "scalar_conditional_tiers",
-    "array_word_cooccurrence",
-    # (r1-stale rows beyond slot 50 — json_extract_props,
+    # (r1-stale rows beyond slot 50 — array_word_cooccurrence,
+    # json_extract_props,
     # pivot_status_by_segment, rollup_revenue,
     # unpivot_flag_metrics, scalar_try_clean, merge_insert_only_events,
     # merge_preserve_classification, the six gold mirrors and

@@ -471,3 +471,94 @@ def stream_topk_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "window_start_us", "user_id", "n_events", rnk.alias("rnk")
     ).filter(F.col("rnk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Streaming × sketch (r5): daily distinct users via the KMV sketch
+# (plans/sketches.py rationale — the estimate is a pure function of
+# the data, so unlike streaming HLL it stays hash-checkable). The
+# STREAM maintains per-(day, hash) presence — an incremental,
+# watermark-bounded aggregate whose state is the distinct-hash set per
+# window (exactly what a production KMV would keep, capped at K per
+# key by the periodic compaction the serving side applies here). The
+# rank-K cut + estimate run on the compact materialized aggregate —
+# the same stream/serving split as stream_topk_users_daily.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_kmv_daily_users",
+    oracle="""
+        WITH uh AS (
+            SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS window_start_us,
+                   (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 1, 1)) - 1) * CAST(68719476736 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 2, 1)) - 1) * CAST(4294967296 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 3, 1)) - 1) * CAST(268435456 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 4, 1)) - 1) * CAST(16777216 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 5, 1)) - 1) * CAST(1048576 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 6, 1)) - 1) * CAST(65536 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 7, 1)) - 1) * CAST(4096 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 8, 1)) - 1) * CAST(256 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 9, 1)) - 1) * CAST(16 AS BIGINT)
+                 + (STRPOS('0123456789abcdef', SUBSTR(SUBSTR(md5(CAST(user_id AS VARCHAR)), 1, 10), 10, 1)) - 1) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT window_start_us, h,
+                   ROW_NUMBER() OVER (PARTITION BY window_start_us ORDER BY h) AS rn
+            FROM uh
+        ),
+        mins AS (
+            SELECT window_start_us, COUNT(*) AS n_mins, MAX(h) AS h_k
+            FROM ranked WHERE rn <= 64 GROUP BY 1
+        )
+        SELECT window_start_us,
+               CAST(CASE WHEN n_mins < 64 THEN n_mins
+                         ELSE (63 * CAST(1099511627776 AS BIGINT)) // h_k
+                    END AS BIGINT) AS kmv_users
+        FROM mins
+    """,
+    doc=(
+        "Streaming KMV distinct-users per day: the stream maintains the "
+        "per-(window, hash) presence set incrementally under a "
+        "watermark; the rank-64 cut + estimate run on the compact "
+        "materialized aggregate — a distinct-count sketch whose "
+        "streaming output is bit-reproducible (unlike streaming HLL)."
+    ),
+)
+def stream_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.plans.sketches import _K, _POW40, _spark_hex40
+
+    ev = load_events_stream(spark, sf_dir)
+    presence = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            _spark_hex40(F.col("user_id")).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.unix_micros(F.col("win.start")).alias("window_start_us"), "h")
+    )
+    agg = run_to_batch(
+        presence, "stream_kmv_daily_users_sink", state_partitions=8
+    )
+    rn = F.row_number().over(
+        W.partitionBy("window_start_us").orderBy("h")
+    )
+    mins = (
+        agg.withColumn("rn", rn)
+        .filter(F.col("rn") <= _K)
+        .groupBy("window_start_us")
+        .agg(F.count(F.lit(1)).alias("n_mins"), F.max("h").alias("h_k"))
+    )
+    return mins.select(
+        "window_start_us",
+        F.expr(
+            f"CASE WHEN n_mins < {_K} THEN n_mins"
+            f" ELSE {_K - 1} * {_POW40}L DIV h_k END"
+        )
+        .cast("long")
+        .alias("kmv_users"),
+    )

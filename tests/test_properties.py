@@ -178,3 +178,70 @@ def test_fround_matches_duckdb(spark, vals, n):
         for v in vals
     ]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# r5 Arrow-kernel bit-parity: the similarity kernels promise the EXACT
+# left-fold summation order of the Catalyst/DuckDB column expressions
+# (PARITY.md). These properties pin that promise against a pure-Python
+# reference fold over arbitrary float32 inputs, including denormals,
+# zeros and mixed magnitudes where summation order genuinely changes
+# the bits.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+
+def _py_fold_dot(a, b):
+    acc = float(np.float64(np.float32(a[0]))) * float(np.float64(np.float32(b[0])))
+    for x, y in zip(a[1:], b[1:]):
+        acc = acc + float(np.float64(np.float32(x))) * float(np.float64(np.float32(y)))
+    return acc
+
+
+_f32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_f32, _f32), min_size=1, max_size=64))
+def test_seq_dot_matches_python_fold_bitwise(pairs):
+    from stacktrend_spark.operators.similarity import _seq_dot
+
+    a = np.array([p[0] for p in pairs], dtype=np.float32)
+    b = np.array([p[1] for p in pairs], dtype=np.float32)
+    A = a.astype(np.float64).reshape(1, -1)
+    B = b.astype(np.float64).reshape(1, -1)
+    got = _seq_dot(A, B)[0]
+    want = _py_fold_dot(a.tolist(), b.tolist())
+    assert got == want or (np.isnan(got) and np.isnan(want)), (got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.lists(_f32, min_size=8, max_size=8), min_size=2, max_size=12)
+)
+def test_block_cosine_matches_per_pair_fold(vecs):
+    """The grouped kernel's blockwise outer-product accumulation must be
+    bit-identical to the per-pair fold for every (i, j) pair."""
+    from stacktrend_spark.operators.similarity import _seq_dot
+
+    M = np.array(vecs, dtype=np.float32).astype(np.float64)
+    dim = M.shape[1]
+    acc = np.multiply.outer(M[:, 0], M[:, 0])
+    for j in range(1, dim):
+        acc = acc + np.multiply.outer(M[:, j], M[:, j])
+    nrm = np.sqrt(_seq_dot(M, M))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        blockwise = acc / np.outer(nrm, nrm)
+    for i in range(len(vecs)):
+        for j in range(len(vecs)):
+            d = _py_fold_dot(vecs[i], vecs[j])
+            ni = np.sqrt(_py_fold_dot(vecs[i], vecs[i]))
+            nj = np.sqrt(_py_fold_dot(vecs[j], vecs[j]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                want = d / (ni * nj)
+            got = blockwise[i, j]
+            assert got == want or (np.isnan(got) and np.isnan(want))
