@@ -172,6 +172,14 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
+        # NO persist anywhere — A/B MEASURED at sf0.1 (fresh sessions):
+        # unpersisted 8.3-11.6 s vs persist-per-round 14.7 s vs
+        # base-persist-only 24.2 s. Each round reads the previous edge
+        # set three times, but recomputing the pipelined self-join +
+        # restriction chain is cheaper than materializing millions of
+        # edge rows to cache memory at every step. At cluster scale
+        # with >3 rounds, checkpoint every few rounds to cut lineage
+        # depth — not for reuse.
     )
     for _ in range(_KCORE_ROUNDS):
         keep = (
