@@ -1,0 +1,295 @@
+"""Feature-encoding & distribution-shape statistics for ML prep.
+
+Beyond-reference additions (training-data pipeline family; reference
+capability anchor: SURVEY §2.4 aggregations / §2.8 scalar families —
+the reference has no feature-encoding surface at all). Four operators
+a feature-engineering pipeline needs before handing a table to a
+trainer, all on the exact-integer discipline (ppm outputs, `DIV`) so
+the driver's DuckDB oracle hashes bit-identically:
+
+- ``target_encode_loo``   — leakage-safe leave-one-out target encoding
+- ``chi2_segment_status`` — χ² contingency cells (feature relevance)
+- ``gini_revenue_by_nation`` — concentration (label imbalance) metric
+- ``simpson_diversity_events`` — per-entity class-mix diversity
+
+100 TB notes: ``target_encode_loo`` aggregates to #categories rows and
+BROADCASTS them back — the fact table never shuffles (map-side encode).
+``chi2_segment_status`` reduces to #segments × #statuses cells before
+any non-scan work; marginals are three tiny aggregates broadcast back
+(no unpartitioned windows). ``gini_revenue_by_nation`` windows on the
+nation key; groups are customer-count sized — for groups past ~10⁷
+rows swap the rank for ``operators.ranking.global_rank_scalable``
+range-partitioned within each nation. ``simpson_diversity_events`` is
+two map-side-combinable aggregates on the same (user) key — one
+shuffle, no skew (user_id is uniform). Wide products route through
+DECIMAL(38,0) (HUGEINT in the oracle) so counts past int64 headroom
+cannot silently wrap (ADVICE r5 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.rounding import iscale, sql_iscale
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+
+@register(
+    "target_encode_loo",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        ag AS (
+            SELECT o_orderpriority, SUM(y) AS s, COUNT(*) AS n
+            FROM o GROUP BY 1
+        )
+        SELECT o.o_orderkey, o.o_orderpriority,
+               CAST(o.y AS BIGINT) AS y,
+               CAST(CASE WHEN ag.n > 1
+                         THEN (ag.s - o.y) * 1000000 // (ag.n - 1)
+                         ELSE 500000 END AS BIGINT) AS te_loo_ppm
+        FROM o JOIN ag USING (o_orderpriority)
+    """,
+    doc=(
+        "Leave-one-out target encoding of o_orderpriority against the "
+        "binary target (o_orderstatus='F'): each row's encode excludes "
+        "its own label — the standard leakage-safe categorical encode "
+        "for tree/linear trainers; exact ppm integers."
+    ),
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    ag = o.groupBy("o_orderpriority").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # category table is #priorities rows — broadcast; the fact side
+    # encodes map-side (zero fact shuffles)
+    return o.join(F.broadcast(ag), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("y").cast("long").alias("y"),
+        F.expr(
+            "CASE WHEN n > 1 THEN (s - y) * 1000000 DIV (n - 1)"
+            " ELSE 500000 END"
+        )
+        .cast("long")
+        .alias("te_loo_ppm"),
+    )
+
+
+@register(
+    "chi2_segment_status",
+    oracle="""
+        WITH cells AS (
+            SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS obs
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        seg AS (SELECT c_mktsegment, SUM(obs) AS r FROM cells GROUP BY 1),
+        st  AS (SELECT o_orderstatus, SUM(obs) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(obs) AS n FROM cells)
+        SELECT cells.c_mktsegment, cells.o_orderstatus,
+               CAST(cells.obs AS BIGINT) AS obs,
+               CAST(CAST(seg.r AS HUGEINT) * st.c * 1000000 // tot.n
+                    AS BIGINT) AS exp_ppm,
+               CAST((CAST(tot.n AS HUGEINT) * cells.obs
+                     - CAST(seg.r AS HUGEINT) * st.c)
+                    * (CAST(tot.n AS HUGEINT) * cells.obs
+                       - CAST(seg.r AS HUGEINT) * st.c)
+                    * 1000000
+                    // (CAST(tot.n AS HUGEINT) * seg.r * st.c)
+                    AS BIGINT) AS cell_chi2_ppm
+        FROM cells
+        JOIN seg USING (c_mktsegment)
+        JOIN st USING (o_orderstatus)
+        CROSS JOIN tot
+    """,
+    doc=(
+        "χ² independence contingency cells for customer segment × order "
+        "status: observed count, expected count (ppm), and the cell's "
+        "χ² contribution scaled ×10⁶ — Σ cells / 1e6 is the statistic. "
+        "All arithmetic exact 128-bit integer (DECIMAL(38,0)/HUGEINT)."
+    ),
+)
+def chi2_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    # marginals from the (bounded: #segments × #statuses) cell table —
+    # three tiny aggregates broadcast back; no unpartitioned windows
+    seg = cells.groupBy("c_mktsegment").agg(F.sum("obs").alias("r"))
+    st = cells.groupBy("o_orderstatus").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    d = (
+        "(CAST(n AS DECIMAL(38,0)) * obs - CAST(r AS DECIMAL(38,0)) * c)"
+    )
+    return (
+        cells.join(F.broadcast(seg), "c_mktsegment")
+        .join(F.broadcast(st), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "o_orderstatus",
+            F.col("obs").cast("long").alias("obs"),
+            F.expr(
+                "CAST(r AS DECIMAL(38,0)) * c * 1000000"
+                " DIV CAST(n AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("exp_ppm"),
+            F.expr(
+                f"{d} * {d} * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * r * c)"
+            )
+            .cast("long")
+            .alias("cell_chi2_ppm"),
+        )
+    )
+
+
+@register(
+    "gini_revenue_by_nation",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o_custkey, SUM({sql_iscale("o_totalprice")}) AS rc
+            FROM orders GROUP BY 1
+        ),
+        cust AS (
+            SELECT c.c_nationkey, c.c_custkey,
+                   COALESCE(rev.rc, 0) AS rev_cents
+            FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
+        ),
+        ranked AS (
+            SELECT c_nationkey, rev_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY rev_cents, c_custkey) AS i
+            FROM cust
+        ),
+        s AS (
+            SELECT c_nationkey, COUNT(*) AS n,
+                   SUM(rev_cents) AS sx,
+                   SUM(CAST(i AS HUGEINT) * rev_cents) AS six
+            FROM ranked GROUP BY 1
+        )
+        SELECT c_nationkey,
+               CAST(n AS BIGINT) AS n_customers,
+               CAST(sx AS BIGINT) AS revenue_cents,
+               CAST(CASE WHEN sx = 0 THEN 0
+                         ELSE (2 * CAST(six AS HUGEINT)
+                               - (n + 1) * CAST(sx AS HUGEINT)) * 1000000
+                              // (CAST(n AS HUGEINT) * sx)
+                    END AS BIGINT) AS gini_ppm
+        FROM s
+    """,
+    doc=(
+        "Gini concentration of customer order revenue within each "
+        "nation (sorted-rank formula, deterministic c_custkey "
+        "tiebreak): G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) in exact ppm — "
+        "the label-imbalance audit before stratified sampling."
+    ),
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(iscale("o_totalprice")).alias("rc"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey")
+        .join(rev, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.coalesce(F.col("rc"), F.lit(0)).alias("rev_cents"),
+        )
+    )
+    i = F.row_number().over(
+        W.partitionBy("c_nationkey").orderBy("rev_cents", "c_custkey")
+    )
+    s = (
+        cust.withColumn("i", i)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rev_cents").alias("sx"),
+            F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * rev_cents")).alias("six"),
+        )
+    )
+    return s.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("revenue_cents"),
+        F.expr(
+            "CASE WHEN sx = 0 THEN 0"
+            " ELSE (2 * CAST(six AS DECIMAL(38,0))"
+            "       - (n + 1) * CAST(sx AS DECIMAL(38,0))) * 1000000"
+            "      DIV (CAST(n AS DECIMAL(38,0)) * sx) END"
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+@register(
+    "simpson_diversity_events",
+    oracle="""
+        WITH ct AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+                   SUM(CAST(c AS HUGEINT) * c) AS ss
+            FROM ct GROUP BY 1
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(n_types AS BIGINT) AS n_types,
+               CAST((CAST(n AS HUGEINT) * n - ss) * 1000000
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS simpson_ppm
+        FROM s
+    """,
+    doc=(
+        "Gini-Simpson diversity (1 − Σpᵢ²) of each user's event-type "
+        "mix in exact ppm — the rational-arithmetic diversity index "
+        "(entropy's log is engine-dependent libm; Simpson hashes "
+        "bit-identically). Behavioral-mix feature per entity."
+    ),
+)
+def simpson_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ct = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = ct.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ss"),
+    )
+    return s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * n - ss) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n)"
+        )
+        .cast("long")
+        .alias("simpson_ppm"),
+    )

@@ -59,6 +59,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.graphrank",
     "stacktrend_spark.plans.reference_api",
     "stacktrend_spark.plans.sketches",
+    "stacktrend_spark.plans.mlencode",
 )
 
 
@@ -119,6 +120,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming",
     "kcore_copurchase_peel",
     "stream_kmv_daily_users",
+    "target_encode_loo",
+    "chi2_segment_status",
+    "gini_revenue_by_nation",
+    "simpson_diversity_events",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -143,11 +148,9 @@ _PRIORITY: tuple[str, ...] = (
     "topk_orders",
     "sessionize_events",
     "rank_global_scalable",
-    "window_range_frame_trailing",
-    "scalar_string_clean",
-    "scalar_datetime_parts",
-    "scalar_conditional_tiers",
-    # (r1-stale rows beyond slot 50 — array_word_cooccurrence,
+    # (r1-stale rows beyond slot 50 — window_range_frame_trailing,
+    # scalar_string_clean, scalar_datetime_parts,
+    # scalar_conditional_tiers, array_word_cooccurrence,
     # json_extract_props,
     # pivot_status_by_segment, rollup_revenue,
     # unpivot_flag_metrics, scalar_try_clean, merge_insert_only_events,
