@@ -124,6 +124,9 @@ _PRIORITY: tuple[str, ...] = (
     "chi2_segment_status",
     "gini_revenue_by_nation",
     "simpson_diversity_events",
+    "interval_merge_coverage",
+    "cms_heavy_hitters",
+    "setops_all_multiset",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -145,10 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_share_global",
     "window_lag_monthly_trend",
     "window_running_total",
-    "topk_orders",
-    "sessionize_events",
-    "rank_global_scalable",
-    # (r1-stale rows beyond slot 50 — window_range_frame_trailing,
+    # (r1-stale rows beyond slot 50 — topk_orders, sessionize_events,
+    # rank_global_scalable, window_range_frame_trailing,
     # scalar_string_clean, scalar_datetime_parts,
     # scalar_conditional_tiers, array_word_cooccurrence,
     # json_extract_props,

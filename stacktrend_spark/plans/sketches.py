@@ -227,3 +227,116 @@ def kmv_union_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_both * 1000000 DIV n").cast("long").alias("jaccard_ppm"),
         F.expr(f"n_both * ({est_sql}) DIV n").cast("long").alias("inter_users_est"),
     )
+
+
+_CMS_D = 4      # hash rows
+_CMS_W = 256    # buckets per row
+_CMS_MIN = 45   # exact-count threshold for the audited heavy hitters
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+        WITH grid AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+        hashed AS (
+            SELECT l.l_partkey, g.j,
+                   ({_sql_hex40(
+                       "CAST(g.j AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)"
+                   )}) % {_CMS_W} AS bucket
+            FROM lineitem l CROSS JOIN grid g
+        ),
+        sketch AS (
+            SELECT j, bucket, COUNT(*) AS s
+            FROM hashed GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT l_partkey, COUNT(*) AS exact_cnt
+            FROM lineitem GROUP BY 1 HAVING COUNT(*) >= {_CMS_MIN}
+        ),
+        cand AS (
+            SELECT e.l_partkey, e.exact_cnt, g.j,
+                   ({_sql_hex40(
+                       "CAST(g.j AS VARCHAR) || ':' || CAST(e.l_partkey AS VARCHAR)"
+                   )}) % {_CMS_W} AS bucket
+            FROM exact e CROSS JOIN grid g
+        )
+        SELECT c.l_partkey,
+               CAST(MAX(c.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(MIN(sk.s) AS BIGINT)        AS cms_est,
+               CAST((MIN(sk.s) - MAX(c.exact_cnt)) * 1000000
+                    // MAX(c.exact_cnt) AS BIGINT) AS over_ppm
+        FROM cand c JOIN sketch sk USING (j, bucket)
+        GROUP BY c.l_partkey
+    """,
+    doc=(
+        f"Count-min sketch (d={_CMS_D}, w={_CMS_W}) over lineitem part "
+        "frequencies, audited against exact counts for every part seen "
+        f"≥{_CMS_MIN} times: estimate = min over rows of the bucket "
+        "sum, always ≥ exact (one-sided error), overestimate in ppm. "
+        "Hash rows are 40-bit md5 — the sketch is bit-reproducible in "
+        "any engine, so the gate checks the ESTIMATES, not just shape."
+    ),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS build + point-query audit.
+
+    100 TB: the sketch build is the scale path — explode ×d is map-side
+    and the (j, bucket) aggregate has ≤ d·w = 1024 groups (map-side
+    combine collapses each task to ≤1024 rows before the shuffle). The
+    exact-count audit side exists to make the error measurable; in
+    production only the 1024-row sketch ships to the driver/merges
+    across streams (it is linearly mergeable by bucket-wise +).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    grid = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    hashed = li.select("l_partkey", grid).select(
+        "l_partkey",
+        "j",
+        (
+            _spark_hex40(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("l_partkey").cast("string"),
+                )
+            )
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("s"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= _CMS_MIN)
+    )
+    cand = exact.select(
+        "l_partkey",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    ).select(
+        "l_partkey",
+        "exact_cnt",
+        "j",
+        (
+            _spark_hex40(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("l_partkey").cast("string"),
+                )
+            )
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    # sketch is ≤ d·w rows — broadcast to the candidate probes
+    return (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("l_partkey")
+        .agg(
+            F.max("exact_cnt").cast("long").alias("exact_cnt"),
+            F.min("s").cast("long").alias("cms_est"),
+            F.expr("(MIN(s) - MAX(exact_cnt)) * 1000000 DIV MAX(exact_cnt)")
+            .cast("long")
+            .alias("over_ppm"),
+        )
+    )

@@ -117,3 +117,55 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_SETOP_SQL = """
+    WITH a AS (
+        SELECT o_custkey, o_orderpriority FROM orders
+        WHERE o_orderstatus = 'O'
+    ),
+    b AS (
+        SELECT o_custkey, o_orderpriority FROM orders
+        WHERE o_orderstatus = 'F'
+    ),
+    i AS (
+        SELECT o_orderpriority, COUNT(*) AS n_intersect_all
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        GROUP BY 1
+    ),
+    e AS (
+        SELECT o_orderpriority, COUNT(*) AS n_except_all
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        GROUP BY 1
+    )
+    SELECT p.o_orderpriority,
+           CAST(COALESCE(i.n_intersect_all, 0) AS BIGINT) AS n_intersect_all,
+           CAST(COALESCE(e.n_except_all, 0) AS BIGINT)    AS n_except_all
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+    LEFT JOIN i ON i.o_orderpriority = p.o_orderpriority
+    LEFT JOIN e ON e.o_orderpriority = p.o_orderpriority
+"""
+
+
+@register(
+    "setops_all_multiset",
+    oracle=_SETOP_SQL,
+    doc=(
+        "Multiset INTERSECT ALL / EXCEPT ALL semantics pin: per "
+        "priority, how many (custkey, priority) rows of the open-order "
+        "multiset survive intersection with / subtraction of the "
+        "finished-order multiset — bag semantics (min/left-minus of "
+        "per-key multiplicities), which DISTINCT-based set ops get "
+        "wrong. Same SQL text runs on both engines."
+    ),
+)
+def setops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark executes the IDENTICAL SQL text the oracle runs.
+
+    100 TB: Catalyst plans INTERSECT ALL / EXCEPT ALL as a count-
+    per-key aggregate + generate (multiplicity replay), i.e. one
+    shuffle on the full row key — same cost class as a groupBy; no
+    row-by-row anti semantics.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SETOP_SQL)

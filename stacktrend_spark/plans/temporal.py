@@ -8,7 +8,7 @@ as epoch-µs longs throughout (the repo's cross-engine convention).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from stacktrend_spark.functions.rounding import sql_iscale
@@ -519,4 +519,101 @@ def ewma_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.row_number().over(w), F.lit(_EWMA_TERMS))
         .cast("long")
         .alias("n_terms"),
+    )
+
+
+@register(
+    "interval_merge_coverage",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts)                      AS s,
+                   epoch_us(ts) + 1800000000         AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, s, e,
+                   CASE WHEN MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, island_id,
+                   MIN(s) AS ms, MAX(e) AS me
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)           AS n_merged_intervals,
+               CAST(SUM(me - ms) AS BIGINT)       AS covered_us,
+               CAST(MAX(me - ms) AS BIGINT)       AS longest_us
+        FROM merged GROUP BY 1
+    """,
+    doc=(
+        "Interval coalescing (gaps-and-islands): each event opens a "
+        "30-minute activity interval; overlapping intervals per user "
+        "merge into islands via the running-max-of-end trick, yielding "
+        "merged-interval count, total covered microseconds, and the "
+        "longest contiguous stretch — the classic uptime/session-"
+        "coverage operator."
+    ),
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals and measure coverage.
+
+    100 TB: one shuffle on user_id; both windows share the same
+    (user_id, s)-sort so Spark plans a single Sort + two WindowExecs in
+    one stage. State per group is O(1) (running max / running sum) —
+    no island's members materialize together until the final bounded
+    per-(user, island) aggregate.
+    """
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    prev_max = F.max("e").over(
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # same (s, event_id) total order as the flag window — ties on s
+    # must land in the same island in both engines
+    island_id = F.sum("new_island").over(
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    merged = (
+        flagged.withColumn("island_id", island_id)
+        .groupBy("user_id", "island_id")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+        F.max(F.col("me") - F.col("ms")).cast("long").alias("longest_us"),
     )
