@@ -1145,3 +1145,117 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(_BPE_TOP)
     rn = F.row_number().over(W.orderBy(F.desc("n_occurrences"), F.asc("pair")))
     return top.select("pair", "n_occurrences", rn.cast("long").alias("pair_rank"))
+
+
+@register(
+    "ks_drift_by_source",
+    oracle="""
+        WITH cells AS (
+            SELECT source, n_chars, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        spine AS (SELECT DISTINCT n_chars FROM documents),
+        srcs AS (
+            SELECT source, SUM(c) AS tot FROM cells GROUP BY 1
+        ),
+        n AS (SELECT SUM(c) AS n_all FROM cells),
+        grid AS (
+            SELECT s.source, s.tot, v.n_chars,
+                   COALESCE(cells.c, 0) AS c
+            FROM srcs s CROSS JOIN spine v
+            LEFT JOIN cells
+              ON cells.source = s.source AND cells.n_chars = v.n_chars
+        ),
+        cum AS (
+            SELECT source, tot, n_chars,
+                   SUM(c) OVER (
+                       PARTITION BY source ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_s
+            FROM grid
+        ),
+        gcum AS (
+            SELECT n_chars, SUM(c) AS gc
+            FROM cells GROUP BY 1
+        ),
+        grun AS (
+            SELECT n_chars,
+                   SUM(gc) OVER (
+                       ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_all
+            FROM gcum
+        )
+        SELECT cum.source,
+               CAST(cum.tot AS BIGINT) AS n_docs,
+               CAST(MAX(ABS(
+                   cum.cum_s * 1000000 // cum.tot
+                   - (grun.cum_all - cum.cum_s) * 1000000
+                     // (n.n_all - cum.tot)
+               )) AS BIGINT) AS ks_ppm
+        FROM cum
+        JOIN grun USING (n_chars)
+        CROSS JOIN n
+        GROUP BY cum.source, cum.tot
+    """,
+    doc=(
+        "Two-sample Kolmogorov–Smirnov drift audit: for each source, "
+        "max |CDF_source − CDF_rest| of the document-length "
+        "distribution against the rest of the corpus, in exact ppm "
+        "(integer-division CDF grid) — the distribution-shift gate a "
+        "curation pipeline runs before mixing a new source in."
+    ),
+)
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KS statistic per source vs rest.
+
+    100 TB: reduces to (source × distinct-length) cells before any
+    window; the spine is the distinct value set — for unbounded-
+    cardinality columns quantize to bins first (feature_quantile_bins)
+    so the grid stays #sources × #bins. One shuffle for the cell agg,
+    one source-keyed window over bin-sized groups.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    spine = docs.select("n_chars").distinct()
+    srcs = cells.groupBy("source").agg(F.sum("c").alias("tot"))
+    n_all = cells.agg(F.sum("c").alias("n_all"))
+    grid = (
+        srcs.crossJoin(F.broadcast(spine))
+        .join(cells, ["source", "n_chars"], "left")
+        .select(
+            "source", "tot", "n_chars", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    cum_s = F.sum("c").over(
+        W.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cum_s", cum_s)
+    gcum = cells.groupBy("n_chars").agg(F.sum("c").alias("gc"))
+    # global running count over the bounded spine (|distinct lengths|
+    # rows) — single-partition by construction, not by accident
+    cum_all = F.sum("gc").over(
+        W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    )
+    grun = gcum.withColumn("cum_all", cum_all).drop("gc")
+    return (
+        cum.join(grun, "n_chars")
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("source", "tot")
+        .agg(
+            F.max(
+                F.abs(
+                    F.expr("cum_s * 1000000 DIV tot")
+                    - F.expr("(cum_all - cum_s) * 1000000 DIV (n_all - tot)")
+                )
+            )
+            .cast("long")
+            .alias("ks_ppm")
+        )
+        .select(
+            "source", F.col("tot").cast("long").alias("n_docs"), "ks_ppm"
+        )
+    )

@@ -196,3 +196,102 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
     ).select(F.col("src").cast("long").alias("part_id"), "core_degree")
+
+
+_JAC_MIN_QTY = 40   # same bulk-copurchase gate as the triangle/k-core family
+_JAC_MIN_COMMON = 3  # min shared neighbors for an emitted pair
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem WHERE l_quantity >= {_JAC_MIN_QTY}
+        ),
+        p AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e AS (
+            SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+        ),
+        deg AS (SELECT u AS node, COUNT(*) AS d FROM e GROUP BY 1),
+        common AS (
+            SELECT e1.u AS a, e2.u AS b, COUNT(*) AS c
+            FROM e e1 JOIN e e2
+              ON e1.v = e2.v AND e1.u < e2.u
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_JAC_MIN_COMMON}
+        )
+        SELECT common.a AS part_a, common.b AS part_b,
+               CAST(common.c AS BIGINT) AS n_common,
+               CAST(common.c * 1000000 // (da.d + db.d - common.c)
+                    AS BIGINT) AS jaccard_ppm
+        FROM common
+        JOIN deg da ON da.node = common.a
+        JOIN deg db ON db.node = common.b
+    """,
+    doc=(
+        "Structural similarity: neighborhood Jaccard |N(a)∩N(b)| / "
+        "|N(a)∪N(b)| between parts of the bulk co-purchase graph — "
+        "the 'customers who bought these also bought those' pair "
+        "score, exact ppm integers."
+    ),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-join neighborhood overlap.
+
+    100 TB: the wedge join on the shared neighbor is Σ deg(w)² work —
+    the standard mitigations (hub cap / orientation) trade exactness,
+    so this exact form keeps the common-count gate (≥3) AFTER a
+    map-side-combinable count and notes that production corpora should
+    pre-cap hub degrees (drop w with deg > ~10⁴: a neighbor shared by
+    everyone carries no similarity signal, same rationale as the
+    MinHash posting-list cap in operators/dedup.py).
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _JAC_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    common = (
+        e1.join(
+            e2,
+            (F.col("e1.v") == F.col("e2.v"))
+            & (F.col("e1.u") < F.col("e2.u")),
+        )
+        .groupBy(F.col("e1.u").alias("a"), F.col("e2.u").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _JAC_MIN_COMMON)
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        common.join(da, F.col("da.node") == F.col("a"))
+        .join(db, F.col("db.node") == F.col("b"))
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("c").cast("long").alias("n_common"),
+            F.expr("c * 1000000 DIV (da.d + db.d - c)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -674,3 +674,153 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pct",
         "boundary_chars",
     ).withColumnRenamed("boundary_chars", "normalized_chars")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval scoring (decade-log idf, deterministic doubles)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_term_score(tf: str, idf: str) -> str:
+    """Shared Spark-SQL/DuckDB text for one term's BM25 contribution.
+
+    Every numeric literal is wrapped in CAST(… AS DOUBLE): Spark
+    parses bare decimal literals as DECIMAL (DuckDB as DOUBLE), which
+    silently turns the whole expression — including the final
+    fround — into decimal arithmetic with different rounding. With the
+    casts the op tree is IDENTICAL IEEE-double math on both engines,
+    and the deterministic fround formula pins the 6-decimal value.
+    """
+    raw = (
+        f"({idf}) * (({tf}) * CAST(2.2 AS DOUBLE))"
+        f" / (({tf}) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+        f" + CAST(0.75 AS DOUBLE) * (CAST(dl * 1000000 AS DOUBLE) / avgdl_ppm)))"
+    )
+    return (
+        f"CASE WHEN ({tf}) = 0 THEN CAST(0 AS DOUBLE)"
+        f" ELSE CAST(FLOOR(({raw}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+        f" / CAST(1000000 AS DOUBLE) END"
+    )
+
+
+def _bm25_oracle() -> str:
+    from stacktrend_spark.functions.rounding import sql_xlog10
+
+    t0, t1, t2 = _BM25_TERMS
+    idf = {
+        t: f"({sql_xlog10(f'(2 * n_docs - 2 * df_{t} + 1) * 1000000 // (2 * df_{t} + 1)')} - 6.0)"
+        for t in _BM25_TERMS
+    }
+    score = " + ".join(_bm25_term_score(f"tf_{t}", idf[t]) for t in _BM25_TERMS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        tfp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN term = '{t0}' THEN 1 ELSE 0 END) AS tf_{t0},
+                   SUM(CASE WHEN term = '{t1}' THEN 1 ELSE 0 END) AS tf_{t1},
+                   SUM(CASE WHEN term = '{t2}' THEN 1 ELSE 0 END) AS tf_{t2}
+            FROM toks GROUP BY 1
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   SUM(dl) * 1000000 // COUNT(*) AS avgdl_ppm
+            FROM dl
+        ),
+        dfs AS (
+            SELECT SUM(CASE WHEN tf_{t0} > 0 THEN 1 ELSE 0 END) AS df_{t0},
+                   SUM(CASE WHEN tf_{t1} > 0 THEN 1 ELSE 0 END) AS df_{t1},
+                   SUM(CASE WHEN tf_{t2} > 0 THEN 1 ELSE 0 END) AS df_{t2}
+            FROM tfp
+        ),
+        scored AS (
+            SELECT dl.doc_id,
+                   CAST(tfp.tf_{t0} AS BIGINT) AS tf_{t0},
+                   CAST(tfp.tf_{t1} AS BIGINT) AS tf_{t1},
+                   CAST(tfp.tf_{t2} AS BIGINT) AS tf_{t2},
+                   {score} AS bm25
+            FROM dl
+            JOIN tfp USING (doc_id)
+            CROSS JOIN stats CROSS JOIN dfs
+        )
+        SELECT doc_id, tf_{t0}, tf_{t1}, tf_{t2}, bm25
+        FROM scored WHERE tf_{t0} + tf_{t1} + tf_{t2} > 0
+    """
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=_bm25_oracle(),
+    doc=(
+        "BM25 retrieval scoring of a 3-term keyword query over the "
+        "document corpus (k1=1.2, b=0.75): tf saturation + length "
+        "normalization + decade-interpolated log10 idf (xlog10 — no "
+        "libm lottery). Every double comes from one fixed op tree, so "
+        "scores hash bit-identically across engines."
+    ),
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index BM25.
+
+    100 TB: one explode→(doc)-keyed aggregate for dl and the pivoted
+    query-term tfs (map-side combinable); corpus stats and per-term
+    dfs are single-row broadcasts; scoring is map-only. The query-term
+    pivot keeps the per-term scores as COLUMNS so the 3-term sum has a
+    fixed association order — a row-stream SUM would re-associate
+    doubles nondeterministically.
+    """
+    from stacktrend_spark.functions.rounding import xlog10
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    t0, t1, t2 = _BM25_TERMS
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("SUM(dl) * 1000000 DIV COUNT(*)").alias("avgdl_ppm"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    idf_cols = {
+        t: (
+            xlog10(
+                F.expr(
+                    f"(2 * n_docs - 2 * df_{t} + 1) * 1000000 DIV (2 * df_{t} + 1)"
+                )
+            )
+            - F.lit(6.0)
+        ).alias(f"idf_{t}")
+        for t in _BM25_TERMS
+    }
+    j = j.select("*", *idf_cols.values())
+    score = " + ".join(
+        _bm25_term_score(f"tf_{t}", f"idf_{t}") for t in _BM25_TERMS
+    )
+    return (
+        j.select(
+            "doc_id",
+            *[F.col(f"tf_{t}").cast("long").alias(f"tf_{t}") for t in _BM25_TERMS],
+            F.expr(score).alias("bm25"),
+        )
+        .filter(
+            sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
+        )
+    )
