@@ -1,0 +1,209 @@
+"""Geospatial grid-join analytics (synthetic deterministic coordinates).
+
+Beyond-reference addition: nearest-neighbor and density queries over
+point data — the "closest depot / service-area rollup" family. The
+testdata carries no coordinates, so each entity gets a DETERMINISTIC
+synthetic position derived from 40-bit md5 hashes of its key (same
+value in both engines — the geometry itself is on the hashed
+correctness surface, not just the query shape).
+
+Coordinates are integer MICRODEGREES on a planar (equirectangular,
+no-wrap) earth: lat ∈ [−90e6, 90e6), lon ∈ [−180e6, 180e6). All
+distances are exact-integer squared µdeg — no trig, no libm lottery.
+
+100 TB notes: the nearest-neighbor query is the canonical GRID
+equi-join — points bucket into 30°×30° cells, each probe expands to
+its 3×3 cell neighborhood (9 map-side rows), and candidates arrive
+through an equi-join on the cell id instead of a cross join. Work
+scales with (probes × density of the 9 cells), not |probes|×|points|;
+the cell edge is the density knob and callers shrink it as point
+density grows. Matches within one cell edge of the true nearest are
+exact; a cross-cell-diagonal nearest can be missed — the standard
+grid-ANN contract, stated in the docstring. The density rollup is a
+single cell-keyed aggregate (map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from stacktrend_spark.functions.hashing import spark_hex40, sql_hex40
+from stacktrend_spark.plans.registry import register
+from stacktrend_spark.sources.tables import load_table
+
+#: grid cell edge in microdegrees (30°)
+_CELL = 30_000_000
+
+
+def _spark_coords(key: Column, prefix: str) -> tuple[Column, Column]:
+    lat = spark_hex40(F.concat(F.lit(f"{prefix}lat:"), key.cast("string")))
+    lon = spark_hex40(F.concat(F.lit(f"{prefix}lon:"), key.cast("string")))
+    return (
+        (lat % 180_000_000 - 90_000_000).alias("lat"),
+        (lon % 360_000_000 - 180_000_000).alias("lon"),
+    )
+
+
+def _sql_coords(key: str, prefix: str) -> tuple[str, str]:
+    lat = sql_hex40(f"'{prefix}lat:' || CAST({key} AS VARCHAR)")
+    lon = sql_hex40(f"'{prefix}lon:' || CAST({key} AS VARCHAR)")
+    return (
+        f"(({lat}) % 180000000 - 90000000)",
+        f"(({lon}) % 360000000 - 180000000)",
+    )
+
+
+@register(
+    "geo_grid_nearest",
+    oracle=(
+        lambda clat, clon, slat, slon: f"""
+        WITH cust AS (
+            SELECT c_custkey, {clat} AS lat, {clon} AS lon
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        supp AS (
+            SELECT s_suppkey, {slat} AS lat, {slon} AS lon
+            FROM supplier
+        ),
+        sc AS (
+            SELECT s_suppkey, lat, lon,
+                   CAST(FLOOR(CAST(lat AS DOUBLE) / {_CELL}) AS BIGINT) AS cx,
+                   CAST(FLOOR(CAST(lon AS DOUBLE) / {_CELL}) AS BIGINT) AS cy
+            FROM supp
+        ),
+        probes AS (
+            SELECT c.c_custkey, c.lat, c.lon,
+                   CAST(FLOOR(CAST(c.lat AS DOUBLE) / {_CELL}) AS BIGINT) + dx.d AS cx,
+                   CAST(FLOOR(CAST(c.lon AS DOUBLE) / {_CELL}) AS BIGINT) + dy.d AS cy
+            FROM cust c
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(d)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(d)
+        ),
+        cand AS (
+            SELECT p.c_custkey, sc.s_suppkey,
+                   (p.lat - sc.lat) * (p.lat - sc.lat)
+                   + (p.lon - sc.lon) * (p.lon - sc.lon) AS dist2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.c_custkey
+                       ORDER BY (p.lat - sc.lat) * (p.lat - sc.lat)
+                              + (p.lon - sc.lon) * (p.lon - sc.lon),
+                                sc.s_suppkey
+                   ) AS rn
+            FROM probes p JOIN sc ON sc.cx = p.cx AND sc.cy = p.cy
+        )
+        SELECT cust.c_custkey,
+               cand.s_suppkey,
+               CAST(cand.dist2 AS BIGINT) AS dist2_udeg
+        FROM cust
+        LEFT JOIN cand ON cand.c_custkey = cust.c_custkey AND cand.rn = 1
+    """
+    )(*_sql_coords("c_custkey", "c"), *_sql_coords("s_suppkey", "s")),
+    doc=(
+        "Grid-bucketed nearest supplier per (sampled) customer: 30° "
+        "cells, 3×3 neighborhood probe via equi-join on cell id, exact "
+        "integer µdeg² distance, s_suppkey tiebreak; customers with an "
+        "empty neighborhood keep a NULL match. The scale path for "
+        "spatial nearest-neighbor — candidates are bounded by local "
+        "density, never |C|×|S|."
+    ),
+)
+def geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat_c, lon_c = _spark_coords(F.col("c_custkey"), "c")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", lat_c, lon_c)
+    )
+    lat_s, lon_s = _spark_coords(F.col("s_suppkey"), "s")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", lat_s, lon_s
+    )
+    cell = lambda c: F.floor(c.cast("double") / _CELL).cast("long")  # noqa: E731
+    sc = supp.select(
+        F.col("s_suppkey"),
+        F.col("lat").alias("slat"),
+        F.col("lon").alias("slon"),
+        cell(F.col("lat")).alias("cx"),
+        cell(F.col("lon")).alias("cy"),
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    )
+    probes = (
+        cust.withColumn("dx", offsets)
+        .withColumn("dy", F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])))
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            (cell(F.col("lat")) + F.col("dx")).alias("cx"),
+            (cell(F.col("lon")) + F.col("dy")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat")) + (
+        F.col("lon") - F.col("slon")
+    ) * (F.col("lon") - F.col("slon"))
+    rn = F.row_number().over(
+        W.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    )
+    cand = (
+        probes.join(sc, ["cx", "cy"])
+        .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+    )
+    return cust.select("c_custkey").join(
+        cand.select(
+            "c_custkey", "s_suppkey", F.col("dist2").cast("long").alias("dist2_udeg")
+        ),
+        "c_custkey",
+        "left",
+    )
+
+
+@register(
+    "geo_cell_density",
+    oracle=(
+        lambda slat, slon: f"""
+        WITH supp AS (
+            SELECT s_suppkey, s_acctbal, {slat} AS lat, {slon} AS lon
+            FROM supplier
+        )
+        SELECT CAST(FLOOR(CAST(lat AS DOUBLE) / {_CELL}) AS BIGINT) AS cx,
+               CAST(FLOOR(CAST(lon AS DOUBLE) / {_CELL}) AS BIGINT) AS cy,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_acctbal_cents
+        FROM supp
+        GROUP BY 1, 2
+    """
+    )(*_sql_coords("s_suppkey", "s")),
+    doc=(
+        "Spatial density rollup: supplier count and exact-cents "
+        "balance per 30° grid cell — the heatmap/service-area "
+        "aggregate over the same deterministic grid as "
+        "geo_grid_nearest."
+    ),
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat_s, lon_s = _spark_coords(F.col("s_suppkey"), "s")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", lat_s, lon_s
+    )
+    cell = lambda c: F.floor(c.cast("double") / _CELL).cast("long")  # noqa: E731
+    return (
+        supp.groupBy(
+            cell(F.col("lat")).alias("cx"), cell(F.col("lon")).alias("cy")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(
+                F.floor(F.col("s_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sum_acctbal_cents"),
+        )
+    )

@@ -60,6 +60,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.reference_api",
     "stacktrend_spark.plans.sketches",
     "stacktrend_spark.plans.mlencode",
+    "stacktrend_spark.plans.geo",
 )
 
 
@@ -130,6 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_jaccard_neighbors",
     "bm25_keyword_search",
     "ks_drift_by_source",
+    "geo_grid_nearest",
+    "geo_cell_density",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -146,9 +149,8 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_exists_orders",
     "subquery_scalar_above_avg",
     "window_rank_global",
-    "window_rank_in_group",
-    "window_share_of_region",
-    # (r1-stale rows beyond slot 50 — window_share_global,
+    # (r1-stale rows beyond slot 50 — window_rank_in_group,
+    # window_share_of_region, window_share_global,
     # window_lag_monthly_trend, window_running_total,
     # topk_orders, sessionize_events,
     # rank_global_scalable, window_range_frame_trailing,
