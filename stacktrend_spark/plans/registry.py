@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "ks_drift_by_source",
     "geo_grid_nearest",
     "geo_cell_density",
+    "stream_outer_attribution",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -148,8 +149,8 @@ _PRIORITY: tuple[str, ...] = (
     "union_period_metrics",
     "subquery_exists_orders",
     "subquery_scalar_above_avg",
-    "window_rank_global",
-    # (r1-stale rows beyond slot 50 — window_rank_in_group,
+    # (r1-stale rows beyond slot 50 — window_rank_global,
+    # window_rank_in_group,
     # window_share_of_region, window_share_global,
     # window_lag_monthly_trend, window_running_total,
     # topk_orders, sessionize_events,

@@ -562,3 +562,104 @@ def stream_kmv_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kmv_users"),
     )
+
+
+@register(
+    "stream_outer_attribution",
+    # the 2-day purchase-side cutoff makes the OUTER decision final by
+    # end-of-input: an unmatched purchase null-emits only once the
+    # watermark (max ts − 1d delay) passes its timestamp, so purchases
+    # younger than that would stay in state forever and the stream
+    # result would MISS rows the batch left join has. Both engines
+    # apply the identical cutoff, so the comparison is exact.
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        p AS (
+            SELECT event_id, user_id, ts FROM events, mx
+            WHERE event_type = 'purchase'
+              AND ts <= mx.mt - INTERVAL 2 DAY
+        ),
+        v AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'view'
+        )
+        SELECT p.event_id                      AS purchase_id,
+               v.event_id                      AS view_id,
+               p.user_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM p LEFT JOIN v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 DAY
+         AND v.ts <= p.ts
+    """,
+    doc=(
+        "LEFT OUTER stream-stream interval join: purchases pair with "
+        "the trailing day's views; purchases with NO view in the "
+        "window emit a NULL-view row once the watermark expires their "
+        "state — the attribution join that also surfaces unattributed "
+        "conversions. State bounded by the watermark horizon on both "
+        "sides."
+    ),
+)
+def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked outer interval join, run availableNow to a sink.
+
+    100 TB: identical state shape to the inner attribution join (both
+    sides shuffle once on user_id; state = trailing horizon of
+    3-column rows). The extra cost of OUTER is only the eviction-time
+    null emission. The max-ts scalar is a bounded driver collect
+    (one row) over the batch view of the same source — at scale the
+    cutoff is a pipeline parameter, not a data scan.
+    """
+    from stacktrend_spark.sources.tables import load_table
+
+    mt = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("mt"))
+        .collect()[0]["mt"]
+    )
+    from datetime import timedelta
+
+    cutoff = mt - timedelta(days=2)
+    # watermark is attached BEFORE the type/cutoff filters: Spark
+    # tracks max event time at the watermark operator, so filtering
+    # first would cap this side's watermark at the cutoff and leave a
+    # permanent 1-day blind tail of never-evicted (never-null-emitted)
+    # purchases — measured as 31 missing rows at sf0.01
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", "1 day")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts") <= F.lit(cutoff))
+        .drop("event_type")
+        .alias("p")
+    )
+    views = (
+        load_events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", "1 day")
+        .filter(F.col("event_type") == "view")
+        .drop("event_type")
+        .alias("v")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p.user_id = v.user_id"
+            " AND v.ts >= p.ts - INTERVAL 1 DAY"
+            " AND v.ts <= p.ts"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.user_id").alias("user_id"),
+        (F.unix_micros("p.ts") - F.unix_micros("v.ts")).alias("gap_us"),
+    )
+    return run_to_batch(
+        joined,
+        "stream_outer_attribution_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
