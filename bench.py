@@ -122,6 +122,19 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "kcore_copurchase_peel",
     "stream_kmv_daily_users",
+    "target_encode_loo",
+    "chi2_segment_status",
+    "gini_revenue_by_nation",
+    "simpson_diversity_events",
+    "interval_merge_coverage",
+    "cms_heavy_hitters",
+    "setops_all_multiset",
+    "graph_jaccard_neighbors",
+    "bm25_keyword_search",
+    "ks_drift_by_source",
+    "geo_grid_nearest",
+    "geo_cell_density",
+    "stream_outer_attribution",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)
