@@ -657,3 +657,83 @@ def top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "path", "n_journeys", rn.cast("long").alias("path_rank")
     )
+
+
+_AES_K = 200  # sample size
+
+
+def _aes_oracle() -> str:
+    from stacktrend_spark.functions.hashing import sql_hex40
+    from stacktrend_spark.functions.rounding import sql_xlog10
+
+    xlog = sql_xlog10(
+        "(" + sql_hex40("'aes:' || CAST(o_orderkey AS VARCHAR)") + ") + 1"
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS weight_cents,
+                   (({xlog}) - 13.0)
+                   / CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                          AS DOUBLE) AS k
+            FROM orders
+        ),
+        ranked AS (
+            SELECT o_orderkey, weight_cents, k,
+                   ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey) AS rnk
+            FROM keyed
+        )
+        SELECT o_orderkey, weight_cents, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= {_AES_K}
+    """
+
+
+@register(
+    "weighted_sample_aes",
+    oracle=_aes_oracle(),
+    doc=(
+        "Deterministic weighted sampling without replacement "
+        "(Efraimidis–Spirakis A-ES): each order draws u from a 40-bit "
+        "md5 hash and ranks by log(u)/weight (decade-interpolated "
+        "xlog10 — engine-neutral); the top-200 keys ARE the weighted "
+        "sample. Re-runs, retries, and both engines select the "
+        "identical sample — the property RAND()-based sampling can't "
+        "give."
+    ),
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted reservoir, Spark-side.
+
+    100 TB: keying is map-only; the top-k is orderBy().limit(k) —
+    Catalyst plans TakeOrderedAndProject (per-partition top-k, driver
+    merge of k·P rows), never a global sort. The rank column is
+    re-derived on the 200-row result, not on the corpus.
+    """
+    from stacktrend_spark.functions.hashing import spark_hex40
+    from stacktrend_spark.functions.rounding import xlog10
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("weight_cents"),
+    )
+    h = spark_hex40(
+        F.concat(F.lit("aes:"), F.col("o_orderkey").cast("string"))
+    ) + F.lit(1)
+    keyed = o.select(
+        "o_orderkey",
+        "weight_cents",
+        (
+            (xlog10(h) - F.lit(13.0))
+            / F.col("weight_cents").cast("double")
+        ).alias("k"),
+    )
+    top = keyed.orderBy(F.desc("k"), "o_orderkey").limit(_AES_K)
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc("k"), "o_orderkey"))
+    return top.select(
+        "o_orderkey", "weight_cents", rnk.cast("long").alias("rnk")
+    )

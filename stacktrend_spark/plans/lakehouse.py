@@ -877,3 +877,88 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("total_cents") == F.col("f_cents"))
         ).alias("consistent"),
     )
+
+
+@register(
+    "scd2_point_in_time_daily",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts_us
+            FROM seq
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        ),
+        hist AS (
+            SELECT user_id, event_type,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts_us) AS BIGINT)
+                       AS version,
+                   ts_us AS valid_from_us
+            FROM changes
+        ),
+        days AS (
+            SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us
+            FROM events
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        pit AS (
+            SELECT s.user_id, s.day_us, h.event_type, h.version,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.user_id, s.day_us
+                       ORDER BY h.valid_from_us DESC) AS rn
+            FROM (SELECT u.user_id, d.day_us
+                  FROM users u CROSS JOIN days d) s
+            JOIN hist h
+              ON h.user_id = s.user_id AND h.valid_from_us <= s.day_us
+        )
+        SELECT user_id, day_us, event_type, version
+        FROM pit WHERE rn = 1
+    """,
+    doc=(
+        "Point-in-time (PIT) join: for every (user, midnight) on the "
+        "corpus day spine, the SCD2 dimension version valid at that "
+        "instant — the feature-store / time-travel consumption query "
+        "over the scd2_event_type_history table."
+    ),
+)
+def scd2_point_in_time_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT via the as-of carry operator — no inequality join.
+
+    100 TB: a naive PIT is an inequality join (probe.ts ≥ version.ts)
+    — quadratic per user. ``operators/temporal.asof_join`` instead
+    unions probes + versions and carries the latest version forward in
+    ONE user-keyed window pass: cost is a single shuffle of
+    (probes + versions), the same shape Delta/feature stores use for
+    AS OF queries. The day spine is #days rows, broadcast to the
+    user list map-side.
+    """
+    from stacktrend_spark.operators.temporal import asof_join
+
+    hist = scd2_event_type_history(spark, sf_dir).select(
+        "user_id", "event_type", "version", "valid_from_us"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    ).distinct()
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    pit = asof_join(
+        spine,
+        hist,
+        key="user_id",
+        left_ts="day_us",
+        right_ts="valid_from_us",
+        right_payload=["event_type", "version"],
+    )
+    return pit.filter(F.col("asof_version").isNotNull()).select(
+        "user_id",
+        "day_us",
+        F.col("asof_event_type").alias("event_type"),
+        F.col("asof_version").alias("version"),
+    )

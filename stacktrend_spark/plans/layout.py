@@ -119,3 +119,101 @@ def _pruned_read_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_value_cents"),
     )
+
+
+_ZM_FILE_ROWS = 1000  # orderkeys per simulated file
+
+
+@register(
+    "zonemap_skipping_audit",
+    oracle=f"""
+        WITH zoned AS (
+            SELECT l_orderkey // {_ZM_FILE_ROWS} AS file_id,
+                   l_shipdate,
+                   date_trunc('month', l_shipdate) AS m
+            FROM lineitem
+        ),
+        zones AS (
+            SELECT file_id,
+                   MIN(l_shipdate) AS zmin,
+                   MAX(l_shipdate) AS zmax,
+                   COUNT(*) AS n_rows
+            FROM zoned GROUP BY 1
+        ),
+        months AS (SELECT DISTINCT m FROM zoned),
+        audit AS (
+            SELECT months.m,
+                   COUNT(*) AS n_files,
+                   SUM(CASE WHEN zones.zmax <  months.m
+                             OR zones.zmin >= months.m + INTERVAL 1 MONTH
+                            THEN 1 ELSE 0 END) AS n_skipped,
+                   SUM(CASE WHEN zones.zmax <  months.m
+                             OR zones.zmin >= months.m + INTERVAL 1 MONTH
+                            THEN zones.n_rows ELSE 0 END) AS rows_skipped,
+                   SUM(zones.n_rows) AS rows_total
+            FROM months CROSS JOIN zones
+            GROUP BY 1
+        )
+        SELECT CAST(m AS DATE) AS month,
+               CAST(n_files AS BIGINT) AS n_files,
+               CAST(n_skipped AS BIGINT) AS n_skipped,
+               CAST(n_skipped * 1000000 // n_files AS BIGINT)
+                   AS skip_ratio_ppm,
+               CAST(rows_skipped AS BIGINT) AS rows_skipped,
+               CAST(rows_total AS BIGINT) AS rows_total
+        FROM audit
+    """,
+    doc=(
+        "Zone-map (min/max statistics) skipping audit: rows bucket "
+        "into simulated files by orderkey range, each file keeps "
+        "min/max shipdate, and for every month-range predicate the "
+        "audit reports how many files (and rows) the zone maps would "
+        "skip — the data-layout health check behind clustering/"
+        "Z-order decisions."
+    ),
+)
+def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why layout matters, quantified.
+
+    100 TB: zones aggregate is one shuffle to #files rows; the
+    month × zones audit is a broadcast cross of #months × #files
+    zone STATS (never data). A low skip ratio on a hot predicate
+    column is the signal to re-cluster (zorder_layout_stats shows the
+    re-layout side of this coin).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey DIV {_ZM_FILE_ROWS}").alias("file_id"),
+        "l_shipdate",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("m"),
+    )
+    zones = li.groupBy("file_id").agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    months = li.select("m").distinct()
+    skipped = F.when(
+        (F.col("zmax") < F.col("m"))
+        | (F.col("zmin") >= F.add_months(F.col("m"), 1)),
+        1,
+    ).otherwise(0)
+    return (
+        months.crossJoin(F.broadcast(zones))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(skipped).alias("n_skipped"),
+            F.sum(skipped * F.col("n_rows")).alias("rows_skipped"),
+            F.sum("n_rows").alias("rows_total"),
+        )
+        .select(
+            F.col("m").alias("month"),
+            F.col("n_files").cast("long").alias("n_files"),
+            F.col("n_skipped").cast("long").alias("n_skipped"),
+            F.expr("n_skipped * 1000000 DIV n_files")
+            .cast("long")
+            .alias("skip_ratio_ppm"),
+            F.col("rows_skipped").cast("long").alias("rows_skipped"),
+            F.col("rows_total").cast("long").alias("rows_total"),
+        )
+    )

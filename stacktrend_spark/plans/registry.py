@@ -134,6 +134,11 @@ _PRIORITY: tuple[str, ...] = (
     "geo_grid_nearest",
     "geo_cell_density",
     "stream_outer_attribution",
+    "scd2_point_in_time_daily",
+    "setsim_prefix_join",
+    "q13_customer_distribution",
+    "weighted_sample_aes",
+    "zonemap_skipping_audit",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -144,12 +149,10 @@ _PRIORITY: tuple[str, ...] = (
     "join_anti_inactive_customers",
     "join_semi_active_suppliers",
     "agg_global_market_pulse",
-    "agg_conditional_by_priority",
-    "distinct_status_priority",
-    "union_period_metrics",
-    "subquery_exists_orders",
-    "subquery_scalar_above_avg",
-    # (r1-stale rows beyond slot 50 — window_rank_global,
+    # (r1-stale rows beyond slot 50 — agg_conditional_by_priority,
+    # distinct_status_priority, union_period_metrics,
+    # subquery_exists_orders, subquery_scalar_above_avg,
+    # window_rank_global,
     # window_rank_in_group,
     # window_share_of_region, window_share_global,
     # window_lag_monthly_trend, window_running_total,

@@ -832,3 +832,53 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("max_before").isNull() | (F.col("p_size") > F.col("max_before")))
         .select("price_cents", "p_size", "n_parts")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        WITH co AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM co GROUP BY 1
+    """,
+    doc=(
+        "TPC-H Q13 shape: distribution of customers by order count "
+        "(left join with an ON-clause predicate so zero-order "
+        "customers survive into the c_count=0 bucket), then a count "
+        "of counts."
+    ),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: the ON-clause-filter + COUNT(col) null-skip semantics pin.
+
+    100 TB: one orders-side shuffle for the per-customer count (the
+    join keeps customer partitioning via AQE), then a second tiny
+    aggregate over #distinct-counts rows. The filter must live in the
+    ON clause — a WHERE would turn the left join inner and silently
+    drop the zero-order bucket.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    co = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
