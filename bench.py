@@ -135,6 +135,11 @@ HEADLINE = [
     "geo_grid_nearest",
     "geo_cell_density",
     "stream_outer_attribution",
+    "scd2_point_in_time_daily",
+    "setsim_prefix_join",
+    "q13_customer_distribution",
+    "weighted_sample_aes",
+    "zonemap_skipping_audit",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

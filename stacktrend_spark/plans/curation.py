@@ -1419,3 +1419,159 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+def _winnow_oracle() -> str:
+    from stacktrend_spark.functions.hashing import sql_hex40
+
+    h = sql_hex40("gram")
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, SUBSTR(text, 1, LENGTH(text) - 20)
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        toks AS (
+            SELECT doc_id, p, w
+            FROM (SELECT doc_id,
+                         UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w,
+                         UNNEST(range(1, len(STRING_SPLIT(text, ' ')) + 1))
+                             AS p
+                  FROM corpus)
+        ),
+        grams AS (
+            SELECT doc_id, p,
+                   w || ' ' || LEAD(w, 1) OVER dw
+                     || ' ' || LEAD(w, 2) OVER dw
+                     || ' ' || LEAD(w, 3) OVER dw AS gram
+            FROM toks
+            WINDOW dw AS (PARTITION BY doc_id ORDER BY p)
+            QUALIFY LEAD(w, 3) OVER dw IS NOT NULL
+        ),
+        hashed AS (
+            SELECT doc_id, p, {h} AS h FROM grams
+        ),
+        winmin AS (
+            SELECT doc_id,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS fp
+            FROM hashed
+            QUALIFY LEAD(h, 3) OVER (PARTITION BY doc_id ORDER BY p)
+                    IS NOT NULL
+        ),
+        fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+        sz AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY 1),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ns
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        )
+        SELECT s.doc_a, s.doc_b,
+               CAST(s.ns AS BIGINT) AS n_shared,
+               CAST(s.ns * 1000000 // LEAST(sa.nf, sb.nf) AS BIGINT)
+                   AS containment_ppm
+        FROM shared s
+        JOIN sz sa ON sa.doc_id = s.doc_a
+        JOIN sz sb ON sb.doc_id = s.doc_b
+    """
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=_winnow_oracle(),
+    doc=(
+        "Winnowing document fingerprints (the MOSS algorithm, "
+        "Schleimer et al. SIGMOD'03): hash every word 4-gram, keep the "
+        "MINIMUM hash of each sliding window of 4 grams — guaranteed "
+        "to share fingerprints with any doc overlapping ≥ w+k−1 "
+        "words — then pair docs sharing ≥3 fingerprints with a "
+        "containment score. Planted truncated copies make matches "
+        "non-vacuous."
+    ),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing: local fingerprint selection, cross-doc containment.
+
+    100 TB: selection is map-side per doc (one doc-keyed sort shared
+    by the two windows); fingerprint density is ~2/(w+1) of gram
+    count, so the pair join runs on a ~60%-smaller posting list than
+    raw grams, and hub fingerprints (boilerplate) can be df-capped
+    exactly like the MinHash band keys.
+    """
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.functions.hashing import spark_hex40
+    from stacktrend_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 20)").alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    toks = corpus.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    dw = W.partitionBy("doc_id").orderBy("p")
+    grams = (
+        toks.select(
+            "doc_id",
+            "p",
+            F.concat_ws(
+                " ",
+                F.col("w"),
+                F.lead("w", 1).over(dw),
+                F.lead("w", 2).over(dw),
+                F.lead("w", 3).over(dw),
+            ).alias("gram"),
+            F.lead("w", 3).over(dw).alias("_w3"),
+        )
+        .filter(F.col("_w3").isNotNull())
+        .drop("_w3")
+    )
+    hashed = grams.select(
+        "doc_id", "p", spark_hex40(F.col("gram")).alias("h")
+    )
+    winmin = (
+        hashed.select(
+            "doc_id",
+            F.min("h")
+            .over(dw.rowsBetween(0, 3))
+            .alias("fp"),
+            F.lead("h", 3).over(dw).alias("_h3"),
+        )
+        .filter(F.col("_h3").isNotNull())
+        .drop("_h3")
+    )
+    fps = winmin.distinct()
+    sz = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") >= 3)
+    )
+    sa, sb = sz.alias("sa"), sz.alias("sb")
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("ns").cast("long").alias("n_shared"),
+            F.expr("ns * 1000000 DIV LEAST(sa.nf, sb.nf)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )

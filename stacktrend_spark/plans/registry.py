@@ -139,6 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "weighted_sample_aes",
     "zonemap_skipping_audit",
+    "stream_dedup_within_watermark",
+    "business_days_sla",
+    "winnowing_fingerprints",
     # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
@@ -146,10 +149,9 @@ _PRIORITY: tuple[str, ...] = (
     # -- (d) freshness rotation: last proven in r1, oldest first
     "join_revenue_by_nation",
     "join_left_customer_orders",
-    "join_anti_inactive_customers",
-    "join_semi_active_suppliers",
-    "agg_global_market_pulse",
-    # (r1-stale rows beyond slot 50 — agg_conditional_by_priority,
+    # (r1-stale rows beyond slot 50 — join_anti_inactive_customers,
+    # join_semi_active_suppliers, agg_global_market_pulse,
+    # agg_conditional_by_priority,
     # distinct_status_priority, union_period_metrics,
     # subquery_exists_orders, subquery_scalar_above_avg,
     # window_rank_global,

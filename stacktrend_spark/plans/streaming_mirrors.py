@@ -663,3 +663,52 @@ def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_partitions=8,
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_id,
+               epoch_us(ts) AS ts_us,
+               user_id,
+               event_type
+        FROM events
+    """,
+    doc=(
+        "dropDuplicatesWithinWatermark semantics pin: doubled delivery "
+        "deduped on event_id alone, with state TTL'd by the watermark "
+        "even though no event-time column is part of the dedup key — "
+        "the Spark-3.5+ API that fixes dropDuplicates' unbounded state "
+        "when ids never carry event time."
+    ),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: identical shape to stream_dedup_events, but the state
+    store provably holds ONE watermark horizon of ids — plain
+    dropDuplicates on a non-time key would grow state forever on an
+    unbounded stream; WithinWatermark is the production-correct form.
+    """
+    ev = load_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    doubled = ev.unionByName(
+        load_events_stream(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+        )
+    )
+    return run_to_batch(
+        deduped,
+        "stream_dedup_within_watermark_sink",
+        output_mode="append",
+        state_partitions=8,
+    )

@@ -617,3 +617,74 @@ def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
         F.max(F.col("me") - F.col("ms")).cast("long").alias("longest_us"),
     )
+
+
+def _bd_sql(d: str) -> str:
+    """Weekday count from the 1970-01-05 (Monday) epoch to DATE ``d``
+    (exclusive): 5 per full week + min(remainder, 5). Pure datediff
+    arithmetic — no engine DOW function, no locale/week-start hazard."""
+    n = f"DATEDIFF('day', DATE '1970-01-05', {d})"
+    return f"(5 * (({n}) // 7) + LEAST(({n}) % 7, 5))"
+
+
+def _bd_spark(d: str) -> str:
+    n = f"datediff({d}, DATE'1970-01-05')"
+    return f"(5 * (({n}) DIV 7) + LEAST(({n}) % 7, 5))"
+
+
+@register(
+    "business_days_sla",
+    oracle=f"""
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   {_bd_sql("l.l_shipdate")} - {_bd_sql("o.o_orderdate")}
+                       AS bdays
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT)       AS n_lines,
+               CAST(MIN(bdays) AS BIGINT)     AS min_bdays,
+               CAST(MAX(bdays) AS BIGINT)     AS max_bdays,
+               CAST(SUM(bdays) * 100 // COUNT(*) AS BIGINT)
+                                              AS avg_bdays_x100
+        FROM lat GROUP BY 1
+    """,
+    doc=(
+        "Business-day SLA latency: weekday count between order date "
+        "and line ship date via pure Monday-epoch datediff arithmetic "
+        "(5·⌊n/7⌋ + min(n mod 7, 5) — no engine day-of-week function, "
+        "so no week-start/locale divergence), aggregated per order "
+        "priority in exact centi-days."
+    ),
+)
+def business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the weekday transform is map-side arithmetic fused into
+    the scan; one join shuffle (orders side broadcastable per AQE) and
+    one bounded aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            (
+                F.expr(_bd_spark("l_shipdate"))
+                - F.expr(_bd_spark("o_orderdate"))
+            ).alias("bdays"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("bdays").cast("long").alias("min_bdays"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+        F.expr("SUM(bdays) * 100 DIV COUNT(*)")
+        .cast("long")
+        .alias("avg_bdays_x100"),
+    )
