@@ -237,28 +237,26 @@ _CMS_MIN = 45   # exact-count threshold for the audited heavy hitters
 @register(
     "cms_heavy_hitters",
     oracle=f"""
-        WITH grid AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
-        hashed AS (
-            SELECT l.l_partkey, g.j,
-                   ({_sql_hex40(
-                       "CAST(g.j AS VARCHAR) || ':' || CAST(l.l_partkey AS VARCHAR)"
-                   )}) % {_CMS_W} AS bucket
-            FROM lineitem l CROSS JOIN grid g
+        WITH counts AS (
+            SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
         ),
+        grid AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
         sketch AS (
-            SELECT j, bucket, COUNT(*) AS s
-            FROM hashed GROUP BY 1, 2
-        ),
-        exact AS (
-            SELECT l_partkey, COUNT(*) AS exact_cnt
-            FROM lineitem GROUP BY 1 HAVING COUNT(*) >= {_CMS_MIN}
+            SELECT j,
+                   ({_sql_hex40(
+                       "CAST(g.j AS VARCHAR) || ':' || CAST(c.l_partkey AS VARCHAR)"
+                   )}) % {_CMS_W} AS bucket,
+                   SUM(c.cnt) AS s
+            FROM counts c CROSS JOIN grid g
+            GROUP BY 1, 2
         ),
         cand AS (
-            SELECT e.l_partkey, e.exact_cnt, g.j,
+            SELECT c.l_partkey, c.cnt AS exact_cnt, g.j,
                    ({_sql_hex40(
-                       "CAST(g.j AS VARCHAR) || ':' || CAST(e.l_partkey AS VARCHAR)"
+                       "CAST(g.j AS VARCHAR) || ':' || CAST(c.l_partkey AS VARCHAR)"
                    )}) % {_CMS_W} AS bucket
-            FROM exact e CROSS JOIN grid g
+            FROM counts c CROSS JOIN grid g
+            WHERE c.cnt >= {_CMS_MIN}
         )
         SELECT c.l_partkey,
                CAST(MAX(c.exact_cnt) AS BIGINT) AS exact_cnt,
@@ -280,53 +278,40 @@ _CMS_MIN = 45   # exact-count threshold for the audited heavy hitters
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS build + point-query audit.
 
-    100 TB: the sketch build is the scale path — explode ×d is map-side
-    and the (j, bucket) aggregate has ≤ d·w = 1024 groups (map-side
-    combine collapses each task to ≤1024 rows before the shuffle). The
-    exact-count audit side exists to make the error measurable; in
-    production only the 1024-row sketch ships to the driver/merges
-    across streams (it is linearly mergeable by bucket-wise +).
+    100 TB: CMS is LINEAR, so the sketch is built from the per-key
+    count table, not the raw row stream — one corpus shuffle (the
+    exact count, map-side combinable, needed for the audit anyway),
+    then d hashes per DISTINCT key instead of per row (measured 5.0 s
+    → sub-second warm at sf0.1: 80k md5s instead of 2.4M). The
+    (j, bucket) aggregate has ≤ d·w = 1024 groups; in production only
+    the 1024-row sketch ships/merges (bucket-wise +) and the raw
+    stream still never shuffles more than once.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     grid = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
-    hashed = li.select("l_partkey", grid).select(
-        "l_partkey",
-        "j",
-        (
-            _spark_hex40(
-                F.concat(
-                    F.col("j").cast("string"),
-                    F.lit(":"),
-                    F.col("l_partkey").cast("string"),
-                )
+    bucket = (
+        _spark_hex40(
+            F.concat(
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("l_partkey").cast("string"),
             )
-            % _CMS_W
-        ).alias("bucket"),
+        )
+        % _CMS_W
+    ).alias("bucket")
+    hashed = counts.select("l_partkey", "cnt", grid).select(
+        "l_partkey", "cnt", "j", bucket
     )
-    sketch = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("s"))
-    exact = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .filter(F.col("exact_cnt") >= _CMS_MIN)
-    )
-    cand = exact.select(
-        "l_partkey",
-        "exact_cnt",
-        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
-    ).select(
-        "l_partkey",
-        "exact_cnt",
-        "j",
-        (
-            _spark_hex40(
-                F.concat(
-                    F.col("j").cast("string"),
-                    F.lit(":"),
-                    F.col("l_partkey").cast("string"),
-                )
-            )
-            % _CMS_W
-        ).alias("bucket"),
+    sketch = hashed.groupBy("j", "bucket").agg(F.sum("cnt").alias("s"))
+    cand = (
+        counts.filter(F.col("cnt") >= _CMS_MIN)
+        .withColumnRenamed("cnt", "exact_cnt")
+        .select("l_partkey", "exact_cnt", grid)
+        .select("l_partkey", "exact_cnt", "j", bucket)
     )
     # sketch is ≤ d·w rows — broadcast to the candidate probes
     return (
