@@ -146,10 +146,12 @@ _PRIORITY: tuple[str, ...] = (
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
     "asof_purchase_login",
-    # -- (d) freshness rotation: last proven in r1, oldest first
-    "join_revenue_by_nation",
-    "join_left_customer_orders",
-    # (r1-stale rows beyond slot 50 — join_anti_inactive_customers,
+    "q15_top_supplier",
+    "q18_large_orders",
+    # -- (d) freshness rotation: all remaining slots went to new
+    # queries this round; the whole r1-stale batch rolls to r6
+    # (join_revenue_by_nation, join_left_customer_orders,
+    # join_anti_inactive_customers,
     # join_semi_active_suppliers, agg_global_market_pulse,
     # agg_conditional_by_priority,
     # distinct_status_priority, union_period_metrics,

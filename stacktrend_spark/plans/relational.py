@@ -882,3 +882,133 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
         F.count(F.lit(1)).cast("long").alias("custdist")
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100.0 + 0.5)
+                                     AS BIGINT)))
+                       AS total_revenue_scaled
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1995-04-01'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue_scaled AS BIGINT) AS total_revenue_scaled
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue_scaled = (
+            SELECT MAX(total_revenue_scaled) FROM revenue
+        )
+    """,
+    doc=(
+        "TPC-H Q15 shape: quarterly supplier revenue view, then the "
+        "supplier(s) achieving the maximum — the scalar-subquery-on-"
+        "aggregate pattern. Revenue in exact scaled integers "
+        "(cents × (100−discount%)), so the max is tie-exact."
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the revenue view is one lineitem shuffle to #suppliers
+    rows; the max is a broadcast scalar; the final join is
+    supplier-dimension sized. Catalyst evaluates the view ONCE when
+    expressed as a shared subplan (same DataFrame object on both
+    consumers)."""
+    from stacktrend_spark.functions.rounding import iscale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                iscale("l_extendedprice")
+                * (F.lit(100) - iscale("l_discount"))
+            ).alias("total_revenue_scaled")
+        )
+    )
+    mx = revenue.agg(
+        F.max("total_revenue_scaled").alias("mx")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_scaled") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_scaled").cast("long").alias(
+                "total_revenue_scaled"
+            ),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+        )
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   AS o_totalprice_cents,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc=(
+        "TPC-H Q18 shape: orders whose total line quantity exceeds a "
+        "threshold (HAVING subquery → semi join), re-joined to "
+        "customer and lineitem for the order detail rollup."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the HAVING filter reduces lineitem to the (rare) big
+    orders FIRST; the IN-subquery plans as a semi join whose right
+    side is small enough to broadcast, so the detail re-join touches
+    only qualifying orders."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == big.l_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.withColumnRenamed("l_orderkey", "lk"), F.col("lk") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("o_totalprice_cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )

@@ -54,6 +54,12 @@ HEAVY = [
     "dedup_minhash_lsh",
     "triangle_count_copurchase",
     "customer_rfm_scores",
+    # r5 second wave (documents/lineitem-based — events is not scaled
+    # by the synthesizer, so event-family queries can't sf1-test here)
+    "setsim_prefix_join",
+    "winnowing_fingerprints",
+    "graph_jaccard_neighbors",
+    "cms_heavy_hitters",
 ]
 
 _REPLICAS = 10
