@@ -469,3 +469,130 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_saturated"),
         )
     )
+
+
+_PQ_M = 8   # subspaces (64-dim → 8 × 8-dim)
+_PQ_K = 16  # codewords per subspace: subvectors of vec_id < 16
+_PQ_SUB = 8
+
+
+def _pq_dist2(vec: str, pre: str, spark_side: bool) -> str:
+    """Σ_j (vec[8m+j+1] − c{j})² with a FIXED left-associated op tree —
+    identical IEEE doubles on both engines. ``pre`` prefixes the
+    codeword component columns (c0..c7). Element access is 1-based on
+    BOTH sides: DuckDB brackets are 1-based, Spark brackets are
+    0-based, so the Spark text uses element_at (1-based)."""
+
+    def at(i: str) -> str:
+        return f"element_at({vec}, {i})" if spark_side else f"{vec}[{i}]"
+
+    terms = [
+        f"(({at(f'8 * m + {j + 1}')}) - {pre}c{j})"
+        f" * (({at(f'8 * m + {j + 1}')}) - {pre}c{j})"
+        for j in range(_PQ_SUB)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        ms AS (SELECT UNNEST(range({_PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, p.vec_id AS k,
+                   {", ".join(f"p.v[8 * ms.m + {j + 1}] AS c{j}" for j in range(_PQ_SUB))}
+            FROM pts p CROSS JOIN ms
+            WHERE p.vec_id < {_PQ_K}
+        ),
+        d AS (
+            SELECT p.vec_id, cb.m, cb.k,
+                   {_pq_dist2("p.v", "cb.", False)} AS dist2
+            FROM pts p
+            JOIN cb ON TRUE
+        ),
+        best AS (
+            SELECT vec_id, m, k, dist2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY dist2, k) AS rn
+            FROM d
+        )
+        SELECT vec_id,
+               {", ".join(f"CAST(MAX(CASE WHEN m = {i} THEN k END) AS BIGINT) AS code{i}" for i in range(_PQ_M))},
+               FLOOR(({" + ".join(f"MAX(CASE WHEN m = {i} THEN dist2 END)" for i in range(_PQ_M))}) * 1000000.0 + 0.5) / 1000000.0
+                   AS recon_err
+        FROM best WHERE rn = 1
+        GROUP BY vec_id
+    """,
+    doc=(
+        f"Product quantization (IVF-PQ residual codec): the 64-dim "
+        f"embedding splits into {_PQ_M} subvectors, each assigned to "
+        f"its nearest of {_PQ_K} deterministic codewords (subvectors "
+        "of the first 16 vectors) by squared L2 — emitting the "
+        f"{_PQ_M}-byte code and the reconstruction error. Distances "
+        "ride one fixed IEEE op tree, so codes AND the rounded error "
+        "hash bit-identically."
+    ),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: 8× compression of the vector table (64×4B → 8B).
+
+    100 TB: the codebook is M·K = 128 rows — broadcast; candidate
+    generation is map-side (M·K per vector, no corpus shuffle) and the
+    argmin collapses back to one row per vector in the single vec_id
+    aggregate. At production K (256) the same plan holds; training the
+    codebook per subspace is the kmeans_recompute_centroids loop run
+    M times on slices.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m")
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), "v")
+        .select("k", "v", ms)
+        .select(
+            "m",
+            "k",
+            *[
+                F.expr(f"element_at(v, 8 * m + {j + 1})").alias(f"c{j}")
+                for j in range(_PQ_SUB)
+            ],
+        )
+    )
+    d = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "m",
+        "k",
+        F.expr(_pq_dist2("v", "", True)).alias("dist2"),
+    )
+    best = d.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("vec_id", "m").orderBy("dist2", "k")
+        ),
+    ).filter(F.col("rn") == 1)
+    code_cols = [
+        F.max(F.when(F.col("m") == i, F.col("k")))
+        .cast("long")
+        .alias(f"code{i}")
+        for i in range(_PQ_M)
+    ]
+    err = " + ".join(
+        f"MAX(CASE WHEN m = {i} THEN dist2 END)" for i in range(_PQ_M)
+    )
+    return emb.select("vec_id").join(
+        best.groupBy("vec_id").agg(
+            *code_cols,
+            F.expr(
+                f"FLOOR(({err}) * 1000000.0 + 0.5) / 1000000.0"
+            ).alias("recon_err"),
+        ),
+        "vec_id",
+    )
