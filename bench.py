@@ -140,6 +140,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "weighted_sample_aes",
     "zonemap_skipping_audit",
+    "stream_dedup_within_watermark",
+    "business_days_sla",
+    "winnowing_fingerprints",
+    "embedding_pq_codes",
+    "q15_top_supplier",
+    "q18_large_orders",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)
