@@ -448,3 +448,61 @@ def test_table_diff_drill_broadcasts_bucket_list(spark, sf_dir):
     diff, not the table (plans/lakehouse.table_diff_by_fingerprint)."""
     p = plan_of(all_queries()["table_diff_by_fingerprint"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_geo_nearest_is_cell_equi_join(spark, sf_dir):
+    """The grid nearest-neighbor must candidate via an equi-join on the
+    cell id — a cartesian/nested-loop over customers × suppliers is
+    exactly what the grid exists to avoid."""
+    p = plan_of(all_queries()["geo_grid_nearest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cms_sketch_builds_from_count_table(spark, sf_dir):
+    """CMS is linear: the sketch aggregates the per-key count table
+    (one corpus shuffle) and broadcasts the ≤ d·w-row sketch to the
+    probes — the probe join must be a broadcast, not a shuffle."""
+    p = plan_of(all_queries()["cms_heavy_hitters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_target_encode_broadcasts_category_stats(spark, sf_dir):
+    """LOO target encoding joins the #categories aggregate back to the
+    fact side via broadcast — the fact table must not shuffle for the
+    encode join."""
+    p = plan_of(all_queries()["target_encode_loo"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """A-ES top-k must plan TakeOrderedAndProject (per-partition top-k),
+    never a global Sort of the keyed corpus."""
+    p = plan_of(all_queries()["weighted_sample_aes"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_setsim_candidates_are_equi_join_on_shingle(spark, sf_dir):
+    """Prefix filtering self-joins ONLY on the shingle equi-key; any
+    nested-loop shape means the prefix filter degenerated to all-pairs."""
+    p = plan_of(all_queries()["setsim_prefix_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    """PQ candidate generation crosses each vector with the 128-row
+    codebook — that side must broadcast (map-side amplification), the
+    corpus must not shuffle before the argmin."""
+    p = plan_of(all_queries()["embedding_pq_codes"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_interval_merge_windows_share_one_sort(spark, sf_dir):
+    """Both gaps-and-islands windows ride the same (user, s)-ordering:
+    the plan must contain exactly ONE Exchange (the user_id shuffle) —
+    a second Exchange means the island window re-partitioned."""
+    p = plan_of(all_queries()["interval_merge_coverage"].fn(spark, sf_dir))
+    # count hashpartitioning Exchanges over user_id-rooted keys
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2  # one for the window chain, one for the final agg at most
