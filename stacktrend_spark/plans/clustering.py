@@ -596,3 +596,178 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_id",
     )
+
+
+_ADC_NQ = 5   # query vectors: vec_id < 5
+_ADC_K = 5    # neighbors returned per query
+
+
+def _adc_oracle() -> str:
+    codes_assign = f"""
+        d AS (
+            SELECT p.vec_id, cb.m, cb.k,
+                   {_pq_dist2("p.v", "cb.", False)} AS dist2
+            FROM pts p JOIN cb ON TRUE
+        ),
+        best AS (
+            SELECT vec_id, m, k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, m ORDER BY dist2, k) AS rn
+            FROM d
+        ),
+        codes AS (SELECT vec_id, m, k FROM best WHERE rn = 1)
+    """
+    lut = f"""
+        lut AS (
+            SELECT q.vec_id AS qid, cb.m, cb.k,
+                   {_pq_dist2("q.v", "cb.", False)} AS ld
+            FROM pts q JOIN cb ON TRUE
+            WHERE q.vec_id < {_ADC_NQ}
+        )
+    """
+    dcols = " + ".join(
+        f"MAX(CASE WHEN codes.m = {i} THEN ld END)" for i in range(_PQ_M)
+    )
+    return f"""
+        WITH pts AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        ms AS (SELECT UNNEST(range({_PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, p.vec_id AS k,
+                   {", ".join(f"p.v[8 * ms.m + {j + 1}] AS c{j}" for j in range(_PQ_SUB))}
+            FROM pts p CROSS JOIN ms
+            WHERE p.vec_id < {_PQ_K}
+        ),
+        {codes_assign},
+        {lut},
+        adc AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   FLOOR(({dcols}) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist2
+            FROM pts q
+            JOIN pts c ON c.label = q.label AND c.vec_id <> q.vec_id
+            JOIN codes ON codes.vec_id = c.vec_id
+            JOIN lut ON lut.qid = q.vec_id
+                    AND lut.m = codes.m AND lut.k = codes.k
+            WHERE q.vec_id < {_ADC_NQ}
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, adc_dist2,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist2, neighbor_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= {_ADC_K}
+    """
+
+
+@register(
+    "sim_ivfpq_adc_topk",
+    oracle=_adc_oracle(),
+    doc=(
+        "IVF-PQ asymmetric-distance search (the FAISS IVFPQ query "
+        "path): corpus vectors live only as 8-byte PQ codes; each "
+        "query precomputes a 8×16 look-up table of subspace distances "
+        "to every codeword, candidates come from the query's coarse "
+        "cell (label) only, and the approximate distance is the "
+        "table-lookup sum — top-5 per query, every double from one "
+        "fixed op tree."
+    ),
+)
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN serving stack: coarse prune + compressed rerank.
+
+    100 TB: the corpus is touched only through its PQ code rows (8
+    small ints per vector — 8× smaller than raw floats); the LUT is
+    nq·M·K rows broadcast; candidates are an equi-join on the coarse
+    cell. The ADC sum pivots the 8 subspace distances to COLUMNS so
+    the float addition order is fixed (a row-stream SUM would
+    re-associate). Exact-rerank of the ADC top-R with true distances
+    is the standard second stage (sim_ivf_topk shows that shape).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m")
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("k"), "v")
+        .select("k", "v", ms)
+        .select(
+            "m",
+            "k",
+            *[
+                F.expr(f"element_at(v, 8 * m + {j + 1})").alias(f"c{j}")
+                for j in range(_PQ_SUB)
+            ],
+        )
+    )
+    d = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "k", F.expr(_pq_dist2("v", "", True)).alias("dist2")
+    )
+    codes = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id", "m").orderBy("dist2", "k")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    lut = (
+        emb.filter(F.col("vec_id") < _ADC_NQ)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("m").alias("lm"),
+            F.col("k").alias("lk"),
+            F.expr(_pq_dist2("v", "", True)).alias("ld"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < _ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    cand = (
+        q.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .join(
+            codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(
+            F.broadcast(lut),
+            (F.col("qid") == F.col("query_id"))
+            & (F.col("lm") == F.col("m"))
+            & (F.col("lk") == F.col("k")),
+        )
+    )
+    dcols = " + ".join(
+        f"MAX(CASE WHEN m = {i} THEN ld END)" for i in range(_PQ_M)
+    )
+    adc = cand.groupBy("query_id", "neighbor_id").agg(
+        F.expr(
+            f"FLOOR(({dcols}) * 1000000.0 + 0.5) / 1000000.0"
+        ).alias("adc_dist2")
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    )
+    return (
+        adc.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _ADC_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist2",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -146,8 +146,12 @@ _PRIORITY: tuple[str, ...] = (
     # regenerated testdata has no 'login' type, so the match set was
     # vacuous): re-prove under the driver
     "asof_purchase_login",
-    "q15_top_supplier",
-    "q18_large_orders",
+    # embedding_pq_codes / sim_ivfpq_adc_topk take the last two slots
+    # over Q15/Q18: the PQ family rides cross-engine IEEE-double
+    # discipline (riskier → driver proof worth more); Q15/Q18 are
+    # plain exact-integer shapes, locally green, r6 window fodder.
+    "embedding_pq_codes",
+    "sim_ivfpq_adc_topk",
     # -- (d) freshness rotation: all remaining slots went to new
     # queries this round; the whole r1-stale batch rolls to r6
     # (join_revenue_by_nation, join_left_customer_orders,
