@@ -146,6 +146,9 @@ HEADLINE = [
     "embedding_pq_codes",
     "q15_top_supplier",
     "q18_large_orders",
+    "sim_ivfpq_adc_topk",
+    "exact_median_distributed",
+    "scd_consistency_audit",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -962,3 +962,85 @@ def scd2_point_in_time_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_type").alias("event_type"),
         F.col("asof_version").alias("version"),
     )
+
+
+@register(
+    "scd_consistency_audit",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts_us
+            FROM seq
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        ),
+        hist AS (
+            SELECT user_id, event_type,
+                   LEAD(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us) IS NULL AS is_current
+            FROM changes
+        ),
+        cur AS (
+            SELECT user_id, event_type AS scd2_type
+            FROM hist WHERE is_current
+        ),
+        latest AS (
+            SELECT user_id, event_type AS feed_type
+            FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            ) WHERE rn = 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN scd2_type = feed_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+               CAST(SUM(CASE WHEN scd2_type <> feed_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+        FROM cur JOIN latest USING (user_id)
+    """,
+    doc=(
+        "Dimension-consistency audit: the SCD2 history's is_current "
+        "version must agree with a direct last-writer-wins read of the "
+        "change feed for every entity (n_mismatch = 0 is the "
+        "invariant) — the reconciliation check a lakehouse runs after "
+        "rebuilding a dimension."
+    ),
+)
+def scd_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: both sides shuffle once on the entity key and reduce to
+    one row per entity before the audit join; the output is a single
+    bounded row. Run it after every dimension rebuild — a nonzero
+    n_mismatch means the change-collapse and the feed disagree."""
+    hist = scd2_event_type_history(spark, sf_dir)
+    cur = hist.filter(F.col("is_current")).select(
+        "user_id", F.col("event_type").alias("scd2_type")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    latest = (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("feed_type"))
+    )
+    return cur.join(latest, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.when(F.col("scd2_type") == F.col("feed_type"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_consistent"),
+        F.sum(
+            F.when(F.col("scd2_type") != F.col("feed_type"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )

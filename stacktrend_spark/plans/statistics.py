@@ -925,3 +925,124 @@ def approx_quantile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p90_within_rank_bound"),
         )
     )
+
+
+_MED_BUCKET = 65536  # coarse bucket width in cents
+
+
+@register(
+    "exact_median_distributed",
+    oracle=f"""
+        WITH vals AS (
+            SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS cents
+            FROM lineitem
+        ),
+        n AS (SELECT COUNT(*) AS n_rows, (COUNT(*) + 1) // 2 AS r FROM vals),
+        coarse AS (
+            SELECT cents // {_MED_BUCKET} AS b, COUNT(*) AS c
+            FROM vals GROUP BY 1
+        ),
+        cum AS (
+            SELECT b, c,
+                   SUM(c) OVER (ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_c
+            FROM coarse
+        ),
+        target AS (
+            SELECT MIN(b) AS tb FROM cum, n WHERE cum_c >= n.r
+        ),
+        before AS (
+            SELECT COALESCE(SUM(c), 0) AS cnt_before
+            FROM coarse, target WHERE b < target.tb
+        ),
+        fine AS (
+            SELECT v.cents, COUNT(*) AS c
+            FROM vals v, target
+            WHERE v.cents // {_MED_BUCKET} = target.tb
+            GROUP BY 1
+        ),
+        fcum AS (
+            SELECT cents,
+                   SUM(c) OVER (ORDER BY cents
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_c
+            FROM fine
+        )
+        SELECT CAST(n.n_rows AS BIGINT)  AS n_rows,
+               CAST(target.tb AS BIGINT) AS bucket_id,
+               CAST((SELECT MIN(cents) FROM fcum, before, n
+                     WHERE fcum.cum_c >= n.r - before.cnt_before)
+                    AS BIGINT)           AS median_cents
+        FROM n, target
+    """,
+    doc=(
+        "Exact distributed median (two-phase selection): coarse "
+        "65536-cent bucket histogram locates the target bucket, a "
+        "second pass ranks only inside it — the k-th-element algorithm "
+        "that needs no global sort and no quantile sketch; lower-"
+        "median rank (N+1)÷2, all integer."
+    ),
+)
+def exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: pass 1 reduces the corpus to #buckets rows (map-side
+    combinable); the bucket cumulative runs on that bounded table; pass
+    2 scans ONLY the target bucket's rows (predicate pushed to the
+    scan) and ranks #distinct-values-in-bucket rows. Selection without
+    sort — the pattern generalizes to any exact quantile."""
+    from stacktrend_spark.functions.rounding import iscale
+
+    vals = load_table(spark, sf_dir, "lineitem").select(
+        iscale("l_extendedprice").alias("cents")
+    )
+    n = vals.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("(COUNT(*) + 1) DIV 2").alias("r"),
+    )
+    coarse = vals.groupBy(
+        F.expr(f"cents DIV {_MED_BUCKET}").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # bounded spine (#buckets rows): single-partition window by
+    # construction, not by accident
+    cum = coarse.withColumn(
+        "cum_c",
+        F.sum("c").over(W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    target = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("cum_c") >= F.col("r"))
+        .agg(F.min("b").alias("tb"))
+    )
+    before = (
+        coarse.crossJoin(F.broadcast(target))
+        .filter(F.col("b") < F.col("tb"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("cnt_before"))
+    )
+    fine = (
+        vals.crossJoin(F.broadcast(target))
+        .filter(F.expr(f"cents DIV {_MED_BUCKET}") == F.col("tb"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fcum = fine.withColumn(
+        "cum_c",
+        F.sum("c").over(
+            W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    median = (
+        fcum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(before))
+        .filter(F.col("cum_c") >= F.col("r") - F.col("cnt_before"))
+        .agg(F.min("cents").alias("median_cents"))
+    )
+    return (
+        n.crossJoin(F.broadcast(target))
+        .crossJoin(F.broadcast(median))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("tb").cast("long").alias("bucket_id"),
+            F.col("median_cents").cast("long").alias("median_cents"),
+        )
+    )
