@@ -149,6 +149,8 @@ HEADLINE = [
     "sim_ivfpq_adc_topk",
     "exact_median_distributed",
     "scd_consistency_audit",
+    "bitmap_audience_overlap",
+    "table_column_stats",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1044,3 +1044,76 @@ def scd_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_mismatch"),
     )
+
+
+@register(
+    "table_column_stats",
+    oracle="""
+        SELECT 'l_orderkey' AS column_name,
+               CAST(COUNT(l_orderkey) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+               CAST(MIN(l_orderkey) AS BIGINT) AS min_i,
+               CAST(MAX(l_orderkey) AS BIGINT) AS max_i
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey',
+               CAST(COUNT(l_partkey) AS BIGINT),
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+               CAST(MIN(l_partkey) AS BIGINT),
+               CAST(MAX(l_partkey) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey',
+               CAST(COUNT(l_suppkey) AS BIGINT),
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+               CAST(MIN(l_suppkey) AS BIGINT),
+               CAST(MAX(l_suppkey) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity',
+               CAST(COUNT(l_quantity) AS BIGINT),
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+               CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT),
+               CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        FROM lineitem
+    """,
+    doc=(
+        "ANALYZE TABLE mirror: exact per-column statistics (non-null "
+        "count, NDV, min, max) for the key columns of the fact table — "
+        "the numbers a cost-based optimizer and zone-map layout "
+        "decisions feed on."
+    ),
+)
+def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one scan computes ALL columns' stats together (a single
+    aggregate with count/countDistinct/min/max per column, then an
+    unpivot to rows) — NOT one scan per column like the naive UNION
+    oracle; at production scale exact NDV per column would ride HLL
+    (approx_count_distinct) with the exact form reserved for audits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("long")
+        aggs += [
+            F.count(v).alias(f"nn_{c}"),
+            F.countDistinct(v).alias(f"ndv_{c}"),
+            F.min(v).alias(f"min_{c}"),
+            F.max(v).alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, ndv_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack})"
+            " AS (column_name, n_nonnull, ndv, min_i, max_i)"
+        )
+    ).select(
+        "column_name",
+        F.col("n_nonnull").cast("long").alias("n_nonnull"),
+        F.col("ndv").cast("long").alias("ndv"),
+        F.col("min_i").cast("long").alias("min_i"),
+        F.col("max_i").cast("long").alias("max_i"),
+    )

@@ -325,3 +325,76 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("over_ppm"),
         )
     )
+
+
+@register(
+    "bitmap_audience_overlap",
+    oracle="""
+        WITH bm AS (
+            SELECT event_type,
+                   user_id // 63 AS w,
+                   BIT_OR(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS bits
+            FROM events
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.w, a.bits AS ba, b.bits AS bb
+            FROM bm a JOIN bm b
+              ON a.w = b.w AND a.event_type < b.event_type
+        )
+        SELECT type_a, type_b,
+               CAST(SUM(BIT_COUNT(ba & bb)) AS BIGINT) AS n_both,
+               CAST(SUM(BIT_COUNT(ba | bb)) AS BIGINT) AS n_either,
+               CAST(SUM(BIT_COUNT(ba & bb)) * 1000000
+                    // SUM(BIT_COUNT(ba | bb)) AS BIGINT) AS jaccard_ppm
+        FROM pairs
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Bitmap-index audience overlap (the roaring-bitmap primitive): "
+        "each event type's user set lives as 63-bit words (word id = "
+        "user÷63, bit = user mod 63 — bit 63 stays clear because DuckDB "
+        "range-checks 1<<63; BIT_OR-aggregated); pairwise "
+        "intersection/union sizes are popcounts of word-wise AND/OR — "
+        "set algebra without re-touching the fact table."
+    ),
+)
+def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the bitmap build is ONE fact shuffle to (#types ×
+    #words) words — 8 bytes per 64 users; every subsequent overlap
+    query is word-aligned set algebra on the compact bitmaps (the
+    same reason OLAP engines keep bitmap indexes for audience/segment
+    queries). Word ids partition evenly — no skew. Caveat vs KMV
+    (kmv_union_jaccard): bitmaps are EXACT but sized by the id
+    universe; KMV is approximate but constant-size — both live here
+    deliberately."""
+    ev = load_table(spark, sf_dir, "events")
+    bm = ev.groupBy(
+        "event_type", F.expr("user_id DIV 63").alias("w")
+    ).agg(
+        F.expr(
+            "BIT_OR(SHIFTLEFT(CAST(1 AS BIGINT),"
+            " CAST(user_id % 63 AS INT)))"
+        ).alias("bits")
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.bits").alias("ba"),
+        F.col("b.bits").alias("bb"),
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.sum(F.bit_count(F.expr("ba & bb"))).cast("long").alias("n_both"),
+        F.sum(F.bit_count(F.expr("ba | bb"))).cast("long").alias("n_either"),
+        F.expr(
+            "SUM(BIT_COUNT(ba & bb)) * 1000000 DIV SUM(BIT_COUNT(ba | bb))"
+        )
+        .cast("long")
+        .alias("jaccard_ppm"),
+    )
