@@ -591,7 +591,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.groupBy("vec_id").agg(
             *code_cols,
             F.expr(
-                f"FLOOR(({err}) * 1000000.0 + 0.5) / 1000000.0"
+                f"CAST(FLOOR(({err}) * CAST(1000000 AS DOUBLE)"
+                " + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+                " / CAST(1000000 AS DOUBLE)"
             ).alias("recon_err"),
         ),
         "vec_id",
@@ -755,7 +757,9 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = cand.groupBy("query_id", "neighbor_id").agg(
         F.expr(
-            f"FLOOR(({dcols}) * 1000000.0 + 0.5) / 1000000.0"
+            f"CAST(FLOOR(({dcols}) * CAST(1000000 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS DOUBLE)"
+            " / CAST(1000000 AS DOUBLE)"
         ).alias("adc_dist2")
     )
     rnk = F.row_number().over(
