@@ -151,6 +151,8 @@ HEADLINE = [
     "scd_consistency_audit",
     "bitmap_audience_overlap",
     "table_column_stats",
+    "division_not_exists",
+    "gdpr_anonymize_cascade",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

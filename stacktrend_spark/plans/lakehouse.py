@@ -1117,3 +1117,87 @@ def table_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_i").cast("long").alias("min_i"),
         F.col("max_i").cast("long").alias("max_i"),
     )
+
+
+def _gdpr_oracle() -> str:
+    from stacktrend_spark.functions.hashing import sql_hex40
+
+    h = sql_hex40("'pseud:' || CAST(e.user_id AS VARCHAR)")
+    return f"""
+        WITH erased AS (
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id % 37 = 0
+        ),
+        rewritten AS (
+            SELECT e.event_id,
+                   CASE WHEN x.user_id IS NOT NULL
+                        THEN ({h}) ELSE e.user_id END AS subject_id,
+                   x.user_id IS NOT NULL AS pseudonymized
+            FROM events e
+            LEFT JOIN erased x ON x.user_id = e.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN pseudonymized THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pseudonymized,
+               CAST(COUNT(DISTINCT CASE WHEN pseudonymized
+                                        THEN subject_id END)
+                    AS BIGINT) AS n_surrogates,
+               CAST(MIN(CASE WHEN pseudonymized THEN subject_id END)
+                    AS BIGINT) AS min_surrogate
+        FROM rewritten
+    """
+
+
+@register(
+    "gdpr_anonymize_cascade",
+    oracle=_gdpr_oracle(),
+    doc=(
+        "Right-to-be-forgotten via PSEUDONYMIZATION (the alternative "
+        "to hard delete that keeps aggregates stable): erased "
+        "subjects' ids are rewritten to an md5-derived surrogate "
+        "everywhere, with an audit of rows touched and surrogate "
+        "cardinality. Surrogates are deterministic, so re-runs and "
+        "both engines produce identical ids."
+    ),
+)
+def gdpr_anonymize_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the erased-subject list is dimension-sized → broadcast
+    to a map-only rewrite of each fact table (compare
+    compliance_delete_audit for the hard-delete path); with Delta
+    present this is the same rewrite expressed as MERGE ... UPDATE.
+    The audit aggregate is one pass over the rewritten stream."""
+    from stacktrend_spark.functions.hashing import spark_hex40
+
+    ev = load_table(spark, sf_dir, "events")
+    erased = (
+        ev.filter(F.col("user_id") % 37 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumnRenamed("user_id", "erased_id")
+    )
+    surrogate = spark_hex40(
+        F.concat(F.lit("pseud:"), F.col("user_id").cast("string"))
+    )
+    rewritten = ev.join(
+        F.broadcast(erased), F.col("user_id") == F.col("erased_id"), "left"
+    ).select(
+        "event_id",
+        F.when(F.col("erased_id").isNotNull(), surrogate)
+        .otherwise(F.col("user_id"))
+        .alias("subject_id"),
+        F.col("erased_id").isNotNull().alias("pseudonymized"),
+    )
+    return rewritten.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("pseudonymized"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pseudonymized"),
+        F.countDistinct(
+            F.when(F.col("pseudonymized"), F.col("subject_id"))
+        )
+        .cast("long")
+        .alias("n_surrogates"),
+        F.min(F.when(F.col("pseudonymized"), F.col("subject_id")))
+        .cast("long")
+        .alias("min_surrogate"),
+    )

@@ -169,3 +169,65 @@ def setops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_SETOP_SQL)
+
+
+_DIVISION_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = p.o_orderpriority
+        )
+    )
+"""
+
+
+@register(
+    "division_not_exists",
+    oracle=_DIVISION_SQL,
+    doc=(
+        "Relational division (the 'for all' query): customers who have "
+        "placed at least one order in EVERY priority class, written as "
+        "the classic double-NOT-EXISTS — the hardest correlated-"
+        "subquery nesting a SQL surface must support. Same SQL text "
+        "runs on both engines."
+    ),
+)
+def division_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division, Spark side.
+
+    Spark 4 rejects the double-NOT-EXISTS text itself: the innermost
+    subquery correlates TWO levels out (`c.c_custkey`), past Spark's
+    one-level correlation support (UNRESOLVED_COLUMN) — DuckDB accepts
+    it, so the classic text stays as the oracle. The Spark plan is the
+    DECORRELATED equivalent every optimizer reduces division to:
+    count-distinct per entity == domain count (broadcast scalar).
+    That is also the right 100 TB plan: one orders shuffle + a
+    broadcast of one number, no per-row re-execution.
+    """
+    from pyspark.sql import functions as F
+
+    from stacktrend_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("np")
+    )
+    dom = o.select("o_orderpriority").distinct().agg(
+        F.count(F.lit(1)).alias("npri")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        c.join(per_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(dom))
+        .filter(F.col("np") == F.col("npri"))
+        .select("c_custkey", "c_mktsegment")
+    )
