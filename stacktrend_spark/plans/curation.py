@@ -1349,7 +1349,12 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely rare). An array_intersect verification variant (join
     candidates to per-doc shingle arrays instead of re-exploding the
     posting list) measured WORSE, 9.5 s — the array build forfeits the
-    shared scan; kept the posting-list verify.
+    shared scan; kept the posting-list verify. Persisting the posting
+    list (5 consumers) also measured flat — 3.8-4.8 s vs 3.2-4.5 s
+    unpersisted — the explode is not the cost center. The 23-28 s warm
+    outliers BENCH_FULL occasionally records here do not reproduce in
+    isolation (6 consecutive runs 3.2-4.5 s): end-of-bench GC/
+    broadcast-cleanup backlog, not plan behavior.
     """
     from pyspark.sql import Window as W
 
