@@ -98,6 +98,45 @@ SHOWCASE = [
         "Global top-k: TakeOrderedAndProject (per-partition heaps) feeds "
         "the rank window, so the only unpartitioned window sees <=K rows.",
     ),
+    (
+        "setsim_prefix_join",
+        "AllPairs/PPJoin: the candidate self-join keys ONLY on prefix "
+        "shingles (equi-join — no CartesianProduct/BNLJ anywhere); "
+        "verification joins the bounded candidate set back to the "
+        "posting list.",
+    ),
+    (
+        "cms_heavy_hitters",
+        "Count-min sketch built from the per-key count table (CMS is "
+        "linear): one corpus aggregate, then the <=1024-row sketch is "
+        "BroadcastHashJoin'd to the candidate probes.",
+    ),
+    (
+        "geo_grid_nearest",
+        "Spatial nearest-neighbor as a grid-cell equi-join: the 3x3 "
+        "probe expansion is map-side explode; candidates come from a "
+        "hash join on (cx, cy), never |C|x|S|.",
+    ),
+    (
+        "sim_ivfpq_adc_topk",
+        "IVF-PQ serving path: corpus touched only through PQ code rows; "
+        "the per-query distance LUT and the 128-row codebook broadcast; "
+        "coarse-cell candidates via equi-join; ADC sum is a fixed-order "
+        "column add.",
+    ),
+    (
+        "exact_median_distributed",
+        "Exact k-th element with no global sort: coarse histogram "
+        "(map-side combinable) -> bounded-spine cumulative -> second "
+        "pass scans only the target bucket (predicate pushed to the "
+        "scan).",
+    ),
+    (
+        "bitmap_audience_overlap",
+        "Bitmap-index set algebra: one fact shuffle builds 63-bit "
+        "BIT_OR words; every overlap is word-aligned AND/OR + popcount "
+        "on the compact bitmap table.",
+    ),
 ]
 
 
