@@ -245,3 +245,156 @@ def test_block_cosine_matches_per_pair_fold(vecs):
                 want = d / (ni * nj)
             got = blockwise[i, j]
             assert got == want or (np.isnan(got) and np.isnan(want))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 second-wave operator invariants (run on sf0.001 — these pin
+# ALGEBRAIC guarantees the oracle hash can't express: one-sidedness,
+# bounds, completeness of planted matches)
+# ---------------------------------------------------------------------------
+
+
+def _q(spark, sf_dir, name):
+    from stacktrend_spark.plans.registry import all_queries
+
+    return all_queries()[name].fn(spark, sf_dir).toPandas()
+
+
+def test_cms_estimates_are_one_sided(spark, sf_dir):
+    """Count-min can only OVERestimate: est >= exact on every row, and
+    the over_ppm column is the exact integer restatement of that gap."""
+    df = _q(spark, sf_dir, "cms_heavy_hitters")
+    assert (df["cms_est"] >= df["exact_cnt"]).all()
+    assert (df["over_ppm"] >= 0).all()
+
+
+def test_gini_is_bounded(spark, sf_dir):
+    """Gini ∈ [0, 1): the sorted-rank formula cannot exceed ppm bounds."""
+    df = _q(spark, sf_dir, "gini_revenue_by_nation")
+    assert (df["gini_ppm"] >= 0).all()
+    assert (df["gini_ppm"] < 1_000_000).all()
+
+
+def test_simpson_is_bounded(spark, sf_dir):
+    """1 − Σp² ∈ [0, 1); 0 exactly when a user has one event type."""
+    df = _q(spark, sf_dir, "simpson_diversity_events")
+    assert (df["simpson_ppm"] >= 0).all()
+    assert (df["simpson_ppm"] < 1_000_000).all()
+    single = df[df["n_types"] == 1]
+    assert (single["simpson_ppm"] == 0).all()
+
+
+def test_interval_merge_invariants(spark, sf_dir):
+    """Coverage ≥ longest island ≥ one interval width; island count ≥ 1."""
+    df = _q(spark, sf_dir, "interval_merge_coverage")
+    assert (df["covered_us"] >= df["longest_us"]).all()
+    assert (df["longest_us"] >= 1_800_000_000).all()
+    assert (df["n_merged_intervals"] >= 1).all()
+
+
+def test_setsim_finds_every_pair_above_threshold(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: every planted (source, copy) pair
+    whose TRUE 4-gram Jaccard ≥ 0.6 must be in the verified output.
+    (A short doc can lose >40% of its shingles to the 20-char
+    truncation and legitimately fall below t — completeness is over
+    threshold-qualifying pairs, which is exactly the AllPairs bound.)"""
+    df = _q(spark, sf_dir, "setsim_prefix_join")
+    pairs = set(zip(df["doc_a"], df["doc_b"]))
+    import duckdb
+
+    con = duckdb.connect()
+    truth = con.execute(
+        f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM '{sf_dir}/documents.parquet'
+            UNION ALL
+            SELECT doc_id + 100000, SUBSTR(text, 1, LENGTH(text) - 20)
+            FROM '{sf_dir}/documents.parquet' WHERE doc_id % 5 = 0
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                           || ' ' || w[i+3]
+                           FOR i IN range(1, len(w) - 2)]) AS g
+            FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w
+                  FROM corpus) WHERE len(w) >= 4
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY 1)
+        SELECT a.doc_id AS d, COUNT(*) AS ov, sa.s AS na, sb.s AS nb
+        FROM sh a
+        JOIN sh b ON b.doc_id = a.doc_id + 100000 AND b.g = a.g
+        JOIN sz sa ON sa.doc_id = a.doc_id
+        JOIN sz sb ON sb.doc_id = a.doc_id + 100000
+        WHERE a.doc_id % 5 = 0 AND a.doc_id < 100000
+        GROUP BY 1, 3, 4
+        """
+    ).df()
+    qualifying = [
+        int(r.d)
+        for r in truth.itertuples()
+        if r.ov * 5 >= (r.na + r.nb - r.ov) * 3
+    ]
+    missing = [d for d in qualifying if (d, d + 100000) not in pairs]
+    assert missing == [], f"threshold pairs missing from setsim: {missing}"
+    assert (df["jaccard_ppm"] >= 600_000).all()
+
+
+def test_weighted_sample_shape(spark, sf_dir):
+    """Exactly k distinct orders, ranks 1..k, deterministic across runs."""
+    a = _q(spark, sf_dir, "weighted_sample_aes")
+    b = _q(spark, sf_dir, "weighted_sample_aes")
+    assert len(a) == 200 and a["o_orderkey"].nunique() == 200
+    assert sorted(a["rnk"]) == list(range(1, 201))
+    assert a.sort_values("rnk")["o_orderkey"].tolist() == (
+        b.sort_values("rnk")["o_orderkey"].tolist()
+    )
+
+
+def test_scd_consistency_holds(spark, sf_dir):
+    """The SCD2 rebuild must agree with last-writer-wins everywhere."""
+    df = _q(spark, sf_dir, "scd_consistency_audit")
+    assert int(df["n_mismatch"].iloc[0]) == 0
+    assert int(df["n_consistent"].iloc[0]) == int(df["n_users"].iloc[0])
+
+
+def test_bitmap_overlap_matches_exact_sets(spark, sf_dir):
+    """Popcount set algebra must equal literal distinct-user set math."""
+    df = _q(spark, sf_dir, "bitmap_audience_overlap")
+    import duckdb
+
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""
+        WITH s AS (SELECT DISTINCT event_type, user_id
+                   FROM '{sf_dir}/events.parquet')
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               COUNT(*) AS n_both
+        FROM s a JOIN s b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        """
+    ).df()
+    want = {(r.ta, r.tb): r.n_both for r in exact.itertuples()}
+    for r in df.itertuples():
+        assert want.get((r.type_a, r.type_b), 0) == r.n_both
+
+
+def test_exact_median_matches_sorted_definition(spark, sf_dir):
+    """Two-phase selection must equal the literal sorted lower median."""
+    df = _q(spark, sf_dir, "exact_median_distributed")
+    import duckdb
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                                AS BIGINT) AS c
+                   FROM '{sf_dir}/lineitem.parquet')
+        SELECT c FROM (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM v
+        ) WHERE rn = (n + 1) // 2
+        """
+    ).fetchone()[0]
+    assert int(df["median_cents"].iloc[0]) == want
