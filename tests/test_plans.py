@@ -506,3 +506,42 @@ def test_interval_merge_windows_share_one_sort(spark, sf_dir):
     # count hashpartitioning Exchanges over user_id-rooted keys
     n_exchanges = p.count("Exchange hashpartitioning")
     assert n_exchanges <= 2  # one for the window chain, one for the final agg at most
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime Bloom-filter join reduction (the engine-native
+    form of semi-join pushdown) must inject a might_contain() filter on
+    the fact side when the dim side is selective. At 100 TB this is
+    the optimization that keeps a selective dim join from scanning the
+    whole fact shuffle; the conf thresholds are scaled down here
+    because the testdata is far below the production defaults
+    (applicationSideScanSizeThreshold=10GB)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter did not inject"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
