@@ -183,3 +183,103 @@ def pagerank_scaled(
             prev.unpersist()
         prev = ranks
     return ranks.select("node", F.col("rank").cast("long").alias("rank_scaled"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris large-star round: every node's LARGER neighbors connect
+    to the minimum of its closed neighborhood."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least(F.col("mn"), F.col("u")).alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris small-star round: every node's SMALLER-or-equal
+    neighbors (and itself) connect to its neighborhood minimum."""
+    d = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    j = d.join(m, "u")
+    out = (
+        j.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(j.select("u", F.col("m").alias("v")).distinct())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds regardless of
+    graph DIAMETER, where the min-label loop in
+    :func:`connected_components` needs diameter rounds — this is the
+    scale path for chain-shaped graphs (lineage chains, session
+    stitching), while min-label stays the default for dedup clumps
+    (diameter ≈ 2, fewer shuffles per round).
+
+    Identical output contract: (node, component) with component = the
+    minimum reachable node id. Each round is two keyed shuffles; the
+    edge set only shrinks toward the star forest, and the convergence
+    probe is a checksum action per round (bounded driver data).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # localCheckpoint, not persist: each star round references the
+        # previous frame ~4×, so an UNTRUNCATED logical plan grows
+        # exponentially — round 3 already OOM'd the driver on a
+        # 14-edge graph. Checkpointing materializes AND cuts lineage
+        # (at cluster scale use reliable checkpoint() so executor loss
+        # can recompute; localCheckpoint trades that for speed).
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # BIT_XOR, not SUM: summing 64-bit hashes overflows int64
+        # (ANSI mode raises); xor is overflow-free and order-independent
+        sig_row = e2.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("BIT_XOR(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edge set is a star forest: (member, root)
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("_comp"))
+    out = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(stars, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_comp"), F.col("node")).alias("component"),
+        )
+    )
+    return out

@@ -398,3 +398,40 @@ def test_exact_median_matches_sorted_definition(spark, sf_dir):
         """
     ).fetchone()[0]
     assert int(df["median_cents"].iloc[0]) == want
+
+
+def test_star_cc_equals_minlabel_cc(spark, sf_dir):
+    """large-star/small-star must produce the identical (node, min
+    reachable id) labeling as the min-label loop — on the real dedup
+    pair graph AND on a long chain (the diameter case star rounds
+    exist for) AND on disjoint clumps with isolated nodes."""
+    from stacktrend_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        # path 0-1-...-9 (diameter 9 — the case star rounds beat
+        # min-label; kept short so the min-label reference loop stays
+        # test-speed)
+        [(i, i + 1) for i in range(9)]
+        # plus clumps, a bridge, and (via the nodes table) an isolate
+        + [(20, 21), (21, 22), (22, 20), (30, 31), (25, 31)],
+    ]
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        node_ids = sorted({x for p in pairs for x in p} | {99})
+        nodes = spark.createDataFrame(
+            [(n,) for n in node_ids], "node long"
+        )
+        a = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                edges, nodes, driver_fastpath_max_edges=0
+            ).collect()
+        }
+        b = {
+            r["node"]: r["component"]
+            for r in connected_components_star(edges, nodes).collect()
+        }
+        assert a == b, f"labelings differ for {pairs}: {a} vs {b}"
