@@ -221,7 +221,11 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "comparable_total": round(sum(timings[n] for n in COMPARABLE), 3),
         "comparable_warm_total": round(sum(warm[n] for n in COMPARABLE), 3),
-        "comparable_warm_median": round(sum(warm[n] for n in COMPARABLE), 3),
+        # real median across the comparable subset's per-query warm
+        # medians (r5 verdict: the old field duplicated the total)
+        "comparable_warm_median": round(
+            sorted(warm[n] for n in COMPARABLE)[len(COMPARABLE) // 2], 3
+        ),
         "warm_is_median_of": 3,
         "comparable_n": len(COMPARABLE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -97,14 +97,20 @@ def minhash_signatures_from_arrays(
 
 
 def jaccard_from_arrays(
-    arr_df: DataFrame, id_col: str, pairs: DataFrame
+    arr_df: DataFrame, id_col: str, pairs: DataFrame, broadcast_pairs: bool = True
 ) -> DataFrame:
     """Exact Jaccard for a candidate pair set, computed directly on the
-    array form: broadcast the (tiny) pair list against the corpus twice,
-    then ``n_common = size(array_intersect(a, b))`` per pair — no
-    posting-list explode, no groupBy. The big side is never shuffled:
-    both joins broadcast the candidates. Returns
+    array form: join the pair list against the corpus twice, then
+    ``n_common = size(array_intersect(a, b))`` per pair — no
+    posting-list explode, no groupBy. With ``broadcast_pairs`` (the
+    default, for genuinely tiny candidate sets) the big side is never
+    shuffled: both joins broadcast the candidates. For candidate sets
+    that grow with the corpus — e.g. the bounded star edges, O(N·bands)
+    rows — pass ``broadcast_pairs=False``: the joins become shuffle
+    joins on id (linear, AQE may still pick broadcast at small sf), so
+    nothing driver-side ever holds O(N). Returns
     (id_a, id_b, n_common, n_a, n_b)."""
+    hint = F.broadcast if broadcast_pairs else (lambda df: df)
     a = arr_df.select(
         F.col(id_col).alias("id_a"),
         F.col("shingles").alias("sh_arr_a"),
@@ -115,9 +121,9 @@ def jaccard_from_arrays(
         F.col("shingles").alias("sh_arr_b"),
         F.col("n_shingles").alias("n_b"),
     )
-    cand_a = a.join(F.broadcast(pairs), "id_a")
+    cand_a = a.join(hint(pairs), "id_a")
     return (
-        b.join(F.broadcast(cand_a), "id_b")
+        b.join(hint(cand_a), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -168,6 +174,52 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_rows(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(id, band_id, band_key) rows: signatures folded into
+    ``num_hashes/band_size`` md5 band digests, one row per (id, band).
+    Shared by the all-pairs and star candidate generators."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat(*cols)).alias("band_key"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def lsh_star_edges(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """BOUNDED-output LSH candidates: per (band_id, band_key) bucket,
+    link every member to the bucket's MIN id instead of emitting all
+    intra-bucket pairs. Output is ≤ n_bands rows per document —
+    O(N·bands), corpus-linear — where the all-pairs form
+    (``lsh_candidate_pairs``) emits Σ bucket², which melts on
+    mirror-heavy corpora (a 100 TB crawl where one page has 10⁴ copies
+    would emit 10⁸ pairs for that family alone; the star emits 10⁴).
+    Dup-family transitivity is recovered downstream by connected
+    components over the verified star edges (operators/graph.py) —
+    the star is exactly the edge set components needs, and within one
+    LSH bucket the star already spans the family.
+
+    One shuffle (window min over the band-digest key — uniform,
+    skew-free); returns distinct (id_a, id_b) with id_a < id_b."""
+    rows = lsh_band_rows(signatures, id_col, num_hashes, band_size)
+    w = W.partitionBy("band_id", "band_key")
+    return (
+        rows.select(
+            F.min(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
@@ -176,17 +228,14 @@ def lsh_candidate_pairs(
     Signatures fold into ``num_hashes/band_size`` band digests; the
     (id, band_id, band_key) rows self-join on (band_id, band_key). The
     join key is a digest → uniformly distributed → skew-free shuffle.
-    Pairs sharing multiple bands are de-duplicated with distinct()."""
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat(*cols)).alias("band_key"))
-        )
-    exploded = signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    Pairs sharing multiple bands are de-duplicated with distinct().
+
+    SCALE CAVEAT (r5 sf1 finding, α=1.73): the OUTPUT is all
+    intra-bucket pairs — Σ bucket² — so on duplicate-heavy corpora the
+    pair volume, not the join, is the bottleneck. Prefer
+    ``lsh_star_edges`` (O(N·bands) output) + connected components when
+    the goal is dedup rather than an exhaustive pair listing."""
+    exploded = lsh_band_rows(signatures, id_col, num_hashes, band_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -192,6 +192,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(jac >= _JACCARD_THRESHOLD)
 
 
+@register(
+    "dedup_minhash_star",
+    oracle=f"""
+        WITH corpus AS ({_SQL_CORPUS_NEAR}),
+        sh AS ({_SQL_SHINGLES_3}),
+        sig AS (
+            SELECT doc_id,
+            {_SQL_SIG_COLS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {_SQL_BANDS}
+        ),
+        star AS (
+            SELECT DISTINCT
+                MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS id_a,
+                doc_id AS id_b
+            FROM bands
+        ),
+        cand AS (SELECT id_a, id_b FROM star WHERE id_a < id_b),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT
+            c.id_a, c.id_b, cm.n_common, sa.sz AS n_a, sb.sz AS n_b,
+            {sql_round('CAST(cm.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE)', 6)} AS jaccard
+        FROM cand c
+        JOIN common cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+        WHERE CAST(cm.n_common AS DOUBLE) / CAST(sa.sz + sb.sz - cm.n_common AS DOUBLE)
+              >= {_JACCARD_THRESHOLD}
+    """,
+    doc=(
+        "Bounded-output MinHash LSH dedup: per-bucket star candidates "
+        "(member ↔ bucket-min) instead of all intra-bucket pairs — "
+        "O(N·bands) pair volume, corpus-linear on mirror-heavy data."
+    ),
+)
+def dedup_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe dedup contract (r5 verdict task 2).
+
+    ``dedup_minhash_lsh`` emits ALL verified intra-bucket pairs —
+    Σ family² — which measured α=1.73 at sf1 on the synthesizer's
+    11-member dup families (1,352 → 405,571 output pairs; see
+    SCALE.md). This variant keeps the identical sketch pipeline
+    (shingle arrays → minhash → banded digests) but caps candidate
+    generation at one edge per (member, band): each bucket member
+    links only to the bucket's MIN doc_id. Verified star edges are
+    exactly the input ``dedup_clusters`` needs — connected components
+    recovers whole dup families without ever materializing their
+    quadratic pair closure.
+
+    Scale shape: one skew-free window-min shuffle on the band digest,
+    then shuffle joins (NOT broadcast — the candidate set is O(N) by
+    design, so nothing driver-side may hold it) against the persisted
+    shingle arrays for exact-Jaccard verification of candidates only.
+
+    Reference anchor: replaces the driver-side seen-set dedup at
+    github_data_ingestion.py:199-219, like the rest of the family.
+    """
+    from stacktrend_spark.operators.dedup import lsh_star_edges
+
+    corpus = fan_out(_corpus_near(spark, sf_dir))
+    arrs = shingle_arrays(corpus, "doc_id", "text", n=3).persist()
+    sigs = minhash_signatures_from_arrays(arrs, "doc_id", num_hashes=_MINHASH_K)
+    cand = lsh_star_edges(sigs, "doc_id", num_hashes=_MINHASH_K, band_size=_BAND_SIZE)
+    scored = jaccard_from_arrays(arrs, "doc_id", pairs=cand, broadcast_pairs=False)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return scored.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", fround(jac, 6).alias("jaccard")
+    ).filter(jac >= _JACCARD_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Dedup 3 — SimHash signatures (32-bit, md5-nibble bit votes)
 # ---------------------------------------------------------------------------

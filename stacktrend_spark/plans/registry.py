@@ -86,93 +86,70 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: queries added this round. Long-green rows rotate to the back — they
 #: are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-5 WINDOW. Priority principle: (a) never-driver-checked,
-    # (b) implementation CHANGED since last driver proof (the r5
-    # Arrow-kernel rewrite of the similarity/clustering family — all
-    # locally re-verified, but the driver oracle is the hard signal),
-    # (c) new queries added this round, (d) oldest-green rotation (the
-    # 40-row r1 batch is the stalest; what doesn't fit rolls to r6).
-    # -- (a) never inside a driver window
-    "events_dow_seasonality",
-    "approx_distinct_users",  # r5: gained a hash-checkable bound oracle
-    # -- (b) r5 Arrow-kernel rewrite (similarity/clustering family)
-    "pipeline_semdedup",
-    "dedup_embedding_cosine",
-    "sim_ivf_multiprobe",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "ann_recall_eval",
-    "dedup_clusters",
-    "kmeans_assign_cells",
-    "kmeans_recompute_centroids",
-    # -- (c) NEW in r5 (inserted here as they land; keep window ≤ 50)
-    "kmv_distinct_sketch",
-    "kmv_union_jaccard",
-    "asof_nearest_click",
-    "ewma_purchase_value",
-    "compaction_bin_packing",
-    "table_diff_by_fingerprint",
-    "skyline_price_size",
-    "top_user_paths",
-    "bpe_pair_stats",
-    "approx_quantile_bounded",
-    "incremental_join_maintenance",
-    "dedup_simhash_hamming",
-    "kcore_copurchase_peel",
-    "stream_kmv_daily_users",
-    "target_encode_loo",
-    "chi2_segment_status",
-    "gini_revenue_by_nation",
-    "simpson_diversity_events",
-    "interval_merge_coverage",
-    "cms_heavy_hitters",
-    "setops_all_multiset",
-    "graph_jaccard_neighbors",
-    "bm25_keyword_search",
-    "ks_drift_by_source",
-    "geo_grid_nearest",
-    "geo_cell_density",
-    "stream_outer_attribution",
-    "scd2_point_in_time_daily",
+    # ROUND-6 WINDOW. Priority principle (unchanged from r5): (a)
+    # never-driver-checked, (b) implementation changed since last
+    # driver proof, (c) new queries added this round, (d)
+    # oldest-green rotation. After r5 the cumulative ledger is
+    # 214/222 driver-proven with zero standing failures; the 8 rows
+    # below are the only registered queries with no driver proof at
+    # all (all local-replica green via tools/verify_local.py).
+    # -- (a) the 8 fourth-wave queries: never inside a driver window
+    "bitmap_audience_overlap",
+    "division_not_exists",
+    "exact_median_distributed",
+    "gdpr_anonymize_cascade",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "scd_consistency_audit",
+    "table_column_stats",
+    # -- (b)/(c) changed or added in r6: the bounded-output MinHash
+    # LSH variant (r5 verdict task 2) and the PPJoin-length-filtered
+    # setsim join (r5 verdict task 4)
+    "dedup_minhash_star",
     "setsim_prefix_join",
-    "q13_customer_distribution",
-    "weighted_sample_aes",
-    "zonemap_skipping_audit",
-    "stream_dedup_within_watermark",
-    "business_days_sla",
-    "winnowing_fingerprints",
-    # asof_purchase_login CHANGED in r5 (right side now 'signup' — the
-    # regenerated testdata has no 'login' type, so the match set was
-    # vacuous): re-prove under the driver
-    "asof_purchase_login",
-    # embedding_pq_codes / sim_ivfpq_adc_topk take the last two slots
-    # over Q15/Q18: the PQ family rides cross-engine IEEE-double
-    # discipline (riskier → driver proof worth more); Q15/Q18 are
-    # plain exact-integer shapes, locally green, r6 window fodder.
-    "embedding_pq_codes",
-    "sim_ivfpq_adc_topk",
-    # -- (d) freshness rotation: all remaining slots went to new
-    # queries this round; the whole r1-stale batch rolls to r6
-    # (join_revenue_by_nation, join_left_customer_orders,
-    # join_anti_inactive_customers,
-    # join_semi_active_suppliers, agg_global_market_pulse,
-    # agg_conditional_by_priority,
-    # distinct_status_priority, union_period_metrics,
-    # subquery_exists_orders, subquery_scalar_above_avg,
-    # window_rank_global,
-    # window_rank_in_group,
-    # window_share_of_region, window_share_global,
-    # window_lag_monthly_trend, window_running_total,
-    # topk_orders, sessionize_events,
-    # rank_global_scalable, window_range_frame_trailing,
-    # scalar_string_clean, scalar_datetime_parts,
-    # scalar_conditional_tiers, array_word_cooccurrence,
-    # json_extract_props,
-    # pivot_status_by_segment, rollup_revenue,
-    # unpivot_flag_metrics, scalar_try_clean, merge_insert_only_events,
-    # merge_preserve_classification, the six gold mirrors and
-    # dedup_exact — roll to the r6 rotation)
+    # -- (d) freshness rotation: the entire r1-era batch (stalest
+    # driver proofs, last seen in CORRECTNESS_r01) — 40 rows, fills
+    # the window exactly. The r2-era batch (35 rows) rolls to r7.
+    "agg_conditional_by_priority",
+    "agg_global_market_pulse",
+    "array_word_cooccurrence",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_status_priority",
+    "gold_development_velocity",
+    "gold_lang_stats",
+    "gold_market_pulse",
+    "gold_portfolio_overview",
+    "gold_repo_health_dashboard",
+    "gold_trend_daily",
+    "join_anti_inactive_customers",
+    "join_left_customer_orders",
+    "join_revenue_by_nation",
+    "join_semi_active_suppliers",
+    "json_extract_props",
+    "merge_insert_only_events",
+    "merge_preserve_classification",
+    "pivot_status_by_segment",
+    "rank_global_scalable",
+    "rollup_revenue",
+    "scalar_conditional_tiers",
+    "scalar_datetime_parts",
+    "scalar_string_clean",
+    "scalar_try_clean",
+    "sessionize_events",
+    "subquery_exists_orders",
+    "subquery_scalar_above_avg",
+    "topk_orders",
+    "union_period_metrics",
+    "unpivot_flag_metrics",
+    "window_lag_monthly_trend",
+    "window_range_frame_trailing",
+    "window_rank_global",
+    "window_rank_in_group",
+    "window_running_total",
+    "window_share_global",
+    "window_share_of_region",
 )
 
 
