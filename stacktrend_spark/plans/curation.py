@@ -1355,6 +1355,15 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers BENCH_FULL occasionally records here do not reproduce in
     isolation (6 consecutive runs 3.2-4.5 s): end-of-bench GC/
     broadcast-cleanup backlog, not plan behavior.
+
+    r6 (verdict task 4): PPJoin length filter added at candidate-gen
+    (t·|s_a| ≤ |s_b| ≤ |s_a|/t — removes only pairs verification would
+    reject, so the oracle is unchanged) and the forced candidate
+    broadcast dropped in favor of AQE's runtime decision. Measured
+    sf0.1 warm 3.1-4.1 s before AND after (identical 1,317 rows; the
+    synthetic corpus has near-uniform doc lengths so the filter prunes
+    little here — its value is on skewed-length corpora), cold 12.8 s
+    both. sf1 measurement in SCALE.md.
     """
     from pyspark.sql import Window as W
 
@@ -1390,14 +1399,22 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "s")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin length filter (r5 verdict task 4): Jaccard ≥ t forces
+    # t·|s_a| ≤ |s_b| ≤ |s_a|/t, so size-incompatible pairs are pruned
+    # AT candidate generation (free — sizes already ride the prefix
+    # rows) instead of surviving to exact verification. Result set is
+    # provably unchanged (the filter only removes pairs verification
+    # would reject), so the oracle needs no amendment.
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.s") * _SETSIM_T_NUM <= F.col("b.s") * _SETSIM_T_DEN)
+            & (F.col("b.s") * _SETSIM_T_NUM <= F.col("a.s") * _SETSIM_T_DEN),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1405,8 +1422,12 @@ def setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     x, y = sh.alias("x"), sh.alias("y")
+    # No forced broadcast of the candidate set (r5 verdict: unbounded
+    # in general — on a near-dup-heavy corpus candidates grow with the
+    # match set). AQE sees the runtime size after the distinct and
+    # still picks a broadcast join when it genuinely fits.
     verified = (
-        F.broadcast(cand)
+        cand
         .join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(
             y,
