@@ -179,13 +179,35 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # restriction chain is cheaper than materializing millions of
         # edge rows to cache memory at every step. At cluster scale
         # with >3 rounds, checkpoint every few rounds to cut lineage
-        # depth — not for reuse.
+        # depth — the checkpoint_every knob below; A/B at depth 6 in
+        # SCALE.md (r6).
     )
-    for _ in range(_KCORE_ROUNDS):
+    edges = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    ).select(F.col("src").cast("long").alias("part_id"), "core_degree")
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, checkpoint_every: int = 0
+) -> DataFrame:
+    """Fixed-depth k-core peel: each round drops nodes with out-degree
+    < k and restricts edges to survivors on BOTH endpoints.
+
+    ``checkpoint_every=R`` truncates lineage every R rounds via an
+    eager ``localCheckpoint`` — at depth ≤3 recomputation beats
+    materialization (the A/B above), but each un-checkpointed round
+    TRIPLES the replay of everything before it (the edge set feeds the
+    degree agg and both restriction joins), so beyond ~4-6 rounds the
+    3^depth replay blowup dominates and periodic truncation wins.
+    A/B at sf0.1, depth 6 (SCALE.md r6). On a real cluster prefer
+    ``checkpoint()`` with a reliable dir: localCheckpoint pins blocks
+    to executors and does not survive executor loss."""
+    for r in range(1, rounds + 1):
         keep = (
             edges.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
+            .filter(F.col("deg") >= k)
             .select("src")
         )
         edges = (
@@ -193,9 +215,9 @@ def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
         )
-    return edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("long").alias("core_degree")
-    ).select(F.col("src").cast("long").alias("part_id"), "core_degree")
+        if checkpoint_every and r % checkpoint_every == 0 and r < rounds:
+            edges = edges.localCheckpoint(eager=True)
+    return edges
 
 
 _JAC_MIN_QTY = 40   # same bulk-copurchase gate as the triangle/k-core family

@@ -12,6 +12,8 @@ import pytest
 
 from stacktrend_spark.plans.registry import all_queries
 
+# heavy tier: excluded from the core gate (see pytest.ini)
+pytestmark = pytest.mark.slow
 SPECS = all_queries()
 
 

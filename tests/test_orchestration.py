@@ -157,7 +157,8 @@ def test_bronze_rules_flag_fixture_edge_cases(spark):
 
 
 @pytest.fixture(scope="module")
-def trend_out(spark, tmp_path_factory):
+def trend_out(spark_module, tmp_path_factory):
+    spark = spark_module
     store = MedallionStore(str(tmp_path_factory.mktemp("trend")))
     return run_trend_pipeline(spark, store, bronze_repos(spark), AS_OF_DATE), store
 

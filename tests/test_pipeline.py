@@ -18,12 +18,12 @@ from stacktrend_spark.pipelines.silver import build_silver, smart_split
 
 
 @pytest.fixture(scope="module")
-def bronze(spark):
-    return fixtures.bronze_repos(spark, n=300).cache()
+def bronze(spark_module):
+    return fixtures.bronze_repos(spark_module, n=300).cache()
 
 
 @pytest.fixture(scope="module")
-def silver_result(spark, bronze):
+def silver_result(spark_module, bronze):
     return build_silver(bronze, RuleBasedClassifier(), AS_OF_DATE)
 
 

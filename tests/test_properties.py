@@ -10,6 +10,7 @@ so the suite stays fast while hypothesis still explores boundaries.
 from __future__ import annotations
 
 import duckdb
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -22,6 +23,9 @@ from stacktrend_spark.operators.merge import (
     merge_upsert,
 )
 from stacktrend_spark.operators.text import quality_score
+
+# heavy tier: excluded from the core gate (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 _SETTINGS = settings(
     max_examples=10,

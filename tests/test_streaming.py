@@ -21,6 +21,9 @@ from stacktrend_spark.streaming.events import (
     upsert_sink,
 )
 
+# heavy tier: excluded from the core gate (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def test_tumbling_matches_batch(spark, sf_dir):
     stream_out = run_to_batch(

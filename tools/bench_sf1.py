@@ -54,12 +54,21 @@ HEAVY = [
     "dedup_minhash_lsh",
     "triangle_count_copurchase",
     "customer_rfm_scores",
-    # r5 second wave (documents/lineitem-based — events is not scaled
-    # by the synthesizer, so event-family queries can't sf1-test here)
+    # r5 second wave (documents/lineitem-based)
     "setsim_prefix_join",
     "winnowing_fingerprints",
     "graph_jaccard_neighbors",
     "cms_heavy_hitters",
+    # r6: events now scales (user-key-shifted replicas) — the
+    # streaming/behavioral family gets real exponents at last
+    "stream_outer_attribution",
+    "sessionize_events",
+    "user_activity_streaks",
+    # r6: the bounded star variant, measured against dedup_minhash_lsh
+    # (whose all-pairs output contract measured alpha=1.73 in r5)
+    "dedup_minhash_star",
+    # r6: kcore with the new checkpoint knob (A/B note in SCALE.md)
+    "kcore_copurchase_peel",
 ]
 
 _REPLICAS = 10
@@ -139,8 +148,29 @@ def generate(target: str) -> None:
                    c_name, c_nationkey, c_acctbal, c_mktsegment
             FROM {{t}}, {rep}""",
     )
+    # events (r6, verdict task 3 — previously copied, leaving the
+    # streaming/behavioral family with no measured exponent): replicas
+    # are NEW USERS (user_id key-shifted per replica), so per-user
+    # series — session shapes, streak islands, attribution windows —
+    # stay at the sf0.1 distribution while daily event density grows
+    # 10×. Timestamps are untouched: watermark state and windowed-agg
+    # cardinality grow with data, which is the scaling being tested.
+    mx_eid = con.execute(
+        f"SELECT MAX(event_id)+1 FROM '{src}/events.parquet'"
+    ).fetchone()[0]
+    mx_uid = con.execute(
+        f"SELECT MAX(user_id)+1 FROM '{src}/events.parquet'"
+    ).fetchone()[0]
+    copy_scaled(
+        "events",
+        f"""SELECT CAST(event_id + i*{mx_eid} AS BIGINT) AS event_id,
+                   ts,
+                   CAST(user_id + i*{mx_uid} AS BIGINT) AS user_id,
+                   event_type, value, props
+            FROM {{t}}, {rep}""",
+    )
     # untouched small/dimension tables: plain copies keep load_table happy
-    for name in ("region", "nation", "supplier", "part", "events"):
+    for name in ("region", "nation", "supplier", "part"):
         shutil.copyfile(f"{src}/{name}.parquet", f"{target}/{name}.parquet")
 
 
