@@ -153,6 +153,8 @@ HEADLINE = [
     "table_column_stats",
     "division_not_exists",
     "gdpr_anonymize_cascade",
+    # r6 additions
+    "dedup_minhash_star",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

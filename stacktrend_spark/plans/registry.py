@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     # LSH variant (r5 verdict task 2) and the PPJoin-length-filtered
     # setsim join (r5 verdict task 4)
     "dedup_minhash_star",
+    "dedup_star_clusters",
     "setsim_prefix_join",
     # -- (d) freshness rotation: the entire r1-era batch (stalest
     # driver proofs, last seen in CORRECTNESS_r01) — 40 rows, fills
@@ -114,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_global_market_pulse",
     "array_word_cooccurrence",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard (quadratic baseline) rolls to r7 to make room
     "dedup_simhash",
     "distinct_status_priority",
     "gold_development_velocity",

@@ -28,7 +28,10 @@ not by making every key 10× hotter:
 The generated dir lives under the system temp dir (same policy as the
 session warehouse) and is reused if present.
 
-Usage: python tools/bench_sf1.py [--regen]
+Usage: python tools/bench_sf1.py [--regen] [query ...]
+
+With query names given, only those HEAVY entries run and their rows
+are MERGED into the existing BENCH_SF1.json — chunked runs compose.
 """
 
 from __future__ import annotations
@@ -191,8 +194,16 @@ def main() -> None:
     specs["q1_pricing_summary"].fn(spark, SF01_DIR).count()  # JVM warm
     specs["sim_bruteforce_topk"].fn(spark, SF01_DIR).count()  # py workers warm
 
+    picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run_list = [n for n in HEAVY if not picked or n in picked]
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH_SF1.json")
     out: dict[str, dict] = {}
-    for name in HEAVY:
+    if picked and os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f).get("queries", {})
+    for name in run_list:
         row: dict[str, float | list[float]] = {}
         for tag, d in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
             spark.catalog.clearCache()
