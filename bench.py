@@ -155,6 +155,7 @@ HEADLINE = [
     "gdpr_anonymize_cascade",
     # r6 additions
     "dedup_minhash_star",
+    "dedup_incremental_batch",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -99,6 +99,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("_nc"))
         )
+        # localCheckpoint, not persist (r6): persist caches the DATA
+        # but the logical plan still nests one level per iteration, so
+        # Catalyst re-analyzes an ever-deeper tree each round —
+        # measured 9.5+ min for a diameter-9 path in the property
+        # suite. Truncating lineage keeps per-iteration planning O(1);
+        # labels is O(nodes) rows, cheap to materialize. At cluster
+        # scale use checkpoint() with a reliable dir (executor-loss
+        # recovery), same policy as kcore_peel / the star rounds.
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
@@ -107,7 +115,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_nc"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -358,6 +358,141 @@ def dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SHINGLES_BATCH = _SQL_SHINGLES_3.replace("FROM corpus", "FROM batchc")
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents),
+        batchc AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   SUBSTR(text, 1, LENGTH(text) - 20) AS text
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        sh AS ({_SQL_SHINGLES_3}),
+        shb AS ({_SQL_SHINGLES_BATCH}),
+        sig AS (
+            SELECT doc_id,
+            {_SQL_SIG_COLS}
+            FROM sh GROUP BY doc_id
+        ),
+        sigb AS (
+            SELECT doc_id,
+            {_SQL_SIG_COLS}
+            FROM shb GROUP BY doc_id
+        ),
+        bands AS (
+            {_SQL_BANDS}
+        ),
+        bandsb AS (
+            {_SQL_BANDS.replace("FROM sig", "FROM sigb")}
+        ),
+        reps AS (
+            SELECT band_id, band_key, MIN(doc_id) AS index_id
+            FROM bands GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT b.doc_id AS batch_id, r.index_id
+            FROM bandsb b
+            JOIN reps r ON b.band_id = r.band_id AND b.band_key = r.band_key
+        ),
+        szi AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+        szb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shb GROUP BY doc_id),
+        common AS (
+            SELECT b.doc_id AS batch_id, a.doc_id AS index_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM shb b JOIN sh a ON b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT
+            c.batch_id, c.index_id, cm.n_common,
+            sb.sz AS n_batch, si.sz AS n_index,
+            {sql_round('CAST(cm.n_common AS DOUBLE) / CAST(sb.sz + si.sz - cm.n_common AS DOUBLE)', 6)} AS jaccard
+        FROM cand c
+        JOIN common cm ON c.batch_id = cm.batch_id AND c.index_id = cm.index_id
+        JOIN szb sb ON c.batch_id = sb.doc_id
+        JOIN szi si ON c.index_id = si.doc_id
+        WHERE CAST(cm.n_common AS DOUBLE) / CAST(sb.sz + si.sz - cm.n_common AS DOUBLE)
+              >= {_JACCARD_THRESHOLD}
+    """,
+    doc=(
+        "Incremental dedup: a NEW batch checked against the standing "
+        "corpus's LSH bucket-representative index — batch-linear work, "
+        "the corpus is touched only as (band_key, rep) rows."
+    ),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape MinHash dedup actually runs in: the corpus
+    was already indexed (band digests + per-bucket representative —
+    reusable, mergeable state); each incoming crawl batch computes ITS
+    signatures, probes the bucket index, and exact-verifies only
+    (batch_doc, bucket_rep) pairs. Work per ingest is O(batch·bands)
+    — the 100 TB corpus is never re-shingled, never self-joined, and
+    enters the plan only as the (band_key → rep) table plus the rep
+    docs' shingle arrays fetched by the verification join.
+
+    Here the "batch" is the planted truncated near-copies and the
+    "index" is the documents table, so the match set is non-vacuous
+    and both engines derive identical state from the same corpus.
+    """
+    from stacktrend_spark.operators.dedup import lsh_band_rows
+
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 20)").alias("text"),
+    )
+    arr_i = shingle_arrays(docs, "doc_id", "text", n=3).persist()
+    arr_b = shingle_arrays(batch, "doc_id", "text", n=3).persist()
+    sig_i = minhash_signatures_from_arrays(arr_i, "doc_id", num_hashes=_MINHASH_K)
+    sig_b = minhash_signatures_from_arrays(arr_b, "doc_id", num_hashes=_MINHASH_K)
+    bands_i = lsh_band_rows(sig_i, "doc_id", _MINHASH_K, _BAND_SIZE)
+    bands_b = lsh_band_rows(sig_b, "doc_id", _MINHASH_K, _BAND_SIZE)
+    reps = bands_i.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("index_id")
+    )
+    cand = (
+        bands_b.join(reps, ["band_id", "band_key"])
+        .select(F.col("doc_id").alias("batch_id"), "index_id")
+        .distinct()
+    )
+    a = arr_i.select(
+        F.col("doc_id").alias("index_id"),
+        F.col("shingles").alias("sh_i"),
+        F.col("n_shingles").alias("n_index"),
+    )
+    b = arr_b.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_batch"),
+    )
+    scored = (
+        cand.join(b, "batch_id")
+        .join(a, "index_id")
+        .select(
+            "batch_id",
+            "index_id",
+            F.size(F.array_intersect("sh_b", "sh_i")).cast("long").alias("n_common"),
+            "n_batch",
+            "n_index",
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_batch") + F.col("n_index") - F.col("n_common")
+    ).cast("double")
+    return scored.select(
+        "batch_id",
+        "index_id",
+        "n_common",
+        "n_batch",
+        "n_index",
+        fround(jac, 6).alias("jaccard"),
+    ).filter(jac >= _JACCARD_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Dedup 3 — SimHash signatures (32-bit, md5-nibble bit votes)
 # ---------------------------------------------------------------------------

@@ -151,6 +151,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_share_global",
     "window_share_of_region",
+    # -- position 51+: NOT in the r6 window (driver reads the first
+    # 50) — head of the r7 queue alongside the r2-era stale batch
+    "dedup_incremental_batch",
 )
 
 
