@@ -190,10 +190,26 @@ def main() -> None:
     # warmup: absorb JVM + codegen compile cost
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
 
+    # chunk mode (local iteration only — the driver passes no args):
+    # with query names given, run just those HEADLINE entries and
+    # MERGE into the existing BENCH_FULL.json, so a full refresh can
+    # be composed from <10-min runs. No-arg behavior is unchanged.
+    picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run_list = [n for n in HEADLINE if not picked or n in picked]
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    if picked and os.path.exists(full_path):
+        with open(full_path) as f:
+            prior = json.load(f)
+        timings = {n: v for n, v in prior.get("queries", {}).items() if n in HEADLINE}
+        warm = {n: v for n, v in prior.get("queries_warm", {}).items() if n in HEADLINE}
+        warm_runs = {
+            n: v for n, v in prior.get("queries_warm_runs", {}).items() if n in HEADLINE
+        }
+    for name in run_list:
         # clean slate per query: several operators persist() small
         # intermediates they cannot unpersist (the result depends on
         # them lazily); without this the cache accumulates across the

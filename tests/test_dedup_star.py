@@ -70,6 +70,28 @@ def test_star_clusters_are_consistent_labelings(spark, sf_dir):
         assert labels[e.id_a] == labels[e.id_b]
 
 
+def test_star_clusters_recover_allpairs_cocluster_recall(spark, sf_dir):
+    """Quantifies the bucket-representative trade: docs the ALL-PAIRS
+    contract proves equivalent should land in one star cluster too.
+    The star can only miss a pair (a,b) when their shared bucket's min
+    doc m is dissimilar to one of them (m-a or m-b fails verification
+    while a-b would pass) — on dup-family corpora (planted copies
+    here, mirrors at 100 TB) families are homogeneous, so recall
+    should be total. Assert 100% on this corpus and surface the
+    number if the synthesizer ever changes shape."""
+    star_labels = {
+        r.doc_id: r.cluster_id for r in dedup_star_clusters(spark, sf_dir).collect()
+    }
+    allpair_edges = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b").collect()
+    missed = [
+        (e.id_a, e.id_b)
+        for e in allpair_edges
+        if star_labels[e.id_a] != star_labels[e.id_b]
+    ]
+    recall = 1 - len(missed) / max(len(allpair_edges), 1)
+    assert recall == 1.0, f"star recall {recall:.3f}; first misses: {missed[:5]}"
+
+
 def test_kcore_checkpoint_every_preserves_result(spark, sf_dir):
     from stacktrend_spark.plans.graphrank import kcore_peel
     from stacktrend_spark.sources.tables import load_table

@@ -545,3 +545,27 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_star_candidates_use_window_min_not_self_join(spark, sf_dir):
+    """The bounded LSH variant must generate candidates with a
+    Window-min over the band digest — ONE band-key shuffle — never the
+    band self-join (whose output is Σ bucket²). A Cartesian/NLJ shape
+    or a second band-side join here silently restores the quadratic
+    output contract."""
+    p = plan_of(all_queries()["dedup_minhash_star"].fn(spark, sf_dir))
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_dedup_probes_rep_index_only(spark, sf_dir):
+    """Incremental batch dedup joins batch band rows to the per-bucket
+    representative index on the band-key equi-join; no self-join of the
+    corpus side may appear."""
+    p = plan_of(all_queries()["dedup_incremental_batch"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # candidate generation aggregates the index side to (bucket → min)
+    # before any join: a HashAggregate must exist upstream of the probe
+    assert "HashAggregate" in p
