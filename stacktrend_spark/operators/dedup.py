@@ -207,14 +207,18 @@ def lsh_star_edges(
     the star is exactly the edge set components needs, and within one
     LSH bucket the star already spans the family.
 
-    One shuffle (window min over the band-digest key — uniform,
-    skew-free); returns distinct (id_a, id_b) with id_a < id_b."""
+    Bucket minima come from a groupBy-min (NOT a window): the
+    hash-aggregate partially combines map-side, so even a 10⁸-member
+    mega-bucket arrives at the shuffle as one row per map partition —
+    where a WindowExec would buffer/spill the whole bucket in a single
+    task. The min table then joins back to the band rows on the
+    bucket key (AQE broadcasts it when it fits). Returns distinct
+    (id_a, id_b) with id_a < id_b."""
     rows = lsh_band_rows(signatures, id_col, num_hashes, band_size)
-    w = W.partitionBy("band_id", "band_key")
+    mins = rows.groupBy("band_id", "band_key").agg(F.min(id_col).alias("id_a"))
     return (
-        rows.select(
-            F.min(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b")
-        )
+        rows.join(mins, ["band_id", "band_key"])
+        .select("id_a", F.col(id_col).alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )

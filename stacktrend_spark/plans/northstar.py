@@ -248,10 +248,15 @@ def dedup_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers whole dup families without ever materializing their
     quadratic pair closure.
 
-    Scale shape: one skew-free window-min shuffle on the band digest,
-    then shuffle joins (NOT broadcast — the candidate set is O(N) by
-    design, so nothing driver-side may hold it) against the persisted
-    shingle arrays for exact-Jaccard verification of candidates only.
+    Scale shape: bucket minima via groupBy-min on the band digest
+    (map-side combine — a mega-bucket reduces before it shuffles)
+    joined back to the band rows, then shuffle joins (NOT broadcast —
+    the candidate set is O(N) by design, so nothing driver-side may
+    hold it) against the persisted shingle arrays for exact-Jaccard
+    verification of candidates only. A/B at sf0.1: window-min form
+    1.5-2.0 s warm vs this 1.9-2.5 s — the ~0.3 s local cost buys
+    removing WindowExec's whole-bucket single-task buffering, the
+    only piece that could not spill-scale on a 10⁸-copy mirror.
 
     Reference anchor: replaces the driver-side seen-set dedup at
     github_data_ingestion.py:199-219, like the rest of the family.

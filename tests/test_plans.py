@@ -547,14 +547,15 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
-def test_star_candidates_use_window_min_not_self_join(spark, sf_dir):
-    """The bounded LSH variant must generate candidates with a
-    Window-min over the band digest — ONE band-key shuffle — never the
-    band self-join (whose output is Σ bucket²). A Cartesian/NLJ shape
-    or a second band-side join here silently restores the quadratic
-    output contract."""
+def test_star_candidates_use_grouped_min_not_window_or_self_join(spark, sf_dir):
+    """The bounded LSH variant must generate candidates from a
+    groupBy-min over the band digest (map-side-combinable — a
+    mega-bucket reduces before the shuffle) joined back to the band
+    rows — never a WindowExec (buffers the whole bucket in one task)
+    and never the band self-join (whose output is Σ bucket²)."""
     p = plan_of(all_queries()["dedup_minhash_star"].fn(spark, sf_dir))
-    assert "Window" in p
+    assert "HashAggregate" in p
+    assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
