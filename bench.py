@@ -156,6 +156,7 @@ HEADLINE = [
     # r6 additions
     "dedup_minhash_star",
     "dedup_incremental_batch",
+    "er_sorted_neighborhood",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

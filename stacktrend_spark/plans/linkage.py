@@ -132,6 +132,99 @@ def er_blocked_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sorted-neighborhood window (positions) and match radius
+_SN_WINDOW = 8
+_SN_MAX_D = 4
+
+
+@register(
+    "er_sorted_neighborhood",
+    oracle=f"""
+        WITH g AS (
+            SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM part GROUP BY 1
+        ),
+        r AS (
+            SELECT p_name, cnt,
+                   ROW_NUMBER() OVER (ORDER BY p_name) AS rn
+            FROM g
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(b.rn - a.rn AS BIGINT)  AS rank_gap,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_d,
+               CAST(a.cnt * b.cnt AS BIGINT) AS n_record_pairs
+        FROM r a JOIN r b
+          ON b.rn > a.rn AND b.rn - a.rn <= {_SN_WINDOW}
+        WHERE levenshtein(a.p_name, b.p_name) <= {_SN_MAX_D}
+    """,
+    doc=(
+        "Sorted-neighborhood entity resolution: distinct names ranked "
+        "by sort key, candidates = pairs within a fixed window of the "
+        "sorted order (O(N·w), independent of block-size skew), "
+        "levenshtein-matched and weighted back by record counts."
+    ),
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classic ER blocking strategy (Hernández & Stolfo,
+    SIGMOD'95), complementing ``er_blocked_name_match``: where hash
+    blocking's candidate volume is Σ block² (a hot block melts it —
+    same pathology as all-pairs LSH), the sorted-neighborhood window
+    emits EXACTLY (N−w/2)·w candidates no matter how values cluster,
+    and catches near-dups whose first tokens differ (which share no
+    hash block but sort adjacently).
+
+    Scale shape: like the blocked variant, pairing runs over DISTINCT
+    values (cardinality ≪ rows), globally ordered by the two-phase
+    range-partitioned rank (operators/ranking.py — no single-partition
+    window). Window pairs come from an equi-join on the rank bucket
+    ``rn DIV w``: the lower-ranked side tags buckets (g, g+1), so every
+    pair within w positions meets in exactly one bucket — a co-located
+    hash join, never a range/theta join.
+    """
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    g = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ranked = global_rank_scalable(
+        g, order_cols=[F.col("p_name")], rank_col="rn"
+    )
+    a = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(
+                (F.col("rn") / _SN_WINDOW).cast("long"),
+                (F.col("rn") / _SN_WINDOW).cast("long") + 1,
+            )
+        ).alias("jb"),
+    )
+    b = ranked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+        F.col("rn").alias("rn_b"),
+        (F.col("rn") / _SN_WINDOW).cast("long").alias("jb"),
+    )
+    return (
+        a.join(b, "jb")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") - F.col("rn_a") <= _SN_WINDOW)
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= _SN_MAX_D)
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap"),
+            F.levenshtein("name_a", "name_b").cast("long").alias("lev_d"),
+            (F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("n_record_pairs"),
+        )
+    )
+
+
 #: minimum line quantity for a "bulk co-purchase" edge
 _TRI_MIN_QTY = 40
 

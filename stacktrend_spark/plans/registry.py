@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- position 51+: NOT in the r6 window (driver reads the first
     # 50) — head of the r7 queue alongside the r2-era stale batch
     "dedup_incremental_batch",
+    "er_sorted_neighborhood",
 )
 
 
