@@ -61,6 +61,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.sketches",
     "stacktrend_spark.plans.mlencode",
     "stacktrend_spark.plans.geo",
+    "stacktrend_spark.plans.tpch_shapes",
 )
 
 
@@ -155,6 +156,21 @@ _PRIORITY: tuple[str, ...] = (
     # 50) — head of the r7 queue alongside the r2-era stale batch
     "dedup_incremental_batch",
     "er_sorted_neighborhood",
+    # r6 late batch: classic TPC-H optimizer shapes (plans/tpch_shapes.py)
+    "q2_min_cost_supplier",
+    "q4_late_ship_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_filter",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 )
 
 
