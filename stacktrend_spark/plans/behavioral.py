@@ -737,3 +737,116 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "o_orderkey", "weight_cents", rnk.cast("long").alias("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch marketing attribution. For every purchase, the
+# crediting touches are the FIRST and LAST view/click in the 7 days
+# strictly before the purchase; each gets half the purchase value, and
+# purchases with no preceding touch credit 'direct' in full.
+#
+# The arg-min/arg-max inside a RANGE frame is done with an ENCODED
+# integer key — (epoch_micros·1000 + event_id%1000)·2 + is_view — so
+# MIN/MAX simultaneously select the extreme timestamp AND carry its
+# channel bit. Both engines build the identical key, so the selected
+# touch is identical even under timestamp ties (the key is engine-
+# neutral; no min_by/arg_min portability surface).
+#
+# 100 TB: ONE window pass per user partition computes both frames
+# (same window spec), then three map-only projections union into the
+# final tiny groupBy. No joins, no touch-table blowup: the range frame
+# is evaluated inside the per-user sort the window already owns.
+# ---------------------------------------------------------------------------
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "attribution_first_last_touch",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, value,
+                   epoch_us(ts) AS us,
+                   (epoch_us(ts) * 1000 + event_id % 1000) * 2
+                   + CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS k
+            FROM events
+        ),
+        wnd AS (
+            SELECT user_id, event_type, value,
+                   MIN(CASE WHEN event_type IN ('view', 'click') THEN k END)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN {_WEEK_US} PRECEDING
+                                       AND 1 PRECEDING) AS first_k,
+                   MAX(CASE WHEN event_type IN ('view', 'click') THEN k END)
+                       OVER (PARTITION BY user_id ORDER BY us
+                             RANGE BETWEEN {_WEEK_US} PRECEDING
+                                       AND 1 PRECEDING) AS last_k
+            FROM e
+        ),
+        sel AS (SELECT * FROM wnd WHERE event_type = 'purchase'),
+        credits AS (
+            SELECT CASE WHEN first_k % 2 = 1 THEN 'view' ELSE 'click' END AS channel,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 5 AS cr
+            FROM sel WHERE first_k IS NOT NULL
+            UNION ALL
+            SELECT CASE WHEN last_k % 2 = 1 THEN 'view' ELSE 'click' END,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 5
+            FROM sel WHERE last_k IS NOT NULL
+            UNION ALL
+            SELECT 'direct',
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) * 10
+            FROM sel WHERE first_k IS NULL
+        )
+        SELECT channel,
+               CAST(SUM(cr) AS DOUBLE) / 1e3 AS credited_revenue,
+               CAST(COUNT(*) AS BIGINT)      AS n_credits
+        FROM credits GROUP BY channel
+    """,
+    doc=(
+        "First/last-touch attribution via encoded arg-min/arg-max keys in "
+        "a 7-day RANGE frame: one window pass, map-only credit explosion, "
+        "exact tenth-cent integers."
+    ),
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    k = (
+        (F.unix_micros("ts") * 1000 + F.col("event_id") % 1000) * 2
+        + F.when(F.col("event_type") == "view", 1).otherwise(0)
+    )
+    touch_k = F.when(F.col("event_type").isin("view", "click"), k)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_WEEK_US, -1)
+    )
+    sel = (
+        ev.select(
+            "user_id",
+            "event_type",
+            iscale("value").alias("cents"),
+            F.min(touch_k).over(w).alias("first_k"),
+            F.max(touch_k).over(w).alias("last_k"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    chan = lambda c: F.when(F.col(c) % 2 == 1, "view").otherwise("click")  # noqa: E731
+    firsts = sel.filter(F.col("first_k").isNotNull()).select(
+        chan("first_k").alias("channel"), (F.col("cents") * 5).alias("cr")
+    )
+    lasts = sel.filter(F.col("last_k").isNotNull()).select(
+        chan("last_k").alias("channel"), (F.col("cents") * 5).alias("cr")
+    )
+    direct = sel.filter(F.col("first_k").isNull()).select(
+        F.lit("direct").alias("channel"), (F.col("cents") * 10).alias("cr")
+    )
+    return (
+        firsts.unionByName(lasts)
+        .unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            (F.sum("cr").cast("double") / F.lit(1e3)).alias("credited_revenue"),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+    )

@@ -352,3 +352,99 @@ def grouped_map_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_cents bigint, mad_cents bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Floor-clamped running balance — the canonical NON-ASSOCIATIVE scan.
+# A wallet that gains `value` on each purchase and loses `value` on
+# each error event, clamped at zero: bal_i = max(bal_{i-1} + delta_i, 0).
+# The clamp makes the recurrence order-dependent and NON-decomposable —
+# no window frame or prefix-sum trick computes it — so this is exactly
+# the operator class that justifies the grouped-map escape hatch:
+# applyInPandas partitioned by user (parallel ACROSS users, sequential
+# WITHIN a user — the same execution contract as stateful streaming).
+# The oracle replays the identical recurrence as a DuckDB RECURSIVE CTE
+# stepping one row rank per iteration.
+#
+# All balances are exact scale-1e2 integers; the only float op is the
+# final /1e2 display division.
+#
+# 100 TB: per-user sequences are bounded (a user's own events), groups
+# hash-distribute; the Python loop is O(rows of one user) per task.
+# ---------------------------------------------------------------------------
+@register(
+    "capped_running_balance",
+    oracle="""
+        WITH RECURSIVE tx AS (
+            SELECT user_id,
+                   CASE WHEN event_type = 'purchase'
+                        THEN  CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                        ELSE -CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                   END AS delta,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_tx
+            FROM events
+            WHERE event_type IN ('purchase', 'error')
+        ),
+        rec AS (
+            SELECT user_id, rn, n_tx,
+                   GREATEST(delta, 0) AS bal,
+                   CASE WHEN delta < 0 THEN 1 ELSE 0 END AS floor_hits
+            FROM tx WHERE rn = 1
+            UNION ALL
+            SELECT t.user_id, t.rn, t.n_tx,
+                   GREATEST(r.bal + t.delta, 0),
+                   r.floor_hits + CASE WHEN r.bal + t.delta < 0 THEN 1 ELSE 0 END
+            FROM rec r
+            JOIN tx t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+        )
+        SELECT user_id,
+               CAST(bal AS DOUBLE) / 1e2        AS final_balance,
+               CAST(floor_hits AS BIGINT)       AS floor_hits,
+               CAST(n_tx AS BIGINT)             AS n_tx
+        FROM rec WHERE rn = n_tx
+    """,
+    doc=(
+        "Floor-clamped running balance: non-associative scan "
+        "bal=max(bal+delta,0) per user — grouped-map applyInPandas "
+        "(parallel across users, sequential within), oracle = recursive "
+        "CTE replay; exact integer cents throughout."
+    ),
+)
+def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tx = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(-F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+        .alias("delta"),
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal = 0
+        hits = 0
+        for d in pdf["delta"]:
+            bal += int(d)
+            if bal < 0:
+                hits += 1
+                bal = 0
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "final_balance": [bal / 100.0],
+                "floor_hits": [hits],
+                "n_tx": [len(pdf)],
+            }
+        )
+
+    return tx.groupBy("user_id").applyInPandas(
+        replay,
+        schema="user_id bigint, final_balance double, floor_hits bigint, n_tx bigint",
+    )

@@ -171,6 +171,11 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_filter",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    # r6 late batch 2: sketches/privacy/scan-state/attribution
+    "hll_register_sketch",
+    "k_anonymity_audit",
+    "capped_running_balance",
+    "attribution_first_last_touch",
 )
 
 

@@ -398,3 +398,133 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("jaccard_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with EXPLICIT registers and an exactly-reproducible
+# estimate. `approx_distinct_users` (plans/statistics.py) uses Spark's
+# built-in HLL whose estimate is engine-opaque (oracle checks an error
+# BOUND); this query rebuilds the register array itself so the estimate
+# is a pure function of the data in BOTH engines:
+#
+#   h      = 40-bit md5 hash (shared _hex40 recipe)
+#   j      = h DIV 2^34            (top 6 bits → m=64 registers)
+#   w      = h MOD 2^34            (remaining 34 bits)
+#   rho(w) = 35 - bitlength(w)     (leading-zero rank; bitlength via
+#                                   LENGTH(bin(w)) — string-exact, no libm)
+#   M_j    = max rho over the register's hashes   (mergeable: max-agg)
+#   E      = alpha_64 · m² · 2^35 / Σ 2^(35−M_j)
+#
+# The harmonic-mean denominator is summed as exact BIGINTs (2^(35−M) ≤
+# 2^34, 64 registers → < 2^41), so the single final division is the
+# only float op — correctly rounded, bit-identical across engines. No
+# small-range correction (it needs ln — libm): groups are chosen with
+# cardinality ≫ 2.5·m so the raw estimator is in its standard regime,
+# and the realized error is emitted as err_ppm next to the exact count.
+#
+# 100 TB: the register build is one hash-groupBy with map-side combine
+# (max is associative); registers per group are 64 rows — the sketch
+# is mergeable across any partitioning.
+# ---------------------------------------------------------------------------
+_HLL_M = 64
+_HLL_ALPHA = 0.7093514624  # alpha_64 = 0.7213 / (1 + 1.079/64)
+_POW34 = 1 << 34
+_POW35 = 1 << 35
+#: alpha_64 * m^2 * 2^35 folded to ONE double literal (a bare decimal
+#: literal is DECIMAL in DuckDB and overflows when multiplied by ints)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(_POW35)
+
+
+@register(
+    "hll_register_sketch",
+    oracle=f"""
+        WITH h AS (
+            SELECT l_returnflag,
+                   {_sql_hex40("CAST(l_orderkey AS VARCHAR)")} AS hv
+            FROM lineitem
+        ),
+        jr AS (
+            SELECT l_returnflag,
+                   hv // {_POW34} AS j,
+                   CASE WHEN hv % {_POW34} = 0 THEN 35
+                        ELSE 35 - LENGTH(bin(hv % {_POW34})) END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT l_returnflag, j, MAX(rho) AS m_j
+            FROM jr GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT l_returnflag,
+                   SUM(CAST({_POW35} AS BIGINT) // (1 << m_j)) AS denom_scaled,
+                   COUNT(*) AS n_regs
+            FROM regs GROUP BY 1
+        ),
+        ex AS (
+            SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders
+            FROM lineitem GROUP BY 1
+        )
+        SELECT e.l_returnflag,
+               CAST(ex.exact_orders AS BIGINT) AS exact_orders,
+               CAST(FLOOR({_HLL_NUM!r}
+                    / (CAST(e.denom_scaled AS DOUBLE)
+                       + CAST(({_HLL_M} - e.n_regs) AS DOUBLE)
+                         * {float(_POW35)})) AS BIGINT) AS hll_orders,
+               CAST(ABS(CAST(FLOOR({_HLL_NUM!r}
+                    / (CAST(e.denom_scaled AS DOUBLE)
+                       + CAST(({_HLL_M} - e.n_regs) AS DOUBLE)
+                         * {float(_POW35)})) AS BIGINT) - ex.exact_orders)
+                    * 1000000 // ex.exact_orders AS BIGINT) AS err_ppm
+        FROM est e JOIN ex ON e.l_returnflag = ex.l_returnflag
+    """,
+    doc=(
+        "HyperLogLog with explicit registers (m=64, 40-bit md5): estimate "
+        "alpha*m^2/harmonic-mean rebuilt identically in both engines — the "
+        "denominator is an exact BIGINT sum, one final float division. "
+        "Mergeable max-agg registers; no libm on the hashed surface."
+    ),
+)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        "l_returnflag", _spark_hex40(F.col("l_orderkey")).alias("hv")
+    )
+    jr = h.select(
+        "l_returnflag",
+        F.expr(f"hv DIV {_POW34}").alias("j"),
+        F.when(F.col("hv") % _POW34 == 0, F.lit(35))
+        .otherwise(35 - F.length(F.bin(F.col("hv") % _POW34)))
+        .alias("rho"),
+    )
+    regs = jr.groupBy("l_returnflag", "j").agg(F.max("rho").alias("m_j"))
+    est = regs.groupBy("l_returnflag").agg(
+        F.sum(
+            F.expr(f"{_POW35}L DIV shiftleft(1L, CAST(m_j AS INT))")
+        ).alias("denom_scaled"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    # empty registers contribute 2^-0 = 1 each → add (m - n_regs) * 2^35
+    # to the scaled denominator
+    e_col = F.floor(
+        F.lit(_HLL_NUM)
+        / (
+            F.col("denom_scaled").cast("double")
+            + (F.lit(_HLL_M) - F.col("n_regs")).cast("double") * F.lit(float(_POW35))
+        )
+    ).cast("long")
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("exact_orders").cast("long").alias("exact_orders"),
+            e_col.alias("hll_orders"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr("abs(hll_orders - exact_orders) * 1000000L DIV exact_orders")
+            .cast("long"),
+        )
+    )

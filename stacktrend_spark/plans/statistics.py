@@ -1046,3 +1046,63 @@ def exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("median_cents").cast("long").alias("median_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy / release-readiness for a training-data
+# pipeline). Quasi-identifier = (nation, market segment, account-balance
+# band): a record is k-anonymous iff its QI equivalence class has ≥ k
+# members. The audit reports, per nation, the class-size distribution
+# that matters for release decisions: number of classes, the smallest
+# class, how many classes violate k=5, and how many RECORDS sit in
+# violating classes (the re-identification surface).
+#
+# 100 TB: one groupBy on the QI tuple (map-side combined), then a
+# per-nation rollup of the tiny class table — no row-level data leaves
+# the first aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    oracle="""
+        WITH classes AS (
+            SELECT
+                c_nationkey,
+                c_mktsegment,
+                CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                COUNT(*) AS k
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT
+            c_nationkey,
+            CAST(COUNT(*) AS BIGINT)                                   AS n_classes,
+            CAST(MIN(k) AS BIGINT)                                     AS min_k,
+            CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)     AS classes_lt5,
+            CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)     AS records_at_risk,
+            CAST(SUM(k) AS BIGINT)                                     AS n_records
+        FROM classes
+        GROUP BY c_nationkey
+    """,
+    doc="k-anonymity audit over QI=(nation, segment, balance band): "
+    "per-nation class counts, min class size, k<5 violations and the "
+    "records they expose; two cascaded map-side-combined aggregations.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).alias("classes_lt5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).alias(
+            "records_at_risk"
+        ),
+        F.sum("k").alias("n_records"),
+    )
