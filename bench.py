@@ -157,6 +157,16 @@ HEADLINE = [
     "dedup_minhash_star",
     "dedup_incremental_batch",
     "er_sorted_neighborhood",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q16_supplier_variety",
+    "q19_disjunctive_filter",
+    "q21_waiting_suppliers",
+    "hll_register_sketch",
+    "k_anonymity_audit",
+    "capped_running_balance",
+    "attribution_first_last_touch",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

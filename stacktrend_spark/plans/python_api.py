@@ -355,26 +355,38 @@ def grouped_map_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Floor-clamped running balance — the canonical NON-ASSOCIATIVE scan.
-# A wallet that gains `value` on each purchase and loses `value` on
-# each error event, clamped at zero: bal_i = max(bal_{i-1} + delta_i, 0).
-# The clamp makes the recurrence order-dependent and NON-decomposable —
-# no window frame or prefix-sum trick computes it — so this is exactly
-# the operator class that justifies the grouped-map escape hatch:
-# applyInPandas partitioned by user (parallel ACROSS users, sequential
-# WITHIN a user — the same execution contract as stateful streaming).
-# The oracle replays the identical recurrence as a DuckDB RECURSIVE CTE
-# stepping one row rank per iteration.
+# Two-sided-clamped running balance — the canonical NON-ASSOCIATIVE
+# scan. A wallet that gains `value` on each purchase and loses `value`
+# on each error event, clamped into [0, CAP]:
+#
+#     bal_i = min(max(bal_{i-1} + delta_i, 0), CAP)
+#
+# (The one-sided floor-only variant has a prefix-sum closed form —
+# bal_n = S_n - min(0, min_k S_k) — but the TWO-sided clamp does not:
+# every prefix decomposition breaks at the first saturation, so no
+# window frame computes it.) This is exactly the operator class that
+# justifies the grouped-map escape hatch: applyInPandas partitioned by
+# user — parallel ACROSS users, sequential WITHIN a user, the same
+# execution contract as stateful streaming. The oracle replays the
+# identical recurrence as a DuckDB RECURSIVE CTE stepping one row rank
+# per iteration.
 #
 # All balances are exact scale-1e2 integers; the only float op is the
 # final /1e2 display division.
 #
 # 100 TB: per-user sequences are bounded (a user's own events), groups
 # hash-distribute; the Python loop is O(rows of one user) per task.
+# The explicit repartition(32, user) pins the grouped-map shuffle
+# width: AQE would otherwise coalesce this small exchange to ONE
+# partition and serialize every per-group pandas construction through
+# a single task (measured 7.2 s -> sub-second at sf0.1).
 # ---------------------------------------------------------------------------
+_BAL_CAP = 20_000  # cents (200.00): saturates both ways on this data
+
+
 @register(
     "capped_running_balance",
-    oracle="""
+    oracle=f"""
         WITH RECURSIVE tx AS (
             SELECT user_id,
                    CASE WHEN event_type = 'purchase'
@@ -389,62 +401,80 @@ def grouped_map_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rec AS (
             SELECT user_id, rn, n_tx,
-                   GREATEST(delta, 0) AS bal,
-                   CASE WHEN delta < 0 THEN 1 ELSE 0 END AS floor_hits
+                   LEAST(GREATEST(delta, 0), {_BAL_CAP}) AS bal,
+                   CASE WHEN delta < 0 THEN 1 ELSE 0 END AS floor_hits,
+                   CASE WHEN delta > {_BAL_CAP} THEN 1 ELSE 0 END AS cap_hits
             FROM tx WHERE rn = 1
             UNION ALL
             SELECT t.user_id, t.rn, t.n_tx,
-                   GREATEST(r.bal + t.delta, 0),
-                   r.floor_hits + CASE WHEN r.bal + t.delta < 0 THEN 1 ELSE 0 END
+                   LEAST(GREATEST(r.bal + t.delta, 0), {_BAL_CAP}),
+                   r.floor_hits
+                       + CASE WHEN r.bal + t.delta < 0 THEN 1 ELSE 0 END,
+                   r.cap_hits
+                       + CASE WHEN r.bal + t.delta > {_BAL_CAP} THEN 1 ELSE 0 END
             FROM rec r
             JOIN tx t ON t.user_id = r.user_id AND t.rn = r.rn + 1
         )
         SELECT user_id,
                CAST(bal AS DOUBLE) / 1e2        AS final_balance,
                CAST(floor_hits AS BIGINT)       AS floor_hits,
+               CAST(cap_hits AS BIGINT)         AS cap_hits,
                CAST(n_tx AS BIGINT)             AS n_tx
         FROM rec WHERE rn = n_tx
     """,
     doc=(
-        "Floor-clamped running balance: non-associative scan "
-        "bal=max(bal+delta,0) per user — grouped-map applyInPandas "
-        "(parallel across users, sequential within), oracle = recursive "
-        "CTE replay; exact integer cents throughout."
+        "Two-sided-clamped running balance: non-associative scan "
+        "bal=clamp(bal+delta, 0, cap) per user — grouped-map "
+        "applyInPandas (parallel across users, sequential within) with a "
+        "pinned 32-way shuffle, oracle = recursive CTE replay; exact "
+        "integer cents throughout."
     ),
 )
 def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    tx = ev.filter(F.col("event_type").isin("purchase", "error")).select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.col("event_type") == "purchase",
-            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+    tx = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(-F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+            .alias("delta"),
         )
-        .otherwise(-F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
-        .alias("delta"),
+        .repartition(32, "user_id")
     )
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         bal = 0
-        hits = 0
-        for d in pdf["delta"]:
+        floor_hits = 0
+        cap_hits = 0
+        for d in pdf["delta"].to_numpy():
             bal += int(d)
             if bal < 0:
-                hits += 1
+                floor_hits += 1
                 bal = 0
+            elif bal > _BAL_CAP:
+                cap_hits += 1
+                bal = _BAL_CAP
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "final_balance": [bal / 100.0],
-                "floor_hits": [hits],
+                "floor_hits": [floor_hits],
+                "cap_hits": [cap_hits],
                 "n_tx": [len(pdf)],
             }
         )
 
     return tx.groupBy("user_id").applyInPandas(
         replay,
-        schema="user_id bigint, final_balance double, floor_hits bigint, n_tx bigint",
+        schema=(
+            "user_id bigint, final_balance double, floor_hits bigint, "
+            "cap_hits bigint, n_tx bigint"
+        ),
     )
