@@ -167,6 +167,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "capped_running_balance",
     "attribution_first_last_touch",
+    "band_join_price_pairs",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

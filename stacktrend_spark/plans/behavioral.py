@@ -831,19 +831,32 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("event_type") == "purchase")
     )
+    # ONE projection emits all credits as an exploded array — a 3-way
+    # union of selects over `sel` would clone the Window subplan and
+    # sort every user partition three times (caught by
+    # test_attribution_single_window_pass).
     chan = lambda c: F.when(F.col(c) % 2 == 1, "view").otherwise("click")  # noqa: E731
-    firsts = sel.filter(F.col("first_k").isNotNull()).select(
-        chan("first_k").alias("channel"), (F.col("cents") * 5).alias("cr")
-    )
-    lasts = sel.filter(F.col("last_k").isNotNull()).select(
-        chan("last_k").alias("channel"), (F.col("cents") * 5).alias("cr")
-    )
-    direct = sel.filter(F.col("first_k").isNull()).select(
-        F.lit("direct").alias("channel"), (F.col("cents") * 10).alias("cr")
+    credit = F.when(
+        F.col("first_k").isNull(),
+        F.array(
+            F.struct(
+                F.lit("direct").alias("channel"),
+                (F.col("cents") * 10).alias("cr"),
+            )
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                chan("first_k").alias("channel"), (F.col("cents") * 5).alias("cr")
+            ),
+            F.struct(
+                chan("last_k").alias("channel"), (F.col("cents") * 5).alias("cr")
+            ),
+        )
     )
     return (
-        firsts.unionByName(lasts)
-        .unionByName(direct)
+        sel.select(F.explode(credit).alias("c"))
+        .select("c.channel", "c.cr")
         .groupBy("channel")
         .agg(
             (F.sum("cr").cast("double") / F.lit(1e3)).alias("credited_revenue"),

@@ -176,6 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit",
     "capped_running_balance",
     "attribution_first_last_touch",
+    "band_join_price_pairs",
 )
 
 

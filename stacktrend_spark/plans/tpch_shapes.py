@@ -868,3 +868,71 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D band self-join: pairs of same-brand parts whose retail prices lie
+# within ±1.00 of each other. The naive form is a quadratic self-join
+# with an |a-b| ≤ eps predicate (the oracle keeps that form); the Spark
+# plan buckets prices into band-width cells and equi-joins each part
+# against its own and the two adjacent cells (3× replication of ONE
+# side), so candidate volume is O(N · density) instead of O(N²) —
+# the numeric analog of the geo-grid nearest pattern
+# (plans/geo.py) in one dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "band_join_price_pairs",
+    oracle="""
+        WITH px AS (
+            SELECT p_partkey, p_brand,
+                   CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM part
+        )
+        SELECT
+            a.p_brand                                   AS brand,
+            CAST(COUNT(*) AS BIGINT)                    AS n_pairs,
+            CAST(SUM(ABS(a.cents - b.cents)) AS BIGINT) AS sum_gap_cents,
+            CAST(MIN(ABS(a.cents - b.cents)) AS BIGINT) AS min_gap_cents
+        FROM px a
+        JOIN px b ON a.p_brand = b.p_brand
+                 AND a.p_partkey < b.p_partkey
+                 AND ABS(a.cents - b.cents) <= 100
+        GROUP BY a.p_brand
+    """,
+    doc="1-D band self-join (|price_a − price_b| ≤ 1.00 within brand): "
+    "bucket-replicated equi-join (3 cells) vs the oracle's quadratic "
+    "form; exact integer cents.",
+)
+def band_join_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    px = part.select(
+        "p_partkey",
+        "p_brand",
+        iscale("p_retailprice").alias("cents"),
+    ).withColumn("cell", F.expr("cents DIV 100"))
+    # replicate side A into its cell and both neighbors; join equi on
+    # (brand, cell) then refine with the exact band predicate
+    a = px.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("cents").alias("cents_a"),
+        F.explode(
+            F.array(F.col("cell") - 1, F.col("cell"), F.col("cell") + 1)
+        ).alias("probe_cell"),
+    )
+    b = px.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("cell").alias("probe_cell"),
+    )
+    pairs = a.join(b, ["brand", "probe_cell"]).filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.abs(F.col("cents_a") - F.col("cents_b")) <= 100)
+    )
+    gap = F.abs(F.col("cents_a") - F.col("cents_b"))
+    return pairs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(gap).alias("sum_gap_cents"),
+        F.min(gap).cast("long").alias("min_gap_cents"),
+    )

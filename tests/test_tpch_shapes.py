@@ -98,3 +98,29 @@ def test_q22_anti_probe_is_date_filtered(spark, sf_dir):
     assert "LeftAnti" in p
     pushed = [l for l in p.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
     assert pushed, "o_orderdate cutoff not pushed to the orders scan"
+
+
+def test_band_join_is_bucketed_equi_join(spark, sf_dir):
+    """The ±1.00 band self-join must run as a hash join on
+    (brand, cell) with the exact band as residual — never a
+    nested-loop O(N²) comparison."""
+    p = plan_of(_q("band_join_price_pairs", spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Generate" in p  # the 3-cell replication explode
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    """first_k and last_k share one window spec — the plan must contain
+    exactly one Window operator (two frames would double the per-user
+    sort)."""
+    p = plan_of(_q("attribution_first_last_touch", spark, sf_dir))
+    # formatted output shows each operator once in the tree as
+    # "Window (n)" — count tree occurrences only
+    assert p.count("Window (") == 1
+
+
+def test_hll_register_build_is_two_level_agg(spark, sf_dir):
+    """Register build = hash-agg on (group, j) then per-group rollup;
+    no window, no join other than the exact-count companion."""
+    p = plan_of(_q("hll_register_sketch", spark, sf_dir))
+    assert "Window" not in p
