@@ -137,6 +137,33 @@ SHOWCASE = [
         "BIT_OR words; every overlap is word-aligned AND/OR + popcount "
         "on the compact bitmap table.",
     ),
+    (
+        "q21_waiting_suppliers",
+        "EXISTS + NOT-EXISTS double correlation: the late-line set is "
+        "computed once, probed by a LeftSemi (another supplier exists) "
+        "and a LeftAnti (no other LATE supplier) with <> residuals; "
+        "probe sides carry only (orderkey, suppkey).",
+    ),
+    (
+        "q19_disjunctive_filter",
+        "Disjunctive join predicate: Catalyst extracts the common "
+        "partkey equality as the hash-join key and keeps the "
+        "brand/size/quantity OR-of-ANDs as a residual — no nested "
+        "loop over lineitem x part.",
+    ),
+    (
+        "attribution_first_last_touch",
+        "First/last-touch attribution in ONE Window pass: both 7-day "
+        "RANGE frames share a window spec; credits explode map-only "
+        "from a single projection (a union of selects would clone the "
+        "window subplan and sort every user partition three times).",
+    ),
+    (
+        "band_join_price_pairs",
+        "1-D band self-join: 3-cell bucket replication on one side, "
+        "hash join on (brand, cell), exact |a-b| <= eps as residual — "
+        "candidate volume O(N x density), not O(N^2).",
+    ),
 ]
 
 
