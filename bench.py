@@ -168,6 +168,8 @@ HEADLINE = [
     "capped_running_balance",
     "attribution_first_last_touch",
     "band_join_price_pairs",
+    "partition_skew_audit",
+    "phrase_match_positions",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -824,3 +824,86 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search — the IR primitive BM25 (above) cannot
+# answer: "table value" as ADJACENT tokens. The corpus becomes a
+# positional postings list (doc_id, term, pos) via posexplode; the
+# phrase match is an equi-join of the two terms' postings on
+# (doc_id, pos+1). Candidate volume is bounded by the two terms'
+# posting lists — never the corpus; the oracle rebuilds the identical
+# postings with unnest(string_split(...)) so tokenization semantics
+# (single-space split, no LIKE substring false-positives) are pinned
+# identical on both sides.
+#
+# 100 TB: posting generation is map-only; the join shuffles only the
+# two terms' postings (term filter applied BEFORE the shuffle).
+# ---------------------------------------------------------------------------
+_PHRASE_A = "table"
+_PHRASE_B = "value"
+
+
+@register(
+    "phrase_match_positions",
+    oracle=f"""
+        WITH postings AS (
+            SELECT d.doc_id,
+                   t.term,
+                   t.pos
+            FROM documents d,
+                 LATERAL (
+                     SELECT UNNEST(string_split(d.text, ' ')) AS term,
+                            UNNEST(generate_series(
+                                1, len(string_split(d.text, ' ')))) AS pos
+                 ) t
+            WHERE t.term IN ('{_PHRASE_A}', '{_PHRASE_B}')
+        ),
+        hits AS (
+            SELECT a.doc_id, COUNT(*) AS n_occurrences
+            FROM postings a
+            JOIN postings b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = '{_PHRASE_A}' AND b.term = '{_PHRASE_B}'
+            GROUP BY a.doc_id
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT)            AS n_docs,
+            CAST(SUM(n_occurrences) AS BIGINT)  AS n_occurrences,
+            CAST(MAX(n_occurrences) AS BIGINT)  AS max_per_doc
+        FROM hits
+    """,
+    doc=f"Positional phrase search ('{_PHRASE_A} {_PHRASE_B}'): postings "
+    "(doc,term,pos) via posexplode, adjacency equi-join on (doc, pos+1); "
+    "term filter applied before the shuffle so only two posting lists move.",
+)
+def phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+        )
+        # oracle positions are 1-based (generate_series(1, n))
+        .select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+        .filter(F.col("term").isin(_PHRASE_A, _PHRASE_B))
+    )
+    a = postings.filter(F.col("term") == _PHRASE_A).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = postings.filter(F.col("term") == _PHRASE_B).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    hits = (
+        a.join(
+            b,
+            (a.doc_id == F.col("doc_b")) & (F.col("pos_b") == F.col("pos_a") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+        F.max("n_occurrences").cast("long").alias("max_per_doc"),
+    )

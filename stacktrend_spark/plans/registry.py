@@ -177,6 +177,8 @@ _PRIORITY: tuple[str, ...] = (
     "capped_running_balance",
     "attribution_first_last_touch",
     "band_join_price_pairs",
+    "partition_skew_audit",
+    "phrase_match_positions",
 )
 
 

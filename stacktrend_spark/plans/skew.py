@@ -76,3 +76,86 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") > F.col("avg_value"), 1).otherwise(0)
         ).alias("n_above_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew audit: before shuffling a 100 TB fact on a key, KNOW
+# its partition histogram. Keys are assigned to 32 simulated shuffle
+# partitions with the engine-neutral 40-bit md5 recipe (Spark's own
+# murmur3 is not reproducible in the oracle; the md5 surrogate has the
+# same uniformity properties the audit is measuring), then the audit
+# reports the imbalance statistics that predict straggler tasks:
+# max/avg ratio in ppm, the heaviest partition, and the share of rows
+# in the top-4 partitions. Everything is integer-exact.
+#
+# 100 TB: one map-side-combined count per (bucket) — the audit itself
+# never shuffles more than 32 rows past the first aggregate.
+# ---------------------------------------------------------------------------
+def _sql_md5mod(expr: str, m: int) -> str:
+    hx = f"SUBSTR(md5(CAST({expr} AS VARCHAR)), 1, 10)"
+    h = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({hx}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (9 - i)} AS BIGINT)"
+        for i in range(10)
+    )
+    return f"(({h}) % {m})"
+
+
+def _spark_md5mod(col: F.Column, m: int) -> F.Column:
+    h = F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 10), 16, 10
+    ).cast("long")
+    return h % m
+
+
+@register(
+    "partition_skew_audit",
+    oracle=f"""
+        WITH b AS (
+            SELECT {_sql_md5mod('o_custkey', 32)} AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT bucket, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, bucket) AS r
+            FROM b
+        )
+        SELECT
+            CAST(COUNT(*) AS BIGINT)                          AS n_buckets,
+            CAST(SUM(n) AS BIGINT)                            AS n_rows,
+            CAST(MAX(n) AS BIGINT)                            AS max_rows,
+            CAST(MIN(n) AS BIGINT)                            AS min_rows,
+            CAST(MAX(n) * 32 * 1000000 // SUM(n) AS BIGINT)   AS max_over_avg_ppm,
+            CAST(SUM(CASE WHEN r <= 4 THEN n ELSE 0 END)
+                 * 1000000 // SUM(n) AS BIGINT)               AS top4_share_ppm
+        FROM ranked
+    """,
+    doc="Shuffle-partition skew audit for orders.o_custkey over 32 "
+    "simulated partitions (engine-neutral md5 assignment): max/avg ppm "
+    "and top-4 share — the numbers that predict straggler tasks.",
+)
+def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = (
+        orders.select(_spark_md5mod(F.col("o_custkey"), 32).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = b.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("n"), F.asc("bucket")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.expr("MAX(n) * 32 * 1000000 DIV SUM(n)")
+        .cast("long")
+        .alias("max_over_avg_ppm"),
+        F.expr("SUM(CASE WHEN r <= 4 THEN n ELSE 0 END) * 1000000 DIV SUM(n)")
+        .cast("long")
+        .alias("top4_share_ppm"),
+    )

@@ -124,3 +124,21 @@ def test_hll_register_build_is_two_level_agg(spark, sf_dir):
     no window, no join other than the exact-count companion."""
     p = plan_of(_q("hll_register_sketch", spark, sf_dir))
     assert "Window" not in p
+
+
+def test_phrase_join_filters_terms_before_shuffle(spark, sf_dir):
+    """Only the two phrase terms' postings may reach the adjacency
+    join: the term filter must sit under the exchange (filter before
+    shuffle), and the explode is map-side Generate."""
+    p = plan_of(_q("phrase_match_positions", spark, sf_dir))
+    assert "Generate" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_partition_skew_audit_single_fact_pass(spark, sf_dir):
+    """The audit reads orders ONCE: one scan, one aggregate over the
+    32-bucket table; the ranking window runs on ≤32 rows by
+    construction."""
+    p = plan_of(_q("partition_skew_audit", spark, sf_dir))
+    # one scan appears twice in formatted output (tree + detail section)
+    assert p.count("Scan parquet") == 2

@@ -72,6 +72,14 @@ HEAVY = [
     "dedup_minhash_star",
     # r6: kcore with the new checkpoint knob (A/B note in SCALE.md)
     "kcore_copurchase_peel",
+    # r6 late batch: the new lineitem-heavy shapes (self semi/anti,
+    # band join) and the non-associative grouped-map scan
+    "q21_waiting_suppliers",
+    "q5_local_supplier_volume",
+    "band_join_price_pairs",
+    "capped_running_balance",
+    "attribution_first_last_touch",
+    "hll_register_sketch",
 ]
 
 _REPLICAS = 10
@@ -172,8 +180,28 @@ def generate(target: str) -> None:
                    event_type, value, props
             FROM {{t}}, {rep}""",
     )
-    # untouched small/dimension tables: plain copies keep load_table happy
-    for name in ("region", "nation", "supplier", "part"):
+    # part/supplier (r6 late batch): key-shifted replicas matching
+    # lineitem's l_partkey/l_suppkey offsets — a plain copy would leave
+    # replica lineitems with dangling part/supplier FKs, silently
+    # emptying any sf1 join through them (q5/q21/q16 shapes) and
+    # freezing part-only queries (band join) at sf0.1 size. Attribute
+    # distributions (brand/type/size, nationkey/acctbal) are preserved
+    # per replica.
+    copy_scaled(
+        "part",
+        f"""SELECT CAST(p_partkey + i*{mx['part']} AS BIGINT) AS p_partkey,
+                   p_name, p_brand, p_type, p_size, p_retailprice
+            FROM {{t}}, {rep}""",
+    )
+    copy_scaled(
+        "supplier",
+        f"""SELECT CAST(s_suppkey + i*{mx['supp']} AS BIGINT) AS s_suppkey,
+                   s_name || '_r' || CAST(i AS VARCHAR) AS s_name,
+                   s_nationkey, s_acctbal
+            FROM {{t}}, {rep}""",
+    )
+    # untouched dimension tables: plain copies keep load_table happy
+    for name in ("region", "nation"):
         shutil.copyfile(f"{src}/{name}.parquet", f"{target}/{name}.parquet")
 
 
