@@ -170,6 +170,8 @@ HEADLINE = [
     "band_join_price_pairs",
     "partition_skew_audit",
     "phrase_match_positions",
+    "stream_hll_daily_users",
+    "outlier_mahalanobis_2d",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

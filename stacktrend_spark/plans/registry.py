@@ -179,6 +179,8 @@ _PRIORITY: tuple[str, ...] = (
     "band_join_price_pairs",
     "partition_skew_audit",
     "phrase_match_positions",
+    "stream_hll_daily_users",
+    "outlier_mahalanobis_2d",
 )
 
 

@@ -1106,3 +1106,122 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("k").alias("n_records"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Mahalanobis outlier flagging — multivariate outlier detection
+# with the repo's deterministic-statistics discipline: the five co-
+# moment sums aggregate as EXACT scaled integers (comoments helper),
+# every derived quantity (means, covariances, the inverse-covariance
+# quadratic form) is ONE mirrored op tree of correctly-rounded IEEE
+# arithmetic, so the d² > 9 decision (3-sigma ellipse) selects the
+# IDENTICAL row set in both engines.
+#
+# 100 TB: pass 1 is a map-side-combined co-moment aggregate (3 groups
+# × 6 numbers); pass 2 re-scans the fact with the per-group stats
+# BROADCAST — the fact table itself never shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "outlier_mahalanobis_2d",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_returnflag, {sql_comoments('l_extendedprice', 'l_quantity', 2, 0)}
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        derived AS (
+            SELECT l_returnflag,
+                   CAST(n AS DOUBLE)   AS nd,
+                   CAST(sx AS DOUBLE)  AS sxd,
+                   CAST(sy AS DOUBLE)  AS syd,
+                   CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(sxx AS DOUBLE) AS sxxd,
+                   CAST(syy AS DOUBLE) AS syyd
+            FROM s
+        ),
+        v AS (
+            SELECT l_returnflag, nd, sxd, syd,
+                   (sxxd - sxd * sxd / nd) / (nd - 1.0) AS vxx,
+                   (syyd - syd * syd / nd) / (nd - 1.0) AS vyy,
+                   (sxyd - sxd * syd / nd) / (nd - 1.0) AS vxy
+            FROM derived
+        ),
+        scored AS (
+            SELECT l.l_returnflag,
+                   ((CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE) - v.syd / v.nd)
+                    * (CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE) - v.syd / v.nd)
+                    * v.vxx
+                    - 2.0 * (CAST({sql_iscale('l.l_extendedprice', 2)} AS DOUBLE)
+                             - v.sxd / v.nd)
+                          * (CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE)
+                             - v.syd / v.nd)
+                          * v.vxy
+                    + (CAST({sql_iscale('l.l_extendedprice', 2)} AS DOUBLE)
+                       - v.sxd / v.nd)
+                      * (CAST({sql_iscale('l.l_extendedprice', 2)} AS DOUBLE)
+                         - v.sxd / v.nd)
+                      * v.vyy)
+                   / (v.vxx * v.vyy - v.vxy * v.vxy) AS d2
+            FROM lineitem l JOIN v ON l.l_returnflag = v.l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+               CAST(SUM(CASE WHEN d2 > 9.0 THEN 1 ELSE 0 END)
+                    AS BIGINT)                                AS n_outliers,
+               {sql_round('MAX(d2)', 6)}                      AS max_d2
+        FROM scored GROUP BY l_returnflag
+    """,
+    doc=(
+        "2-D Mahalanobis outliers per returnflag over (price, qty): "
+        "exact integer co-moments -> one mirrored IEEE op tree for the "
+        "inverse-covariance quadratic form; group stats broadcast, fact "
+        "never shuffles."
+    ),
+)
+def outlier_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        *comoments("l_extendedprice", "l_quantity", 2, 0)
+    )
+    v = s.select(
+        "l_returnflag",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        (
+            (F.col("sxx").cast("double")
+             - F.col("sx").cast("double") * F.col("sx").cast("double")
+               / F.col("n").cast("double"))
+            / (F.col("n").cast("double") - F.lit(1.0))
+        ).alias("vxx"),
+        (
+            (F.col("syy").cast("double")
+             - F.col("sy").cast("double") * F.col("sy").cast("double")
+               / F.col("n").cast("double"))
+            / (F.col("n").cast("double") - F.lit(1.0))
+        ).alias("vyy"),
+        (
+            (F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double")
+               / F.col("n").cast("double"))
+            / (F.col("n").cast("double") - F.lit(1.0))
+        ).alias("vxy"),
+    )
+    xd = iscale("l_extendedprice").cast("double")
+    yd = F.col("l_quantity").cast("long").cast("double")
+    dx = xd - F.col("sxd") / F.col("nd")
+    dy = yd - F.col("syd") / F.col("nd")
+    d2 = (
+        dy * dy * F.col("vxx")
+        - F.lit(2.0) * dx * dy * F.col("vxy")
+        + dx * dx * F.col("vyy")
+    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    return (
+        li.join(F.broadcast(v), "l_returnflag")
+        .select("l_returnflag", d2.alias("d2"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("d2") > 9.0, 1).otherwise(0)).alias("n_outliers"),
+            fround(F.max("d2"), 6).alias("max_d2"),
+        )
+    )

@@ -712,3 +712,132 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="append",
         state_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog: per-day distinct-user REGISTERS maintained
+# incrementally under a watermark. The register update is a windowed
+# MAX aggregate — associative and commutative, so Structured
+# Streaming's incremental state update IS the sketch merge; state per
+# window is <= m=16 register rows regardless of traffic. The estimate
+# is derived on the compact materialized aggregate with the same
+# libm-free arithmetic as the batch `hll_register_sketch` (m=16 keeps
+# daily user cardinality >= 2.5*m so the raw estimator is in its
+# standard regime; the exact count is emitted alongside from a batch
+# aggregate over the same parquet).
+# ---------------------------------------------------------------------------
+_SH_M = 16
+_SH_POW36 = 1 << 36
+_SH_POW37 = 1 << 37
+#: alpha_16 * m^2 * 2^37 folded to one double literal (PARITY.md r6:
+#: bare decimal literals are DECIMAL in DuckDB and overflow)
+_SH_NUM = 0.673 * _SH_M * _SH_M * float(_SH_POW37)
+
+
+def _stream_hll_oracle() -> str:
+    from stacktrend_spark.plans.sketches import _sql_hex40
+
+    return f"""
+        WITH h AS (
+            SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                       * 86400000000 AS window_start_us,
+                   {_sql_hex40("CAST(user_id AS VARCHAR)")} AS hv
+            FROM events
+        ),
+        jr AS (
+            SELECT window_start_us,
+                   hv // {_SH_POW36} AS j,
+                   CASE WHEN hv % {_SH_POW36} = 0 THEN 37
+                        ELSE 37 - LENGTH(bin(hv % {_SH_POW36})) END AS rho
+            FROM h
+        ),
+        regs AS (
+            SELECT window_start_us, j, MAX(rho) AS m_j
+            FROM jr GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT window_start_us,
+                   SUM(CAST({_SH_POW37} AS BIGINT) // (1 << m_j)) AS denom,
+                   COUNT(*) AS n_regs
+            FROM regs GROUP BY 1
+        ),
+        ex AS (
+            SELECT CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                       * 86400000000 AS window_start_us,
+                   COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY 1
+        )
+        SELECT e.window_start_us,
+               CAST(ex.exact_users AS BIGINT) AS exact_users,
+               CAST(FLOOR({_SH_NUM!r}
+                    / (CAST(e.denom AS DOUBLE)
+                       + CAST(({_SH_M} - e.n_regs) AS DOUBLE)
+                         * {float(_SH_POW37)!r})) AS BIGINT) AS hll_users
+        FROM est e JOIN ex ON e.window_start_us = ex.window_start_us
+    """
+
+
+@register(
+    "stream_hll_daily_users",
+    oracle=_stream_hll_oracle(),
+    doc=(
+        "Streaming HLL (m=16) distinct users per day: register max-agg "
+        "maintained incrementally under the watermark (state = 16 rows "
+        "per window); estimate derived post-sink with the exact-integer "
+        "harmonic denominator — bit-reproducible, unlike the built-in "
+        "approx_count_distinct stream."
+    ),
+)
+def stream_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.plans.sketches import _spark_hex40
+    from stacktrend_spark.sources.tables import load_table
+
+    ev = load_events_stream(spark, sf_dir)
+    regs = (
+        ev.withWatermark("ts", "1 day")
+        .select("ts", _spark_hex40(F.col("user_id")).alias("hv"))
+        .select(
+            "ts",
+            F.expr(f"hv DIV {_SH_POW36}").alias("j"),
+            F.when(F.col("hv") % _SH_POW36 == 0, F.lit(37))
+            .otherwise(37 - F.length(F.bin(F.col("hv") % _SH_POW36)))
+            .alias("rho"),
+        )
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("j"))
+        .agg(F.max("rho").alias("m_j"))
+        .select(
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "j",
+            "m_j",
+        )
+    )
+    agg = run_to_batch(regs, "stream_hll_daily_users_sink", state_partitions=8)
+    est = agg.groupBy("window_start_us").agg(
+        F.sum(
+            F.expr(f"{_SH_POW37}L DIV shiftleft(1L, CAST(m_j AS INT))")
+        ).alias("denom"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            (
+                F.expr("FLOOR(unix_micros(ts) / 86400000000)").cast("long")
+                * F.lit(86400000000)
+            ).alias("window_start_us")
+        )
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    e_col = F.floor(
+        F.lit(_SH_NUM)
+        / (
+            F.col("denom").cast("double")
+            + (F.lit(_SH_M) - F.col("n_regs")).cast("double")
+            * F.lit(float(_SH_POW37))
+        )
+    ).cast("long")
+    return est.join(ex, "window_start_us").select(
+        "window_start_us",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        e_col.alias("hll_users"),
+    )
