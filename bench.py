@@ -172,6 +172,7 @@ HEADLINE = [
     "phrase_match_positions",
     "stream_hll_daily_users",
     "outlier_mahalanobis_2d",
+    "dbscan_grid_clusters",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -207,3 +207,126 @@ def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_acctbal_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN: density-based spatial clustering without pairwise
+# distances. Cells of a fine grid that hold >= minPts points are
+# "dense"; dense cells that touch (8-neighborhood) merge into one
+# cluster via connected components. This is the scalable DBSCAN
+# approximation (cluster boundary resolution = one cell edge): the
+# fact table is touched ONCE for the cell histogram; everything after
+# runs on the tiny dense-cell table. Oracle = identical grid + a
+# recursive-CTE component fixpoint (same pattern as dedup_clusters).
+#
+# 100 TB: cell histogram is map-side combinable; the dense-cell graph
+# has |dense| << |points| nodes, so the CC loop (operators/graph.py —
+# driver union-find under 100k edges, distributed min-label above)
+# costs nothing next to the scan.
+# ---------------------------------------------------------------------------
+_DB_CELL = 15_000_000  # 15° cells
+_DB_MINPTS = 9
+
+
+@register(
+    "dbscan_grid_clusters",
+    oracle=(
+        lambda clat, clon: f"""
+        WITH RECURSIVE pts AS (
+            SELECT c_custkey, {clat} AS lat, {clon} AS lon FROM customer
+        ),
+        cells AS (
+            SELECT CAST(FLOOR(CAST(lat AS DOUBLE) / {_DB_CELL}) AS BIGINT) AS cx,
+                   CAST(FLOOR(CAST(lon AS DOUBLE) / {_DB_CELL}) AS BIGINT) AS cy,
+                   COUNT(*) AS n
+            FROM pts GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT (cx + 16) * 1000 + (cy + 16) AS k, cx, cy, n
+            FROM cells WHERE n >= {_DB_MINPTS}
+        ),
+        e AS (
+            SELECT a.k AS ka, b.k AS kb
+            FROM dense a JOIN dense b
+              ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+             AND a.k < b.k
+        ),
+        und AS (
+            SELECT ka AS a, kb AS b FROM e
+            UNION ALL
+            SELECT kb AS a, ka AS b FROM e
+        ),
+        reach(node, lbl) AS (
+            SELECT k, k FROM dense
+            UNION
+            SELECT u.a, r.lbl FROM und u JOIN reach r ON r.node = u.b
+        ),
+        comp AS (
+            SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT CAST(comp.cluster_id AS BIGINT)   AS cluster_id,
+               CAST(COUNT(*) AS BIGINT)          AS n_cells,
+               CAST(SUM(dense.n) AS BIGINT)      AS n_points
+        FROM comp JOIN dense ON comp.node = dense.k
+        GROUP BY comp.cluster_id
+    """
+    )(*_sql_coords("c_custkey", "c")),
+    doc=(
+        "Grid-DBSCAN over customer points (15° cells, minPts=9): dense "
+        "cells -> 8-neighbor adjacency -> connected components; one "
+        "fact pass, the clustering runs on the dense-cell table."
+    ),
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.graph import connected_components
+
+    lat_c, lon_c = _spark_coords(F.col("c_custkey"), "c")
+    pts = load_table(spark, sf_dir, "customer").select("c_custkey", lat_c, lon_c)
+    cell = lambda c: F.floor(c.cast("double") / _DB_CELL).cast("long")  # noqa: E731
+    cells = pts.groupBy(
+        cell(F.col("lat")).alias("cx"), cell(F.col("lon")).alias("cy")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # the dense-cell table is tiny by construction (bounded by the grid,
+    # not the corpus) and is read three times (edge probes, edge build,
+    # final rollup): persist it so the fact scan + histogram run once
+    dense = (
+        cells.filter(F.col("n") >= _DB_MINPTS)
+        .withColumn("k", (F.col("cx") + 16) * 1000 + (F.col("cy") + 16))
+        .coalesce(4)
+        .persist()
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    probes = dense.select(
+        F.col("k").alias("ka"),
+        F.col("cx"),
+        F.col("cy"),
+        F.explode(offs).alias("o"),
+    ).select(
+        "ka",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = dense.select(
+        F.col("k").alias("kb"), F.col("cx").alias("bx"), F.col("cy").alias("by")
+    )
+    edges = probes.join(
+        nbr, (F.col("nx") == F.col("bx")) & (F.col("ny") == F.col("by"))
+    ).filter(F.col("ka") < F.col("kb")).select("ka", "kb")
+    comp = connected_components(
+        edges, dense.select(F.col("k").alias("node")), src="ka", dst="kb"
+    )
+    return (
+        comp.join(dense, comp.node == dense.k)
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+    )

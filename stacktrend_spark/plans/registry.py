@@ -181,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "phrase_match_positions",
     "stream_hll_daily_users",
     "outlier_mahalanobis_2d",
+    "dbscan_grid_clusters",
 )
 
 
