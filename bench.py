@@ -173,6 +173,8 @@ HEADLINE = [
     "stream_hll_daily_users",
     "outlier_mahalanobis_2d",
     "dbscan_grid_clusters",
+    "model_eval_auc",
+    "golden_record_survivorship",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -510,3 +510,109 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (master-data-management): the step AFTER
+# pair matching. Near-duplicate part-name VALUES (levenshtein <= 1
+# within the noun block — same candidate discipline as
+# er_blocked_name_match: pairwise over distinct values, never records)
+# merge into entities via connected components; each entity then
+# elects one golden record by survivorship rules — canonical name =
+# lexicographic min (the component label itself), anchor key = min
+# partkey, price = max retail over members, size = count-weighted
+# membership. Only multi-variant entities are emitted (the actual
+# merge events).
+#
+# 100 TB: distinct-value candidate generation + a component loop over
+# the tiny matched-name graph; the record table contributes one
+# groupBy (name -> stats) and is never pairwise-joined.
+# ---------------------------------------------------------------------------
+@register(
+    "golden_record_survivorship",
+    oracle="""
+        WITH RECURSIVE p AS (
+            SELECT p_partkey, p_name, p_retailprice,
+                   string_split(p_name, ' ')[-1] AS blk
+            FROM part
+        ),
+        g AS (
+            SELECT blk, p_name,
+                   COUNT(*)           AS cnt,
+                   MIN(p_partkey)     AS min_key,
+                   MAX(p_retailprice) AS max_retail
+            FROM p GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT a.p_name AS na, b.p_name AS nb
+            FROM g a JOIN g b
+              ON a.blk = b.blk AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+        ),
+        und AS (
+            SELECT na AS x, nb AS y FROM e
+            UNION ALL
+            SELECT nb AS x, na AS y FROM e
+        ),
+        reach(node, lbl) AS (
+            SELECT p_name, p_name FROM g
+            UNION
+            SELECT u.x, r.lbl FROM und u JOIN reach r ON r.node = u.y
+        ),
+        comp AS (
+            SELECT node, MIN(lbl) AS canonical_name FROM reach GROUP BY node
+        )
+        SELECT
+            comp.canonical_name,
+            CAST(COUNT(*) AS BIGINT)       AS n_variants,
+            CAST(SUM(g.cnt) AS BIGINT)     AS n_records,
+            CAST(MIN(g.min_key) AS BIGINT) AS anchor_partkey,
+            MAX(g.max_retail)              AS survived_retail
+        FROM comp JOIN g ON comp.node = g.p_name
+        GROUP BY comp.canonical_name
+        HAVING COUNT(*) >= 2
+    """,
+    doc=(
+        "Golden-record survivorship: near-dup name values -> connected "
+        "components -> per-entity canonical name / anchor key / "
+        "survived attributes; pairwise only over distinct values."
+    ),
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.graph import connected_components
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    g = p.groupBy("blk", "p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("p_partkey").alias("min_key"),
+        F.max("p_retailprice").alias("max_retail"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 1)
+        .select(F.col("a.p_name").alias("na"), F.col("b.p_name").alias("nb"))
+    )
+    comp = connected_components(
+        edges, g.select(F.col("p_name").alias("node")), src="na", dst="nb"
+    )
+    return (
+        comp.join(g, comp.node == g.p_name)
+        .groupBy(F.col("component").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("cnt").cast("long").alias("n_records"),
+            F.min("min_key").cast("long").alias("anchor_partkey"),
+            F.max("max_retail").alias("survived_retail"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )

@@ -293,3 +293,108 @@ def simpson_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simpson_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-classifier AUC via the exact rank-sum (Mann-Whitney U)
+# identity — the model-eval metric a training pipeline computes after
+# every eval run. AUC = P(score⁺ > score⁻) + ½P(tie), computed WITHOUT
+# materializing the n⁺·n⁻ pair space:
+#
+#   group by distinct score → (pos_cnt, neg_cnt) per score
+#   running negatives-strictly-below via the two-phase range-
+#     partitioned running sum (operators/ranking.py — no single-
+#     partition window over the score spine)
+#   2U = Σ (2·pos_s·neg_below(s) + pos_s·neg_s)   — exact integers
+#   auc_ppm = 2U · 500000 DIV (n⁺·n⁻)
+#
+# Task: positive = label < 5; score = the first four embedding
+# components cast to double and left-fold-summed (identical op order
+# in both engines → identical doubles → identical spine).
+#
+# 100 TB: the only corpus shuffle is the distinct-score groupBy; the
+# spine then range-partitions across the cluster (distinct float32
+# scores, not rows), and the driver step is O(#partitions).
+# ---------------------------------------------------------------------------
+_AUC_SCORE_SQL = (
+    "((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE))"
+    " + CAST(embedding[3] AS DOUBLE)) + CAST(embedding[4] AS DOUBLE)"
+)
+
+
+@register(
+    "model_eval_auc",
+    oracle=f"""
+        WITH e AS (
+            SELECT {_AUC_SCORE_SQL} AS score,
+                   CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ),
+        per AS (
+            SELECT score,
+                   SUM(pos)     AS pos_cnt,
+                   SUM(1 - pos) AS neg_cnt
+            FROM e GROUP BY score
+        ),
+        c AS (
+            SELECT pos_cnt, neg_cnt,
+                   COALESCE(SUM(neg_cnt) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS neg_below
+            FROM per
+        )
+        SELECT
+            CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+            CAST(SUM(neg_cnt) AS BIGINT) AS n_neg,
+            CAST(SUM(2 * pos_cnt * neg_below + pos_cnt * neg_cnt)
+                 AS BIGINT)              AS u_stat_x2,
+            CAST(SUM(2 * pos_cnt * neg_below + pos_cnt * neg_cnt) * 500000
+                 // (SUM(pos_cnt) * SUM(neg_cnt)) AS BIGINT) AS auc_ppm
+        FROM c
+    """,
+    doc=(
+        "Exact AUC (Mann-Whitney 2U in integers, tie-corrected) over "
+        "distinct scores; the cumulative-negatives spine uses the "
+        "two-phase range-partitioned running sum — no single-partition "
+        "window, no pos x neg pair materialization."
+    ),
+)
+def model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = (
+        (
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double")
+        )
+        + F.element_at("embedding", 3).cast("double")
+    ) + F.element_at("embedding", 4).cast("double")
+    pos = F.when(F.col("label") < 5, 1).otherwise(0)
+    per = (
+        emb.select(score.alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.sum("pos").alias("pos_cnt"),
+            F.sum(F.lit(1) - F.col("pos")).alias("neg_cnt"),
+        )
+    )
+    rs = global_running_sum_scalable(
+        per, [F.col("score")], "neg_cnt", sum_col="cum_incl", num_partitions=8
+    )
+    contrib = (
+        F.lit(2) * F.col("pos_cnt") * (F.col("cum_incl") - F.col("neg_cnt"))
+        + F.col("pos_cnt") * F.col("neg_cnt")
+    )
+    return rs.agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum("neg_cnt").alias("n_neg"),
+        F.sum(contrib).cast("long").alias("u_stat_x2"),
+        F.expr(
+            "SUM(2 * pos_cnt * (cum_incl - neg_cnt) + pos_cnt * neg_cnt)"
+            " * 500000 DIV (SUM(pos_cnt) * SUM(neg_cnt))"
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )

@@ -182,6 +182,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_hll_daily_users",
     "outlier_mahalanobis_2d",
     "dbscan_grid_clusters",
+    "model_eval_auc",
+    "golden_record_survivorship",
 )
 
 
