@@ -863,3 +863,112 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_credits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test — the experimentation readout. Users split
+# into arms by id parity (deterministic assignment); conversion =
+# heavy buyer (>= 15 purchases — "at least one" is degenerate on this
+# data: every user converts, p=1 in both arms, z denominator exactly
+# 0, and ANSI mode turns that 0/0 into DIVIDE_BY_ZERO). The z statistic
+#
+#     z = (p1 − p0) / sqrt( p̂(1−p̂) (1/n1 + 1/n0) )
+#
+# uses ONLY +,−,×,/ and sqrt — all correctly-rounded IEEE ops — on
+# doubles derived from exact integer counts, so the mirrored op tree
+# yields identical bits in both engines (same discipline as dstd in
+# functions/rounding.py). Lift is emitted as an exact integer ppm.
+#
+# 100 TB: one per-user aggregate (conversion flag), one 2-row arm
+# rollup — the z arithmetic runs on four integers.
+# ---------------------------------------------------------------------------
+@register(
+    "abtest_two_proportion_z",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   user_id % 2 AS arm,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 15
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, COUNT(*) AS n, SUM(converted) AS c
+            FROM u GROUP BY arm
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                MAX(CASE WHEN arm = 1 THEN c END) AS c1,
+                MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                MAX(CASE WHEN arm = 0 THEN c END) AS c0
+            FROM arms
+        )
+        SELECT
+            CAST(n1 AS BIGINT) AS n_treat,
+            CAST(c1 AS BIGINT) AS conv_treat,
+            CAST(n0 AS BIGINT) AS n_control,
+            CAST(c0 AS BIGINT) AS conv_control,
+            CAST(c1 * n0 * 1000000 // (c0 * n1) - 1000000 AS BIGINT)
+                AS lift_ppm,
+            FLOOR((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / SQRT((CAST(c1 + c0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                         * (1.0 - CAST(c1 + c0 AS DOUBLE)
+                                  / CAST(n1 + n0 AS DOUBLE))
+                         * (1.0 / CAST(n1 AS DOUBLE)
+                            + 1.0 / CAST(n0 AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0 AS z_score
+        FROM w
+    """,
+    doc=(
+        "Two-proportion z-test over id-parity arms: exact integer "
+        "counts, mirrored IEEE op tree (+,-,*,/,sqrt only) for z, "
+        "exact-ppm lift; one per-user aggregate + a 2-row rollup."
+    ),
+)
+def abtest_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("c"))).alias("c1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("c"))).alias("c0"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    c1d, c0d = F.col("c1").cast("double"), F.col("c0").cast("double")
+    pp = (F.col("c1") + F.col("c0")).cast("double") / (
+        F.col("n1") + F.col("n0")
+    ).cast("double")
+    z = (c1d / n1d - c0d / n0d) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1d + F.lit(1.0) / n0d)
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.expr("c1 * n0 * 1000000 DIV (c0 * n1) - 1000000")
+        .cast("long")
+        .alias("lift_ppm"),
+        (F.floor(z * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "z_score"
+        ),
+    )

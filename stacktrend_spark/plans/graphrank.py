@@ -25,6 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from stacktrend_spark.functions.rounding import (
+    fround,
+    sql_round,
+    sql_xlog10,
+    xlog10,
+)
 from stacktrend_spark.operators.graph import pagerank_scaled
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
@@ -315,5 +321,105 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("c * 1000000 DIV (da.d + db.d - c)")
             .cast("long")
             .alias("jaccard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-law degree-distribution fit — "is this graph scale-free?" as a
+# query. Degree histogram of the co-purchase graph, then a least-
+# squares slope on the log-log points. Logs come from the repo's
+# deterministic decade-interpolated xlog10 (functions/rounding.py — no
+# libm), and each log is floored to an exact ppm INTEGER before the
+# regression sums, so every aggregate is order-independent integer
+# arithmetic; the slope is one final correctly-rounded division.
+#
+# 100 TB: degree agg + histogram agg are map-side combinable; the
+# regression runs over #distinct-degrees rows (hundreds).
+# ---------------------------------------------------------------------------
+@register(
+    "powerlaw_degree_fit",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS (SELECT src, COUNT(*) AS k FROM edges GROUP BY src),
+        hist AS (SELECT k, COUNT(*) AS cnt FROM deg GROUP BY k),
+        pts AS (
+            SELECT CAST(FLOOR(({sql_xlog10('k')}) * 1000000.0) AS BIGINT) AS xi,
+                   CAST(FLOOR(({sql_xlog10('cnt')}) * 1000000.0) AS BIGINT) AS yi
+            FROM hist
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(xi) AS sx, SUM(yi) AS sy,
+                   SUM(CAST(xi * yi AS HUGEINT)) AS sxy,
+                   SUM(CAST(xi * xi AS HUGEINT)) AS sxx
+            FROM pts
+        )
+        SELECT
+            n AS n_points,
+            (SELECT CAST(MAX(k) AS BIGINT) FROM deg) AS max_degree,
+            {sql_round(
+                "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))",
+                6,
+            )} AS loglog_slope
+        FROM s
+    """,
+    doc=(
+        "Power-law fit of the co-purchase degree distribution: "
+        "deterministic xlog10 floored to ppm integers -> exact "
+        "regression sums -> one mirrored slope division. Negative "
+        "slope magnitude ~ the power-law exponent."
+    ),
+)
+def powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("k"))
+    hist = deg.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    pts = hist.select(
+        F.floor(xlog10(F.col("k")) * F.lit(1000000.0)).cast("long").alias("xi"),
+        F.floor(xlog10(F.col("cnt")) * F.lit(1000000.0)).cast("long").alias("yi"),
+    )
+    dec = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum((F.col("xi") * F.col("yi")).cast(dec)).alias("sxy"),
+        F.sum((F.col("xi") * F.col("xi")).cast(dec)).alias("sxx"),
+    )
+    mx = deg.agg(F.max("k").cast("long").alias("max_degree"))
+    slope = fround(
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+        6,
+    )
+    return (
+        s.join(F.broadcast(mx))
+        .select(
+            F.col("n").cast("long").alias("n_points"),
+            "max_degree",
+            slope.alias("loglog_slope"),
         )
     )
