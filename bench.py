@@ -175,6 +175,13 @@ HEADLINE = [
     "dbscan_grid_clusters",
     "model_eval_auc",
     "golden_record_survivorship",
+    # r6 batch 2
+    "abtest_two_proportion_z",
+    "powerlaw_degree_fit",
+    "acf_daily_revenue",
+    "holt_level_trend",
+    "label_propagation_communities",
+    "assoc_rules_lift",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)
@@ -208,6 +215,22 @@ def main() -> None:
 
     # warmup: absorb JVM + codegen compile cost
     specs["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    # Python-worker warmup: the first Arrow-batched query otherwise
+    # pays the one-time pool spin-up (32 forked workers each importing
+    # pandas+pyarrow — measured 13 s attributed to whichever grouped-map
+    # query runs first; capped_running_balance showed 16.1 s cold vs
+    # 2.2 s warm purely from this). On a real cluster the worker pool is
+    # long-lived per executor, so steady state is the honest per-query
+    # number; the spin-up cost is still reported, just attributed to
+    # itself (python_worker_warmup_sec) instead of one arbitrary query.
+    t0 = time.time()
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(32).repartition(32).mapInPandas(_ident, "id long").count()
+    py_warmup = round(time.time() - t0, 3)
 
     # chunk mode (local iteration only — the driver passes no args):
     # with query names given, run just those HEADLINE entries and
@@ -265,6 +288,7 @@ def main() -> None:
             sorted(warm[n] for n in COMPARABLE)[len(COMPARABLE) // 2], 3
         ),
         "warm_is_median_of": 3,
+        "python_worker_warmup_sec": py_warmup,
         "comparable_n": len(COMPARABLE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries_registered": len(specs),
@@ -286,6 +310,7 @@ def main() -> None:
         "comparable_total": full["comparable_total"],
         "comparable_warm_total": full["comparable_warm_total"],
         "comparable_warm_median": full["comparable_warm_median"],
+        "python_worker_warmup_sec": py_warmup,
         "sf": full["sf"],
         "input_rows": {n: s["rows"] for n, s in tables.items()},
         "detail": "BENCH_FULL.json",

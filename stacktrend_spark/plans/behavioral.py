@@ -972,3 +972,113 @@ def abtest_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market basket) over order contents — support /
+# confidence / lift for co-purchased part pairs, the classic
+# recommender primitive. All three metrics are exact integer ppm
+# (n_both·10⁶ DIV denominator — everything positive, so truncating
+# integer division agrees across engines); top-100 by lift with a
+# full (lift, item_a, item_b) tiebreak so the selected row SET is
+# deterministic.
+#
+# 100 TB: baskets = distinct (order, part) — one dedup shuffle;
+# per-item counts are map-side combinable; the pair join shuffles on
+# orderkey with per-basket fan-out bounded by basket size (TPC-H ~4-7
+# items); the min-support HAVING prunes the tail before the ppm math.
+# ---------------------------------------------------------------------------
+_AR_MIN_BOTH = 3  # min co-occurrence count (absolute support)
+_AR_TOP = 100
+
+
+@register(
+    "assoc_rules_lift",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+            FROM lineitem
+        ),
+        nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM baskets),
+        items AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+            FROM baskets GROUP BY item
+        ),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM baskets a JOIN baskets b
+              ON a.ok = b.ok AND a.item < b.item
+            GROUP BY a.item, b.item
+            HAVING COUNT(*) >= {_AR_MIN_BOTH}
+        )
+        SELECT item_a, item_b, n_both, n_a, n_b,
+               support_ppm, confidence_ppm, lift_ppm
+        FROM (
+            SELECT p.item_a, p.item_b, p.n_both,
+                   ia.n_item AS n_a, ib.n_item AS n_b,
+                   p.n_both * 1000000 // (SELECT n FROM nb) AS support_ppm,
+                   p.n_both * 1000000 // ia.n_item AS confidence_ppm,
+                   p.n_both * (SELECT n FROM nb) * 1000000
+                       // (ia.n_item * ib.n_item) AS lift_ppm,
+                   ROW_NUMBER() OVER (
+                       ORDER BY p.n_both * (SELECT n FROM nb) * 1000000
+                                // (ia.n_item * ib.n_item) DESC,
+                                p.item_a, p.item_b) AS rk
+            FROM pairs p
+            JOIN items ia ON ia.item = p.item_a
+            JOIN items ib ON ib.item = p.item_b
+        ) t WHERE rk <= {_AR_TOP}
+    """,
+    doc=(
+        f"Association rules on order baskets: exact-ppm support/"
+        f"confidence/lift for part pairs with n_both>={_AR_MIN_BOTH}, "
+        f"top-{_AR_TOP} by lift with full tiebreak."
+    ),
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    )
+    baskets = li.distinct().persist()
+    nb = baskets.agg(F.countDistinct("ok").cast("long").alias("n"))
+    items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select(F.col("ok"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("ok").alias("ok_b"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _AR_MIN_BOTH)
+    )
+    ia = items.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
+        .join(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("n_both * 1000000 DIV n").alias("support_ppm"),
+            F.expr("n_both * 1000000 DIV n_a").alias("confidence_ppm"),
+            F.expr("n_both * n * 1000000 DIV (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_ppm"), "item_a", "item_b")
+        .limit(_AR_TOP)
+        .select(
+            F.col("item_a").cast("long"),
+            F.col("item_b").cast("long"),
+            "n_both",
+            "n_a",
+            "n_b",
+            F.col("support_ppm").cast("long"),
+            F.col("confidence_ppm").cast("long"),
+            F.col("lift_ppm").cast("long"),
+        )
+    )

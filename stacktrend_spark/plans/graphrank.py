@@ -423,3 +423,137 @@ def powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope.alias("loglog_slope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous LPA, fixed 3 rounds) on
+# the weighted co-purchase graph — community detection, the graph
+# operator family's complement to connected components (structure
+# within a component, not just reachability). Weight = #co-orders;
+# edges below weight 2 are dropped, which keeps real affinity and
+# sparsifies the hairball. Determinism: each round every node adopts
+# the label with the LARGEST incoming weight sum, ties broken by
+# SMALLEST label — a total order, so both engines converge
+# identically; the fixed round count is the same bounded-unroll
+# discipline as the PageRank/k-core fixpoints above.
+#
+# 100 TB: per-round cost is one equi-join (labels are (node,lbl)
+# pairs, hash-partitioned) + one (node,label) aggregate + one
+# per-node window (PARTITIONED by node — no global sort). Hub caps /
+# weight thresholds bound the message volume the same way the wedge
+# join above does.
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+_LPA_MIN_W = 2
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        """p0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+                            a.l_orderkey AS ok
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        )""",
+        f"""ew AS (
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM p0 GROUP BY src, dst HAVING COUNT(*) >= {_LPA_MIN_W}
+        )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM ew)",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""c{r} AS (
+                SELECT e.dst AS node, l.lbl, SUM(e.w) AS cw
+                FROM ew e JOIN l{r - 1} l ON l.node = e.src
+                GROUP BY e.dst, l.lbl
+            )"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+                SELECT node, lbl FROM (
+                    SELECT node, lbl, ROW_NUMBER() OVER (
+                        PARTITION BY node ORDER BY cw DESC, lbl ASC) AS rn
+                    FROM c{r}
+                ) t WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""l{r} AS (
+                SELECT p.node, COALESCE(w.lbl, p.lbl) AS lbl
+                FROM l{r - 1} p LEFT JOIN w{r} w ON w.node = p.node
+            )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT CAST(l.node AS BIGINT) AS part_id,
+               CAST(l.lbl AS BIGINT)  AS community,
+               CAST(s.sz AS BIGINT)   AS community_size
+        FROM l{_LPA_ROUNDS} l
+        JOIN (SELECT lbl, COUNT(*) AS sz FROM l{_LPA_ROUNDS} GROUP BY lbl) s
+          ON s.lbl = l.lbl
+    """
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    doc=(
+        f"Synchronous label propagation ({_LPA_ROUNDS} rounds) on the "
+        f"weight>={_LPA_MIN_W} co-purchase graph: max-weight-sum label, "
+        "min-label tie-break — deterministic communities + sizes."
+    ),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+            "l_orderkey",
+        )
+        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _LPA_MIN_W)
+        .persist()  # read by every round; ~|E| rows, released by clearCache
+    )
+    labels = ew.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    win = W.partitionBy("node").orderBy(F.desc("cw"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        counts = (
+            ew.join(labels, ew["src"] == labels["node"])
+            .groupBy(ew["dst"].alias("node2"), "lbl")
+            .agg(F.sum("w").alias("cw"))
+            .withColumnRenamed("node2", "node")
+        )
+        winners = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        # persist each round's (node,lbl) frame: round r reads round
+        # r-1 TWICE (message join + keep-old left join) and the final
+        # sizes join reads the result twice more — unpersisted, the
+        # lineage doubles per round (2^R plan blowup, measured 14.2 s
+        # -> 4.4 s at sf0.01). #nodes rows, released by clearCache.
+        labels = (
+            labels.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+            )
+            .persist()
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").cast("long").alias("part_id"),
+        F.col("lbl").cast("long").alias("community"),
+        F.col("sz").cast("long").alias("community_size"),
+    )

@@ -184,6 +184,14 @@ _PRIORITY: tuple[str, ...] = (
     "dbscan_grid_clusters",
     "model_eval_auc",
     "golden_record_survivorship",
+    # r6 batch 2 (added after the window head was frozen; head of the
+    # r7 queue with the r2-era stale batch)
+    "abtest_two_proportion_z",
+    "powerlaw_degree_fit",
+    "acf_daily_revenue",
+    "holt_level_trend",
+    "label_propagation_communities",
+    "assoc_rules_lift",
 )
 
 

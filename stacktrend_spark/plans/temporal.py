@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from stacktrend_spark.functions.rounding import sql_iscale
+from stacktrend_spark.functions.rounding import (
+    fround,
+    iscale,
+    sql_iscale,
+    sql_round,
+)
 from stacktrend_spark.operators.temporal import asof_join, range_join_banded
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
@@ -687,4 +692,226 @@ def business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(bdays) * 100 DIV COUNT(*)")
         .cast("long")
         .alias("avg_bdays_x100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (lags 1..7) of the daily-revenue series —
+# the "is there weekly structure?" time-series primitive. Exactness
+# discipline: with n = #days and S = Σy (exact cents), the centered
+# deviation n·y_t − S = n·(y_t − ȳ) is an exact integer, and
+#
+#     r_k = Σ_t dev_t·dev_{t+k} / Σ_t dev_t²
+#
+# (the n² factors cancel), so both engines compute identical integer
+# sums — products in DECIMAL(38,0)/HUGEINT because dev² ~ 1e24 — and
+# ONE final correctly-rounded division per lag.
+#
+# 100 TB: the daily rollup is the only corpus-scale aggregate
+# (map-side combinable); everything after runs on the #days spine
+# (~2.4k rows — the global row_number window is bounded by
+# construction, same discipline as exact_median's histogram spine).
+# ---------------------------------------------------------------------------
+_ACF_LAGS = 7
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy FROM daily
+        ),
+        pts AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   CAST((SELECT n FROM s) * y - (SELECT sy FROM s)
+                        AS BIGINT) AS dev
+            FROM daily
+        ),
+        den AS (
+            SELECT SUM(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)) AS d
+            FROM pts
+        ),
+        lags AS (
+            SELECT UNNEST(RANGE(1, {_ACF_LAGS + 1})) AS lag
+        ),
+        num AS (
+            SELECT l.lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   SUM(CAST(a.dev AS HUGEINT) * CAST(b.dev AS HUGEINT)) AS nm
+            FROM lags l
+            JOIN pts a ON TRUE
+            JOIN pts b ON b.rn = a.rn + l.lag
+            GROUP BY l.lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+               {sql_round('CAST(nm AS DOUBLE) / CAST((SELECT d FROM den) AS DOUBLE)', 6)}
+                   AS acf
+        FROM num
+    """,
+    doc=(
+        "ACF lags 1-7 of daily revenue: exact integer centered "
+        "deviations (n*y - S), DECIMAL(38,0)/HUGEINT products, one "
+        "mirrored division per lag; corpus touched once (daily rollup)."
+    ),
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(iscale("o_totalprice")).alias("y")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").alias("sy")
+    )
+    # ~2.4k-day spine: global window bounded by construction
+    pts = (
+        daily.join(F.broadcast(s))
+        .select(
+            F.row_number().over(W.orderBy("day")).alias("rn"),
+            (F.col("n") * F.col("y") - F.col("sy")).cast("long").alias("dev"),
+        )
+        .persist()
+    )
+    dec = "decimal(38,0)"
+    den = pts.agg(
+        F.sum(F.col("dev").cast(dec) * F.col("dev").cast(dec)).alias("d")
+    )
+    lags = pts.select(
+        "rn",
+        "dev",
+        F.explode(F.array([F.lit(i) for i in range(1, _ACF_LAGS + 1)])).alias(
+            "lag"
+        ),
+    )
+    b = pts.select(F.col("rn").alias("rn_b"), F.col("dev").alias("dev_b"))
+    num = (
+        lags.join(b, F.col("rn_b") == F.col("rn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dev").cast(dec) * F.col("dev_b").cast(dec)).alias("nm"),
+        )
+    )
+    return num.join(F.broadcast(den)).select(
+        F.col("lag").cast("long"),
+        "n_pairs",
+        fround(F.col("nm").cast("double") / F.col("d").cast("double"), 6).alias(
+            "acf"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing over the daily-revenue series —
+# level + trend with α=1/2, β=1/4, the classic short-horizon
+# forecaster. The recurrence
+#
+#     l_t = floor((y_t + l_{t-1} + b_{t-1}) / 2)
+#     b_t = floor((3·b_{t-1} + (l_t − l_{t-1})) / 4)
+#
+# is a NON-ASSOCIATIVE scan (like capped_running_balance, the flooring
+# breaks every prefix decomposition), kept exact by running it on
+# integer cents with floor-division; magnitudes stay ≤ ~1e13, far
+# inside the 2^53 window where FLOOR(x/2.0) IS exact floor division in
+# both engines (Spark DIV truncates toward zero but trend can go
+# NEGATIVE, so explicit FLOOR is the only division both engines agree
+# on). One-step forecast errors e_t = y_t − (l_{t-1}+b_{t-1})
+# accumulate into an exact HUGEINT/DECIMAL(38,0) SSE.
+#
+# 100 TB: the corpus-scale work is the daily rollup (map-side
+# combinable); the sequential replay runs on the bounded #days spine
+# (~2.4k rows) in ONE grouped-map task — same bounded-spine contract
+# as exact_median's histogram. The oracle replays the identical
+# recurrence as a recursive CTE.
+# ---------------------------------------------------------------------------
+@register(
+    "holt_level_trend",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT o_orderdate AS day,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        pts AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   CAST(y AS BIGINT) AS y,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM daily
+        ),
+        rec AS (
+            SELECT rn, n, y AS lvl, CAST(0 AS BIGINT) AS trend,
+                   CAST(0 AS HUGEINT) AS sse
+            FROM pts WHERE rn = 1
+            UNION ALL
+            SELECT p.rn, p.n,
+                   CAST(FLOOR((p.y + r.lvl + r.trend) / 2.0) AS BIGINT),
+                   CAST(FLOOR((3 * r.trend
+                               + (CAST(FLOOR((p.y + r.lvl + r.trend) / 2.0)
+                                       AS BIGINT) - r.lvl)) / 4.0) AS BIGINT),
+                   r.sse + CAST(p.y - (r.lvl + r.trend) AS HUGEINT)
+                           * CAST(p.y - (r.lvl + r.trend) AS HUGEINT)
+            FROM rec r JOIN pts p ON p.rn = r.rn + 1
+        )
+        SELECT CAST(n AS BIGINT)          AS n_days,
+               CAST(lvl AS BIGINT)        AS level_cents,
+               CAST(trend AS BIGINT)      AS trend_cents,
+               CAST(lvl + 7 * trend AS BIGINT) AS forecast_7d_cents,
+               CAST(sse AS DOUBLE)        AS sse_cents2
+        FROM rec WHERE rn = n
+    """,
+    doc=(
+        "Holt level+trend smoothing (alpha=1/2, beta=1/4) of daily "
+        "revenue: exact integer-cents floor-division recurrence, "
+        "non-associative scan on the bounded daily spine; oracle = "
+        "recursive-CTE replay. Emits final level/trend, 7-day "
+        "forecast, exact one-step-ahead SSE."
+    ),
+)
+def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(iscale("o_totalprice")).cast("long").alias("y")
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = pdf["y"].to_numpy()
+        lvl = int(ys[0])
+        trend = 0
+        sse = 0
+        for y in ys[1:]:
+            y = int(y)
+            e = y - (lvl + trend)
+            sse += e * e
+            new_lvl = (y + lvl + trend) // 2        # exact floor division
+            trend = (3 * trend + (new_lvl - lvl)) // 4
+            lvl = new_lvl
+        return pd.DataFrame(
+            {
+                "n_days": [len(ys)],
+                "level_cents": [lvl],
+                "trend_cents": [trend],
+                "forecast_7d_cents": [lvl + 7 * trend],
+                "sse_cents2": [float(sse)],
+            }
+        )
+
+    # bounded spine: one group of ~2.4k rows — the grouped-map task is
+    # O(#days) regardless of corpus size
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            replay,
+            schema=(
+                "n_days bigint, level_cents bigint, trend_cents bigint, "
+                "forecast_7d_cents bigint, sse_cents2 double"
+            ),
+        )
     )
