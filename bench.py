@@ -182,6 +182,9 @@ HEADLINE = [
     "holt_level_trend",
     "label_propagation_communities",
     "assoc_rules_lift",
+    "pca_power_iteration",
+    "model_calibration_ece",
+    "hybrid_rrf_fusion",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

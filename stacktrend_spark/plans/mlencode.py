@@ -398,3 +398,319 @@ def model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: first principal component of the embedding corpus
+# via exact-integer covariance + normalized power iteration. The whole
+# chain is engine-exact:
+#
+#   1. quantize x → q = floor(x·2²⁰ + 0.5)        (map-only)
+#   2. raw grammian P_ij = Σ_vec q_i·q_j          (LONG products —
+#      codegen hot path; per-group sums in DECIMAL/HUGEINT)
+#   3. exact centering on the 2080-entry result:
+#      C_ij = n²·P_ij − n·S_i·S_j  ≡  Σ (n·q_i − S_i)(n·q_j − S_j)
+#      (the n² scale cancels in the eigenvector)
+#   4. normalize Cn = C·10⁶ DIV max|C|             (both engines
+#      truncate toward zero for negatives: Spark DIV ≡ DuckDB // —
+#      verified this round, PARITY discipline)
+#   5. three power-iteration steps from v₀ = 10⁶·1: u = Cn·v,
+#      v ← u·10⁶ DIV max|u| — every product fits a BIGINT, every
+#      rescale runs in DECIMAL(38,0)/HUGEINT.
+#
+# 100 TB: the ONLY corpus-scale work is steps 1-3 — one explode +
+# map-side-combinable (dim_i, dim_j) aggregate (d(d+1)/2 = 2080
+# groups); the 64×64 matrix and 64-vector iterations are
+# constant-size no matter the corpus. This is exactly how Spark MLlib
+# computes PCA (grammian then local eigensolve), re-expressed as pure
+# relational plans with an integer-exact oracle.
+# ---------------------------------------------------------------------------
+_PCA_DIM = 64
+_PCA_QSCALE = 1 << 20
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    ctes = [
+        f"""d AS (
+            SELECT vec_id, k AS dim,
+                   CAST(FLOOR(CAST(embedding[k + 1] AS DOUBLE)
+                              * {_PCA_QSCALE}.0 + 0.5) AS BIGINT) AS q
+            FROM embeddings, UNNEST(RANGE({_PCA_DIM})) AS t(k)
+        )""",
+        "nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM d)",
+        """s AS (SELECT dim, SUM(q) AS sq FROM d GROUP BY dim)""",
+        """p AS (
+            SELECT a.dim AS i, b.dim AS j,
+                   SUM(CAST(a.q * b.q AS HUGEINT)) AS pp
+            FROM d a JOIN d b
+              ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY a.dim, b.dim
+        )""",
+        """tri AS (
+            SELECT p.i, p.j,
+                   CAST((SELECT n FROM nn) AS HUGEINT)
+                       * CAST((SELECT n FROM nn) AS HUGEINT) * p.pp
+                   - CAST((SELECT n FROM nn) AS HUGEINT)
+                       * CAST(si.sq AS HUGEINT) * CAST(sj.sq AS HUGEINT)
+                       AS c
+            FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j
+        )""",
+        "m0 AS (SELECT MAX(ABS(c)) AS m FROM tri)",
+        """mat AS (
+            SELECT i, j, CAST(c * 1000000 // (SELECT m FROM m0) AS BIGINT)
+                       AS cn
+            FROM tri
+            UNION ALL
+            SELECT j AS i, i AS j,
+                   CAST(c * 1000000 // (SELECT m FROM m0) AS BIGINT) AS cn
+            FROM tri WHERE i <> j
+        )""",
+        "v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS v FROM mat GROUP BY i)",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""u{k} AS (
+                SELECT m.i AS dim, SUM(m.cn * v.v) AS u
+                FROM mat m JOIN v{k - 1} v ON v.dim = m.j
+                GROUP BY m.i
+            )"""
+        )
+        ctes.append(f"mm{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k})")
+        ctes.append(
+            f"""v{k} AS (
+                SELECT dim,
+                       CAST(CAST(u AS HUGEINT) * 1000000
+                            // (SELECT m FROM mm{k}) AS BIGINT) AS v
+                FROM u{k}
+            )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT CAST(dim AS BIGINT) AS dim, v AS pc1_scaled
+        FROM v{_PCA_ITERS}
+    """
+
+
+@register(
+    "pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc=(
+        "First principal component of the embedding corpus: exact "
+        "integer covariance (quantized, centered via n*q - S) + "
+        f"{_PCA_ITERS} normalized power-iteration steps in pure "
+        "integer arithmetic. Corpus touched once; the 64x64 eigen "
+        "solve is constant-size."
+    ),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(float(_PCA_QSCALE)) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    nn = d.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    s = d.groupBy("dim").agg(F.sum("q").alias("sq"))
+    # raw grammian P_ij = Σ q_i·q_j: the products stay in LONG (q ≤
+    # ~2^20·|x|, so q_i·q_j ≲ 1e11 — whole-stage codegen, no per-row
+    # decimal); only the 2080-entry centering n²·P − n·S_i·S_j below
+    # runs in DECIMAL(38,0). Algebraically identical to Σ dev_i·dev_j
+    # with dev = n·q − S (cross terms collapse), measured ~2× faster.
+    a = d.alias("a")
+    b = d.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("dim").alias("j"),
+        F.col("q").alias("q_b"),
+    )
+    dec = "decimal(38,0)"
+    p = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("vec_b")) & (F.col("a.dim") <= F.col("j")),
+        )
+        .groupBy(F.col("a.dim").alias("i"), "j")
+        .agg(F.sum((F.col("a.q") * F.col("q_b")).cast(dec)).alias("pp"))
+    )
+    si = s.select(F.col("dim").alias("i"), F.col("sq").alias("si"))
+    sj = s.select(F.col("dim").alias("j"), F.col("sq").alias("sj"))
+    tri = (
+        p.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .join(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * pp"
+                " - CAST(n AS DECIMAL(38,0)) * CAST(si AS DECIMAL(38,0))"
+                "   * CAST(sj AS DECIMAL(38,0))"
+            ).alias("c"),
+        )
+    )
+    # The normalized power iteration runs on the CONSTANT-SIZE (2080
+    # triangle entries → 64×64) matrix — one grouped-map task, exactly
+    # MLlib's grammian-then-local-eigensolve split. Python ints give
+    # the same arbitrary-precision arithmetic as the oracle's HUGEINT;
+    # divisions mirror DIV/'//' truncate-toward-zero (divisors are
+    # max|·| > 0, so only the dividend carries sign).
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        def tdiv(a: int, m: int) -> int:  # truncate toward zero, m > 0
+            return -((-a) // m) if a < 0 else a // m
+
+        cov: dict[tuple[int, int], int] = {}
+        for i, j, c in zip(pdf["i"], pdf["j"], pdf["c"]):
+            c = int(c)
+            cov[(int(i), int(j))] = c
+            if i != j:
+                cov[(int(j), int(i))] = c
+        m0 = max(abs(c) for c in cov.values())
+        mat = {k: tdiv(c * 1_000_000, m0) for k, c in cov.items()}
+        dims = sorted({i for i, _ in mat})
+        v = {i: 1_000_000 for i in dims}
+        for _ in range(_PCA_ITERS):
+            u = {
+                i: sum(mat[(i, j)] * v[j] for j in dims if (i, j) in mat)
+                for i in dims
+            }
+            m = max(abs(x) for x in u.values())
+            v = {i: tdiv(x * 1_000_000, m) for i, x in u.items()}
+        return pd.DataFrame(
+            {"dim": dims, "pc1_scaled": [v[i] for i in dims]}
+        )
+
+    return (
+        tri.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(solve, schema="dim bigint, pc1_scaled bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expected-calibration-error reliability diagram — the companion
+# metric to model_eval_auc: is the model's CONFIDENCE honest, not
+# just its ranking? Confidence is the score's exact percentile rank
+# (rows strictly below ÷ (n−1), in ppm) — rank-calibration, so the
+# whole chain stays integer-exact. Ten equal-width bins; per bin the
+# mean confidence vs the realized positive rate, gap and n·gap
+# (the ECE numerator) as exact ppm integers.
+#
+# 100 TB: same shape as AUC — one distinct-score groupBy, the
+# two-phase range-partitioned running sum over the score spine, then
+# a 10-row bin rollup. No corpus-sized window, no pair space.
+# ---------------------------------------------------------------------------
+@register(
+    "model_calibration_ece",
+    oracle=f"""
+        WITH e AS (
+            SELECT {_AUC_SCORE_SQL} AS score,
+                   CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ),
+        per AS (
+            SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+                   SUM(pos) AS pos_cnt
+            FROM e GROUP BY score
+        ),
+        n AS (SELECT SUM(c) AS n FROM per),
+        r AS (
+            SELECT score, c, pos_cnt,
+                   COALESCE(SUM(c) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS below
+            FROM per
+        ),
+        conf AS (
+            SELECT c, pos_cnt,
+                   below * 1000000 // ((SELECT n FROM n) - 1) AS conf_ppm
+            FROM r
+        )
+        SELECT
+            CAST(LEAST(conf_ppm // 100000, 9) AS BIGINT)      AS bin,
+            CAST(SUM(c) AS BIGINT)                            AS n_rows,
+            CAST(SUM(conf_ppm * c) // SUM(c) AS BIGINT)       AS avg_conf_ppm,
+            CAST(SUM(pos_cnt) * 1000000 // SUM(c) AS BIGINT)  AS frac_pos_ppm,
+            CAST(ABS(SUM(conf_ppm * c) // SUM(c)
+                     - SUM(pos_cnt) * 1000000 // SUM(c)) AS BIGINT)
+                                                              AS gap_ppm,
+            CAST(SUM(c) * ABS(SUM(conf_ppm * c) // SUM(c)
+                     - SUM(pos_cnt) * 1000000 // SUM(c)) AS BIGINT)
+                                                              AS weighted_gap
+        FROM conf
+        GROUP BY 1
+    """,
+    doc=(
+        "Reliability diagram / ECE: confidence = exact percentile-rank "
+        "ppm via the two-phase running sum, 10 equal-width bins, "
+        "per-bin mean confidence vs realized positive rate and the "
+        "exact n*gap ECE numerator."
+    ),
+)
+def model_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = (
+        (
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double")
+        )
+        + F.element_at("embedding", 3).cast("double")
+    ) + F.element_at("embedding", 4).cast("double")
+    pos = F.when(F.col("label") < 5, 1).otherwise(0)
+    per = (
+        emb.select(score.alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("pos").alias("pos_cnt"),
+        )
+    )
+    rs = global_running_sum_scalable(
+        per, [F.col("score")], "c", sum_col="cum_incl", num_partitions=8
+    )
+    nn = per.agg(F.sum("c").alias("n"))
+    conf = (
+        rs.join(F.broadcast(nn))
+        .select(
+            "c",
+            "pos_cnt",
+            F.expr("(cum_incl - c) * 1000000 DIV (n - 1)").alias("conf_ppm"),
+        )
+    )
+    return (
+        conf.groupBy(
+            F.least(F.expr("conf_ppm DIV 100000"), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.expr("SUM(conf_ppm * c) DIV SUM(c)")
+            .cast("long")
+            .alias("avg_conf_ppm"),
+            F.expr("SUM(pos_cnt) * 1000000 DIV SUM(c)")
+            .cast("long")
+            .alias("frac_pos_ppm"),
+            F.expr(
+                "ABS(SUM(conf_ppm * c) DIV SUM(c)"
+                " - SUM(pos_cnt) * 1000000 DIV SUM(c))"
+            )
+            .cast("long")
+            .alias("gap_ppm"),
+            F.expr(
+                "SUM(c) * ABS(SUM(conf_ppm * c) DIV SUM(c)"
+                " - SUM(pos_cnt) * 1000000 DIV SUM(c))"
+            )
+            .cast("long")
+            .alias("weighted_gap"),
+        )
+    )

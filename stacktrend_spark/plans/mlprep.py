@@ -907,3 +907,151 @@ def phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_occurrences").alias("n_occurrences"),
         F.max("n_occurrences").cast("long").alias("max_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion — the modern RAG
+# pattern: a semantic ranker (cosine top-20 over embeddings) and a
+# lexical ranker (distinct-word overlap top-20 over documents) fused
+# by RRF(K=60): score = Σ_lists 10¹² DIV (60 + rank). Ranks are
+# per-query ROW_NUMBERs with full tiebreaks, contributions are exact
+# integers, missing-from-one-list contributes 0 — so the fused
+# ordering hashes identically across engines. vec_id ≡ doc_id (the
+# testdata's aligned id space).
+#
+# 100 TB: the semantic leg is the broadcast-queries cosine kernel
+# (swap in the IVF variant for corpus scale); the lexical leg is a
+# posting-list equi-join (only docs SHARING a word are candidates);
+# the fusion itself joins two k-bounded lists — #queries × k rows.
+# Windows are per-query partitions, never global.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_LIST = 20
+_RRF_OUT = 10
+
+
+def _rrf_oracle() -> str:
+    from stacktrend_spark.plans.northstar import _SQL_COSINE
+
+    return f"""
+        WITH sem AS (
+            SELECT * FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {sql_round(_SQL_COSINE, 6)} DESC,
+                                    c.vec_id) AS BIGINT) AS rank_sem
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+            ) t WHERE rank_sem <= {_RRF_LIST}
+        ),
+        words AS (
+            SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' '))
+                       AS w
+            FROM documents
+        ),
+        lex AS (
+            SELECT * FROM (
+                SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY a.doc_id
+                           ORDER BY COUNT(*) DESC, b.doc_id) AS BIGINT)
+                           AS rank_lex
+                FROM words a JOIN words b
+                  ON a.w = b.w AND a.doc_id <> b.doc_id
+                WHERE a.doc_id % 100 = 0
+                GROUP BY a.doc_id, b.doc_id
+            ) t WHERE rank_lex <= {_RRF_LIST}
+        ),
+        fused AS (
+            SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+                   COALESCE(s.doc_id, l.doc_id)     AS doc_id,
+                   s.rank_sem, l.rank_lex,
+                   COALESCE(1000000000000 // ({_RRF_K} + s.rank_sem), 0)
+                   + COALESCE(1000000000000 // ({_RRF_K} + l.rank_lex), 0)
+                       AS rrf_scaled
+            FROM sem s FULL OUTER JOIN lex l
+              ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+        )
+        SELECT query_id, doc_id, rrf_scaled, fused_rank, rank_sem, rank_lex
+        FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS fused_rank
+            FROM fused
+        ) t WHERE fused_rank <= {_RRF_OUT}
+    """
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc=(
+        f"Hybrid retrieval: cosine top-{_RRF_LIST} + word-overlap "
+        f"top-{_RRF_LIST}, fused by reciprocal-rank fusion "
+        f"(10^12 DIV (K+rank), K={_RRF_K}) — exact integer scores, "
+        f"top-{_RRF_OUT} per query."
+    ),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.similarity import cosine_topk
+    from stacktrend_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    sem = cosine_topk(emb, queries, k=_RRF_LIST, dim=64).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("sim_rank").alias("rank_sem"),
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).distinct()
+    qw = words.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("common"), F.asc("doc_id"))
+    lex = (
+        qw.join(words, "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn("rank_lex", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank_lex") <= _RRF_LIST)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+
+    fused = (
+        sem.join(lex, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            "rank_sem",
+            "rank_lex",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000000 DIV ({_RRF_K} + rank_sem)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000000 DIV ({_RRF_K} + rank_lex)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_scaled"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_OUT)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("doc_id").cast("long"),
+            "rrf_scaled",
+            "fused_rank",
+            "rank_sem",
+            "rank_lex",
+        )
+    )

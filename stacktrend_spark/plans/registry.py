@@ -192,6 +192,9 @@ _PRIORITY: tuple[str, ...] = (
     "holt_level_trend",
     "label_propagation_communities",
     "assoc_rules_lift",
+    "pca_power_iteration",
+    "model_calibration_ece",
+    "hybrid_rrf_fusion",
 )
 
 
