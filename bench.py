@@ -185,6 +185,9 @@ HEADLINE = [
     "pca_power_iteration",
     "model_calibration_ece",
     "hybrid_rrf_fusion",
+    "moments_skew_kurtosis",
+    "benford_leading_digit",
+    "survival_km_curve",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

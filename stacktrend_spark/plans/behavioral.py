@@ -26,8 +26,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
-from stacktrend_spark.functions.rounding import fround, iscale, sql_iscale, sql_round
+from stacktrend_spark.functions.rounding import (
+    fround,
+    iscale,
+    sql_iscale,
+    sql_round,
+    sql_xlog10,
+    xlog10,
+)
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -1081,4 +1089,154 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("confidence_ppm").cast("long"),
             F.col("lift_ppm").cast("long"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve — time from signup to first error event,
+# with deterministic administrative censoring at day 5 (the data is
+# dense enough that every user eventually errors, so the censoring
+# horizon is what makes the estimator's censored path real). The
+# hashed surface is integer-exact end to end:
+#
+#   per user: dur = days(signup → first error), event if dur ≤ 5,
+#             else censored at 5
+#   per distinct day t: d_t (events), c_t (censored),
+#             n_t = N − Σ_{u<t}(d_u + c_u)   (risk set)
+#   log₁₀ S(t) = Σ_{u≤t} [ ⌊xlog10(n_u−d_u)·10⁶⌋ − ⌊xlog10(n_u)·10⁶⌋ ]
+#
+# — the KM product ∏(1 − d/n) carried in ppm-integer log space with
+# the repo's deterministic decade-interpolated xlog10 (no libm), so
+# the cumulative sum is order-independent integer arithmetic.
+#
+# 100 TB: two per-user aggregates (first signup, first error) — both
+# map-side combinable on user_id — then the whole estimator runs on
+# the ≤ horizon+1-row day spine (global windows bounded by
+# construction).
+# ---------------------------------------------------------------------------
+_KM_HORIZON = 5
+
+
+@register(
+    "survival_km_curve",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        fe AS (
+            SELECT e.user_id, MIN(e.ts) AS t1
+            FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t0
+            WHERE e.event_type = 'error' GROUP BY e.user_id
+        ),
+        obs AS (
+            SELECT s.user_id,
+                   CASE WHEN fe.t1 IS NOT NULL
+                             AND datediff('day', CAST(s.t0 AS DATE),
+                                          CAST(fe.t1 AS DATE)) <= {_KM_HORIZON}
+                        THEN datediff('day', CAST(s.t0 AS DATE),
+                                      CAST(fe.t1 AS DATE))
+                        ELSE {_KM_HORIZON} END AS t,
+                   CASE WHEN fe.t1 IS NOT NULL
+                             AND datediff('day', CAST(s.t0 AS DATE),
+                                          CAST(fe.t1 AS DATE)) <= {_KM_HORIZON}
+                        THEN 1 ELSE 0 END AS ev
+            FROM s LEFT JOIN fe ON fe.user_id = s.user_id
+        ),
+        per AS (
+            SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(SUM(1 - ev) AS BIGINT) AS c
+            FROM obs GROUP BY t
+        ),
+        spine AS (
+            SELECT t, d, c,
+                   (SELECT COUNT(*) FROM obs)
+                   - COALESCE(SUM(d + c) OVER (
+                         ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS n_risk
+            FROM per
+        ),
+        lg AS (
+            SELECT t, d, c, n_risk,
+                   CAST(FLOOR({sql_xlog10('GREATEST(n_risk - d, 1)')}
+                              * 1000000.0) AS BIGINT)
+                   - CAST(FLOOR({sql_xlog10('GREATEST(n_risk, 1)')}
+                                * 1000000.0) AS BIGINT) AS step
+            FROM spine
+        )
+        SELECT CAST(t AS BIGINT)  AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               d AS d_events,
+               c AS c_censored,
+               CAST(SUM(step) OVER (
+                   ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS log10_surv_ppm
+        FROM lg
+    """,
+    doc=(
+        f"Kaplan-Meier survival (signup → first error, administrative "
+        f"censoring at day {_KM_HORIZON}): exact risk sets, KM product "
+        "carried as ppm-integer xlog10 steps — integer-exact curve."
+    ),
+)
+def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fe = (
+        ev.filter(F.col("event_type") == "error")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    dur = F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date"))
+    obs = (
+        s.join(fe, "user_id", "left")
+        .select(
+            F.when(
+                F.col("t1").isNotNull() & (dur <= _KM_HORIZON), dur
+            )
+            .otherwise(F.lit(_KM_HORIZON))
+            .alias("t"),
+            F.when(
+                F.col("t1").isNotNull() & (dur <= _KM_HORIZON), 1
+            )
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    per = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    nn = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    # ≤ horizon+1-row spine: global windows bounded by construction
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_incl = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    spine = (
+        per.join(F.broadcast(nn))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+        )
+    )
+    step = (
+        F.floor(xlog10(F.greatest(F.col("n_risk") - F.col("d"), F.lit(1)))
+                * F.lit(1000000.0)).cast("long")
+        - F.floor(xlog10(F.greatest(F.col("n_risk"), F.lit(1)))
+                  * F.lit(1000000.0)).cast("long")
+    )
+    return spine.withColumn("step", step).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long"),
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.sum("step").over(w_incl).cast("long").alias("log10_surv_ppm"),
     )

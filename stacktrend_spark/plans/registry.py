@@ -195,6 +195,12 @@ _PRIORITY: tuple[str, ...] = (
     "pca_power_iteration",
     "model_calibration_ece",
     "hybrid_rrf_fusion",
+    "moments_skew_kurtosis",
+    "benford_leading_digit",
+    "survival_km_curve",
+    # r6 batch 5: TPC-H completion (22/22 shapes now covered)
+    "q12_shipmode_priority",
+    "q20_dominant_suppliers",
 )
 
 

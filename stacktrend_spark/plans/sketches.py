@@ -528,3 +528,130 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership (r6). The third classic sketch next to KMV
+# (distinct count) and bitmap (exact set algebra): a CONSTANT-SIZE
+# probabilistic member set with one-sided error. Built with the
+# engine-neutral md5/hex40 hash, so the filter words, every probe
+# verdict, and the false-positive count are all on the hashed surface —
+# the gate checks the sketch bit-for-bit, not statistically.
+#
+#   m = 63·64 = 4032 bits (63-bit words, bit 63 clear — same convention
+#       as bitmap_audience_overlap), k = 3 hashes
+#   bitpos_i(x) = hex40('bf' || i || ':' || x) % 4032, i in {0,1,2}
+#   filter      = per word w = bitpos DIV 63: BIT_OR(1 << bitpos % 63)
+#   probe hit   = all 3 probed bits set
+#
+# Members: BUILDING-segment customers (~20% of the dimension → ~20%
+# bit fill at sf0.01 → a real false-positive population, not a toy 0).
+# ---------------------------------------------------------------------------
+_BLOOM_M = 63 * 64
+
+
+def _bloom_sql_bitpos() -> str:
+    return (
+        "("
+        + _sql_hex40("'bf' || CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")
+        + f") % {_BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_filter_membership",
+    oracle=f"""
+        WITH probes AS (
+            SELECT c_custkey,
+                   c_mktsegment = 'BUILDING' AS is_member,
+                   {_bloom_sql_bitpos()} AS bitpos
+            FROM customer, (SELECT UNNEST([0, 1, 2]) AS i)
+        ),
+        filt AS (
+            SELECT bitpos // 63 AS w,
+                   BIT_OR(1::BIGINT << CAST(bitpos % 63 AS INTEGER)) AS bits
+            FROM probes WHERE is_member
+            GROUP BY 1
+        ),
+        hits AS (
+            SELECT p.c_custkey, p.is_member,
+                   CASE WHEN f.bits IS NOT NULL
+                             AND (f.bits >> CAST(p.bitpos % 63 AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE 0 END AS hit
+            FROM probes p LEFT JOIN filt f ON p.bitpos // 63 = f.w
+        ),
+        verdicts AS (
+            SELECT c_custkey, is_member, MIN(hit) = 1 AS bloom_positive
+            FROM hits GROUP BY 1, 2
+        )
+        SELECT is_member, bloom_positive,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM verdicts GROUP BY 1, 2
+    """,
+    doc=(
+        "Bloom filter (m=4032 bits as 63-bit words, k=3 md5-derived "
+        "hashes) over BUILDING-segment customers, probed with the whole "
+        "dimension: confusion counts (member x bloom-positive) make the "
+        "false-positive population itself the hashed surface. Build = "
+        "one BIT_OR shuffle to 64 words; probe = broadcast map-only."
+    ),
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the 64-word filter is built with map-side BIT_OR
+    partials and broadcast; probing a 100 TB fact column is a scan +
+    bit test with NO fact shuffle (the per-key verdict agg here exists
+    only to surface the confusion counts) — which is why Bloom filters
+    are THE join-pruning sidecar at scale (Spark's runtime bloom-join
+    pruning works the same way). A true member can never probe
+    negative (MIN over its 3 set bits is 1 by construction), so the
+    (is_member, NOT bloom_positive) cell is structurally empty — the
+    gate would catch either engine breaking that invariant."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("is_member")
+    )
+    probes = cust.select(
+        "c_custkey",
+        "is_member",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"),
+    ).withColumn(
+        "bitpos",
+        _spark_hex40(
+            F.concat(
+                F.lit("bf"),
+                F.col("i").cast("string"),
+                F.lit(":"),
+                F.col("c_custkey").cast("string"),
+            )
+        )
+        % _BLOOM_M,
+    )
+    filt = (
+        probes.filter("is_member")
+        .groupBy(F.expr("bitpos DIV 63").alias("w"))
+        .agg(
+            F.expr(
+                "BIT_OR(SHIFTLEFT(CAST(1 AS BIGINT), CAST(bitpos % 63 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(filt), F.expr("bitpos DIV 63") == filt.w, "left")
+        .select(
+            "c_custkey",
+            "is_member",
+            F.when(
+                F.col("bits").isNotNull()
+                & (
+                    F.expr("SHIFTRIGHT(bits, CAST(bitpos % 63 AS INT)) & 1") == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return (
+        hits.groupBy("c_custkey", "is_member")
+        .agg((F.min("hit") == 1).alias("bloom_positive"))
+        .groupBy("is_member", "bloom_positive")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

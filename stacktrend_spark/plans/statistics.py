@@ -1225,3 +1225,190 @@ def outlier_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.max("d2"), 6).alias("max_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact skewness & excess kurtosis per nation — distribution-shape
+# moments from raw power sums, fully engine-exact until the last op
+# tree. Values are order totals quantized to k$ (y = cents DIV 100000)
+# so the four power sums stay inside 128-bit headroom:
+#
+#   A2 = n·P2 − P1²                                 = n ·Σ(y−ȳ)²
+#   A3 = n²·P3 − 3n·P2·P1 + 2·P1³                   = n²·Σ(y−ȳ)³
+#   A4 = n³·P4 − 4n²·P3·P1 + 6n·P2·P1² − 3·P1⁴      = n³·Σ(y−ȳ)⁴
+#
+# all exact DECIMAL(38,0)/HUGEINT (dominant term 3·P1⁴: at y≤600 k$
+# and n=6·10⁶ rows/group it reaches ~1.7e38 — the 128-bit ceiling;
+# past that, quantize coarser). Skew/kurtosis then come from ONE
+# mirrored double tree: m_k = A_k/n^(k+1); g1 = m3/(m2·sqrt(m2));
+# g2 = m4/m2² − 3.
+#
+# 100 TB: one groupBy(nation) with map-side-combinable power sums —
+# a single shuffle of 25 groups; everything else is constant work.
+# ---------------------------------------------------------------------------
+@register(
+    "moments_skew_kurtosis",
+    oracle=f"""
+        WITH y AS (
+            SELECT c.c_nationkey AS nation,
+                   CAST({sql_iscale('o.o_totalprice')} // 100000 AS BIGINT)
+                       AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        p AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   SUM(CAST(y AS HUGEINT)) AS p1,
+                   SUM(CAST(y AS HUGEINT) * y) AS p2,
+                   SUM(CAST(y AS HUGEINT) * y * y) AS p3,
+                   SUM(CAST(y AS HUGEINT) * y * y * y) AS p4
+            FROM y GROUP BY nation
+        ),
+        a AS (
+            SELECT nation, n,
+                   n * p2 - p1 * p1 AS a2,
+                   n * n * p3 - 3 * n * p2 * p1 + 2 * p1 * p1 * p1 AS a3,
+                   n * n * n * p4 - 4 * n * n * p3 * p1
+                       + 6 * n * p2 * p1 * p1 - 3 * p1 * p1 * p1 * p1 AS a4
+            FROM p
+        )
+        SELECT CAST(nation AS BIGINT) AS nation,
+               CAST(n AS BIGINT) AS n_orders,
+               {sql_round(
+                   "(CAST(a3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+                   " / ((CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+                   "    * SQRT(CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))",
+                   6,
+               )} AS skewness,
+               {sql_round(
+                   "(CAST(a4 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+                   " / ((CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+                   "    * (CAST(a2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) - 3.0",
+                   6,
+               )} AS excess_kurtosis
+        FROM a
+    """,
+    doc=(
+        "Per-nation skewness and excess kurtosis of k$-quantized order "
+        "totals: exact 128-bit central power sums (A2/A3/A4 from raw "
+        "P1..P4), one mirrored double tree at the end. One map-side-"
+        "combinable shuffle of 25 groups."
+    ),
+)
+def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dec = "decimal(38,0)"
+    y = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.expr(
+                "CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+                " DIV 100000 AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    p = y.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("p1"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).alias("p2"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y * y")).alias("p3"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y * y * y")).alias("p4"),
+    )
+    a = p.select(
+        "nation",
+        "n",
+        F.expr("n * p2 - p1 * p1").alias("a2"),
+        F.expr("n * n * p3 - 3 * n * p2 * p1 + 2 * p1 * p1 * p1").alias("a3"),
+        F.expr(
+            "n * n * n * p4 - 4 * n * n * p3 * p1"
+            " + 6 * n * p2 * p1 * p1 - 3 * p1 * p1 * p1 * p1"
+        ).alias("a4"),
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("a2").cast("double") / (nd * nd)
+    m3 = F.col("a3").cast("double") / (nd * nd * nd)
+    m4 = F.col("a4").cast("double") / (nd * nd * nd * nd)
+    return a.select(
+        F.col("nation").cast("long"),
+        F.col("n").cast("long").alias("n_orders"),
+        fround(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        fround(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit — the classic anomaly screen for
+# financial/measurement columns: does the first significant digit of
+# the extended-price population follow log10(1 + 1/d)? The expected
+# ppm values are PYTHON-precomputed literals shared by both engines
+# (never engine math — PARITY decimal-literal rule); the observed
+# shares are exact integer ppm; the per-digit deviation and the total
+# variation distance come out as exact integers too. Leading digit =
+# first character of the integer cents rendering — pure string op,
+# no logs, no floats anywhere.
+#
+# 100 TB: map-only digit extraction fused into the scan + one 9-group
+# map-side-combinable aggregate.
+# ---------------------------------------------------------------------------
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def _benford_case(col: str) -> str:
+    cases = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    return f"CASE {col} {cases} END"
+
+
+@register(
+    "benford_leading_digit",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(SUBSTR(CAST({sql_iscale('l_extendedprice')}
+                               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM lineitem
+        ),
+        c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM d GROUP BY digit
+        ),
+        t AS (SELECT SUM(n_rows) AS n FROM c)
+        SELECT digit, n_rows,
+               CAST(n_rows * 1000000 // (SELECT n FROM t)
+                    AS BIGINT) AS obs_ppm,
+               CAST({_benford_case('digit')} AS BIGINT) AS benford_ppm,
+               CAST(ABS(n_rows * 1000000 // (SELECT n FROM t)
+                        - {_benford_case('digit')}) AS BIGINT) AS abs_dev_ppm
+        FROM c
+    """,
+    doc=(
+        "Benford leading-digit audit of l_extendedprice: exact integer "
+        "observed ppm vs Python-precomputed log10(1+1/d) literals, "
+        "per-digit absolute deviation. Map-only + one 9-group agg."
+    ),
+)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    d = li.select(
+        F.substring(iscale("l_extendedprice").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_rows"))
+    t = c.agg(F.sum("n_rows").alias("n"))
+    bcase = _benford_case("digit")
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr("n_rows * 1000000 DIV n").cast("long").alias("obs_ppm"),
+            F.expr(f"CAST({bcase} AS BIGINT)").alias("benford_ppm"),
+            F.expr(f"ABS(n_rows * 1000000 DIV n - {bcase})")
+            .cast("long")
+            .alias("abs_dev_ppm"),
+        )
+    )

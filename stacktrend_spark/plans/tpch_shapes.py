@@ -13,10 +13,12 @@ distinct Catalyst pattern that matters at 100 TB:
   q9_nation_profit       multi-table expression agg (profit decomposition)
   q10_returned_items     top-N customers by computed measure (exact ordering)
   q11_important_parts    HAVING against a global scalar (integer-exact)
+  q12_shipmode_priority  derived low-cardinality group + dual conditional counts
   q14_promo_revenue      conditional ratio over one month
   q16_supplier_variety   NOT-IN exclusion (anti join) + countDistinct
   q17_small_qty_revenue  per-group scalar threshold (avg) applied row-wise
   q19_disjunctive_filter OR-of-ANDs join condition (disjunctive pushdown)
+  q20_dominant_suppliers nested agg→threshold-join→double semi-join chain
   q21_waiting_suppliers  EXISTS + NOT-EXISTS double correlation (semi+anti)
   q22_dormant_customers  global scalar filter + anti join on a fact table
 
@@ -935,4 +937,142 @@ def band_join_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(gap).alias("sum_gap_cents"),
         F.min(gap).cast("long").alias("min_gap_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — ship-mode priority matrix: a fact-fact join whose GROUP BY
+# key is DERIVED from both sides (classic "computed dimension"), plus the
+# dual conditional counts that make Q12 the canonical CASE-pivot agg.
+# Adaptation: the reduced lineitem has no l_shipmode/commitdate/
+# receiptdate, so the mode surrogate is the order→ship latency bucket
+# (≤30 d FAST, ≤75 d REGULAR, else SLOW) over 1996 shipments.
+# Scale: the year filter reaches the lineitem scan (PushedFilters); the
+# join shuffles on orderkey only carrying (orderdate, priority); the
+# 3-group agg is map-side combinable.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+        SELECT ship_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM (
+            SELECT o_orderpriority,
+                   CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) <= 30
+                            THEN 'FAST'
+                        WHEN DATE_DIFF('day', o_orderdate, l_shipdate) <= 75
+                            THEN 'REGULAR'
+                        ELSE 'SLOW' END AS ship_bucket
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        ) GROUP BY ship_bucket
+    """,
+    doc="Q12 shape: derived ship-latency bucket as the group key + dual "
+    "CASE-counts of order priority; year filter pushed to the scan.",
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    yr = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        yr.join(orders, yr.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(lag <= 30, "FAST")
+            .when(lag <= 75, "REGULAR")
+            .otherwise("SLOW")
+            .alias("ship_bucket"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — "potential part promotion": the deepest nesting in TPC-H
+# (subquery-in-subquery-in-IN), decorrelated the way Catalyst wants it:
+# two partial aggs over the same filtered fact slice, a threshold join
+# between them, then a semi join into the supplier dimension.
+# Adaptation: no partsupp/availqty, so "dominant supplier" := shipped
+# more than a quarter of a qualifying part's 1996 volume (the original's
+# availqty > ½·shipped becomes share-of-part-volume > ¼).
+# Scale: the 'small%' prefix prunes parts BEFORE the fact join
+# (broadcast); both aggs reuse the SAME (suppkey,partkey) shuffle — the
+# per-part total is a second partial agg over sq, not a second scan;
+# supplier/nation are broadcast dims.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+        WITH qual AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        yr AS (
+            SELECT l_suppkey, l.l_partkey, CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem l JOIN qual ON l.l_partkey = qual.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        ),
+        sq AS (
+            SELECT l_suppkey, l_partkey, SUM(qty) AS sqty
+            FROM yr GROUP BY l_suppkey, l_partkey
+        ),
+        tot AS (SELECT l_partkey, SUM(sqty) AS tqty FROM sq GROUP BY l_partkey),
+        dom AS (
+            SELECT DISTINCT l_suppkey
+            FROM sq JOIN tot ON sq.l_partkey = tot.l_partkey
+            WHERE 4 * sq.sqty > tot.tqty
+        )
+        SELECT s_suppkey, s_name, n_name AS nation
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+    """,
+    doc="Q20 shape: nested-subquery decorrelation — shared (supp,part) "
+    "partial agg, per-part re-agg, threshold join, semi join into dims.",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    qual = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    yr = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(qual), li.l_partkey == qual.p_partkey)
+        .select("l_suppkey", "l_partkey", F.col("l_quantity").cast("long").alias("qty"))
+    )
+    sq = yr.groupBy("l_suppkey", "l_partkey").agg(F.sum("qty").alias("sqty"))
+    tot = sq.groupBy("l_partkey").agg(F.sum("sqty").alias("tqty"))
+    dom = (
+        sq.join(tot, "l_partkey")
+        .filter(F.lit(4) * F.col("sqty") > F.col("tqty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(dom, supplier.s_suppkey == dom.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
