@@ -714,3 +714,133 @@ def model_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based decision-stump split finding (r6) — the inner loop of
+# every distributed GBDT (XGBoost/LightGBM "hist" mode): aggregate the
+# fact table once into fixed-width feature-bin histograms of (count,
+# positives), then score every bin boundary as a candidate split with a
+# ppm-quantized weighted Gini impurity. The criterion is defined AS the
+# integer formula below (both engines compute it verbatim), so argmin
+# and scores are bit-exact:
+#
+#   bin        = cents(o_totalprice) DIV 2·10⁶      ($20k-wide bins)
+#   pL_ppm     = posL·10⁶ DIV nL  (etc.)
+#   gini_ppm   = 10⁶ − (p_ppm² + q_ppm²) DIV 10⁶
+#   cost_ppm   = (nL·giniL + nR·giniR) DIV n
+#
+# ppm proportions bound every product by 10¹² regardless of corpus
+# size (nL·gini ≤ n·10⁶ — int64-safe past 10¹² rows).
+# 100 TB: the ONLY fact pass is the map-side-combinable histogram agg
+# (≈25 groups); cumulative sums + split scoring run on that bounded
+# spine (the WindowExec-global warning class documented "bounded by
+# construction", same as exact_median_distributed's bucket spine).
+# ---------------------------------------------------------------------------
+@register(
+    "gbdt_split_histogram",
+    oracle="""
+        WITH hist AS (
+            SELECT CAST(FLOOR((o_totalprice) * 100.0 + 0.5) AS BIGINT) // 2000000 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_bin,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos_bin
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin,
+                   CAST(SUM(n_bin)   OVER (ORDER BY bin) AS BIGINT) AS n_left,
+                   CAST(SUM(pos_bin) OVER (ORDER BY bin) AS BIGINT) AS pos_left,
+                   CAST(SUM(n_bin)   OVER () AS BIGINT) AS n_all,
+                   CAST(SUM(pos_bin) OVER () AS BIGINT) AS pos_all
+            FROM hist
+        ),
+        scored AS (
+            SELECT bin AS split_bin, n_left, pos_left,
+                   n_all - n_left   AS n_right,
+                   pos_all - pos_left AS pos_right,
+                   (
+                     n_left * (1000000 - (
+                        (pos_left*1000000//n_left) * (pos_left*1000000//n_left)
+                      + ((n_left-pos_left)*1000000//n_left) * ((n_left-pos_left)*1000000//n_left)
+                     ) // 1000000)
+                   + (n_all-n_left) * (1000000 - (
+                        ((pos_all-pos_left)*1000000//(n_all-n_left)) * ((pos_all-pos_left)*1000000//(n_all-n_left))
+                      + ((n_all-n_left-pos_all+pos_left)*1000000//(n_all-n_left)) * ((n_all-n_left-pos_all+pos_left)*1000000//(n_all-n_left))
+                     ) // 1000000)
+                   ) // n_all AS cost_ppm
+            FROM cum
+            WHERE n_all - n_left > 0
+        )
+        SELECT split_bin, n_left, pos_left, n_right, pos_right,
+               CAST(cost_ppm AS BIGINT) AS cost_ppm
+        FROM scored
+        ORDER BY cost_ppm ASC, split_bin ASC
+        LIMIT 5
+    """,
+    doc=(
+        "GBDT 'hist'-mode split finding as a stump: one map-side "
+        "histogram pass over orders (totalprice $20k bins, label = "
+        "high order priority), then every boundary scored with a "
+        "ppm-integer weighted Gini; top-5 splits by cost. The split "
+        "criterion is the same integer op tree in both engines."
+    ),
+)
+def gbdt_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: histogram aggregation is the canonical scale trick —
+    the fact table reduces map-side to #bins rows no matter the row
+    count, and split scoring is O(#bins) on the driver-side-sized
+    spine (still expressed as a plan; no collect). Growing this stump
+    into boosted trees = re-running the same histogram agg on
+    residual-weighted labels."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    )
+    hist = (
+        orders.select(
+            iscale("o_totalprice").alias("cents"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_pos"),
+        )
+        .select(F.expr("cents DIV 2000000").alias("bin"), "is_pos")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bin"),
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).cast("long").alias("pos_bin"),
+        )
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = hist.select(
+        "bin",
+        F.sum("n_bin").over(w).cast("long").alias("n_left"),
+        F.sum("pos_bin").over(w).cast("long").alias("pos_left"),
+        F.sum("n_bin").over(wall).cast("long").alias("n_all"),
+        F.sum("pos_bin").over(wall).cast("long").alias("pos_all"),
+    )
+    scored = (
+        cum.filter(F.col("n_all") - F.col("n_left") > 0)
+        .select(
+            F.col("bin").alias("split_bin"),
+            "n_left",
+            "pos_left",
+            (F.col("n_all") - F.col("n_left")).alias("n_right"),
+            (F.col("pos_all") - F.col("pos_left")).alias("pos_right"),
+            F.expr(
+                """
+                (
+                  n_left * (1000000 - (
+                     (pos_left*1000000 DIV n_left) * (pos_left*1000000 DIV n_left)
+                   + ((n_left-pos_left)*1000000 DIV n_left) * ((n_left-pos_left)*1000000 DIV n_left)
+                  ) DIV 1000000)
+                + (n_all-n_left) * (1000000 - (
+                     ((pos_all-pos_left)*1000000 DIV (n_all-n_left)) * ((pos_all-pos_left)*1000000 DIV (n_all-n_left))
+                   + ((n_all-n_left-pos_all+pos_left)*1000000 DIV (n_all-n_left)) * ((n_all-n_left-pos_all+pos_left)*1000000 DIV (n_all-n_left))
+                  ) DIV 1000000)
+                ) DIV n_all
+                """
+            )
+            .cast("long")
+            .alias("cost_ppm"),
+        )
+    )
+    return scored.orderBy(F.asc("cost_ppm"), F.asc("split_bin")).limit(5)

@@ -1055,3 +1055,197 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_lex",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (r6) — train/score/audit
+# entirely as relational plans, with every log-likelihood an INTEGER:
+#
+#   split       train = doc_id % 5 != 0, test = doc_id % 5 == 0
+#   c(t,l)      token count of term t in train docs labeled l
+#   T_l, V      class token total, train vocabulary size
+#   prior_l     = ilog(D_l·10⁶ DIV D)            (D_l train docs of l)
+#   score(d,l)  = prior_l + Σ_t tf_dt·ilog(c(t,l)+1) − n_d·ilog(T_l+V)
+#
+# where ilog(x) = ⌊xlog10(x)·10⁶⌋ (deterministic decade-interpolated
+# log10 — no libm). This is Laplace-smoothed multinomial NB with the
+# shared-across-classes constants dropped; the argmax (tie → lang asc)
+# and the confusion matrix are bit-exact in both engines because every
+# score is a sum of int64 terms (order-independent).
+#
+# 100 TB: wc is one (lang,term) shuffle of the train corpus; scoring
+# shuffles test tokens once on term for the count join, then once on
+# doc_id for the per-class sums; the 5-row class-constant table and
+# the 2 scalars (V, D) broadcast. No UDF anywhere.
+# ---------------------------------------------------------------------------
+def _nb_oracle() -> str:
+    from stacktrend_spark.functions.rounding import sql_xlog10
+
+    def ilog(expr: str) -> str:
+        return (
+            f"CAST(FLOOR({sql_xlog10(f'GREATEST({expr}, 1)')} * 1000000.0)"
+            " AS BIGINT)"
+        )
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+            FROM documents
+        ),
+        toks_f AS (SELECT * FROM toks WHERE term <> ''),
+        train AS (SELECT * FROM toks_f WHERE doc_id % 5 <> 0),
+        test  AS (SELECT * FROM toks_f WHERE doc_id % 5 = 0),
+        wc AS (
+            SELECT lang AS l, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM train GROUP BY 1, 2
+        ),
+        classtot AS (SELECT l, SUM(c) AS t_l FROM wc GROUP BY 1),
+        vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM train),
+        tdocs AS (SELECT DISTINCT doc_id, lang FROM train),
+        priors AS (
+            SELECT lang AS l,
+                   CAST(COUNT(*) AS BIGINT) AS d_l,
+                   CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS d
+            FROM tdocs GROUP BY 1
+        ),
+        consts AS (
+            SELECT ct.l,
+                   {ilog('pr.d_l * 1000000 // pr.d')} AS prior_i,
+                   {ilog('ct.t_l + vocab.v')} AS denom_i
+            FROM classtot ct JOIN priors pr ON ct.l = pr.l CROSS JOIN vocab
+        ),
+        tf AS (
+            SELECT doc_id, lang AS actual, term,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM test GROUP BY 1, 2, 3
+        ),
+        dlen AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_d
+            FROM tf GROUP BY 1
+        ),
+        liks AS (
+            SELECT tf.doc_id, tf.actual, k.l,
+                   CAST(SUM(tf.tf * {ilog('COALESCE(wc.c, 0) + 1')})
+                        AS BIGINT) AS s1
+            FROM tf
+            CROSS JOIN (SELECT l FROM classtot) k
+            LEFT JOIN wc ON wc.term = tf.term AND wc.l = k.l
+            GROUP BY 1, 2, 3
+        ),
+        scores AS (
+            SELECT liks.doc_id, liks.actual, liks.l,
+                   consts.prior_i + liks.s1 - dlen.n_d * consts.denom_i
+                       AS score_i
+            FROM liks
+            JOIN consts ON liks.l = consts.l
+            JOIN dlen   ON liks.doc_id = dlen.doc_id
+        ),
+        pred AS (
+            SELECT doc_id, actual, l AS predicted,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score_i DESC, l ASC) AS rk
+            FROM scores
+        )
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rk = 1
+        GROUP BY actual, predicted
+    """
+
+
+@register(
+    "naive_bayes_lang_confusion",
+    oracle=_nb_oracle(),
+    doc=(
+        "Laplace-smoothed multinomial Naive Bayes trained on the 80% "
+        "key-mod train split of documents (label = lang, features = "
+        "whitespace tokens) and scored on the 20% test split; output "
+        "is the confusion matrix. Every log-likelihood is an integer "
+        "(xlog10 µlog10 units), so scores, argmax, and the matrix are "
+        "bit-exact across engines."
+    ),
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: train-side = one (lang,term) shuffle (map-side combine
+    collapses to vocab×5 rows); test-side shuffles tokens on term for
+    the count join and on doc_id for the class sums. The class-constant
+    table (5 rows) and scalars V/D broadcast. Accuracy itself is not
+    the point at this data (synthetic vocab is shared across langs) —
+    the bit-exact train→score→audit pipeline shape is."""
+    from stacktrend_spark.functions.rounding import xlog10
+
+    def ilog(col: F.Column) -> F.Column:
+        return F.floor(
+            xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)
+        ).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    test = toks.filter(F.col("doc_id") % 5 == 0)
+
+    wc = (
+        train.groupBy(F.col("lang").alias("l"), "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    classtot = wc.groupBy("l").agg(F.sum("c").alias("t_l"))
+    vocab = train.agg(F.countDistinct("term").cast("long").alias("v"))
+    priors = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy(F.col("lang").alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_l"))
+    )
+    d_tot = priors.agg(F.sum("d_l").alias("d"))
+    consts = (
+        classtot.join(priors, "l")
+        .join(F.broadcast(d_tot))
+        .join(F.broadcast(vocab))
+        .select(
+            "l",
+            ilog(F.expr("d_l * 1000000 DIV d")).alias("prior_i"),
+            ilog(F.col("t_l") + F.col("v")).alias("denom_i"),
+        )
+    )
+
+    tf = (
+        test.groupBy("doc_id", F.col("lang").alias("actual"), "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n_d"))
+    langs = classtot.select("l")
+    liks = (
+        tf.join(F.broadcast(langs))
+        .join(wc, ["l", "term"], "left")
+        .groupBy("doc_id", "actual", "l")
+        .agg(
+            F.sum(F.col("tf") * ilog(F.coalesce(F.col("c"), F.lit(0)) + 1))
+            .cast("long")
+            .alias("s1")
+        )
+    )
+    scores = (
+        liks.join(F.broadcast(consts), "l")
+        .join(dlen, "doc_id")
+        .select(
+            "doc_id",
+            "actual",
+            "l",
+            (F.col("prior_i") + F.col("s1") - F.col("n_d") * F.col("denom_i")).alias(
+                "score_i"
+            ),
+        )
+    )
+    pred = scores.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("score_i"), F.asc("l"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return pred.groupBy("actual", F.col("l").alias("predicted")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

@@ -201,6 +201,11 @@ _PRIORITY: tuple[str, ...] = (
     # r6 batch 5: TPC-H completion (22/22 shapes now covered)
     "q12_shipmode_priority",
     "q20_dominant_suppliers",
+    # r6 batch 6: sketch/model shapes
+    "bloom_filter_membership",
+    "entropy_kl_priority_mix",
+    "gbdt_split_histogram",
+    "naive_bayes_lang_confusion",
 )
 
 

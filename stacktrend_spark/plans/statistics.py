@@ -1412,3 +1412,115 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_dev_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy + KL divergence (r6). The information-theoretic pair
+# every corpus-curation pipeline needs (domain-mix balance, drift vs a
+# reference distribution) — here per-nation order-priority mixes vs the
+# global mix. All logs go through the repo's deterministic
+# decade-interpolated xlog10 on ppm-quantized proportions, and each
+# per-group sum is a sum of INTEGER terms (order-independent across
+# partial aggregation), so both engines emit identical bits:
+#
+#   p_ppm   = n_il·10⁶ DIV n_i          (clamped ≥ 1)
+#   q_ppm   = m_l·10⁶ DIV m             (global mix)
+#   H_num_i = Σ_l n_il·(6·10⁶ − ilog(p_ppm))       (= n_i·H_i, µlog10)
+#   KL_num  = Σ_l n_il·(ilog(p_ppm) − ilog(q_ppm)) (= n_i·KL_i, µlog10)
+#
+# where ilog(x) = ⌊xlog10(x)·10⁶⌋. ppm proportions bound every factor
+# by 10⁶ regardless of corpus size — no overflow at any sf.
+# 100 TB: one orders⟷customer key shuffle, then a 125-row (nation ×
+# priority) aggregate; the 5-row global mix is a broadcast scalar.
+# ---------------------------------------------------------------------------
+from stacktrend_spark.functions.rounding import sql_xlog10, xlog10
+
+
+def _ilog(col: F.Column) -> F.Column:
+    return F.floor(xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)).cast("long")
+
+
+def _sql_ilog(expr: str) -> str:
+    return f"CAST(FLOOR({sql_xlog10(f'GREATEST({expr}, 1)')} * 1000000.0) AS BIGINT)"
+
+
+@register(
+    "entropy_kl_priority_mix",
+    oracle=f"""
+        WITH cells AS (
+            SELECT n.n_name AS nation, o.o_orderpriority AS pri,
+                   CAST(COUNT(*) AS BIGINT) AS n_il
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        nat AS (SELECT nation, SUM(n_il) AS n_i FROM cells GROUP BY 1),
+        gmix AS (
+            SELECT pri, SUM(n_il) AS m_l, SUM(SUM(n_il)) OVER () AS m
+            FROM cells GROUP BY 1
+        ),
+        terms AS (
+            SELECT c.nation, c.n_il,
+                   c.n_il * 1000000 // nat.n_i AS p_ppm,
+                   g.m_l * 1000000 // g.m      AS q_ppm
+            FROM cells c
+            JOIN nat  ON c.nation = nat.nation
+            JOIN gmix g ON c.pri = g.pri
+        )
+        SELECT nation,
+               CAST(SUM(n_il) AS BIGINT) AS n_orders,
+               CAST(SUM(n_il * (6000000 - {_sql_ilog('p_ppm')}))
+                    AS BIGINT) AS entropy_num,
+               CAST(SUM(n_il * ({_sql_ilog('p_ppm')} - {_sql_ilog('q_ppm')}))
+                    AS BIGINT) AS kl_num
+        FROM terms
+        GROUP BY nation
+    """,
+    doc=(
+        "Per-nation Shannon entropy and KL divergence (vs the global "
+        "mix) of the order-priority distribution, in exact µlog10 "
+        "integer numerators (ppm-quantized proportions through the "
+        "deterministic xlog10) — information-theoretic drift/balance "
+        "audit with a bit-exact oracle."
+    ),
+)
+def entropy_kl_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the only corpus shuffle is orders⟷customer on custkey
+    (nation broadcast); entropy/KL math happens on the 125-row
+    (nation × priority) cell table, with the 5-row global mix joined
+    broadcast. ppm proportions keep every integer < 10¹³ at any corpus
+    size. Quantization note: H/KL carry xlog10's decade-interpolation
+    error (≤0.031·log10-unit per term) — fine for ranking/drift
+    gating, and identically so in both engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_il"))
+    )
+    nat = cells.groupBy("nation").agg(F.sum("n_il").alias("n_i"))
+    glob = cells.groupBy("pri").agg(F.sum("n_il").alias("m_l"))
+    m = glob.agg(F.sum("m_l").alias("m"))
+    terms = (
+        cells.join(nat, "nation")
+        .join(F.broadcast(glob), "pri")
+        .join(F.broadcast(m))
+        .select(
+            "nation",
+            "n_il",
+            F.expr("n_il * 1000000 DIV n_i").alias("p_ppm"),
+            F.expr("m_l * 1000000 DIV m").alias("q_ppm"),
+        )
+    )
+    ilp = _ilog(F.col("p_ppm"))
+    ilq = _ilog(F.col("q_ppm"))
+    return terms.groupBy("nation").agg(
+        F.sum("n_il").cast("long").alias("n_orders"),
+        F.sum(F.col("n_il") * (F.lit(6000000) - ilp)).cast("long").alias("entropy_num"),
+        F.sum(F.col("n_il") * (ilp - ilq)).cast("long").alias("kl_num"),
+    )
