@@ -188,6 +188,14 @@ HEADLINE = [
     "moments_skew_kurtosis",
     "benford_leading_digit",
     "survival_km_curve",
+    "q12_shipmode_priority",
+    "q20_dominant_suppliers",
+    "bloom_filter_membership",
+    "entropy_kl_priority_mix",
+    "gbdt_split_histogram",
+    "naive_bayes_lang_confusion",
+    "isotonic_calibration_minimax",
+    "ols_two_feature_cramer",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -844,3 +844,133 @@ def gbdt_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.asc("cost_ppm"), F.asc("split_bin")).limit(5)
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the minimax closed form (r6). The companion
+# to model_calibration_ece: where ECE *measures* miscalibration,
+# isotonic regression *repairs* it — the standard post-hoc calibrator
+# (Zadrozny & Elkan 2002). Pool-Adjacent-Violators is sequential, but
+# on the bounded reliability spine the CLOSED FORM applies:
+#
+#   iso(i) = max_{j ≤ i} min_{k ≥ i} mean(y over bins j..k)
+#
+# with weighted bin means as ppb integers (Σpos·10⁹ DIV Σn), so the
+# whole fit is MIN/MAX over int64 — bit-exact in both engines, and
+# monotone by construction. B = 20 equal-width score bins ⇒ the (j,k)
+# pair table is ≤ B² = 400 rows and the (i,j,k) expansion ≤ ~1.5k —
+# constant-size regardless of corpus.
+# 100 TB: ONE map-side histogram shuffle over the fact table (20
+# groups); everything after runs on the constant spine. The bounded
+# global windows/joins here are the documented "bounded by
+# construction" class.
+# ---------------------------------------------------------------------------
+@register(
+    "isotonic_calibration_minimax",
+    oracle="""
+        WITH hist AS (
+            SELECT CAST(FLOOR((o_totalprice) * 100.0 + 0.5) AS BIGINT)
+                       // 2500000 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_bin,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos_bin
+            FROM orders GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, n_bin, pos_bin,
+                   CAST(SUM(n_bin)   OVER (ORDER BY bin) AS BIGINT) AS cn,
+                   CAST(SUM(pos_bin) OVER (ORDER BY bin) AS BIGINT) AS cp
+            FROM hist
+        ),
+        pairs AS (
+            SELECT lo.bin AS j, hi.bin AS k,
+                   (hi.cp - lo.cp + lo.pos_bin) * 1000000000
+                       // (hi.cn - lo.cn + lo.n_bin) AS mean_ppb
+            FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+        ),
+        inner_min AS (
+            SELECT b.bin AS i, p.j,
+                   MIN(p.mean_ppb) AS min_ppb
+            FROM (SELECT bin FROM hist) b
+            JOIN pairs p ON p.j <= b.bin AND p.k >= b.bin
+            GROUP BY 1, 2
+        ),
+        iso AS (
+            SELECT i AS bin, MAX(min_ppb) AS iso_rate_ppb
+            FROM inner_min GROUP BY 1
+        )
+        SELECT h.bin, h.n_bin, h.pos_bin,
+               CAST(h.pos_bin * 1000000000 // h.n_bin AS BIGINT)
+                   AS raw_rate_ppb,
+               CAST(iso.iso_rate_ppb AS BIGINT) AS iso_rate_ppb
+        FROM hist h JOIN iso ON h.bin = iso.bin
+    """,
+    doc=(
+        "Isotonic calibration of the per-bin positive rate (orders, "
+        "$25k totalprice bins, label = high priority) via the exact "
+        "minimax closed form iso(i) = max_{j<=i} min_{k>=i} "
+        "mean(j..k) on ppb-integer weighted means — PAV's fixpoint "
+        "without PAV's sequential pooling, monotone by construction, "
+        "bit-exact across engines."
+    ),
+)
+def isotonic_calibration_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one histogram shuffle (20 groups) is the only pass over
+    the fact table; the minimax expansion is O(B^3) on a CONSTANT
+    20-bin spine (~1.5k rows) — the closed form turns a sequential
+    algorithm into joins precisely because the spine is bounded. The
+    same shape calibrates any score column (model confidence, rank
+    features) against any binary outcome."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderpriority"
+    )
+    hist = (
+        orders.select(
+            iscale("o_totalprice").alias("cents"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_pos"),
+        )
+        .select(F.expr("cents DIV 2500000").alias("bin"), "is_pos")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bin"),
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos_bin"),
+        )
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "bin",
+        "n_bin",
+        "pos_bin",
+        F.sum("n_bin").over(w).cast("long").alias("cn"),
+        F.sum("pos_bin").over(w).cast("long").alias("cp"),
+    )
+    lo, hi = cum.alias("lo"), cum.alias("hi")
+    pairs = lo.join(hi, F.col("lo.bin") <= F.col("hi.bin")).select(
+        F.col("lo.bin").alias("j"),
+        F.col("hi.bin").alias("k"),
+        F.expr(
+            "(hi.cp - lo.cp + lo.pos_bin) * 1000000000"
+            " DIV (hi.cn - lo.cn + lo.n_bin)"
+        ).alias("mean_ppb"),
+    )
+    bins = hist.select("bin")
+    inner_min = (
+        bins.join(pairs, (pairs.j <= bins.bin) & (pairs.k >= bins.bin))
+        .groupBy(F.col("bin").alias("i"), "j")
+        .agg(F.min("mean_ppb").alias("min_ppb"))
+    )
+    iso = inner_min.groupBy(F.col("i").alias("bin")).agg(
+        F.max("min_ppb").alias("iso_rate_ppb")
+    )
+    return (
+        hist.join(iso, "bin")
+        .select(
+            "bin",
+            "n_bin",
+            "pos_bin",
+            F.expr("pos_bin * 1000000000 DIV n_bin").cast("long").alias("raw_rate_ppb"),
+            F.col("iso_rate_ppb").cast("long"),
+        )
+    )

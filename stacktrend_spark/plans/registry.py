@@ -206,6 +206,8 @@ _PRIORITY: tuple[str, ...] = (
     "entropy_kl_priority_mix",
     "gbdt_split_histogram",
     "naive_bayes_lang_confusion",
+    "isotonic_calibration_minimax",
+    "ols_two_feature_cramer",
 )
 
 

@@ -1524,3 +1524,133 @@ def entropy_kl_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_il") * (F.lit(6000000) - ilp)).cast("long").alias("entropy_num"),
         F.sum(F.col("n_il") * (ilp - ilq)).cast("long").alias("kl_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS via Cramer's rule on the normal equations (r6).
+# `agg_regression` covers the one-feature regr_slope surface; real
+# feature pipelines need MULTIVARIATE fits, and the distributed recipe
+# is the classic one: aggregate the exact sufficient statistics in one
+# map-side-combinable pass (Σq, Σd, Σy, Σq², Σd², Σqd, Σqy, Σdy, Σy² as
+# 128-bit integers — order-independent), then solve the 3×3 normal
+# system on the 1-row result with Cramer determinants. The solve is a
+# FIXED double op tree over exact integers (the dstd/comoments parity
+# pattern), so betas and R² hash bit-identically.
+#
+#   y = cents(l_extendedprice),  q = l_quantity,  d = discount (0-10)
+#
+# Overflow headroom: Σy² ≤ 2.5e13/row — DECIMAL(38,0)/HUGEINT sums hold
+# past 10²⁴ rows; the determinant products live in doubles by design.
+# 100 TB: ONE scan, ONE 1-row reduce — no joins, no windows; this is
+# the cheapest possible distributed shape for any GLM-normal-equations
+# fit (MLlib's normal-equation solver does exactly this).
+# ---------------------------------------------------------------------------
+_OLS_DET = (
+    "(n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd))"
+)
+_OLS_DET0 = (
+    "(sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy))"
+)
+_OLS_DET1 = (
+    "(n*(sqy*sdd - sqd*sdy) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd))"
+)
+_OLS_DET2 = (
+    "(n*(sqq*sdy - sqy*sqd) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd))"
+)
+
+
+@register(
+    "ols_two_feature_cramer",
+    oracle=f"""
+        WITH sums AS (
+            SELECT
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sq,
+                CAST(SUM({sql_iscale('l_discount')}) AS DOUBLE) AS sd,
+                CAST(SUM({sql_iscale('l_extendedprice')}) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sqq,
+                CAST(SUM(CAST({sql_iscale('l_discount')} AS HUGEINT) * {sql_iscale('l_discount')}) AS DOUBLE) AS sdd,
+                CAST(SUM(CAST(l_quantity AS HUGEINT) * {sql_iscale('l_discount')}) AS DOUBLE) AS sqd,
+                CAST(SUM(CAST(l_quantity AS HUGEINT) * {sql_iscale('l_extendedprice')}) AS DOUBLE) AS sqy,
+                CAST(SUM(CAST({sql_iscale('l_discount')} AS HUGEINT) * {sql_iscale('l_extendedprice')}) AS DOUBLE) AS sdy,
+                CAST(SUM(CAST({sql_iscale('l_extendedprice')} AS HUGEINT) * {sql_iscale('l_extendedprice')}) AS DOUBLE) AS syy,
+                CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+        ),
+        betas AS (
+            SELECT n_rows, n, sy, sqy, sdy, syy,
+                   {_OLS_DET0} / {_OLS_DET} AS b0,
+                   {_OLS_DET1} / {_OLS_DET} AS b1,
+                   {_OLS_DET2} / {_OLS_DET} AS b2
+            FROM sums
+        )
+        SELECT n_rows,
+               {sql_round('b0', 4)} AS beta0_cents,
+               {sql_round('b1', 4)} AS beta_qty_cents,
+               {sql_round('b2', 4)} AS beta_disc_cents,
+               {sql_round('1.0 - (syy - (b0*sy + b1*sqy + b2*sdy)) / (syy - sy*sy/n)', 6)} AS r2
+        FROM betas
+    """,
+    doc=(
+        "Multivariate OLS (price ~ quantity + discount) by normal "
+        "equations: one map-side pass accumulates the nine exact "
+        "128-bit sufficient statistics, Cramer's rule solves the 3x3 "
+        "system in a fixed double op tree — distributed GLM fitting "
+        "with a bit-exact oracle (betas + R²)."
+    ),
+)
+def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the entire fit is one scan + one 1-row reduce of nine
+    integer sums (map-side combine; DECIMAL(38,0) accumulators hold
+    past 10²⁴ rows) — no shuffle of the fact table at all. Adding
+    features grows the statistic vector O(k²) but never adds a pass;
+    k beyond ~8 is where you switch to L-BFGS-style iterations."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        iscale("l_discount").alias("d"),
+        iscale("l_extendedprice").alias("y"),
+    )
+    dec = "DECIMAL(38,0)"
+    sums = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.expr(f"CAST(q AS {dec}) * q")).cast("double").alias("sqq"),
+        F.sum(F.expr(f"CAST(d AS {dec}) * d")).cast("double").alias("sdd"),
+        F.sum(F.expr(f"CAST(q AS {dec}) * d")).cast("double").alias("sqd"),
+        F.sum(F.expr(f"CAST(q AS {dec}) * y")).cast("double").alias("sqy"),
+        F.sum(F.expr(f"CAST(d AS {dec}) * y")).cast("double").alias("sdy"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    betas = sums.select(
+        "n_rows",
+        "n",
+        "sy",
+        "sqy",
+        "sdy",
+        "syy",
+        F.expr(f"{_OLS_DET0} / {_OLS_DET}").alias("b0"),
+        F.expr(f"{_OLS_DET1} / {_OLS_DET}").alias("b1"),
+        F.expr(f"{_OLS_DET2} / {_OLS_DET}").alias("b2"),
+    )
+    return betas.select(
+        "n_rows",
+        fround(F.col("b0"), 4).alias("beta0_cents"),
+        fround(F.col("b1"), 4).alias("beta_qty_cents"),
+        fround(F.col("b2"), 4).alias("beta_disc_cents"),
+        fround(
+            F.lit(1.0)
+            - (
+                F.col("syy")
+                - (
+                    F.col("b0") * F.col("sy")
+                    + F.col("b1") * F.col("sqy")
+                    + F.col("b2") * F.col("sdy")
+                )
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )
