@@ -196,6 +196,10 @@ HEADLINE = [
     "naive_bayes_lang_confusion",
     "isotonic_calibration_minimax",
     "ols_two_feature_cramer",
+    "hits_hubs_authorities",
+    "cusum_changepoint",
+    "stl_lite_decompose",
+    "seq_pattern_trigrams",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1240,3 +1240,76 @@ def survival_km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("c_censored"),
         F.sum("step").over(w_incl).cast("long").alias("log10_surv_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: 3-step event sequences (r6). Extends
+# top_user_paths' bigrams to the PrefixSpan-style question "which
+# 3-step journeys dominate?" — consecutive event-type trigrams per
+# user (ordered by ts with event_id tiebreak), counted globally, plus
+# the support fraction of users exhibiting each pattern (exact ppm).
+# 100 TB: trigram extraction is two LEADs over the (user_id) window —
+# one shuffle on user_id, per-user partitions are session-sized; the
+# trigram space is |types|³ ≤ tiny, so the count agg is map-side
+# combinable into almost nothing. Top-20 with full lexical tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "seq_pattern_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS t1,
+                   LEAD(event_type, 1) OVER w AS t2,
+                   LEAD(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        tri AS (
+            SELECT t1, t2, t3,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM seq WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events)
+        SELECT t1, t2, t3, n_occurrences, n_users,
+               CAST(n_users * 1000000 // (SELECT nu FROM u) AS BIGINT)
+                   AS user_support_ppm
+        FROM tri
+        ORDER BY n_occurrences DESC, t1, t2, t3
+        LIMIT 20
+    """,
+    doc=(
+        "3-step sequential patterns: consecutive event-type trigrams "
+        "per user (ts order, event_id tiebreak), global occurrence "
+        "count + distinct-user support in exact ppm; top-20 with full "
+        "lexical tiebreak. One user_id shuffle; trigram space is "
+        "|types|³-bounded."
+    ),
+)
+def seq_pattern_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tri = seq.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    u = ev.agg(F.countDistinct("user_id").alias("nu"))
+    return (
+        tri.join(F.broadcast(u))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_occurrences",
+            "n_users",
+            F.expr("n_users * 1000000 DIV nu").cast("long").alias("user_support_ppm"),
+        )
+        .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
+        .limit(20)
+    )

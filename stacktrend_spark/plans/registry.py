@@ -208,6 +208,10 @@ _PRIORITY: tuple[str, ...] = (
     "naive_bayes_lang_confusion",
     "isotonic_calibration_minimax",
     "ols_two_feature_cramer",
+    "hits_hubs_authorities",
+    "cusum_changepoint",
+    "stl_lite_decompose",
+    "seq_pattern_trigrams",
 )
 
 

@@ -915,3 +915,193 @@ def holt_level_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (r6) — the classic mean-shift detector
+# (Page 1954) over the daily-revenue series. Exactness trick (same as
+# ACF's centered deviations): with n = #days, S = Σy, P_t the prefix
+# sum and t the day index,
+#
+#     CUSUM_t = Σ_{u≤t}(y_u − ȳ)·n = n·P_t − t·S     (exact integer)
+#
+# so the whole statistic — and the argmax |CUSUM| change-point — is
+# integer-exact in both engines; no mean division ever happens.
+# 100 TB: one map-side daily rollup touches the corpus; prefix sums
+# and the peak rank run on the ~2.4k-day spine (global windows bounded
+# by construction). Wide products in DECIMAL(38,0)/HUGEINT; the
+# emitted BIGINT holds to ~10¹⁸ cents·days (≈ sf1000).
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_changepoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS sy FROM daily),
+        pts AS (
+            SELECT day, y,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn,
+                   SUM(y) OVER (ORDER BY day) AS p
+            FROM daily
+        ),
+        cus AS (
+            SELECT day, y,
+                   CAST((SELECT n FROM s) * CAST(p AS HUGEINT)
+                        - CAST(rn AS HUGEINT) * (SELECT sy FROM s)
+                        AS BIGINT) AS cusum
+            FROM pts
+        ),
+        ranked AS (
+            SELECT day, y, cusum,
+                   ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day ASC) AS rk
+            FROM cus
+        )
+        SELECT day, CAST(y AS BIGINT) AS revenue_cents, cusum,
+               rk = 1 AS is_changepoint
+        FROM ranked
+    """,
+    doc=(
+        "CUSUM mean-shift detection on daily revenue: exact integer "
+        "statistic n*P_t - t*S (no mean division), argmax |CUSUM| "
+        "flagged as the change-point with day tiebreak; corpus touched "
+        "once in the map-side daily rollup."
+    ),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(iscale("o_totalprice")).alias("y")
+    )
+    s = daily.agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").alias("sy"))
+    pts = daily.join(F.broadcast(s)).select(
+        "day",
+        "y",
+        "n",
+        "sy",
+        F.row_number().over(W.orderBy("day")).alias("rn"),
+        F.sum("y").over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)).alias("p"),
+    )
+    dec = "decimal(38,0)"
+    cus = pts.select(
+        "day",
+        "y",
+        (
+            F.col("n").cast(dec) * F.col("p").cast(dec)
+            - F.col("rn").cast(dec) * F.col("sy").cast(dec)
+        )
+        .cast("long")
+        .alias("cusum"),
+    )
+    rk = F.row_number().over(W.orderBy(F.abs(F.col("cusum")).desc(), F.asc("day")))
+    return cus.select(
+        "day",
+        F.col("y").cast("long").alias("revenue_cents"),
+        "cusum",
+        (rk == 1).alias("is_changepoint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition (r6): y = trend + seasonal + remainder
+# on the daily-revenue series — the moving-average decomposition
+# (classical STL's fixed-window ancestor), engine-exact:
+#
+#   trend_t    = Σ(y, t−3..t+3) DIV 7      (full 7-day windows only;
+#                positive sums → trunc ≡ floor)
+#   seasonal_w = FLOOR(Σ det / n_w)  per Monday-based weekday w, where
+#                det = y − trend (can be NEGATIVE → the division is a
+#                correctly-rounded double FLOOR on both sides, never
+#                integer DIV — the PARITY DIV-on-negatives rule)
+#   remainder  = det − seasonal
+#
+# 100 TB: corpus → daily rollup once; windows/aggregates on the
+# ~2.4k-day spine (bounded by construction). Weekday basis is pinned
+# Monday=0 (Spark WEEKDAY ≡ DuckDB isodow−1) — Sunday-based DAYOFWEEK
+# differs across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "stl_lite_decompose",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        tr AS (
+            SELECT day, y,
+                   CASE WHEN COUNT(*) OVER w7 = 7
+                        THEN SUM(y) OVER w7 // 7
+                        ELSE NULL END AS trend
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT day, y, trend,
+                   CAST(isodow(day) - 1 AS BIGINT) AS dow,
+                   y - trend AS d
+            FROM tr
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(FLOOR(CAST(SUM(d) AS DOUBLE) / COUNT(d)) AS BIGINT)
+                       AS seasonal
+            FROM det WHERE d IS NOT NULL GROUP BY dow
+        )
+        SELECT det.day,
+               CAST(det.y AS BIGINT) AS revenue_cents,
+               CAST(det.trend AS BIGINT) AS trend_cents,
+               CAST(seas.seasonal AS BIGINT) AS seasonal_cents,
+               CAST(det.d - seas.seasonal AS BIGINT) AS remainder_cents
+        FROM det JOIN seas ON det.dow = seas.dow
+    """,
+    doc=(
+        "Classical moving-average seasonal decomposition of daily "
+        "revenue (trend = exact 7-day centered mean on full windows, "
+        "Monday-based weekday seasonal via double-FLOOR division — "
+        "negative-safe, remainder = residual). Rows at series edges "
+        "carry NULL trend/remainder; one corpus rollup, spine-only math."
+    ),
+)
+def stl_lite_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(iscale("o_totalprice")).alias("y")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.expr("SUM(y) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING"
+                   " AND 3 FOLLOWING) DIV 7"),
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day",
+        "y",
+        "trend",
+        F.weekday("day").cast("long").alias("dow"),
+        (F.col("y") - F.col("trend")).alias("d"),
+    )
+    seas = (
+        det.filter(F.col("d").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.floor(
+                F.sum("d").cast("double") / F.count("d").cast("double")
+            )
+            .cast("long")
+            .alias("seasonal")
+        )
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.col("y").cast("long").alias("revenue_cents"),
+        F.col("trend").cast("long").alias("trend_cents"),
+        F.col("seasonal").cast("long").alias("seasonal_cents"),
+        (F.col("d") - F.col("seasonal")).cast("long").alias("remainder_cents"),
+    )
