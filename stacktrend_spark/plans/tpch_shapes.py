@@ -1063,7 +1063,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qual), li.l_partkey == qual.p_partkey)
         .select("l_suppkey", "l_partkey", F.col("l_quantity").cast("long").alias("qty"))
     )
-    sq = yr.groupBy("l_suppkey", "l_partkey").agg(F.sum("qty").alias("sqty"))
+    # persist the shared partial: tot re-aggregates sq, and without the
+    # cache Catalyst re-executes the whole scan+join+agg subtree twice
+    # (observed in PLANS.md — two lineitem scans). The cached frame is
+    # (suppkey,partkey)-sized, ≪ the fact table.
+    sq = yr.groupBy("l_suppkey", "l_partkey").agg(F.sum("qty").alias("sqty")).persist()
     tot = sq.groupBy("l_partkey").agg(F.sum("sqty").alias("tqty"))
     dom = (
         sq.join(tot, "l_partkey")

@@ -80,6 +80,13 @@ HEAVY = [
     "capped_running_balance",
     "attribution_first_last_touch",
     "hll_register_sketch",
+    # r6 batch 5-8: iterative bipartite fixpoint, token-model training,
+    # window sequence mining, nested-agg TPC-H shape, one-pass OLS
+    "hits_hubs_authorities",
+    "naive_bayes_lang_confusion",
+    "seq_pattern_trigrams",
+    "q20_dominant_suppliers",
+    "ols_two_feature_cramer",
 ]
 
 _REPLICAS = 10

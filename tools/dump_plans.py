@@ -164,6 +164,34 @@ SHOWCASE = [
         "hash join on (brand, cell), exact |a-b| <= eps as residual — "
         "candidate volume O(N x density), not O(N^2).",
     ),
+    (
+        "ols_two_feature_cramer",
+        "One-pass multivariate OLS: the ENTIRE fit is one scan + one "
+        "1-row HashAggregate pair (nine exact sufficient statistics, "
+        "map-side combined); the Cramer solve is a Project on a single "
+        "row. No joins, no windows, no second pass.",
+    ),
+    (
+        "q20_dominant_suppliers",
+        "Nested-subquery decorrelation: the per-part total re-aggregates "
+        "the (supp,part) PARTIAL (one fact scan feeds both levels), the "
+        "threshold join runs agg-to-agg, and supplier/nation are "
+        "broadcast; the fact table shuffles once on (suppkey, partkey).",
+    ),
+    (
+        "bloom_filter_membership",
+        "Sketch build+probe: the 64-word filter aggregates map-side "
+        "(partial BIT_OR before the exchange) and returns via "
+        "BroadcastExchange; the probe side is scan → project → "
+        "broadcast-join → agg, never shuffled on the fact key.",
+    ),
+    (
+        "gbdt_split_histogram",
+        "GBDT hist-mode stump: the fact pass is one partial+final "
+        "HashAggregate to ~25 bins; every window after it runs on the "
+        "bin spine (the WindowExec-global warning class documented "
+        "'bounded by construction').",
+    ),
 ]
 
 
