@@ -200,6 +200,8 @@ HEADLINE = [
     "cusum_changepoint",
     "stl_lite_decompose",
     "seq_pattern_trigrams",
+    "stream_full_outer_attribution",
+    "item_item_collab_filter",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1313,3 +1313,126 @@ def seq_pattern_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (r6) — the classic recommender
+# primitive (Sarwar et al. 2001 / Amazon item-to-item): cosine
+# similarity between items over the order-basket incidence matrix,
+# top-5 neighbors for the 20 most-purchased items. With binary
+# baskets, cos(i,j) = co(i,j) / √(deg_i·deg_j); ranking by cos is
+# ranking by cos², so the hashed surface is the EXACT integer
+#     cos2_ppm = co²·10⁶ DIV (deg_i·deg_j)
+# — no square root ever happens (the libm-free trick; co ≤ min deg
+# bounds co²·10⁶ below 10¹⁸ for degrees to 10⁶).
+# 100 TB: basket dedup + one orderkey self-join (fan-out = basket
+# size, the assoc_rules pipeline); co ≥ 2 prunes the pair tail before
+# the window; neighbor ranking partitions per item — no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "item_item_collab_filter",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        deg AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d
+            FROM baskets GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS i, b.l_partkey AS j,
+                   CAST(COUNT(*) AS BIGINT) AS co
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        sym AS (
+            SELECT i, j, co FROM pairs
+            UNION ALL
+            SELECT j AS i, i AS j, co FROM pairs
+        ),
+        hot AS (
+            SELECT l_partkey AS i FROM deg
+            ORDER BY d DESC, l_partkey ASC LIMIT 20
+        ),
+        scored AS (
+            SELECT sym.i, sym.j, sym.co,
+                   co * co * 1000000 // (di.d * dj.d) AS cos2_ppm
+            FROM sym
+            JOIN hot ON sym.i = hot.i
+            JOIN deg di ON sym.i = di.l_partkey
+            JOIN deg dj ON sym.j = dj.l_partkey
+        ),
+        ranked AS (
+            SELECT i, j, co, cos2_ppm,
+                   ROW_NUMBER() OVER (PARTITION BY i
+                                      ORDER BY cos2_ppm DESC, j ASC) AS rk
+            FROM scored
+        )
+        SELECT i AS item_id, j AS neighbor_id,
+               co AS n_cobaskets,
+               CAST(cos2_ppm AS BIGINT) AS cos2_ppm,
+               CAST(rk AS BIGINT) AS neighbor_rank
+        FROM ranked WHERE rk <= 5
+    """,
+    doc=(
+        "Item-to-item collaborative filtering: cosine similarity over "
+        "binary order baskets as the exact integer co²·10⁶ DIV "
+        "(deg_i·deg_j) (rank-equivalent to cosine, sqrt-free), top-5 "
+        "neighbors for the 20 hottest items with full tiebreaks."
+    ),
+)
+def item_item_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the co-occurrence self-join is the canonical recommender
+    batch job — fan-out bounded by basket size; co ≥ 2 prunes before
+    scoring; per-item windows never sort globally. Swap the hot-20
+    filter for all items and the same plan writes the full neighbor
+    index (LSH-bucket it past ~10⁹ pairs)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    deg = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "co")
+    )
+    hot = deg.orderBy(F.desc("d"), F.asc("l_partkey")).limit(20).select(
+        F.col("l_partkey").alias("i")
+    )
+    di = deg.select(F.col("l_partkey").alias("i"), F.col("d").alias("d_i"))
+    dj = deg.select(F.col("l_partkey").alias("j"), F.col("d").alias("d_j"))
+    scored = (
+        sym.join(F.broadcast(hot), "i")
+        .join(di, "i")
+        .join(dj, "j")
+        .select(
+            "i",
+            "j",
+            "co",
+            F.expr("co * co * 1000000 DIV (d_i * d_j)").alias("cos2_ppm"),
+        )
+    )
+    w = W.partitionBy("i").orderBy(F.desc("cos2_ppm"), F.asc("j"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("i").alias("item_id"),
+            F.col("j").alias("neighbor_id"),
+            F.col("co").alias("n_cobaskets"),
+            F.col("cos2_ppm").cast("long"),
+            F.col("rk").cast("long").alias("neighbor_rank"),
+        )
+    )

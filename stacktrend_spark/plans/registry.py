@@ -212,6 +212,8 @@ _PRIORITY: tuple[str, ...] = (
     "cusum_changepoint",
     "stl_lite_decompose",
     "seq_pattern_trigrams",
+    "stream_full_outer_attribution",
+    "item_item_collab_filter",
 )
 
 

@@ -841,3 +841,110 @@ def stream_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_users").cast("long").alias("exact_users"),
         e_col.alias("hll_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER stream-stream interval join (r6) — completes the
+# stream-join matrix (inner: stream_stream_attribution; left-outer:
+# stream_outer_attribution). Both sides now null-emit: purchases with
+# no trailing-day view AND views that never led to a purchase within
+# the following day. Outer-decision finality needs BOTH sides
+# clamped: a view's match window is [v.ts, v.ts+1d], so its null
+# emission waits for the watermark to pass v.ts+1d — views younger
+# than (max − 2d) would sit in state forever at end-of-input. The
+# identical 2-day cutoff on both sides (and in the oracle) makes the
+# comparison exact.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_full_outer_attribution",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        p AS (
+            SELECT event_id, user_id, ts FROM events, mx
+            WHERE event_type = 'purchase'
+              AND ts <= mx.mt - INTERVAL 2 DAY
+        ),
+        v AS (
+            SELECT event_id, user_id, ts FROM events, mx
+            WHERE event_type = 'view'
+              AND ts <= mx.mt - INTERVAL 49 HOUR
+        )
+        SELECT p.event_id                      AS purchase_id,
+               v.event_id                      AS view_id,
+               COALESCE(p.user_id, v.user_id)  AS user_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        FROM p FULL OUTER JOIN v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 DAY
+         AND v.ts <= p.ts
+    """,
+    doc=(
+        "FULL OUTER stream-stream interval join: attributed pairs PLUS "
+        "null-view purchases PLUS never-converting views in one "
+        "result. Both sides watermarked and cutoff-clamped so every "
+        "outer decision is final by end-of-input; state bounded by the "
+        "1-day horizon per side."
+    ),
+)
+def stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: same state shape as the inner/left-outer attribution
+    joins (one user_id shuffle per side, trailing-horizon state); full
+    outer adds only eviction-time null emission on the second side.
+    The view side's eviction bound derives from the interval term
+    (p.ts <= v.ts + 1d), which is why the cutoff must be 2 days: 1 for
+    the join horizon + 1 for the watermark delay."""
+    from stacktrend_spark.sources.tables import load_table
+
+    mt = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("mt"))
+        .collect()[0]["mt"]
+    )
+    from datetime import timedelta
+
+    cutoff = mt - timedelta(days=2)
+    # the view side clamps ONE EXTRA HOUR back: a view's null emission
+    # needs the final watermark (max − 1d) to pass v.ts + 1d STRICTLY,
+    # so views at exactly max − 2d never evict (measured: 3 stuck rows
+    # at sf0.01). The margin is mirrored in the oracle.
+    cutoff_v = mt - timedelta(days=2, hours=1)
+    # watermark BEFORE the filters (the stream_outer_attribution rule:
+    # filtering first caps the watermark and leaves a blind tail)
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", "1 day")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts") <= F.lit(cutoff))
+        .drop("event_type")
+        .alias("p")
+    )
+    views = (
+        load_events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", "1 day")
+        .filter(F.col("event_type") == "view")
+        .filter(F.col("ts") <= F.lit(cutoff_v))
+        .drop("event_type")
+        .alias("v")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "p.user_id = v.user_id"
+            " AND v.ts >= p.ts - INTERVAL 1 DAY"
+            " AND v.ts <= p.ts"
+        ),
+        "fullOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.coalesce(F.col("p.user_id"), F.col("v.user_id")).alias("user_id"),
+        (F.unix_micros("p.ts") - F.unix_micros("v.ts")).alias("gap_us"),
+    )
+    return run_to_batch(
+        joined,
+        "stream_full_outer_attribution_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
