@@ -202,6 +202,9 @@ HEADLINE = [
     "seq_pattern_trigrams",
     "stream_full_outer_attribution",
     "item_item_collab_filter",
+    "dtw_nation_revenue",
+    "spearman_rank_corr",
+    "bootstrap_ci_revenue",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

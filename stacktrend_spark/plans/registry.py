@@ -214,6 +214,9 @@ _PRIORITY: tuple[str, ...] = (
     "seq_pattern_trigrams",
     "stream_full_outer_attribution",
     "item_item_collab_filter",
+    "dtw_nation_revenue",
+    "spearman_rank_corr",
+    "bootstrap_ci_revenue",
 )
 
 

@@ -1654,3 +1654,227 @@ def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (r6) — the robust complement to
+# agg_corr_covar's Pearson: correlation of RANKS of per-customer spend
+# vs account balance. Ranks are assigned by row_number with the
+# custkey tiebreak (deterministic total order — no tie-fraction
+# arithmetic), so both rank columns are exact 1..n integers and the
+# Pearson-on-ranks formula runs on exact integer power sums with ONE
+# fixed double op tree at the end (the dstd/OLS parity pattern):
+#
+#     rho = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+#
+# Σx² ≤ n³/3: DECIMAL(38,0)/HUGEINT sums hold past n = 10¹².
+# 100 TB: per-customer spend = one fact aggregate; the two global rank
+# windows use the documented scalable-rank alternative past ~10⁷ rows
+# (operators/ranking.global_rank_scalable) — pinned here as the small-
+# dimension form.
+# ---------------------------------------------------------------------------
+@register(
+    "spearman_rank_corr",
+    oracle=f"""
+        WITH spend AS (
+            SELECT c.c_custkey,
+                   {sql_iscale('c.c_acctbal')} AS bal,
+                   COALESCE(SUM({sql_iscale('o.o_totalprice')}), 0) AS sp
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY sp, c_custkey)  AS rx,
+                   ROW_NUMBER() OVER (ORDER BY bal, c_custkey) AS ry
+            FROM spend
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(rx) AS DOUBLE) AS sx,
+                   CAST(SUM(ry) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(rx AS HUGEINT) * rx) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(ry AS HUGEINT) * ry) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(rx AS HUGEINT) * ry) AS DOUBLE) AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM ranked
+        )
+        SELECT n_rows,
+               {sql_round('(n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))', 6)}
+                   AS spearman_rho
+        FROM sums
+    """,
+    doc=(
+        "Spearman rank correlation (per-customer spend vs account "
+        "balance): deterministic total-order ranks (custkey tiebreak), "
+        "exact 128-bit rank power sums, one fixed double op tree — "
+        "rank-based correlation with a bit-exact oracle."
+    ),
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one fact aggregate + two rank assignments + one 1-row
+    reduce. The global row_number windows here are the small-dimension
+    form — past ~10⁷ customers swap in the two-phase
+    operators/ranking.global_rank_scalable (same outputs, range-
+    partitioned); the correlation math is unchanged."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", iscale("c_acctbal").alias("bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "bal")
+        .agg(F.coalesce(F.sum(iscale("o_totalprice")), F.lit(0)).alias("sp"))
+    )
+    ranked = spend.select(
+        F.row_number().over(W.orderBy("sp", "c_custkey")).alias("rx"),
+        F.row_number().over(W.orderBy("bal", "c_custkey")).alias("ry"),
+    )
+    dec = "decimal(38,0)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.expr(f"CAST(rx AS {dec}) * rx")).cast("double").alias("sxx"),
+        F.sum(F.expr(f"CAST(ry AS {dec}) * ry")).cast("double").alias("syy"),
+        F.sum(F.expr(f"CAST(rx AS {dec}) * ry")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return sums.select(
+        "n_rows",
+        fround(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval, RNG-free (r6) — the resampling
+# counterpart to abtest_two_proportion_z's parametric inference: a
+# 95% percentile-bootstrap CI for TOTAL daily revenue, with the B=100
+# resamples drawn by the engine-neutral md5/hex40 hash instead of an
+# RNG:  idx(r,k) = hex40('bs' || r || ':' || k) % n_days + 1.
+# Every resample is therefore a pure function of (r, k) — identical in
+# both engines, reproducible under re-runs and repartitioning (the
+# sample_* family's discipline applied to inference). Resample totals
+# are exact integer sums; the CI bounds are order statistics (ranks 3
+# and 98 of 100) — no float ever.
+# 100 TB: the corpus collapses to the ~2.4k-day spine first; the
+# resample grid is B×n_days rows joined to that spine (map-side
+# broadcastable), never to the fact table. B and the grid scale with
+# the SPINE, not the corpus.
+# ---------------------------------------------------------------------------
+from stacktrend_spark.functions.hashing import sql_hex40  # noqa: E402
+
+_BOOT_B = 100
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        pts AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) AS rn, y FROM daily
+        ),
+        s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(y) AS toty FROM pts),
+        grid AS (
+            SELECT r.r, k.k,
+                   ({sql_hex40("'bs' || CAST(r.r AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)")})
+                       % (SELECT n FROM s) + 1 AS idx
+            FROM (SELECT UNNEST(RANGE(1, {_BOOT_B + 1})) AS r) r,
+                 (SELECT UNNEST(RANGE(1, (SELECT n FROM s) + 1)) AS k) k
+        ),
+        totals AS (
+            SELECT g.r, SUM(p.y) AS tot
+            FROM grid g JOIN pts p ON g.idx = p.rn
+            GROUP BY g.r
+        ),
+        ranked AS (
+            SELECT tot, ROW_NUMBER() OVER (ORDER BY tot, r) AS rk
+            FROM totals
+        )
+        SELECT (SELECT n FROM s) AS n_days,
+               CAST({_BOOT_B} AS BIGINT) AS n_resamples,
+               CAST((SELECT toty FROM s) AS BIGINT) AS obs_total_cents,
+               CAST(MIN(CASE WHEN rk = 3  THEN tot END) AS BIGINT)
+                   AS ci_low_total_cents,
+               CAST(MIN(CASE WHEN rk = 98 THEN tot END) AS BIGINT)
+                   AS ci_high_total_cents
+        FROM ranked
+    """,
+    doc=(
+        "RNG-free 95% percentile-bootstrap CI for total daily revenue: "
+        "B=100 resamples indexed by the engine-neutral md5/hex40 hash "
+        "(reproducible under re-runs/repartitioning), exact integer "
+        "resample totals, CI = order statistics (ranks 3/98) — "
+        "resampling inference on the hashed surface."
+    ),
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one corpus rollup to the day spine; the B×n_days grid
+    (~240k rows at this spine) joins the SPINE, not the fact table,
+    and the per-resample sums map-side combine. Bootstrapping a
+    per-group statistic instead = same grid keyed by group (the spine
+    stays the unit of resampling)."""
+    from stacktrend_spark.functions.hashing import spark_hex40
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(iscale("o_totalprice")).alias("y")
+    )
+    pts = daily.select(
+        F.row_number().over(W.orderBy("day")).alias("rn"), "y"
+    ).persist()
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").alias("toty")
+    )
+    grid = (
+        spark.range(1, _BOOT_B + 1)
+        .select(F.col("id").alias("r"))
+        .join(F.broadcast(s))
+        .select("r", "n", "toty", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("k"))
+        .select(
+            "r",
+            "n",
+            (
+                spark_hex40(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                )
+                % F.col("n")
+                + 1
+            ).alias("idx"),
+        )
+    )
+    totals = grid.join(pts, grid.idx == pts.rn).groupBy("r").agg(
+        F.sum("y").alias("tot")
+    )
+    ranked = totals.select(
+        "tot", F.row_number().over(W.orderBy("tot", "r")).alias("rk")
+    )
+    return (
+        ranked.agg(
+            F.min(F.when(F.col("rk") == 3, F.col("tot"))).cast("long").alias("ci_low_total_cents"),
+            F.min(F.when(F.col("rk") == 98, F.col("tot"))).cast("long").alias("ci_high_total_cents"),
+        )
+        .join(F.broadcast(s))
+        .select(
+            F.col("n").alias("n_days"),
+            F.lit(_BOOT_B).cast("long").alias("n_resamples"),
+            F.col("toty").cast("long").alias("obs_total_cents"),
+            "ci_low_total_cents",
+            "ci_high_total_cents",
+        )
+    )
