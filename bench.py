@@ -205,6 +205,8 @@ HEADLINE = [
     "dtw_nation_revenue",
     "spearman_rank_corr",
     "bootstrap_ci_revenue",
+    "multimodal_image_dhash",
+    "theilsen_mann_kendall",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

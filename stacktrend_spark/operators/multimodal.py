@@ -389,3 +389,52 @@ def audio_windows(media: DataFrame, window: int = 64) -> DataFrame:
             "sum_samples bigint, sum_abs bigint, peak bigint"
         ),
     )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over the image payloads:
+    REAL PPM decode → integer grayscale ((R+G+B) DIV 3) → 8×8 nearest
+    sample grid (xs(k)=k·w DIV 8, ys(r)=r·h DIV 8) → 7 horizontal
+    gradient bits per row → 56-bit BIGINT hash. The near-dup-image
+    primitive: visually similar frames land within small Hamming
+    distance, and bucketing by exact hash finds exact-perceptual dups
+    with zero pairwise work. Pure map (scan parallelism); int-only
+    math so the oracle rebuilds every bit closed-form."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "dhash56": [],
+            }
+            for d, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "image":
+                    continue
+                info = decode_ppm(bytes(payload))
+                w, h, off = info["width"], info["height"], info["body_offset"]
+                arr = (
+                    np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=off)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                gray = arr.sum(axis=2) // 3
+                ys = [r * h // 8 for r in range(8)]
+                xs = [k * w // 8 for k in range(8)]
+                grid = gray[np.ix_(ys, xs)]
+                dh = 0
+                for r in range(8):
+                    for k in range(7):
+                        if grid[r, k + 1] > grid[r, k]:
+                            dh |= 1 << (r * 7 + k)
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash56"].append(dh)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batches,
+        schema="doc_id bigint, width bigint, height bigint, dhash56 bigint",
+    )

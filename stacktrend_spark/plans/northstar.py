@@ -1604,3 +1604,81 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(ham <= _HAMMING_MAX)
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal 5 (r6) — perceptual image dHash: the image-side member of
+# the dedup family (exact/MinHash/SimHash/cosine cover text and
+# embeddings; this covers pixels). Real PPM decode → integer grayscale
+# → 8×8 nearest-sample grid → 7 horizontal-gradient bits per row =
+# 56-bit hash; identical hash ⇒ perceptual duplicate, bucket counts
+# surface dup families with zero pairwise work. Every bit is
+# oracle-checked closed-form against the synthesis formula
+# ((7i+d) mod 256 body bytes), like the patch-grid/checksum rows.
+# 100 TB: hashing runs at scan parallelism (pure map); the bucket
+# count is one 56-bit-key aggregate — the image analog of dedup_exact.
+# ---------------------------------------------------------------------------
+def _dhash_oracle() -> str:
+    # g(x, y) for pixel p = y*w + x under body byte (7i+d) % 256
+    def g(x: str, y: str) -> str:
+        p = f"(({y}) * w + ({x}))"
+        return (
+            f"(((21 * {p} + d) % 256) + ((21 * {p} + 7 + d) % 256)"
+            f" + ((21 * {p} + 14 + d) % 256)) // 3"
+        )
+
+    xs = "((b % 7) * w // 8)"
+    xs1 = "(((b % 7) + 1) * w // 8)"
+    ys = "((b // 7) * h // 8)"
+    bit = (
+        f"CASE WHEN {g(xs1, ys)} > {g(xs, ys)}"
+        f" THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END"
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id AS d, 8 + doc_id % 32 AS w, 8 + (3 * doc_id) % 32 AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        hashed AS (
+            SELECT d, w, h,
+                   CAST(list_sum(list_transform(range(56), b -> {bit}))
+                        AS BIGINT) AS dhash56
+            FROM p
+        )
+        SELECT d AS doc_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               dhash56,
+               CAST(COUNT(*) OVER (PARTITION BY dhash56) AS BIGINT)
+                   AS n_bucket
+        FROM hashed
+    """
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle=_dhash_oracle(),
+    doc=(
+        "Perceptual dHash of every image payload (real PPM decode, "
+        "integer grayscale, 8x8 sample grid, 56 gradient bits) + "
+        "dup-bucket sizes — the pixel-side member of the dedup family, "
+        "bit-for-bit oracle-checked against the synthesis closed form."
+    ),
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.multimodal import image_dhash, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = image_dhash(synthesize_media(docs))
+    from pyspark.sql import Window as _W
+
+    return hashed.select(
+        "doc_id",
+        "width",
+        "height",
+        "dhash56",
+        F.count(F.lit(1))
+        .over(_W.partitionBy("dhash56"))
+        .cast("long")
+        .alias("n_bucket"),
+    )

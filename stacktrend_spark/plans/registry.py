@@ -217,6 +217,8 @@ _PRIORITY: tuple[str, ...] = (
     "dtw_nation_revenue",
     "spearman_rank_corr",
     "bootstrap_ci_revenue",
+    "multimodal_image_dhash",
+    "theilsen_mann_kendall",
 )
 
 

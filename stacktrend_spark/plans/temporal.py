@@ -1226,3 +1226,98 @@ def dtw_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.groupBy("g").applyInPandas(
         dp, "n_months_a long, n_months_b long, dtw_cost_cents long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen slope + Mann–Kendall trend test (r6) — the robust
+# (outlier-proof) counterparts to OLS trend fitting: over the monthly
+# revenue series, every month pair (i<j) yields a slope
+# (y_j−y_i)/(j−i); the Theil–Sen estimator is the MEDIAN slope and the
+# Mann–Kendall statistic S = Σ sign(y_j−y_i) tests monotone trend —
+# both pure order/sign statistics, so no distributional assumption.
+# Engine-exactness: y are exact cents, month indices exact ints, each
+# pair slope is ONE correctly-rounded double division (ints < 2⁵³),
+# the median is an order statistic with (i,j) tiebreak, and S is an
+# integer sum — all bit-identical across engines.
+# 100 TB: the corpus collapses to the ~84-month spine; the O(n²) pair
+# grid is ~3.5k rows — constant. (On a DAILY spine past ~10⁴ points,
+# switch to the randomized-median variant; the monthly form is the
+# exact one.)
+# ---------------------------------------------------------------------------
+@register(
+    "theilsen_mann_kendall",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT DATE_TRUNC('month', o_orderdate) AS mth,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY 1
+        ),
+        pts AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY mth) AS rn, y FROM monthly
+        ),
+        pairs AS (
+            SELECT a.rn AS i, b.rn AS j,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.rn - a.rn AS DOUBLE)
+                       AS slope,
+                   CASE WHEN b.y > a.y THEN 1
+                        WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+            FROM pts a JOIN pts b ON b.rn > a.rn
+        ),
+        ranked AS (
+            SELECT slope, sgn,
+                   ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rk,
+                   COUNT(*) OVER () AS np
+            FROM pairs
+        )
+        SELECT CAST(MAX(np) AS BIGINT)             AS n_pairs,
+               CAST(SUM(sgn) AS BIGINT)            AS mk_s,
+               {sql_round("MIN(CASE WHEN rk = (np + 1) // 2 THEN slope END)", 4)}
+                   AS theilsen_slope_cents
+        FROM ranked
+    """,
+    doc=(
+        "Theil–Sen median slope + Mann–Kendall S over monthly revenue: "
+        "all-pairs slopes on the bounded month spine (one correctly- "
+        "rounded double division each), median by order statistic with "
+        "(i,j) tiebreak, S an exact integer sign sum — robust trend "
+        "inference with a bit-exact oracle."
+    ),
+)
+def theilsen_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mth")).agg(
+        F.sum(iscale("o_totalprice")).alias("y")
+    )
+    pts = monthly.select(F.row_number().over(W.orderBy("mth")).alias("rn"), "y")
+    a = pts.select(F.col("rn").alias("i"), F.col("y").alias("ya"))
+    b = pts.select(F.col("rn").alias("j"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("j") - F.col("i")).cast("double")
+        ).alias("slope"),
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    ranked = pairs.select(
+        "slope",
+        "sgn",
+        F.row_number().over(W.orderBy("slope", "i", "j")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    )
+    return ranked.agg(
+        F.max("np").cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("mk_s"),
+        fround(
+            F.min(
+                F.when(
+                    F.col("rk") == F.expr("(np + 1) DIV 2"), F.col("slope")
+                )
+            ),
+            4,
+        ).alias("theilsen_slope_cents"),
+    )
