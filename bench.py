@@ -207,6 +207,9 @@ HEADLINE = [
     "bootstrap_ci_revenue",
     "multimodal_image_dhash",
     "theilsen_mann_kendall",
+    "model_gains_deciles",
+    "mutual_info_pmi_cells",
+    "negative_sampling_pairs",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from stacktrend_spark.functions.rounding import iscale, sql_iscale
+from stacktrend_spark.functions.rounding import iscale, sql_iscale, sql_xlog10
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -973,4 +973,205 @@ def isotonic_calibration_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("pos_bin * 1000000000 DIV n_bin").cast("long").alias("raw_rate_ppb"),
             F.col("iso_rate_ppb").cast("long"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift deciles (r6) — the third model-eval surface
+# next to model_eval_auc (ranking) and model_calibration_ece
+# (calibration): sort by score descending, cut into 10 equal-depth
+# deciles (NTILE with a deterministic scorekey tiebreak), report per-
+# decile and cumulative positive capture plus lift vs base rate — the
+# campaign-targeting curve. All integers: counts, ppm shares, and
+# lift_ppm = capture_ppm·10⁶ DIV depth_ppm.
+# 100 TB: one fact pass; the decile assignment is the global-rank
+# class (swap in the two-phase scalable rank past ~10⁷ rows, same
+# discipline as spearman_rank_corr); everything after is a 10-row agg.
+# ---------------------------------------------------------------------------
+@register(
+    "model_gains_deciles",
+    oracle="""
+        WITH scored AS (
+            SELECT o_orderkey,
+                   o_totalprice AS score,
+                   CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END AS y,
+                   NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                       AS decile
+            FROM orders
+        ),
+        tot AS (SELECT SUM(y) AS pos_all, COUNT(*) AS n_all FROM scored),
+        per AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(y) AS BIGINT)   AS n_pos
+            FROM scored GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n_orders, n_pos,
+                   CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                       AS cum_pos,
+                   CAST(SUM(n_orders) OVER (ORDER BY decile) AS BIGINT)
+                       AS cum_n
+            FROM per
+        )
+        SELECT decile, n_orders, n_pos,
+               CAST(cum_pos * 1000000 // (SELECT pos_all FROM tot)
+                    AS BIGINT) AS capture_ppm,
+               CAST((cum_pos * 1000000 // (SELECT pos_all FROM tot))
+                    * 1000000
+                    // (cum_n * 1000000 // (SELECT n_all FROM tot))
+                    AS BIGINT) AS lift_ppm
+        FROM cum
+    """,
+    doc=(
+        "Cumulative gains/lift deciles (score = order value, label = "
+        "high priority): NTILE-10 with deterministic tiebreak, exact "
+        "ppm capture share and lift per decile — the campaign-"
+        "targeting curve with a bit-exact oracle."
+    ),
+)
+def model_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one scan + one global decile rank (two-phase scalable
+    form past ~10⁷ rows) + a 10-row rollup; lift arithmetic is pure
+    integer ppm on the 10-row spine."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    scored = o.select(
+        "y",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        .alias("decile"),
+    )
+    tot = scored.agg(
+        F.sum("y").alias("pos_all"), F.count(F.lit(1)).alias("n_all")
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n_orders",
+        "n_pos",
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        F.sum("n_orders").over(wc).cast("long").alias("cum_n"),
+    )
+    return cum.join(F.broadcast(tot)).select(
+        "decile",
+        "n_orders",
+        "n_pos",
+        F.expr("cum_pos * 1000000 DIV pos_all").cast("long").alias("capture_ppm"),
+        F.expr(
+            "(cum_pos * 1000000 DIV pos_all) * 1000000"
+            " DIV (cum_n * 1000000 DIV n_all)"
+        )
+        .cast("long")
+        .alias("lift_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pointwise mutual information cells (r6) — completes the information-
+# theory trio (entropy_kl_priority_mix: H and KL; chi2_segment_status:
+# independence): PMI of every (segment × priority) cell against the
+# independence product, in the same exact µlog10-integer discipline:
+#
+#   pmi_micro = ilog(p_ij_ppm) − ilog(pi_qj_ppm)
+#   p_ij_ppm  = n_ij·10⁶ DIV N;  pi_qj_ppm = r_i·c_j·10⁶ DIV N²
+#
+# (r_i·c_j·10⁶ runs through DECIMAL(38,0)/HUGEINT; the ppm RESULT is
+# ≤10⁶ so every ilog input is int64-safe at any corpus size). Σ n_ij ·
+# pmi_micro over cells = the mutual information numerator.
+# 100 TB: one custkey join shuffle → 25-cell table; marginals and N
+# broadcast back — the chi2 plan shape with log-integer outputs.
+# ---------------------------------------------------------------------------
+@register(
+    "mutual_info_pmi_cells",
+    oracle=f"""
+        WITH cells AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+                   CAST(COUNT(*) AS BIGINT) AS n_ij
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        rm AS (SELECT seg, SUM(n_ij) AS r FROM cells GROUP BY 1),
+        cm AS (SELECT pri, SUM(n_ij) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(n_ij) AS n FROM cells),
+        pp AS (
+            SELECT cells.seg, cells.pri, cells.n_ij,
+                   cells.n_ij * 1000000 // tot.n AS pij_ppm,
+                   CAST(CAST(rm.r AS HUGEINT) * cm.c * 1000000
+                        // (CAST(tot.n AS HUGEINT) * tot.n) AS BIGINT)
+                       AS piqj_ppm
+            FROM cells
+            JOIN rm USING (seg) JOIN cm USING (pri) CROSS JOIN tot
+        )
+        SELECT seg, pri, n_ij,
+               CAST(pij_ppm AS BIGINT) AS pij_ppm,
+               piqj_ppm,
+               CAST({{ILOG_P}} - {{ILOG_Q}} AS BIGINT) AS pmi_micro
+        FROM pp
+    """.replace(
+        "{ILOG_P}",
+        f"CAST(FLOOR({sql_xlog10('GREATEST(pij_ppm, 1)')} * 1000000.0) AS BIGINT)",
+    ).replace(
+        "{ILOG_Q}",
+        f"CAST(FLOOR({sql_xlog10('GREATEST(piqj_ppm, 1)')} * 1000000.0) AS BIGINT)",
+    ),
+    doc=(
+        "Pointwise mutual information of every (segment × priority) "
+        "cell vs the independence product — exact µlog10 integers on "
+        "ppm-quantized probabilities (wide products through 128-bit "
+        "ints, ilog inputs bounded ≤10⁶ at any corpus size); "
+        "Σ n_ij·pmi_micro is the MI numerator."
+    ),
+)
+def mutual_info_pmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import xlog10
+
+    def ilog(col: F.Column) -> F.Column:
+        return F.floor(
+            xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)
+        ).cast("long")
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    rm = cells.groupBy("seg").agg(F.sum("n_ij").alias("r"))
+    cm = cells.groupBy("pri").agg(F.sum("n_ij").alias("c"))
+    tot = cells.agg(F.sum("n_ij").alias("n"))
+    dec = "decimal(38,0)"
+    pp = (
+        cells.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "pri")
+        .join(F.broadcast(tot))
+        .select(
+            "seg",
+            "pri",
+            "n_ij",
+            F.expr("n_ij * 1000000 DIV n").alias("pij_ppm"),
+            F.expr(
+                f"CAST(CAST(r AS {dec}) * c * 1000000"
+                f" DIV (CAST(n AS {dec}) * n) AS BIGINT)"
+            ).alias("piqj_ppm"),
+        )
+    )
+    return pp.select(
+        "seg",
+        "pri",
+        "n_ij",
+        F.col("pij_ppm").cast("long"),
+        "piqj_ppm",
+        (ilog(F.col("pij_ppm")) - ilog(F.col("piqj_ppm"))).cast("long").alias("pmi_micro"),
     )

@@ -1249,3 +1249,151 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual", F.col("l").alias("predicted")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+def _nsamp_hex(u: str, r: str, s: str) -> str:
+    from stacktrend_spark.functions.hashing import sql_hex40
+
+    return sql_hex40(
+        f"'neg' || CAST({u} AS VARCHAR) || ':' || CAST({r} AS VARCHAR)"
+        f" || ':' || CAST({s} AS VARCHAR)"
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (r6) — contrastive-training data
+# prep: for each of the 20 most active customers, pair every positive
+# (customer, purchased part) with k=3 sampled negatives drawn by the
+# engine-neutral md5/hex40 hash over the part-id space:
+#
+#   neg(u, r, s) = hex40('neg' || u || ':' || r || ':' || s) % n_parts
+#
+# (r = the positive's rank within the user, s = 1..3). Samples are a
+# pure function of (u, r, s) — reproducible under re-runs and
+# repartitioning, the sample_* family's discipline applied to training
+# pairs. Collisions with the user's own positive set are FLAGGED (not
+# dropped — dropping would make counts depend on collision luck);
+# the per-user audit emits positives, negatives drawn, collisions,
+# and the exact negative-id checksum.
+# 100 TB: positives = one (cust,part) dedup shuffle; drawing is
+# map-only on the positive rows (3 hashes each); the collision check
+# is a LEFT SEMI against the user's own positives on (cust, part) —
+# the same key the positives are already partitioned by.
+# ---------------------------------------------------------------------------
+@register(
+    "negative_sampling_pairs",
+    oracle=f"""
+        WITH pos AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        np AS (SELECT MAX(p_partkey) + 1 AS n_parts FROM part),
+        hot AS (
+            SELECT u FROM pos GROUP BY u
+            ORDER BY COUNT(*) DESC, u ASC LIMIT 20
+        ),
+        rp AS (
+            SELECT u, p,
+                   ROW_NUMBER() OVER (PARTITION BY u ORDER BY p) AS r
+            FROM pos WHERE u IN (SELECT u FROM hot)
+        ),
+        draws AS (
+            SELECT rp.u, rp.r, s.s,
+                   ({_nsamp_hex("rp.u", "rp.r", "s.s")}) % (SELECT n_parts FROM np)
+                       AS neg_p
+            FROM rp, (SELECT UNNEST([1, 2, 3]) AS s) s
+        ),
+        flagged AS (
+            SELECT d.u, d.neg_p,
+                   CASE WHEN pos2.p IS NOT NULL THEN 1 ELSE 0 END AS coll
+            FROM draws d
+            LEFT JOIN pos pos2 ON pos2.u = d.u AND pos2.p = d.neg_p
+        )
+        SELECT f.u AS custkey,
+               CAST(MAX(rp.np_u) AS BIGINT)  AS n_pos,
+               CAST(COUNT(*) AS BIGINT)      AS n_neg,
+               CAST(SUM(f.coll) AS BIGINT)   AS n_collisions,
+               CAST(SUM(f.neg_p) AS BIGINT)  AS neg_id_sum
+        FROM flagged f
+        JOIN (SELECT u, COUNT(*) AS np_u FROM rp GROUP BY u) rp ON f.u = rp.u
+        GROUP BY f.u
+    """,
+    doc=(
+        "Hash-deterministic negative sampling for contrastive training "
+        "pairs: 3 md5/hex40-drawn negatives per positive for the 20 "
+        "most active customers, self-collisions flagged not dropped; "
+        "per-user audit (positives, draws, collisions, exact negative-"
+        "id checksum) is the hashed surface."
+    ),
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.hashing import spark_hex40
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    pos = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    np_ = part.agg((F.max("p_partkey") + 1).alias("n_parts"))
+    hot = (
+        pos.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("u"))
+        .limit(20)
+        .select("u")
+    )
+    rp = pos.join(F.broadcast(hot), "u").select(
+        "u", "p", F.row_number().over(W.partitionBy("u").orderBy("p")).alias("r")
+    )
+    draws = (
+        rp.join(F.broadcast(np_))
+        .select(
+            "u",
+            "r",
+            "n_parts",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("s"),
+        )
+        .select(
+            "u",
+            (
+                spark_hex40(
+                    F.concat(
+                        F.lit("neg"),
+                        F.col("u").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("s").cast("string"),
+                    )
+                )
+                % F.col("n_parts")
+            ).alias("neg_p"),
+        )
+    )
+    pos2 = pos.select(F.col("u"), F.col("p").alias("neg_p"), F.lit(1).alias("hit"))
+    flagged = draws.join(pos2, ["u", "neg_p"], "left").select(
+        "u", "neg_p", F.coalesce(F.col("hit"), F.lit(0)).alias("coll")
+    )
+    npos = rp.groupBy("u").agg(F.count(F.lit(1)).alias("np_u"))
+    return (
+        flagged.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neg"),
+            F.sum("coll").cast("long").alias("n_collisions"),
+            F.sum("neg_p").cast("long").alias("neg_id_sum"),
+        )
+        .join(npos, "u")
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("np_u").cast("long").alias("n_pos"),
+            "n_neg",
+            "n_collisions",
+            "neg_id_sum",
+        )
+    )

@@ -219,6 +219,9 @@ _PRIORITY: tuple[str, ...] = (
     "bootstrap_ci_revenue",
     "multimodal_image_dhash",
     "theilsen_mann_kendall",
+    "model_gains_deciles",
+    "mutual_info_pmi_cells",
+    "negative_sampling_pairs",
 )
 
 
