@@ -210,6 +210,8 @@ HEADLINE = [
     "model_gains_deciles",
     "mutual_info_pmi_cells",
     "negative_sampling_pairs",
+    "l_diversity_audit",
+    "clustering_coefficient_topk",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

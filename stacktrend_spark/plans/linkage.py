@@ -616,3 +616,119 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (r6) — per-node cohesion on the bulk
+# co-purchase graph, built on the SAME degree-oriented O(m^1.5)
+# triangle pipeline as triangle_count_copurchase:
+#
+#   cc(v) = 2·tri(v)·10⁶ DIV (deg(v)·(deg(v)−1))   (exact ppm)
+#
+# The ratio of closed to possible wedges — the "is this node's
+# neighborhood a clique or a hub-spoke" classifier that drives
+# community/anomaly heuristics. Top-20 by (cc desc, node asc) among
+# nodes with deg ≥ 2. deg·(deg−1) ≤ 10¹² for degrees to 10⁶ —
+# tri·2·10⁶ int64-safe alongside.
+# ---------------------------------------------------------------------------
+@register(
+    "clustering_coefficient_topk",
+    oracle=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem WHERE l_quantity >= {_TRI_MIN_QTY}
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ),
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        tcnt AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+            FROM (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY 1
+        )
+        SELECT deg.node AS part_key,
+               deg.d AS degree,
+               CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+               CAST(2 * COALESCE(tcnt.t, 0) * 1000000
+                    // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+        FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+        WHERE deg.d >= 2
+        ORDER BY cc_ppm DESC, part_key ASC
+        LIMIT 20
+    """,
+    doc=(
+        "Local clustering coefficient cc(v) = 2·tri(v)·10⁶ DIV "
+        "(deg·(deg−1)) on the bulk co-purchase graph (same oriented "
+        "O(m^1.5) triangle pipeline), top-20 with full tiebreak — the "
+        "neighborhood-cohesion classifier, exact ppm."
+    ),
+)
+def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: identical shuffle budget to triangle_count_copurchase
+    (edge gen + orientation + wedge join); the cc arithmetic adds one
+    broadcast-degree join over the node-sized result. Note the UNDIRECTED
+    triangle count here reuses the oriented enumeration — each triangle
+    found once, credited to all three corners."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tcnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr("2 * COALESCE(t, 0) * 1000000 DIV (d * (d - 1))")
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+        .orderBy(F.desc("cc_ppm"), F.asc("part_key"))
+        .limit(20)
+    )

@@ -222,6 +222,8 @@ _PRIORITY: tuple[str, ...] = (
     "model_gains_deciles",
     "mutual_info_pmi_cells",
     "negative_sampling_pairs",
+    "l_diversity_audit",
+    "clustering_coefficient_topk",
 )
 
 

@@ -1878,3 +1878,61 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_high_total_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (r6) — k-anonymity's stronger sibling: a QI class
+# with many members is still unsafe if they all share one SENSITIVE
+# value. QI = (nation, market segment); sensitive attribute = the
+# account-balance band. Per nation: class count, the minimum number of
+# distinct sensitive values in any class (min-l), classes violating
+# l=3, and the records they expose. Same cascaded map-side-combined
+# aggregation shape as k_anonymity_audit — no row-level data survives
+# the first groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "l_diversity_audit",
+    oracle="""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                        AS BIGINT) AS l
+            FROM customer
+            GROUP BY 1, 2
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT)                               AS n_classes,
+               CAST(MIN(l) AS BIGINT)                                 AS min_l,
+               CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt3,
+               CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS records_at_risk,
+               CAST(SUM(k) AS BIGINT)                                 AS n_records
+        FROM classes
+        GROUP BY c_nationkey
+    """,
+    doc=(
+        "l-diversity audit (QI = nation × segment, sensitive = balance "
+        "band): per-nation class counts, minimum distinct-sensitive-"
+        "value count, l<3 violations and exposed records — the "
+        "homogeneity-attack complement to k_anonymity_audit."
+    ),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+        )
+        .cast("long")
+        .alias("l"),
+    )
+    return classes.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).cast("long").alias("classes_lt3"),
+        F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("records_at_risk"),
+        F.sum("k").cast("long").alias("n_records"),
+    )
