@@ -212,6 +212,8 @@ HEADLINE = [
     "negative_sampling_pairs",
     "l_diversity_audit",
     "clustering_coefficient_topk",
+    "psi_feature_drift",
+    "churn_training_assembly",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1436,3 +1436,108 @@ def item_item_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("long").alias("neighbor_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn training-set assembly (r6) — the label-generation counterpart
+# to negative_sampling_pairs: build a supervised churn dataset from
+# the event stream with a point-in-time split that cannot leak. The
+# observation cutoff is (max ts − 7 days): features are counted ONLY
+# from events strictly before the cutoff (trailing 7/14/28-day windows
+# plus lifetime), the label is "no activity in the 7-day post-window".
+# Everything derives from one pass over events; the cutoff is an exact
+# timestamp both engines compute identically.
+# 100 TB: one user_id-keyed conditional aggregate (map-side combined)
+# — the leakage-safe feature/label split is CASE arithmetic, not a
+# second scan; this is the assembly job upstream of every churn model.
+# ---------------------------------------------------------------------------
+@register(
+    "churn_training_assembly",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS mt FROM events),
+        feat AS (
+            SELECT user_id,
+                   SUM(CASE WHEN ts <  mt - INTERVAL 7 DAY
+                            AND  ts >= mt - INTERVAL 14 DAY
+                            THEN 1 ELSE 0 END) AS ev_7_14d,
+                   SUM(CASE WHEN ts <  mt - INTERVAL 7 DAY
+                            AND  ts >= mt - INTERVAL 21 DAY
+                            THEN 1 ELSE 0 END) AS ev_7_21d,
+                   SUM(CASE WHEN ts <  mt - INTERVAL 7 DAY
+                            AND  ts >= mt - INTERVAL 35 DAY
+                            THEN 1 ELSE 0 END) AS ev_7_35d,
+                   SUM(CASE WHEN ts < mt - INTERVAL 7 DAY
+                            THEN 1 ELSE 0 END) AS ev_life,
+                   SUM(CASE WHEN ts < mt - INTERVAL 7 DAY
+                            AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS buys_life,
+                   SUM(CASE WHEN ts >= mt - INTERVAL 7 DAY
+                            THEN 1 ELSE 0 END) AS post_events
+            FROM events, mx
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(ev_7_14d AS BIGINT)  AS ev_7_14d,
+               CAST(ev_7_21d AS BIGINT)  AS ev_7_21d,
+               CAST(ev_7_35d AS BIGINT)  AS ev_7_35d,
+               CAST(ev_life AS BIGINT)   AS ev_life,
+               CAST(buys_life AS BIGINT) AS buys_life,
+               post_events = 0           AS churned
+        FROM feat
+        WHERE ev_life > 0
+    """,
+    doc=(
+        "Point-in-time churn dataset assembly: per-user trailing "
+        "7/14/28-day (pre-cutoff) activity features + lifetime counts, "
+        "label = zero activity in the 7-day post-window — leakage-safe "
+        "by construction (features read only pre-cutoff events), one "
+        "conditional aggregate over the stream."
+    ),
+)
+def churn_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    mx = ev.agg(F.max("ts").alias("mt"))
+    cut = "mt - INTERVAL 7 DAYS"
+    feat = (
+        ev.join(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts < {cut} AND ts >= mt - INTERVAL 14 DAYS"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("ev_7_14d"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts < {cut} AND ts >= mt - INTERVAL 21 DAYS"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("ev_7_21d"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts < {cut} AND ts >= mt - INTERVAL 35 DAYS"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("ev_7_35d"),
+            F.sum(F.expr(f"CASE WHEN ts < {cut} THEN 1 ELSE 0 END")).alias("ev_life"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ts < {cut} AND event_type = 'purchase'"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("buys_life"),
+            F.sum(F.expr(f"CASE WHEN ts >= {cut} THEN 1 ELSE 0 END")).alias(
+                "post_events"
+            ),
+        )
+    )
+    return feat.filter(F.col("ev_life") > 0).select(
+        "user_id",
+        F.col("ev_7_14d").cast("long"),
+        F.col("ev_7_21d").cast("long"),
+        F.col("ev_7_35d").cast("long"),
+        F.col("ev_life").cast("long"),
+        F.col("buys_life").cast("long"),
+        (F.col("post_events") == 0).alias("churned"),
+    )

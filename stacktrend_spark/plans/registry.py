@@ -224,6 +224,8 @@ _PRIORITY: tuple[str, ...] = (
     "negative_sampling_pairs",
     "l_diversity_audit",
     "clustering_coefficient_topk",
+    "psi_feature_drift",
+    "churn_training_assembly",
 )
 
 

@@ -1936,3 +1936,138 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("records_at_risk"),
         F.sum("k").cast("long").alias("n_records"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (r6) — THE standard MLOps drift metric
+# (credit-scoring lineage): PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)
+# between a baseline and a comparison window of the o_totalprice
+# distribution (1996 vs 1997 order years, $25k bins). Same exact
+# µlog10-integer discipline as entropy/KL/PMI — log10 units instead of
+# nats (a constant factor, stated in the column name), ppm proportions
+# (clamped ≥1: the ±1-count Laplace guard is the standard PSI
+# zero-bin fix, applied identically in both engines):
+#
+#   psi_term_micro = (p_ppm − q_ppm) · (ilog(p_ppm) − ilog(q_ppm))
+#
+# Output per bin + the term; Σ terms / 10¹² is PSI in log10 units.
+# 100 TB: two year-filtered map-side histogram aggregates (pushed to
+# the scan), all math on the ≤25-bin spine.
+# ---------------------------------------------------------------------------
+@register(
+    "psi_feature_drift",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(FLOOR((o_totalprice) * 100.0 + 0.5) AS BIGINT)
+                       // 2500000 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        ),
+        comp AS (
+            SELECT CAST(FLOOR((o_totalprice) * 100.0 + 0.5) AS BIGINT)
+                       // 2500000 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        ),
+        bins AS (
+            SELECT bin FROM base UNION SELECT bin FROM comp
+        ),
+        joined AS (
+            SELECT bins.bin,
+                   COALESCE(base.n, 0) AS nb,
+                   COALESCE(comp.n, 0) AS nc,
+                   (SELECT SUM(n) FROM base) AS tb,
+                   (SELECT SUM(n) FROM comp) AS tc
+            FROM bins
+            LEFT JOIN base ON bins.bin = base.bin
+            LEFT JOIN comp ON bins.bin = comp.bin
+        ),
+        ppm AS (
+            SELECT bin, nb, nc,
+                   GREATEST(nb * 1000000 // tb, 1) AS p_ppm,
+                   GREATEST(nc * 1000000 // tc, 1) AS q_ppm
+            FROM joined
+        )
+        SELECT bin,
+               nb AS n_base, nc AS n_comp,
+               CAST(p_ppm AS BIGINT) AS p_ppm,
+               CAST(q_ppm AS BIGINT) AS q_ppm,
+               CAST((p_ppm - q_ppm)
+                    * (CAST(FLOOR({sql_xlog10('p_ppm')} * 1000000.0) AS BIGINT)
+                       - CAST(FLOOR({sql_xlog10('q_ppm')} * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS psi_term_micro
+        FROM ppm
+    """,
+    doc=(
+        "Population Stability Index between the 1996 and 1997 order-"
+        "value distributions ($25k bins): exact ppm proportions with "
+        "the standard zero-bin clamp, per-bin PSI terms in µlog10 "
+        "integer units (Σ/10¹² = PSI in log10 units) — the MLOps drift "
+        "gate with a bit-exact oracle."
+    ),
+)
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: both histograms are year-pruned scans (PushedFilters)
+    collapsing map-side to ≤25 bins; the PSI arithmetic never touches
+    corpus-sized data. The same plan monitors any scored feature
+    stream against its training baseline."""
+    from stacktrend_spark.functions.rounding import xlog10
+
+    def ilog(col: F.Column) -> F.Column:
+        return F.floor(xlog10(col) * F.lit(1000000.0)).cast("long")
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+
+    def hist(y0: str, y1: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .select(iscale("o_totalprice").alias("cents"))
+            .select(F.expr("cents DIV 2500000").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    base = hist("1996-01-01", "1997-01-01")
+    comp = hist("1997-01-01", "1998-01-01")
+    tb = base.agg(F.sum("n").alias("tb"))
+    tc = comp.agg(F.sum("n").alias("tc"))
+    bins = base.select("bin").union(comp.select("bin")).distinct()
+    joined = (
+        bins.join(base.withColumnRenamed("n", "nb"), "bin", "left")
+        .join(comp.withColumnRenamed("n", "nc"), "bin", "left")
+        .join(F.broadcast(tb))
+        .join(F.broadcast(tc))
+        .select(
+            "bin",
+            F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
+            F.coalesce(F.col("nc"), F.lit(0)).alias("nc"),
+            "tb",
+            "tc",
+        )
+    )
+    ppm = joined.select(
+        "bin",
+        "nb",
+        "nc",
+        F.greatest(F.expr("nb * 1000000 DIV tb"), F.lit(1)).alias("p_ppm"),
+        F.greatest(F.expr("nc * 1000000 DIV tc"), F.lit(1)).alias("q_ppm"),
+    )
+    return ppm.select(
+        "bin",
+        F.col("nb").alias("n_base"),
+        F.col("nc").alias("n_comp"),
+        F.col("p_ppm").cast("long"),
+        F.col("q_ppm").cast("long"),
+        ((F.col("p_ppm") - F.col("q_ppm")) * (ilog(F.col("p_ppm")) - ilog(F.col("q_ppm"))))
+        .cast("long")
+        .alias("psi_term_micro"),
+    )
