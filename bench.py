@@ -214,6 +214,8 @@ HEADLINE = [
     "clustering_coefficient_topk",
     "psi_feature_drift",
     "churn_training_assembly",
+    "isoweek_rollup_parity",
+    "ols_slope_by_nation",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -226,6 +226,8 @@ _PRIORITY: tuple[str, ...] = (
     "clustering_coefficient_topk",
     "psi_feature_drift",
     "churn_training_assembly",
+    "isoweek_rollup_parity",
+    "ols_slope_by_nation",
 )
 
 

@@ -2071,3 +2071,85 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_term_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS slopes (r6) — ols_two_feature_cramer generalized to
+# GROUPED regression: one slope/intercept per nation (price ~
+# quantity), fitted from exact per-group sufficient statistics in a
+# single map-side-combinable aggregate, solved with the same fixed
+# double op tree per group:
+#
+#   slope = (n·Σqy − Σq·Σy) / (n·Σq² − (Σq)²);  b0 = (Σy − slope·Σq)/n
+#
+# This is the shape MLlib cannot give you cheaply (one model per key =
+# thousands of models in ONE pass) and the reason normal-equation
+# fitting matters at scale.
+# 100 TB: one orders⋈customer-free path — lineitem⋈supplier broadcast
+# for the nation key; the fact table shuffles once on the 25-nation
+# agg key (map-side combined to 25 rows before the exchange).
+# ---------------------------------------------------------------------------
+@register(
+    "ols_slope_by_nation",
+    oracle=f"""
+        WITH sums AS (
+            SELECT n.n_name AS nation,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sq,
+                   CAST(SUM({sql_iscale('l_extendedprice')}) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sqq,
+                   CAST(SUM(CAST(l_quantity AS HUGEINT) * {sql_iscale('l_extendedprice')}) AS DOUBLE) AS sqy,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT nation, n_rows,
+               {sql_round('(n*sqy - sq*sy) / (n*sqq - sq*sq)', 4)}
+                   AS slope_cents_per_unit,
+               {sql_round('(sy - ((n*sqy - sq*sy) / (n*sqq - sq*sq)) * sq) / n', 4)}
+                   AS intercept_cents
+        FROM sums
+    """,
+    doc=(
+        "Grouped OLS: one (price ~ quantity) regression per supplier "
+        "nation from exact per-group sufficient statistics in a single "
+        "map-side aggregate — thousands-of-models-in-one-pass, the "
+        "normal-equations shape at scale; fixed double op tree per "
+        "group."
+    ),
+)
+def ols_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        iscale("l_extendedprice").alias("y"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    sums = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("q").cast("double").alias("sq"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.expr(f"CAST(q AS {dec}) * q")).cast("double").alias("sqq"),
+            F.sum(F.expr(f"CAST(q AS {dec}) * y")).cast("double").alias("sqy"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    slope = (F.col("n") * F.col("sqy") - F.col("sq") * F.col("sy")) / (
+        F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    )
+    return sums.select(
+        "nation",
+        "n_rows",
+        fround(slope, 4).alias("slope_cents_per_unit"),
+        fround((F.col("sy") - slope * F.col("sq")) / F.col("n"), 4).alias(
+            "intercept_cents"
+        ),
+    )

@@ -1321,3 +1321,47 @@ def theilsen_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("theilsen_slope_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ISO-week rollup (r6) — the calendar-boundary parity pin: Dec 29-31
+# belong to week 1 of the NEXT iso-year (and Jan 1-3 can belong to
+# week 52/53 of the previous), so a (calendar_year, weekofyear) rollup
+# silently splits those weeks in two. The correct key is
+# (YEAROFWEEK, weekofyear) — verified identical semantics in Spark
+# (`extract(YEAROFWEEK ...)`, `weekofyear`) and DuckDB (`isoyear`,
+# `weekofyear`), probed at the 1996→1997 boundary before registration.
+# Revenue summed as exact cents; the boundary-week row count is the
+# regression canary (a calendar_year key would change it).
+# 100 TB: one map-side rollup to ~#weeks rows.
+# ---------------------------------------------------------------------------
+@register(
+    "isoweek_rollup_parity",
+    oracle=f"""
+        SELECT CAST(isoyear(o_orderdate) AS BIGINT)    AS iso_year,
+               CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+               CAST(COUNT(*) AS BIGINT)                AS n_orders,
+               CAST(SUM({sql_iscale('o_totalprice')}) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "ISO-week revenue rollup keyed (YEAROFWEEK, weekofyear) — the "
+        "year-boundary-correct weekly grain (calendar-year keys split "
+        "boundary weeks); cross-engine ISO semantics probed at the "
+        "1996→1997 boundary. One map-side rollup."
+    ),
+)
+def isoweek_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM o_orderdate)").cast("long").alias("iso_year"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(iscale("o_totalprice")).cast("long").alias("revenue_cents"),
+        )
+    )
