@@ -216,6 +216,8 @@ HEADLINE = [
     "churn_training_assembly",
     "isoweek_rollup_parity",
     "ols_slope_by_nation",
+    "wilson_lcb_category_ranking",
+    "stl_residual_outliers",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

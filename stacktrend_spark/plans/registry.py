@@ -228,6 +228,8 @@ _PRIORITY: tuple[str, ...] = (
     "churn_training_assembly",
     "isoweek_rollup_parity",
     "ols_slope_by_nation",
+    "wilson_lcb_category_ranking",
+    "stl_residual_outliers",
 )
 
 

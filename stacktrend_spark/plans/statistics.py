@@ -2153,3 +2153,95 @@ def ols_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-confidence-bound ranking (r6) — the "sort by LCB, not
+# by rate" rule every ranking system learns the hard way: a segment
+# with 3/3 high-priority orders must NOT outrank one with 950/1000.
+# Wilson score interval at z = 1.96, entirely from the exact integer
+# (pos, n) pair per segment through one fixed double op tree
+# (sqrt is IEEE-correctly-rounded — the dstd discipline):
+#
+#   LCB = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+#
+# 100 TB: one custkey join + 5-group aggregate; the LCB math runs on
+# 5 rows.
+# ---------------------------------------------------------------------------
+_WILSON_Z = "1.96"
+
+
+def _wilson_sql(p: str, n: str) -> str:
+    z = _WILSON_Z
+    return (
+        f"(({p}) + {z}*{z}/(2.0*({n}))"
+        f" - {z} * SQRT(({p})*(1.0-({p}))/({n}) + {z}*{z}/(4.0*({n})*({n}))))"
+        f" / (1.0 + {z}*{z}/({n}))"
+    )
+
+
+@register(
+    "wilson_lcb_category_ranking",
+    oracle=f"""
+        WITH seg AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT segment, n, pos,
+                   {_wilson_sql('CAST(pos AS DOUBLE)/CAST(n AS DOUBLE)', 'CAST(n AS DOUBLE)')}
+                       AS lcb
+            FROM seg
+        )
+        SELECT segment, n, pos,
+               {{RND}} AS wilson_lcb,
+               CAST(ROW_NUMBER() OVER (ORDER BY lcb DESC, segment ASC)
+                    AS BIGINT) AS lcb_rank
+        FROM scored
+    """.replace("{RND}", sql_round("lcb", 6)),
+    doc=(
+        "Wilson lower-confidence-bound (z=1.96) ranking of customer "
+        "segments by high-priority order rate — uncertainty-aware "
+        "ranking from exact (pos, n) integers through one fixed double "
+        "op tree; the sort-by-LCB rule with a bit-exact oracle."
+    ),
+)
+def wilson_lcb_category_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    scored = seg.withColumn(
+        "lcb",
+        F.expr(
+            _wilson_sql(
+                "CAST(pos AS DOUBLE)/CAST(n AS DOUBLE)", "CAST(n AS DOUBLE)"
+            )
+        ),
+    )
+    return scored.select(
+        "segment",
+        "n",
+        "pos",
+        fround(F.col("lcb"), 6).alias("wilson_lcb"),
+        F.row_number()
+        .over(W.orderBy(F.desc("lcb"), F.asc("segment")))
+        .cast("long")
+        .alias("lcb_rank"),
+    )

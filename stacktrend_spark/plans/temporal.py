@@ -1365,3 +1365,122 @@ def isoweek_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(iscale("o_totalprice")).cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-residual outlier days (r6) — the composition the STL
+# decomposition exists FOR: flag days whose seasonal-adjusted residual
+# is anomalous under the robust 3×MAD rule. Reuses the
+# stl_lite_decompose plan (same Spark callable), then on the bounded
+# day spine: med = lower-median of remainders (order statistic with
+# day tiebreak — exact, no averaging), MAD = lower-median of
+# |rem − med|, flag |rem − med| > 3·MAD. Every comparison is integer;
+# the only windows are on the ≤2.4k-day spine.
+# ---------------------------------------------------------------------------
+@register(
+    "stl_residual_outliers",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        tr AS (
+            SELECT day, y,
+                   CASE WHEN COUNT(*) OVER w7 = 7
+                        THEN SUM(y) OVER w7 // 7
+                        ELSE NULL END AS trend
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT day, y, trend,
+                   CAST(isodow(day) - 1 AS BIGINT) AS dow,
+                   y - trend AS d
+            FROM tr
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(FLOOR(CAST(SUM(d) AS DOUBLE) / COUNT(d)) AS BIGINT)
+                       AS seasonal
+            FROM det WHERE d IS NOT NULL GROUP BY dow
+        ),
+        rem AS (
+            SELECT det.day, det.y,
+                   CAST(det.d - seas.seasonal AS BIGINT) AS r
+            FROM det JOIN seas ON det.dow = seas.dow
+            WHERE det.d IS NOT NULL
+        ),
+        med AS (
+            SELECT r AS m FROM (
+                SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rk,
+                       COUNT(*) OVER () AS nn
+                FROM rem
+            ) WHERE rk = (nn + 1) // 2
+        ),
+        madt AS (
+            SELECT ad AS mad FROM (
+                SELECT ABS(r - (SELECT m FROM med)) AS ad, day,
+                       ROW_NUMBER() OVER (
+                           ORDER BY ABS(r - (SELECT m FROM med)), day) AS rk,
+                       COUNT(*) OVER () AS nn
+                FROM rem
+            ) WHERE rk = (nn + 1) // 2
+        )
+        SELECT rem.day,
+               CAST(rem.y AS BIGINT) AS revenue_cents,
+               rem.r AS remainder_cents,
+               CAST((SELECT m FROM med) AS BIGINT)   AS median_rem,
+               CAST((SELECT mad FROM madt) AS BIGINT) AS mad_rem
+        FROM rem
+        WHERE ABS(rem.r - (SELECT m FROM med)) > 3 * (SELECT mad FROM madt)
+    """,
+    doc=(
+        "Seasonal-adjusted anomaly days: STL-lite remainders under the "
+        "robust 3×MAD rule (lower-median order statistics with day "
+        "tiebreak — exact integers, no averaging); emits only flagged "
+        "days with the med/MAD evidence columns."
+    ),
+)
+def stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = stl_lite_decompose(spark, sf_dir)
+    rem = dec.filter(F.col("trend_cents").isNotNull()).select(
+        "day",
+        F.col("revenue_cents"),
+        F.col("remainder_cents").alias("r"),
+    )
+    n_w = W.orderBy("r", "day")
+    ranked = rem.select(
+        "day",
+        "revenue_cents",
+        "r",
+        F.row_number().over(n_w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+    )
+    med = ranked.filter(F.col("rk") == F.expr("(nn + 1) DIV 2")).select(
+        F.col("r").alias("m")
+    )
+    with_m = rem.join(F.broadcast(med))
+    ad_w = W.orderBy(F.abs(F.col("r") - F.col("m")), F.col("day"))
+    ad_ranked = with_m.select(
+        "day",
+        "revenue_cents",
+        "r",
+        "m",
+        F.row_number().over(ad_w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+    )
+    mad = ad_ranked.filter(F.col("rk") == F.expr("(nn + 1) DIV 2")).select(
+        F.abs(F.col("r") - F.col("m")).alias("mad")
+    )
+    return (
+        with_m.join(F.broadcast(mad))
+        .filter(F.abs(F.col("r") - F.col("m")) > 3 * F.col("mad"))
+        .select(
+            "day",
+            "revenue_cents",
+            F.col("r").alias("remainder_cents"),
+            F.col("m").cast("long").alias("median_rem"),
+            F.col("mad").cast("long").alias("mad_rem"),
+        )
+    )

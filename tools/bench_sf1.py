@@ -87,6 +87,11 @@ HEAVY = [
     "seq_pattern_trigrams",
     "q20_dominant_suppliers",
     "ols_two_feature_cramer",
+    # r6 batch 9-13 heavies: recommender self-join, two-sided-evicting
+    # stream join, triangle-pipeline cohesion ratio
+    "item_item_collab_filter",
+    "stream_full_outer_attribution",
+    "clustering_coefficient_topk",
 ]
 
 _REPLICAS = 10
