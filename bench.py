@@ -218,6 +218,8 @@ HEADLINE = [
     "ols_slope_by_nation",
     "wilson_lcb_category_ranking",
     "stl_residual_outliers",
+    "lang_centroid_similarity",
+    "collocation_pmi_topk",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from stacktrend_spark.functions.rounding import fround, sql_round
 from stacktrend_spark.operators.similarity import rank_cells_arrow, with_cell_arrow
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
@@ -774,4 +775,112 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc_dist2",
             F.col("rnk").cast("long").alias("rnk"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix (r6) — how close are the embedding
+# classes to each other? Per-label centroids from exact quantized
+# component sums (the kmeans_recompute discipline: floor(x·10⁶+0.5)
+# BEFORE summing), then pairwise cosine BETWEEN SUM VECTORS — the 1/n
+# centroid factors cancel in cosine, so no division ever touches the
+# aggregate side:
+#
+#   cos(centroid_a, centroid_b) = dot(S_a,S_b) / (√|S_a|² · √|S_b|²)
+#
+# dot/norms in DECIMAL(38,0)/HUGEINT, one fixed double tree at the
+# end. The class-confusability audit for an embedding space.
+# 100 TB: one posexplode + (label, dim) aggregate collapses the corpus
+# to #labels·64 rows map-side; the pair matrix is #labels²/2.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_centroid_similarity",
+    oracle=f"""
+        WITH comps AS (
+            SELECT label, unnest(generate_series(1, 64)) AS dim,
+                   {_SQL_D.format("embedding")} AS v
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT label, dim,
+                   SUM(CAST(FLOOR(v[dim] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM comps GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+                   SUM(CAST(a.s AS HUGEINT) * b.s) AS dot,
+                   SUM(CAST(a.s AS HUGEINT) * a.s) AS na2,
+                   SUM(CAST(b.s AS HUGEINT) * b.s) AS nb2
+            FROM sums a
+            JOIN sums b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT CAST(label_a AS BIGINT) AS label_a,
+               CAST(label_b AS BIGINT) AS label_b,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               {sql_round('CAST(dot AS DOUBLE) / (SQRT(CAST(na2 AS DOUBLE)) * SQRT(CAST(nb2 AS DOUBLE)))', 6)}
+                   AS centroid_cosine
+        FROM pairs
+    """,
+    doc=(
+        "Pairwise cosine between per-label embedding centroids — exact "
+        "quantized component sums (1/n factors cancel in cosine, so "
+        "the hashed surface never divides), 128-bit dot/norms, one "
+        "fixed double tree; the class-confusability audit."
+    ),
+)
+def lang_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    sums = comps.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    a = sums.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (a.dim == b.dim) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.sum(F.expr(f"CAST(sa AS {dec}) * sb")).alias("dot"),
+            F.sum(F.expr(f"CAST(sa AS {dec}) * sa")).alias("na2"),
+            F.sum(F.expr(f"CAST(sb AS {dec}) * sb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        F.col("label_a").cast("long"),
+        F.col("label_b").cast("long"),
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        fround(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
     )

@@ -1610,3 +1610,133 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("containment_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction via bigram PMI (r6) — the corpus-linguistics
+# primitive behind phrase vocabularies (word2vec phrase pass, tokenizer
+# merge seeding): score adjacent word pairs by pointwise mutual
+# information against the unigram independence product, keep the
+# top-30 with support ≥ 20. Same µlog10-integer discipline as the
+# statistics-family PMI (ppm proportions, clamped ≥1, 128-bit
+# products for c1·c2·10⁶):
+#
+#   pmi_micro = ilog(c12·10⁶ DIV TB) − ilog(c1·c2·10⁶ DIV T²)
+#
+# 100 TB: bigram extraction is one LEAD over per-doc windows (doc-
+# sized partitions); both count tables collapse map-side to vocab /
+# vocab² survivors; the min-support filter prunes BEFORE pmi math.
+# ---------------------------------------------------------------------------
+def _colloc_oracle() -> str:
+    from stacktrend_spark.functions.rounding import sql_xlog10
+
+    def ilog(expr: str) -> str:
+        return (
+            f"CAST(FLOOR({sql_xlog10(f'GREATEST({expr}, 1)')} * 1000000.0)"
+            " AS BIGINT)"
+        )
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term,
+                   generate_subscripts(STRING_SPLIT(LOWER(text), ' '), 1)
+                       AS pos
+            FROM documents
+        ),
+        tf AS (SELECT * FROM toks WHERE term <> ''),
+        big AS (
+            SELECT term AS w1,
+                   LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tf
+        ),
+        c12 AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM big WHERE w2 IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tf GROUP BY 1),
+        tot AS (
+            SELECT (SELECT SUM(c) FROM uni) AS t,
+                   (SELECT SUM(c12) FROM c12) AS tb
+        ),
+        scored AS (
+            SELECT c12.w1, c12.w2, c12.c12,
+                   {ilog('c12.c12 * 1000000 // tot.tb')}
+                 - {ilog('CAST(u1.c AS HUGEINT) * u2.c * 1000000 // (CAST(tot.t AS HUGEINT) * tot.t)')}
+                       AS pmi_micro
+            FROM c12
+            JOIN uni u1 ON c12.w1 = u1.term
+            JOIN uni u2 ON c12.w2 = u2.term
+            CROSS JOIN tot
+            WHERE c12.c12 >= 20
+        )
+        SELECT w1, w2, c12 AS n_bigram,
+               CAST(pmi_micro AS BIGINT) AS pmi_micro
+        FROM scored
+        ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+        LIMIT 30
+    """
+
+
+@register(
+    "collocation_pmi_topk",
+    oracle=_colloc_oracle(),
+    doc=(
+        "Collocation extraction: adjacent word-pair PMI vs the unigram "
+        "independence product (µlog10 integers, ppm proportions, "
+        "128-bit products), support ≥ 20, top-30 with full tiebreak — "
+        "the phrase-vocabulary seeding pass of a tokenizer pipeline."
+    ),
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from stacktrend_spark.functions.rounding import xlog10
+
+    def ilog(col: F.Column) -> F.Column:
+        return F.floor(
+            xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)
+        ).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    big = toks.select(
+        F.col("term").alias("w1"),
+        F.lead("term").over(W.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = uni.agg(F.sum("c").alias("t"))
+    tb = c12.agg(F.sum("c12").alias("tb"))
+    dec = "decimal(38,0)"
+    scored = (
+        c12.filter(F.col("c12") >= 20)
+        .join(uni.withColumnRenamed("term", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("c", "c2"), "w2")
+        .join(F.broadcast(t))
+        .join(F.broadcast(tb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                ilog(F.expr("c12 * 1000000 DIV tb"))
+                - ilog(
+                    F.expr(
+                        f"CAST(CAST(c1 AS {dec}) * c2 * 1000000"
+                        f" DIV (CAST(t AS {dec}) * t) AS BIGINT)"
+                    )
+                )
+            ).alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "w1", "w2", F.col("c12").alias("n_bigram"), F.col("pmi_micro").cast("long")
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )

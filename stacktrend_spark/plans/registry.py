@@ -230,6 +230,8 @@ _PRIORITY: tuple[str, ...] = (
     "ols_slope_by_nation",
     "wilson_lcb_category_ranking",
     "stl_residual_outliers",
+    "lang_centroid_similarity",
+    "collocation_pmi_topk",
 )
 
 
