@@ -220,6 +220,8 @@ HEADLINE = [
     "stl_residual_outliers",
     "lang_centroid_similarity",
     "collocation_pmi_topk",
+    "gdpr_subject_access_export",
+    "conversion_latency_quantiles",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

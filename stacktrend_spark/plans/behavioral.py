@@ -1541,3 +1541,81 @@ def churn_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("buys_life").cast("long"),
         (F.col("post_events") == 0).alias("churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency order statistics (r6) — "how long from first
+# view to first purchase?", answered with EXACT order statistics (the
+# funnel family reports rates; this reports the latency distribution).
+# Per user: latency = first purchase ts − first view ts (only users
+# whose first view precedes their first purchase). Lower-median, p90
+# (rank = ⌈0.9·n⌉ via (9n+9)//10 on 1-based ranks), and max — all
+# row-number order statistics with user_id tiebreak, no averaging, no
+# floats.
+# 100 TB: two per-user MIN aggregates on the same user_id shuffle;
+# order statistics on the user-count spine via the global-rank class
+# (two-phase scalable form past ~10⁷ users).
+# ---------------------------------------------------------------------------
+@register(
+    "conversion_latency_quantiles",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS v0,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0
+            FROM events GROUP BY user_id
+        ),
+        lat AS (
+            SELECT user_id,
+                   epoch_us(p0) - epoch_us(v0) AS lat_us
+            FROM firsts
+            WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 > v0
+        ),
+        ranked AS (
+            SELECT lat_us,
+                   ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rk,
+                   COUNT(*) OVER () AS nn
+            FROM lat
+        )
+        SELECT CAST(MAX(nn) AS BIGINT) AS n_users,
+               CAST(MIN(CASE WHEN rk = (nn + 1) // 2 THEN lat_us END)
+                    AS BIGINT) AS median_latency_us,
+               CAST(MIN(CASE WHEN rk = (9 * nn + 9) // 10 THEN lat_us END)
+                    AS BIGINT) AS p90_latency_us,
+               CAST(MAX(lat_us) AS BIGINT) AS max_latency_us
+        FROM ranked
+    """,
+    doc=(
+        "First-view → first-purchase conversion latency: exact lower-"
+        "median / p90 / max via row-number order statistics with "
+        "user_id tiebreak (no averaging, no floats); two conditional "
+        "MINs on one user shuffle."
+    ),
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p0"),
+    )
+    lat = firsts.filter(
+        F.col("v0").isNotNull() & F.col("p0").isNotNull() & (F.col("p0") > F.col("v0"))
+    ).select(
+        "user_id",
+        (F.unix_micros("p0") - F.unix_micros("v0")).alias("lat_us"),
+    )
+    ranked = lat.select(
+        "lat_us",
+        F.row_number().over(W.orderBy("lat_us", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+    )
+    return ranked.agg(
+        F.max("nn").cast("long").alias("n_users"),
+        F.min(F.when(F.col("rk") == F.expr("(nn + 1) DIV 2"), F.col("lat_us")))
+        .cast("long")
+        .alias("median_latency_us"),
+        F.min(F.when(F.col("rk") == F.expr("(9 * nn + 9) DIV 10"), F.col("lat_us")))
+        .cast("long")
+        .alias("p90_latency_us"),
+        F.max("lat_us").cast("long").alias("max_latency_us"),
+    )

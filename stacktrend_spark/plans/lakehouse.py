@@ -1201,3 +1201,101 @@ def gdpr_anonymize_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("min_surrogate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR subject-access export (r6) — Article 15's operational twin to
+# gdpr_anonymize_cascade (Article 17): for a deterministic panel of
+# data subjects (the 5 lowest custkeys with orders), inventory every
+# table that holds their data — record counts per table plus exact
+# value checksums (revenue cents, quantity) so the export is
+# verifiable, not just countable. One row per (subject, table).
+# 100 TB: each leg is a key-pruned scan/semi-join on the subject keys
+# (broadcast 5-row panel) — the access request never scans more than
+# the subject's slice after pushdown.
+# ---------------------------------------------------------------------------
+@register(
+    "gdpr_subject_access_export",
+    oracle=f"""
+        WITH panel AS (
+            SELECT DISTINCT o_custkey AS ck FROM orders
+            ORDER BY ck LIMIT 5
+        ),
+        cust AS (
+            SELECT c.c_custkey AS ck, 'customer' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(SUM({sql_iscale('c.c_acctbal')}) AS BIGINT) AS value_checksum
+            FROM customer c JOIN panel ON c.c_custkey = panel.ck
+            GROUP BY 1
+        ),
+        ords AS (
+            SELECT o.o_custkey AS ck, 'orders' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(SUM({sql_iscale('o.o_totalprice')}) AS BIGINT) AS value_checksum
+            FROM orders o JOIN panel ON o.o_custkey = panel.ck
+            GROUP BY 1
+        ),
+        items AS (
+            SELECT o.o_custkey AS ck, 'lineitem' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS value_checksum
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN panel ON o.o_custkey = panel.ck
+            GROUP BY 1
+        )
+        SELECT ck AS custkey, table_name, n_records, value_checksum
+        FROM (SELECT * FROM cust UNION ALL SELECT * FROM ords
+              UNION ALL SELECT * FROM items)
+    """,
+    doc=(
+        "GDPR Article-15 subject-access export for a 5-subject panel: "
+        "per-table record counts + exact value checksums (balance "
+        "cents / revenue cents / quantity) across customer, orders, "
+        "lineitem — the verifiable data inventory; every leg key-"
+        "pruned via the broadcast panel."
+    ),
+)
+def gdpr_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    panel = (
+        orders.select(F.col("o_custkey").alias("ck"))
+        .distinct()
+        .orderBy("ck")
+        .limit(5)
+    )
+    c_leg = (
+        cust.join(F.broadcast(panel), cust.c_custkey == F.col("ck"))
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(iscale("c_acctbal")).cast("long").alias("value_checksum"),
+        )
+        .select("ck", F.lit("customer").alias("table_name"), "n_records", "value_checksum")
+    )
+    o_leg = (
+        orders.join(F.broadcast(panel), orders.o_custkey == F.col("ck"))
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(iscale("o_totalprice")).cast("long").alias("value_checksum"),
+        )
+        .select("ck", F.lit("orders").alias("table_name"), "n_records", "value_checksum")
+    )
+    l_leg = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(panel), F.col("o_custkey") == F.col("ck"))
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("value_checksum"),
+        )
+        .select("ck", F.lit("lineitem").alias("table_name"), "n_records", "value_checksum")
+    )
+    return (
+        c_leg.unionByName(o_leg)
+        .unionByName(l_leg)
+        .select(F.col("ck").alias("custkey"), "table_name", "n_records", "value_checksum")
+    )

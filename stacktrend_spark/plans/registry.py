@@ -232,6 +232,8 @@ _PRIORITY: tuple[str, ...] = (
     "stl_residual_outliers",
     "lang_centroid_similarity",
     "collocation_pmi_topk",
+    "gdpr_subject_access_export",
+    "conversion_latency_quantiles",
 )
 
 
