@@ -153,7 +153,14 @@ _PRIORITY: tuple[str, ...] = (
     "window_share_global",
     "window_share_of_region",
     # -- position 51+: NOT in the r6 window (driver reads the first
-    # 50) — head of the r7 queue alongside the r2-era stale batch
+    # 50) — head of the r7 queue alongside the r2-era stale batch.
+    # r7 WINDOW PLAN: by round-6 close the registry holds 298 queries;
+    # 214 carry driver proofs (CORRECTNESS_r01-r05) and every row is
+    # local-gate green (296/296 full run + per-query double proofs for
+    # the last two batches — COVERAGE.md). The ~84 never-driver-checked
+    # rows are everything from position 51 down; r7's head should be
+    # drawn from them oldest-first (this list is already in that
+    # order), with the r2-era stale rotation filling the remainder.
     "dedup_incremental_batch",
     "er_sorted_neighborhood",
     # r6 late batch: classic TPC-H optimizer shapes (plans/tpch_shapes.py)
