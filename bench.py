@@ -222,6 +222,8 @@ HEADLINE = [
     "collocation_pmi_topk",
     "gdpr_subject_access_export",
     "conversion_latency_quantiles",
+    "huffman_code_cost",
+    "join_cardinality_estimate",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1740,3 +1740,115 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Huffman code cost (r6) — the compression-aware curation metric: the
+# optimal prefix-code size of the event-type stream (what an entropy
+# coder would spend), next to the xlog10 Shannon lower bound. Huffman's
+# greedy merge is sequential, but its TOTAL COST is tie-invariant
+# (every optimal prefix code has the same Σ internal-node weights), so
+# the value is deterministic however ties break. Oracle = a list-carry
+# recursive CTE (sort state, merge two smallest, accumulate — the DTW
+# wavefront discipline applied to a greedy loop; fuzz-proven against
+# heapq on 20 random weight sets). Spark = the same loop in one
+# grouped-map task over the ≤#event-types weight spine.
+# 100 TB: the corpus collapses to #symbols counts map-side; the merge
+# loop is O(k log k) on a constant spine. Output also carries the
+# Shannon numerator (µlog10) so the coder's overhead vs the entropy
+# bound is one subtraction away.
+# ---------------------------------------------------------------------------
+def _huffman_oracle() -> str:
+    from stacktrend_spark.functions.rounding import sql_xlog10
+
+    ilog_n = f"CAST(FLOOR({sql_xlog10('t.n_events')} * 1000000.0) AS BIGINT)"
+    ilog_c = f"CAST(FLOOR({sql_xlog10('w.c')} * 1000000.0) AS BIGINT)"
+    return f"""
+        WITH RECURSIVE w AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_events,
+                     CAST(COUNT(*) AS BIGINT) AS n_symbols FROM w),
+        init AS (SELECT LIST(c ORDER BY c, event_type) AS state FROM w),
+        rec AS (
+            SELECT state, 0::BIGINT AS cost FROM init
+            UNION ALL
+            SELECT list_sort(state)[3:]
+                       || [list_sort(state)[1] + list_sort(state)[2]],
+                   cost + list_sort(state)[1] + list_sort(state)[2]
+            FROM rec WHERE len(state) > 1
+        ),
+        hc AS (SELECT cost FROM rec WHERE len(state) = 1),
+        sh AS (
+            SELECT CAST(SUM(w.c * ({ilog_n} - {ilog_c})) AS BIGINT)
+                       AS shannon_num_micro
+            FROM w CROSS JOIN t
+        )
+        SELECT t.n_symbols, t.n_events,
+               CAST(hc.cost AS BIGINT) AS huffman_total_bits,
+               sh.shannon_num_micro
+        FROM t, hc, sh
+    """
+
+
+@register(
+    "huffman_code_cost",
+    oracle=_huffman_oracle(),
+    doc=(
+        "Optimal prefix-code (Huffman) total bit cost of the event-"
+        "type stream + the Shannon µlog10 lower-bound numerator — the "
+        "entropy-coder budget of a column, exact integers; oracle = "
+        "list-carry recursive CTE replay of the greedy merge (cost is "
+        "tie-invariant), Spark = one grouped-map task on the symbol "
+        "spine."
+    ),
+)
+def huffman_code_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import heapq
+
+    import pandas as pd
+
+    from stacktrend_spark.functions.rounding import xlog10
+
+    def ilog(col: F.Column) -> F.Column:
+        return F.floor(xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)).cast(
+            "long"
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    w = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = w.agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_symbols"),
+    )
+    sh = w.join(F.broadcast(t)).agg(
+        F.sum(
+            F.col("c")
+            * (ilog(F.col("n_events")) - ilog(F.col("c")))
+        )
+        .cast("long")
+        .alias("shannon_num_micro")
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = sorted(int(x) for x in pdf["c"])
+        heapq.heapify(h)
+        cost = 0
+        while len(h) > 1:
+            a = heapq.heappop(h)
+            b = heapq.heappop(h)
+            cost += a + b
+            heapq.heappush(h, a + b)
+        return pd.DataFrame({"huffman_total_bits": [cost]})
+
+    hc = (
+        w.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(merge, "huffman_total_bits long")
+    )
+    return (
+        t.join(F.broadcast(hc))
+        .join(F.broadcast(sh))
+        .select("n_symbols", "n_events", "huffman_total_bits", "shannon_num_micro")
+    )

@@ -217,3 +217,103 @@ def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rows_total").cast("long").alias("rows_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation audit (r6) — the optimizer-engineering
+# query: how good is the uniform-frequency assumption that every
+# cost-based optimizer (Catalyst included) uses to size a join? For
+# the lineitem⋈lineitem self-join on partkey:
+#
+#   exact      = Σ_k c(k)²                       (true join size)
+#   est_global = n² DIV ndv                      (one uniform bucket)
+#   est_b100   = Σ_b n_b² DIV ndv_b              (100-key histogram buckets)
+#
+# All exact integers (c ≤ 10⁶ → c² ≤ 10¹²; the global n² runs through
+# DECIMAL(38,0)/HUGEINT); error columns in ppm. The bucketed estimate
+# converging toward exact IS the argument for histogram statistics in
+# a catalog.
+# 100 TB: one per-key count aggregate (map-side combined) feeds all
+# three numbers — the audit never materializes the join itself.
+# ---------------------------------------------------------------------------
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+        WITH ck AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        ex AS (
+            SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS exact_pairs,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS ndv
+            FROM ck
+        ),
+        bk AS (
+            SELECT l_partkey // 100 AS b,
+                   CAST(SUM(c) AS BIGINT) AS nb,
+                   CAST(COUNT(*) AS BIGINT) AS ndvb
+            FROM ck GROUP BY 1
+        ),
+        eb AS (
+            SELECT CAST(SUM(CAST(nb AS HUGEINT) * nb // ndvb) AS BIGINT)
+                       AS est_b100
+            FROM bk
+        )
+        SELECT ex.n_rows, ex.ndv, ex.exact_pairs,
+               CAST(CAST(ex.n_rows AS HUGEINT) * ex.n_rows // ex.ndv
+                    AS BIGINT) AS est_global,
+               eb.est_b100,
+               CAST(ABS(CAST(ex.n_rows AS HUGEINT) * ex.n_rows // ex.ndv
+                        - ex.exact_pairs) * 1000000 // ex.exact_pairs
+                    AS BIGINT) AS err_global_ppm,
+               CAST(ABS(CAST(eb.est_b100 AS HUGEINT) - ex.exact_pairs)
+                    * 1000000 // ex.exact_pairs AS BIGINT) AS err_b100_ppm
+        FROM ex, eb
+    """,
+    doc=(
+        "Join-size estimation audit for the partkey self-join: exact "
+        "Σc², the optimizer's uniform n²/ndv estimate, and a 100-key "
+        "histogram-bucketed estimate, with ppm errors — the case for "
+        "histogram statistics, computed from ONE per-key count "
+        "aggregate without materializing any join."
+    ),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    ck = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dec = "decimal(38,0)"
+    ex = ck.agg(
+        F.sum(F.expr(f"CAST(c AS {dec}) * c")).cast("long").alias("exact_pairs"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+    )
+    bk = ck.groupBy(F.expr("l_partkey DIV 100").alias("b")).agg(
+        F.sum("c").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("ndvb"),
+    )
+    eb = bk.agg(
+        F.sum(F.expr(f"CAST(nb AS {dec}) * nb DIV ndvb"))
+        .cast("long")
+        .alias("est_b100")
+    )
+    return (
+        ex.join(F.broadcast(eb))
+        .select(
+            "n_rows",
+            "ndv",
+            "exact_pairs",
+            F.expr(f"CAST(CAST(n_rows AS {dec}) * n_rows DIV ndv AS BIGINT)").alias(
+                "est_global"
+            ),
+            "est_b100",
+            F.expr(
+                f"CAST(ABS(CAST(n_rows AS {dec}) * n_rows DIV ndv - exact_pairs)"
+                f" * 1000000 DIV exact_pairs AS BIGINT)"
+            ).alias("err_global_ppm"),
+            F.expr(
+                f"CAST(ABS(CAST(est_b100 AS {dec}) - exact_pairs)"
+                f" * 1000000 DIV exact_pairs AS BIGINT)"
+            ).alias("err_b100_ppm"),
+        )
+    )
