@@ -224,6 +224,8 @@ HEADLINE = [
     "conversion_latency_quantiles",
     "huffman_code_cost",
     "join_cardinality_estimate",
+    "bloom_prejoin_pruning",
+    "pipeline_feature_store",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 from stacktrend_spark.functions.rounding import (
     comoments,
     fround,
+    iscale,
     sql_comoments,
+    sql_iscale,
     sql_round,
 )
 from stacktrend_spark.plans.registry import register
@@ -1395,5 +1397,120 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_neg",
             "n_collisions",
             "neg_id_sum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store assembly (r6) — the composition the feature operators
+# exist for: ONE wide, point-in-time-correct training table per
+# customer. Cutoff = max(o_orderdate) − 90 days; every feature reads
+# PRE-cutoff orders only, the label is post-cutoff activity, and the
+# categorical encode (segment high-priority rate) is likewise fitted
+# on pre-cutoff data — the three leakage rules of feature-store
+# engineering, each enforced structurally:
+#
+#   rfm        n_orders_pre, spend_cents_pre, recency_days
+#   encode     segment_rate_ppm (pre-cutoff, broadcast back)
+#   label      ≥1 order in the 90-day post-window
+#
+# 100 TB: one conditional aggregate over orders on custkey + a 5-row
+# broadcast encode join + a broadcast dimension join — no fact table
+# is scanned twice, no row-level data crosses the cutoff.
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_feature_store",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(o_orderdate) AS mt FROM orders),
+        pre AS (
+            SELECT o.*, mx.mt FROM orders o, mx
+            WHERE o.o_orderdate < mx.mt - INTERVAL 90 DAY
+        ),
+        rfm AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders_pre,
+                   CAST(SUM({sql_iscale('o_totalprice')}) AS BIGINT)
+                       AS spend_cents_pre,
+                   CAST(DATE_DIFF('day', MAX(o_orderdate),
+                                  MAX(mt) - INTERVAL 90 DAY) AS BIGINT)
+                       AS recency_days
+            FROM pre GROUP BY o_custkey
+        ),
+        seg_rate AS (
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CASE WHEN p.o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                        AS BIGINT) AS segment_rate_ppm
+            FROM pre p JOIN customer c ON p.o_custkey = c.c_custkey
+            GROUP BY 1
+        ),
+        post AS (
+            SELECT DISTINCT o.o_custkey FROM orders o, mx
+            WHERE o.o_orderdate >= mx.mt - INTERVAL 90 DAY
+        )
+        SELECT rfm.o_custkey AS custkey,
+               rfm.n_orders_pre, rfm.spend_cents_pre, rfm.recency_days,
+               sr.segment_rate_ppm,
+               post.o_custkey IS NOT NULL AS label_active
+        FROM rfm
+        JOIN customer c ON rfm.o_custkey = c.c_custkey
+        JOIN seg_rate sr ON c.c_mktsegment = sr.c_mktsegment
+        LEFT JOIN post ON rfm.o_custkey = post.o_custkey
+    """,
+    doc=(
+        "Point-in-time feature-store assembly: per-customer RFM "
+        "features + pre-cutoff-fitted segment encode + 90-day post-"
+        "window activity label in ONE wide table — the three leakage "
+        "rules (features pre-cutoff, encode pre-cutoff, label post-"
+        "cutoff) enforced structurally; one fact aggregate + broadcast "
+        "joins."
+    ),
+)
+def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    mx = orders.agg(F.max("o_orderdate").alias("mt"))
+    pre = orders.join(F.broadcast(mx)).filter(
+        F.col("o_orderdate") < F.expr("mt - INTERVAL 90 DAYS")
+    )
+    rfm = pre.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_pre"),
+        F.sum(iscale("o_totalprice")).cast("long").alias("spend_cents_pre"),
+        F.datediff(
+            F.expr("MAX(mt) - INTERVAL 90 DAYS"), F.max("o_orderdate")
+        )
+        .cast("long")
+        .alias("recency_days"),
+    )
+    seg_rate = (
+        pre.join(cust, pre.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')"
+                " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("segment_rate_ppm")
+        )
+    )
+    post = (
+        orders.join(F.broadcast(mx))
+        .filter(F.col("o_orderdate") >= F.expr("mt - INTERVAL 90 DAYS"))
+        .select("o_custkey")
+        .distinct()
+        .withColumn("is_post", F.lit(1))
+    )
+    return (
+        rfm.join(cust, rfm.o_custkey == cust.c_custkey)
+        .join(F.broadcast(seg_rate), "c_mktsegment")
+        .join(post, "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders_pre",
+            "spend_cents_pre",
+            "recency_days",
+            "segment_rate_ppm",
+            F.col("is_post").isNotNull().alias("label_active"),
         )
     )

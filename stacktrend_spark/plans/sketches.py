@@ -655,3 +655,154 @@ def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_member", "bloom_positive")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-join pruning (r6) — bloom_filter_membership made to EARN
+# its keep: use the 64-word filter built from BUILDING-segment
+# customers to pre-filter the orders fact table BEFORE the real join,
+# then audit the whole economics in one result row:
+#
+#   rows_scanned      orders probed (the fact side)
+#   rows_passed       orders surviving the broadcast bit test
+#   rows_joined       true join size (semi join with the segment dim)
+#   false_passes      passed − joined  (the one-sided error)
+#   pruned_ppm        share of the fact side the 512-byte filter
+#                     removed before any shuffle
+#
+# Correctness invariant ON the hashed surface: rows_joined ≤
+# rows_passed (no false negatives), and the pruned share is exact.
+# This is precisely Spark's runtime bloom-join pruning
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) re-expressed as an
+# auditable plan.
+# 100 TB: filter build = one 64-word BIT_OR agg on the DIMENSION;
+# probe = map-only broadcast bit test on the fact scan — the shuffle
+# the filter saves is the join's whole cost at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_prejoin_pruning",
+    oracle=f"""
+        WITH members AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        mprobe AS (
+            SELECT c_custkey,
+                   ({_sql_hex40("'bf' || CAST(i AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR)")}) % {_BLOOM_M} AS bitpos
+            FROM members, (SELECT UNNEST([0, 1, 2]) AS i)
+        ),
+        filt AS (
+            SELECT bitpos // 63 AS w,
+                   BIT_OR(1::BIGINT << CAST(bitpos % 63 AS INTEGER)) AS bits
+            FROM mprobe GROUP BY 1
+        ),
+        oprobe AS (
+            SELECT o.o_orderkey, o.o_custkey,
+                   ({_sql_hex40("'bf' || CAST(i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)")}) % {_BLOOM_M} AS bitpos
+            FROM orders o, (SELECT UNNEST([0, 1, 2]) AS i)
+        ),
+        hits AS (
+            SELECT p.o_orderkey, p.o_custkey,
+                   CASE WHEN f.bits IS NOT NULL
+                             AND (f.bits >> CAST(p.bitpos % 63 AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE 0 END AS hit
+            FROM oprobe p LEFT JOIN filt f ON p.bitpos // 63 = f.w
+        ),
+        verdicts AS (
+            SELECT o_orderkey, o_custkey, MIN(hit) = 1 AS passed
+            FROM hits GROUP BY 1, 2
+        ),
+        joined AS (
+            SELECT v.o_orderkey
+            FROM verdicts v JOIN members m ON v.o_custkey = m.c_custkey
+        )
+        SELECT CAST((SELECT COUNT(*) FROM verdicts) AS BIGINT) AS rows_scanned,
+               CAST((SELECT COUNT(*) FROM verdicts WHERE passed) AS BIGINT)
+                   AS rows_passed,
+               CAST((SELECT COUNT(*) FROM joined) AS BIGINT) AS rows_joined,
+               CAST((SELECT COUNT(*) FROM verdicts WHERE passed)
+                    - (SELECT COUNT(*) FROM joined) AS BIGINT) AS false_passes,
+               CAST(((SELECT COUNT(*) FROM verdicts)
+                     - (SELECT COUNT(*) FROM verdicts WHERE passed))
+                    * 1000000 // (SELECT COUNT(*) FROM verdicts)
+                    AS BIGINT) AS pruned_ppm
+    """,
+    doc=(
+        "Bloom pre-join pruning economics: probe the orders fact side "
+        "with the 512-byte BUILDING-customer filter, report scanned / "
+        "passed / true-joined / false-passes / exact pruned share — "
+        "Spark's runtime bloom-join pruning as an auditable plan "
+        "(semi-join ≤ passed is the no-false-negative invariant)."
+    ),
+)
+def bloom_prejoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def bitpos(col: F.Column) -> F.Column:
+        return (
+            _spark_hex40(
+                F.concat(
+                    F.lit("bf"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    col.cast("string"),
+                )
+            )
+            % _BLOOM_M
+        )
+
+    tri = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+    filt = (
+        members.select("c_custkey", tri)
+        .select(bitpos(F.col("c_custkey")).alias("bitpos"))
+        .groupBy(F.expr("bitpos DIV 63").alias("w"))
+        .agg(
+            F.expr(
+                "BIT_OR(SHIFTLEFT(CAST(1 AS BIGINT), CAST(bitpos % 63 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    oprobe = orders.select("o_orderkey", "o_custkey", tri).select(
+        "o_orderkey", "o_custkey", bitpos(F.col("o_custkey")).alias("bitpos")
+    )
+    verdicts = (
+        oprobe.join(F.broadcast(filt), F.expr("bitpos DIV 63") == filt.w, "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.expr("SHIFTRIGHT(bits, CAST(bitpos % 63 AS INT)) & 1") == 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg((F.min("hit") == 1).alias("passed"))
+        .persist()
+    )
+    joined = verdicts.join(
+        F.broadcast(members), verdicts.o_custkey == members.c_custkey, "left_semi"
+    )
+    scanned = verdicts.agg(F.count(F.lit(1)).alias("rows_scanned"))
+    passed = verdicts.filter("passed").agg(F.count(F.lit(1)).alias("rows_passed"))
+    njoin = joined.agg(F.count(F.lit(1)).alias("rows_joined"))
+    return (
+        scanned.join(F.broadcast(passed))
+        .join(F.broadcast(njoin))
+        .select(
+            F.col("rows_scanned").cast("long"),
+            F.col("rows_passed").cast("long"),
+            F.col("rows_joined").cast("long"),
+            (F.col("rows_passed") - F.col("rows_joined"))
+            .cast("long")
+            .alias("false_passes"),
+            F.expr(
+                "(rows_scanned - rows_passed) * 1000000 DIV rows_scanned"
+            )
+            .cast("long")
+            .alias("pruned_ppm"),
+        )
+    )
