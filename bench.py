@@ -226,6 +226,7 @@ HEADLINE = [
     "join_cardinality_estimate",
     "bloom_prejoin_pruning",
     "pipeline_feature_store",
+    "zorder_vs_linear_skipping",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

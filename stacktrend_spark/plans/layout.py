@@ -317,3 +317,172 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_b100_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order vs linear clustering, head-to-head (r6) — zorder_layout_stats
+# measures curve locality and zonemap_skipping_audit measures 1-D
+# pruning; this query closes the loop by PRICING THE LAYOUT DECISION:
+# the same part table is laid out two ways into 32 equal-row chunks —
+# lexicographic (p_size, price) vs Morton-interleaved z-order — and a
+# 2-D box predicate (size ∈ [10,20] ∧ price ∈ [$500,$1000]) is priced
+# against each layout's per-chunk min-max zone maps. The linear layout
+# prunes on the leading dimension only; z-order prunes on both — the
+# two output rows ARE the argument for z-ordering 2-D-filtered tables.
+# Exact integers throughout (ranks tiebroken by p_partkey; chunk =
+# (rank−1)·32 DIV n).
+# 100 TB: this is an offline layout-planning query over a DIMENSION
+# table (the global ranks are dimension-sized); the layout it prices
+# is what the write path (functions/zorder.py) produces.
+# ---------------------------------------------------------------------------
+_ZVL_CHUNKS = 32
+
+
+def _zvl_oracle() -> str:
+    from stacktrend_spark.functions.rounding import sql_iscale
+    from stacktrend_spark.functions.zorder import sql_zorder_key2
+
+    zkey = sql_zorder_key2("p_size", f"({sql_iscale('p_retailprice')}) // 256", 16)
+    return f"""
+        WITH base AS (
+            SELECT p_partkey, p_size,
+                   {sql_iscale('p_retailprice')} AS cents,
+                   {zkey} AS zkey
+            FROM part
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY p_size, cents, p_partkey) AS r_lin,
+                   ROW_NUMBER() OVER (ORDER BY zkey, p_partkey)          AS r_z,
+                   COUNT(*) OVER () AS n
+            FROM base
+        ),
+        chunks AS (
+            SELECT 'linear' AS layout,
+                   (r_lin - 1) * {_ZVL_CHUNKS} // n AS chunk,
+                   p_size, cents
+            FROM ranked
+            UNION ALL
+            SELECT 'zorder' AS layout,
+                   (r_z - 1) * {_ZVL_CHUNKS} // n AS chunk,
+                   p_size, cents
+            FROM ranked
+        ),
+        zones AS (
+            SELECT layout, chunk,
+                   MIN(p_size) AS smin, MAX(p_size) AS smax,
+                   MIN(cents) AS cmin, MAX(cents) AS cmax,
+                   COUNT(*) AS n_rows
+            FROM chunks GROUP BY 1, 2
+        ),
+        preds AS (
+            SELECT 'size_and_price' AS predicate UNION ALL
+            SELECT 'price_only'
+        ),
+        priced AS (
+            SELECT z.layout, p.predicate, z.n_rows,
+                   CASE WHEN p.predicate = 'size_and_price'
+                        THEN (z.smax < 10 OR z.smin > 20
+                              OR z.cmax < 50000 OR z.cmin > 100000)
+                        ELSE (z.cmax < 50000 OR z.cmin > 100000)
+                   END AS pruned
+            FROM zones z CROSS JOIN preds p
+        )
+        SELECT layout, predicate,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS chunks_pruned,
+               CAST(SUM(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT)
+                   AS rows_pruned,
+               CAST(SUM(CASE WHEN pruned THEN n_rows ELSE 0 END) * 1000000
+                    // SUM(n_rows) AS BIGINT) AS pruned_ppm
+        FROM priced
+        GROUP BY layout, predicate
+    """
+
+
+@register(
+    "zorder_vs_linear_skipping",
+    oracle=_zvl_oracle(),
+    doc=(
+        "Layout decision priced head-to-head: the same table chunked "
+        "32 ways under lexicographic vs Morton z-order, a 2-D box "
+        "predicate priced against each layout's min-max zone maps — "
+        "chunks/rows pruned and exact ppm share per layout; the "
+        "two-row argument for z-ordering 2-D-filtered tables."
+    ),
+)
+def zorder_vs_linear_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from stacktrend_spark.functions.rounding import iscale
+    from stacktrend_spark.functions.zorder import zorder_key2
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", iscale("p_retailprice").alias("cents")
+    )
+    base = part.withColumn(
+        "zkey", zorder_key2(F.col("p_size"), F.expr("cents DIV 256"), 16)
+    )
+    ranked = base.select(
+        "p_size",
+        "cents",
+        F.row_number().over(W.orderBy("p_size", "cents", "p_partkey")).alias("r_lin"),
+        F.row_number().over(W.orderBy("zkey", "p_partkey")).alias("r_z"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    lin = ranked.select(
+        F.lit("linear").alias("layout"),
+        F.expr(f"(r_lin - 1) * {_ZVL_CHUNKS} DIV n").alias("chunk"),
+        "p_size",
+        "cents",
+    )
+    zo = ranked.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"(r_z - 1) * {_ZVL_CHUNKS} DIV n").alias("chunk"),
+        "p_size",
+        "cents",
+    )
+    zones = (
+        lin.unionByName(zo)
+        .groupBy("layout", "chunk")
+        .agg(
+            F.min("p_size").alias("smin"),
+            F.max("p_size").alias("smax"),
+            F.min("cents").alias("cmin"),
+            F.max("cents").alias("cmax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    preds = zones.sparkSession.createDataFrame(
+        [("size_and_price",), ("price_only",)], ["predicate"]
+    )
+    priced = zones.crossJoin(F.broadcast(preds)).select(
+        "layout",
+        "predicate",
+        "n_rows",
+        F.when(
+            F.col("predicate") == "size_and_price",
+            (F.col("smax") < 10)
+            | (F.col("smin") > 20)
+            | (F.col("cmax") < 50000)
+            | (F.col("cmin") > 100000),
+        )
+        .otherwise((F.col("cmax") < 50000) | (F.col("cmin") > 100000))
+        .alias("pruned"),
+    )
+    return priced.groupBy("layout", "predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("pruned"), 1).otherwise(0))
+        .cast("long")
+        .alias("chunks_pruned"),
+        F.sum(F.when(F.col("pruned"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_pruned"),
+        F.expr(
+            "SUM(CASE WHEN pruned THEN n_rows ELSE 0 END) * 1000000"
+            " DIV SUM(n_rows)"
+        )
+        .cast("long")
+        .alias("pruned_ppm"),
+    )
