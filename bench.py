@@ -227,6 +227,7 @@ HEADLINE = [
     "bloom_prejoin_pruning",
     "pipeline_feature_store",
     "zorder_vs_linear_skipping",
+    "array_hof_cosine_topk",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

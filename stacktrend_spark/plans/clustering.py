@@ -884,3 +884,127 @@ def lang_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HOF-only cosine top-k (r6) — the similarity baseline expressed in
+# NOTHING but built-in higher-order functions: quantize components
+# with TRANSFORM, multiply pairs with ZIP_WITH, left-fold the sum with
+# AGGREGATE — zero UDFs, zero Arrow, the whole scorer lives inside
+# whole-stage codegen. Complements the Arrow-kernel family
+# (sim_bruteforce_topk et al.) by pinning the pure-JVM path the task
+# brief names (F.zip_with / F.aggregate for the dot product).
+# Exactness: components quantize to ⌊x·10⁶+0.5⌋ BEFORE any arithmetic,
+# so dots/norms are exact integers (order-independent); the ranking
+# surface is the signed ppb cosine²
+#     cos_ppb = sign(dot) · (dot²·10⁹ DIV (na²·nb²))
+# (monotone in cosine; 128-bit products). Top-5 corpus neighbors for
+# the 3 lowest vec_ids, vec_id tiebreak.
+# 100 TB: queries broadcast; scoring is a map-only scan of the corpus
+# (the brute-force contract — IVF/PQ are the indexed paths).
+# ---------------------------------------------------------------------------
+@register(
+    "array_hof_cosine_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid,
+                   list_transform({_SQL_D.format("embedding")},
+                                  x -> FLOOR(x * 1000000.0 + 0.5)) AS qv
+            FROM embeddings WHERE vec_id < 3
+        ),
+        c AS (
+            SELECT vec_id,
+                   list_transform({_SQL_D.format("embedding")},
+                                  x -> FLOOR(x * 1000000.0 + 0.5)) AS cv
+            FROM embeddings WHERE vec_id >= 3
+        ),
+        -- quantized components <= ~2e6 and 64-dim partial sums <= 2.6e14
+        -- are all exactly representable doubles, so list_dot_product is
+        -- EXACT here whatever its summation order; cast back to integers
+        scored AS (
+            SELECT q.qid, c.vec_id,
+                   CAST(CAST(list_dot_product(q.qv, c.cv) AS BIGINT)
+                        AS HUGEINT) AS dot,
+                   CAST(CAST(list_dot_product(q.qv, q.qv) AS BIGINT)
+                        AS HUGEINT) AS na2,
+                   CAST(CAST(list_dot_product(c.cv, c.cv) AS BIGINT)
+                        AS HUGEINT) AS nb2
+            FROM q CROSS JOIN c
+        ),
+        ranked AS (
+            SELECT qid, vec_id,
+                   CAST(dot AS BIGINT) AS dot_scaled,
+                   CAST(CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+                        * (dot * dot * 1000000000 // (na2 * nb2))
+                        AS BIGINT) AS cos_ppb,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+                                * (dot * dot * 1000000000 // (na2 * nb2)) DESC,
+                                vec_id ASC) AS rk
+            FROM scored
+        )
+        SELECT qid AS query_id, vec_id AS neighbor_id, dot_scaled, cos_ppb,
+               CAST(rk AS BIGINT) AS sim_rank
+        FROM ranked WHERE rk <= 5
+    """,
+    doc=(
+        "Cosine top-5 for 3 query vectors using ONLY built-in "
+        "higher-order functions (TRANSFORM quantize, ZIP_WITH multiply, "
+        "AGGREGATE left-fold) — zero UDF/Arrow, fully codegen'd; exact "
+        "integer dots/norms, signed ppb cosine² ranking surface."
+    ),
+)
+def array_hof_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W2
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    quant = (
+        "transform(embedding,"
+        " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.expr(quant).alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 3).select(
+        "vec_id", F.expr(quant).alias("cv")
+    )
+    dec = "DECIMAL(38,0)"
+    scored = c.join(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with(qv, cv, (x, y) -> CAST(x AS {dec}) * y),"
+            f" CAST(0 AS {dec}), (acc, v) -> acc + v)"
+        ).alias("dot"),
+        F.expr(
+            f"aggregate(qv, CAST(0 AS {dec}),"
+            f" (acc, x) -> acc + CAST(x AS {dec}) * x)"
+        ).alias("na2"),
+        F.expr(
+            f"aggregate(cv, CAST(0 AS {dec}),"
+            f" (acc, x) -> acc + CAST(x AS {dec}) * x)"
+        ).alias("nb2"),
+    )
+    cosp = F.expr(
+        "CAST(CASE WHEN dot >= 0 THEN 1 ELSE -1 END"
+        " * (dot * dot * 1000000000 DIV (na2 * nb2)) AS BIGINT)"
+    )
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.col("dot").cast("long").alias("dot_scaled"),
+        cosp.alias("cos_ppb"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W2.partitionBy("qid").orderBy(F.desc("cos_ppb"), F.asc("vec_id"))
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 5).select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        "dot_scaled",
+        "cos_ppb",
+        F.col("rk").cast("long").alias("sim_rank"),
+    )
