@@ -228,6 +228,8 @@ HEADLINE = [
     "pipeline_feature_store",
     "zorder_vs_linear_skipping",
     "array_hof_cosine_topk",
+    "session_type_affinity",
+    "quantile_drift_boundaries",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1619,3 +1619,134 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_latency_us"),
         F.max("lat_us").cast("long").alias("max_latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Same-session type affinity (r6) — events_markov_transition scores
+# CONSECUTIVE steps; this scores CO-PRESENCE: for every ordered pair
+# of event types, the lift of "a session containing A also contains
+# B" over B's base session rate. Sessions are the 30-minute-gap
+# sessionization (same lag/flag/prefix-sum construction as
+# stream_session_windows' oracle), distinct types per session, then
+# pair counts vs marginals — exact ppm with HUGEINT/DECIMAL(38)
+# products for the lift cross-multiplication.
+# 100 TB: sessionization is per-user windows (one user shuffle);
+# sessions collapse to distinct (session, type) rows; the pair join
+# fans out by types-per-session (≤ |types|), and the affinity matrix
+# is |types|² — constant.
+# ---------------------------------------------------------------------------
+@register(
+    "session_type_affinity",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            >= 1800000000
+                        OR LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ),
+        st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+        n_sess AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS ns
+                   FROM st),
+        marg AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+            FROM st GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM st a JOIN st b
+              ON a.user_id = b.user_id AND a.sid = b.sid
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.n_both,
+               ma.n_t AS n_a, mb.n_t AS n_b,
+               CAST(CAST(p.n_both AS HUGEINT) * ns.ns * 1000000
+                    // (CAST(ma.n_t AS HUGEINT) * mb.n_t) AS BIGINT)
+                   AS lift_ppm
+        FROM pairs p
+        JOIN marg ma ON p.type_a = ma.event_type
+        JOIN marg mb ON p.type_b = mb.event_type
+        CROSS JOIN n_sess ns
+    """,
+    doc=(
+        "Same-session type-affinity lift: 30-min-gap sessionization, "
+        "distinct types per session, pairwise co-presence vs marginal "
+        "session rates — lift_ppm = n_both·n_sessions·10⁶ DIV "
+        "(n_a·n_b), exact 128-bit products. The co-presence complement "
+        "to the Markov transition matrix."
+    ),
+)
+def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) >= 1800000000)
+            | F.lag(F.unix_micros("ts")).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    st = (
+        seq.select(
+            "user_id", "event_type", F.sum("is_new").over(ws).alias("sid")
+        )
+        .distinct()
+        .persist()
+    )
+    n_sess = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    marg = st.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    a = st.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_t").alias("n_a"))), "type_a"
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_t").alias("n_b"))), "type_b"
+        )
+        .join(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST(CAST(n_both AS {dec}) * ns * 1000000"
+                f" DIV (CAST(n_a AS {dec}) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

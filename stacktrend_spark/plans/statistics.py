@@ -2245,3 +2245,101 @@ def wilson_lcb_category_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lcb_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-boundary drift (r6) — PSI's complement: psi_feature_drift
+# measures MASS shift across fixed bins; this measures where the
+# QUANTILE BOUNDARIES themselves moved. Exact decile boundaries
+# (P10..P90) of 1996 vs 1997 order values as order statistics (rank
+# k·n DIV 10, clamped ≥1, orderkey tiebreak — no interpolation), with
+# per-decile deltas and drift ppm. The pair (PSI, boundary drift) is
+# the standard feature-monitoring dashboard row.
+# 100 TB: two year-pruned scans; the rank windows are the global-rank
+# class (two-phase scalable form past ~10⁷ rows/year); all math after
+# is on the 9-row decile spine.
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_drift_boundaries",
+    oracle=f"""
+        WITH y96 AS (
+            SELECT {sql_iscale('o_totalprice')} AS cents, o_orderkey
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+        ),
+        y97 AS (
+            SELECT {sql_iscale('o_totalprice')} AS cents, o_orderkey
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ),
+        r96 AS (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM y96
+        ),
+        r97 AS (
+            SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM y97
+        ),
+        ks AS (SELECT UNNEST(RANGE(1, 10)) AS k),
+        b96 AS (
+            SELECT ks.k, MIN(r96.cents) AS b
+            FROM ks JOIN r96 ON r96.rk = GREATEST(ks.k * r96.n // 10, 1)
+            GROUP BY ks.k
+        ),
+        b97 AS (
+            SELECT ks.k, MIN(r97.cents) AS b
+            FROM ks JOIN r97 ON r97.rk = GREATEST(ks.k * r97.n // 10, 1)
+            GROUP BY ks.k
+        )
+        SELECT CAST(b96.k AS BIGINT) AS decile,
+               CAST(b96.b AS BIGINT) AS boundary_1996_cents,
+               CAST(b97.b AS BIGINT) AS boundary_1997_cents,
+               CAST(b97.b - b96.b AS BIGINT) AS delta_cents,
+               CAST(ABS(b97.b - b96.b) * 1000000 // b96.b AS BIGINT)
+                   AS drift_ppm
+        FROM b96 JOIN b97 ON b96.k = b97.k
+    """,
+    doc=(
+        "Exact decile-boundary drift between the 1996 and 1997 order-"
+        "value distributions: order-statistic boundaries (rank k·n DIV "
+        "10, orderkey tiebreak, no interpolation), per-decile delta + "
+        "drift ppm — the quantile complement to psi_feature_drift's "
+        "mass shift."
+    ),
+)
+def quantile_drift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def boundaries(y0: str, y1: str) -> DataFrame:
+        yr = o.filter(
+            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+        ).select(iscale("o_totalprice").alias("cents"), "o_orderkey")
+        r = yr.select(
+            "cents",
+            F.row_number().over(W.orderBy("cents", "o_orderkey")).alias("rk"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+        ks = r.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+        return (
+            F.broadcast(ks)
+            .join(r, r.rk == F.greatest(F.expr("k * n DIV 10"), F.lit(1)))
+            .groupBy("k")
+            .agg(F.min("cents").alias("b"))
+        )
+
+    b96 = boundaries("1996-01-01", "1997-01-01").withColumnRenamed("b", "b96")
+    b97 = boundaries("1997-01-01", "1998-01-01").withColumnRenamed("b", "b97")
+    return b96.join(b97, "k").select(
+        F.col("k").cast("long").alias("decile"),
+        F.col("b96").cast("long").alias("boundary_1996_cents"),
+        F.col("b97").cast("long").alias("boundary_1997_cents"),
+        (F.col("b97") - F.col("b96")).cast("long").alias("delta_cents"),
+        F.expr("ABS(b97 - b96) * 1000000 DIV b96").cast("long").alias("drift_ppm"),
+    )
