@@ -230,6 +230,7 @@ HEADLINE = [
     "array_hof_cosine_topk",
     "session_type_affinity",
     "quantile_drift_boundaries",
+    "recursive_amortization_native",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

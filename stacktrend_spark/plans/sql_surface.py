@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from stacktrend_spark.functions.rounding import sql_iscale
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import register_views
 
@@ -230,4 +231,77 @@ def division_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dom))
         .filter(F.col("np") == F.col("npri"))
         .select("c_custkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (r6) — Spark 4 ships WITH RECURSIVE
+# (SPARK-24497 / UnionLoopExec), and this query pins that NEW surface
+# with a genuinely sequential computation both engines run from the
+# same SQL text: a 0.5%/month amortization of each nation's total
+# revenue (principal = Σ revenue cents, payment = principal DIV 72),
+# all 25 nations iterating IN ONE recursion (the anchor is 25 rows;
+# each level advances every still-open balance, rows self-terminate
+# via bal > 0). Integer-only recurrence:
+#
+#   bal' = bal + bal·5000 DIV 10⁶ − payment
+#
+# so every level is bit-exact in both engines. Levels ≤ 96 — under
+# Spark's default 100-level recursion cap, pinned deliberately (the
+# MAX RECURSION LEVEL clause is Spark-only syntax the shared SQL
+# avoids). The repo's other recurrences run as grouped-map kernels or
+# oracle-side CTE replays; this is the first BOTH-SIDES-native one.
+# 100 TB: the corpus collapses to 25 principals first; the loop is
+# O(levels × open rows) on that constant spine — driver-sized work,
+# executor-sized scan.
+# ---------------------------------------------------------------------------
+_AMORT_SQL = """
+    WITH RECURSIVE principals AS (
+        SELECT n.n_name AS nation,
+               SUM({ISCALE}) AS principal
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    am AS (
+        SELECT nation, 0 AS m, principal AS bal,
+               CAST(0 AS BIGINT) AS interest,
+               principal // 72 AS payment
+        FROM principals
+        UNION ALL
+        SELECT nation, m + 1,
+               bal + bal * 5000 {DIV} 1000000 - payment,
+               bal * 5000 {DIV} 1000000,
+               payment
+        FROM am WHERE m < 96 AND bal > 0
+    )
+    SELECT nation,
+           CAST(MAX(m) AS BIGINT)            AS n_months,
+           CAST(SUM(interest) AS BIGINT)     AS total_interest_cents,
+           CAST(MIN(bal) AS BIGINT)          AS final_balance_cents
+    FROM am
+    GROUP BY nation
+"""
+
+
+@register(
+    "recursive_amortization_native",
+    oracle=_AMORT_SQL.format(
+        ISCALE=sql_iscale("o.o_totalprice"), DIV="//"
+    ).replace("principal // 72", "principal // 72"),
+    doc=(
+        "Spark 4's native WITH RECURSIVE (UnionLoopExec) pinned with a "
+        "25-nation integer amortization recurrence (0.5%/month, "
+        "payment = principal DIV 72, per-row self-termination) — the "
+        "same recursive SQL text both engines execute; months to "
+        "payoff, total interest, final balance per nation."
+    ),
+)
+def recursive_amortization_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _AMORT_SQL.format(ISCALE=sql_iscale("o.o_totalprice"), DIV="DIV").replace(
+            "principal // 72", "principal DIV 72"
+        )
     )
