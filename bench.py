@@ -231,6 +231,8 @@ HEADLINE = [
     "session_type_affinity",
     "quantile_drift_boundaries",
     "recursive_amortization_native",
+    "rolling_correlation_14d",
+    "forecast_backtest_snaive",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1484,3 +1484,171 @@ def stl_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").cast("long").alias("mad_rem"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 14-observation correlation (r6) — the multivariate rolling statistic
+# (pairs-trading / co-movement monitoring): Pearson correlation of
+# daily VIEW value vs PURCHASE value over a trailing 14-observation
+# ROWS window on the matched-day spine,
+# computed on FULL windows only. Exactness: each window's five
+# sufficient statistics (Σx, Σy, Σx², Σy², Σxy) are EXACT integer
+# window sums over cents (order-independent), and the correlation is
+# one fixed double op tree per day (the dstd discipline, windowed).
+# Degenerate windows (zero variance) emit NULL identically via a
+# NULLIF guard on both sides.
+# 100 TB: corpus → two daily rollups joined on the ~2.4k-day spine;
+# the window sums are spine-sized. Wide products in DECIMAL(38,0)/
+# HUGEINT (cents² ≤ 1e24-class at big sf).
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_correlation_14d",
+    oracle=f"""
+        WITH a AS (
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS x
+            FROM events WHERE event_type = 'view'
+            GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('day', ts) AS day,
+                   SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        j AS (
+            SELECT a.day, a.x, b.y FROM a JOIN b ON a.day = b.day
+        ),
+        wsum AS (
+            SELECT day,
+                   CAST(COUNT(*) OVER w AS BIGINT)  AS n,
+                   CAST(SUM(x) OVER w AS DOUBLE)    AS sx,
+                   CAST(SUM(y) OVER w AS DOUBLE)    AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) OVER w AS DOUBLE) AS sxy
+            FROM j
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT day, n,
+               {sql_round(
+                   "(14.0*sxy - sx*sy)"
+                   " / NULLIF(SQRT((14.0*sxx - sx*sx) * (14.0*syy - sy*sy)), 0.0)",
+                   6,
+               )} AS corr_14d
+        FROM wsum WHERE n = 14
+    """,
+    doc=(
+        "Trailing-14-observation Pearson correlation of two daily "
+        "event-value series (view vs purchase; ROWS window): exact "
+        "integer window sums of the five sufficient statistics, one "
+        "fixed double op tree per day, NULLIF degenerate-window guard "
+        "— the co-movement monitor, full windows only."
+    ),
+)
+def rolling_correlation_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+
+    def daily(etype: str, col: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+                .alias(col)
+            )
+        )
+
+    j = daily("view", "x").join(daily("purchase", "y"), "day")
+    w = W.orderBy("day").rowsBetween(-13, 0)
+    dec = "decimal(38,0)"
+    wsum = j.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * x")).over(w).cast("double").alias("sxx"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).over(w).cast("double").alias("syy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * y")).over(w).cast("double").alias("sxy"),
+    )
+    num = F.lit(14.0) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.lit(14.0) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.lit(14.0) * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        wsum.filter(F.col("n") == 14)
+        .select(
+            "day",
+            "n",
+            fround(num / F.nullif(den, F.lit(0.0)), 6).alias("corr_14d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (r6) — the evaluation half the
+# forecasting family lacked: holt_level_trend FITS a model; this
+# BACKTESTS the standard baseline every forecaster must beat
+# (ŷ_t = y_{t−7}, the seasonal-naive) over the daily revenue series,
+# reporting exact integer MAE-numerator and ppm MAPE per weekday plus
+# overall. Integer-only: absolute errors in cents, MAPE terms as
+# |e|·10⁶ DIV y (y > 0 on this data). Weekday basis Monday-pinned
+# (WEEKDAY ≡ isodow−1, the stl_lite rule).
+# 100 TB: one daily rollup; LAG(7) + error aggregation on the day
+# spine. Backtesting any other model = replacing the LAG with its
+# fitted column — the harness shape is model-agnostic.
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_backtest_snaive",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM({sql_iscale('o_totalprice')}) AS y
+            FROM orders GROUP BY o_orderdate
+        ),
+        fc AS (
+            SELECT day, y,
+                   LAG(y, 7) OVER (ORDER BY day) AS yhat,
+                   CAST(isodow(day) - 1 AS BIGINT) AS dow
+            FROM daily
+        ),
+        err AS (
+            SELECT dow, y, ABS(y - yhat) AS ae
+            FROM fc WHERE yhat IS NOT NULL
+        )
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT)  AS n_days,
+               CAST(SUM(ae) AS BIGINT)   AS sum_abs_err_cents,
+               CAST(SUM(ae * 1000000 // y) AS BIGINT) AS sum_ape_ppm
+        FROM err
+        GROUP BY dow
+    """,
+    doc=(
+        "Seasonal-naive (lag-7) forecast backtest over daily revenue: "
+        "per-weekday exact MAE numerator (cents) and summed absolute-"
+        "percentage-error ppm — the baseline every forecaster must "
+        "beat, as an integer-exact harness; swap the LAG for any "
+        "fitted column to backtest a real model."
+    ),
+)
+def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(iscale("o_totalprice")).alias("y")
+    )
+    fc = daily.select(
+        "day",
+        "y",
+        F.lag("y", 7).over(W.orderBy("day")).alias("yhat"),
+        F.weekday("day").cast("long").alias("dow"),
+    ).filter(F.col("yhat").isNotNull())
+    return (
+        fc.select("dow", "y", F.abs(F.col("y") - F.col("yhat")).alias("ae"))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("ae").cast("long").alias("sum_abs_err_cents"),
+            F.sum(F.expr("ae * 1000000 DIV y")).cast("long").alias("sum_ape_ppm"),
+        )
+    )
