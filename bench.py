@@ -233,6 +233,8 @@ HEADLINE = [
     "recursive_amortization_native",
     "rolling_correlation_14d",
     "forecast_backtest_snaive",
+    "lexical_diversity_by_source",
+    "vocab_coverage_curve",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

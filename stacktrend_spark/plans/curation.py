@@ -1852,3 +1852,145 @@ def huffman_code_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sh))
         .select("n_symbols", "n_events", "huffman_total_bits", "shannon_num_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity by source (r6) — the corpus-health lexical panel
+# per ingestion source: type-token ratio (distinct words / words, ppm),
+# hapax rate (share of the source's vocabulary seen exactly once —
+# Zipf's long-tail gauge), and mean token length (µchars). All exact
+# integer ratios from two cascaded aggregations; the standard triage
+# for "which source is boilerplate vs organic text".
+# 100 TB: tokens shuffle once on (source, term); everything after is
+# vocabulary-sized then #sources-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "lexical_diversity_by_source",
+    oracle="""
+        WITH toks AS (
+            SELECT source,
+                   UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT source, term FROM toks WHERE term <> ''),
+        wc AS (
+            SELECT source, term,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(LENGTH(term)) AS BIGINT) AS chars
+            FROM tf GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT)      AS n_tokens,
+               CAST(COUNT(*) AS BIGINT)    AS n_types,
+               CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS hapax_ppm,
+               CAST(SUM(chars) * 1000000 // SUM(c) AS BIGINT)
+                   AS mean_token_len_micro
+        FROM wc
+        GROUP BY source
+    """,
+    doc=(
+        "Per-source lexical-diversity panel: type-token ratio ppm, "
+        "hapax (frequency-1 vocabulary) share ppm, mean token length "
+        "µchars — exact integer ratios from two cascaded aggregations; "
+        "the boilerplate-vs-organic triage for corpus sources."
+    ),
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tf = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    wc = tf.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.length("term")).cast("long").alias("chars"),
+    )
+    return wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr("COUNT(*) * 1000000 DIV SUM(c)").cast("long").alias("ttr_ppm"),
+        F.expr(
+            "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("hapax_ppm"),
+        F.expr("SUM(chars) * 1000000 DIV SUM(c)")
+        .cast("long")
+        .alias("mean_token_len_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (r6) — the tokenizer-sizing question "how
+# many tokens does a top-N vocabulary cover?": rank the corpus
+# vocabulary by frequency (count desc, term asc — total order), take
+# the running coverage at N ∈ {1, 2, 5, 10, 20, 50}, exact ppm. The
+# curve's knee is where BPE merges stop paying — the sizing input for
+# the bpe_pair_stats pipeline.
+# 100 TB: one (term) count aggregate; the rank is vocabulary-sized
+# (scalable-rank class past ~10⁷ types); coverage via running sum on
+# the ranked vocab spine, probed at 6 cut points.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+        WITH toks AS (
+            SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT term FROM toks WHERE term <> ''),
+        wc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tf GROUP BY 1),
+        ranked AS (
+            SELECT c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rk,
+                   SUM(c) OVER (ORDER BY c DESC, term ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER () AS tot
+            FROM wc
+        ),
+        cuts AS (SELECT UNNEST([1, 2, 5, 10, 20, 50]) AS n_vocab)
+        SELECT CAST(cuts.n_vocab AS BIGINT) AS n_vocab,
+               CAST(MAX(r.cum) AS BIGINT) AS covered_tokens,
+               CAST(MAX(r.cum) * 1000000 // MAX(r.tot) AS BIGINT)
+                   AS coverage_ppm
+        FROM cuts JOIN ranked r ON r.rk <= cuts.n_vocab
+        GROUP BY cuts.n_vocab
+    """,
+    doc=(
+        "Top-N vocabulary token-coverage curve (N ∈ {1,2,5,10,20,50}): "
+        "frequency-ranked vocab with total-order tiebreak, running "
+        "coverage probed at the cuts, exact ppm — the tokenizer-sizing "
+        "input (where the curve flattens, BPE merges stop paying)."
+    ),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tf = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    wc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wr = W.orderBy(F.desc("c"), F.asc("term"))
+    ranked = wc.select(
+        "c",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("tot"),
+    )
+    cuts = docs.sparkSession.createDataFrame(
+        [(1,), (2,), (5,), (10,), (20,), (50,)], ["n_vocab"]
+    )
+    return (
+        F.broadcast(cuts)
+        .join(ranked, ranked.rk <= cuts.n_vocab)
+        .groupBy("n_vocab")
+        .agg(
+            F.max("cum").cast("long").alias("covered_tokens"),
+            F.expr("MAX(cum) * 1000000 DIV MAX(tot)")
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+        .select(F.col("n_vocab").cast("long"), "covered_tokens", "coverage_ppm")
+    )
