@@ -235,6 +235,9 @@ HEADLINE = [
     "forecast_backtest_snaive",
     "lexical_diversity_by_source",
     "vocab_coverage_curve",
+    "degree_assortativity",
+    "interevent_burstiness",
+    "capture_recapture_estimate",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1750,3 +1750,142 @@ def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event burstiness (r6) — Goh & Barabási's B = (σ−μ)/(σ+μ) of
+# inter-event times: −1 = metronome, 0 = Poisson, →1 = extreme bursts.
+# Per event type over user streams (gaps within each user's own
+# sequence), with σ/μ derived from EXACT integer gap sums
+# (Σgap, Σgap² in 128-bit) through one fixed double op tree — the
+# dstd discipline; population σ (the paper's form).
+# 100 TB: one LAG per user window (user_id shuffle), then a
+# #types-row reduce of two integer sums.
+# ---------------------------------------------------------------------------
+@register(
+    "interevent_burstiness",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS g
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(g) AS BIGINT) AS s1i,
+                   CAST(SUM(g) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(g AS HUGEINT) * g) AS DOUBLE) AS s2,
+                   CAST(COUNT(*) AS DOUBLE) AS nd
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n AS n_gaps,
+               CAST(s1i // n AS BIGINT) AS mean_gap_us,
+               {sql_round(
+                   "(SQRT(GREATEST(s2/nd - (s1/nd)*(s1/nd), 0.0)) - s1/nd)"
+                   " / (SQRT(GREATEST(s2/nd - (s1/nd)*(s1/nd), 0.0)) + s1/nd)",
+                   6,
+               )} AS burstiness_b
+        FROM s
+    """,
+    doc=(
+        "Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of per-user inter-"
+        "event gaps, by event type: exact 128-bit gap sums, population "
+        "σ through one fixed double op tree — metronome (−1) vs "
+        "Poisson (0) vs bursty (→1) in one number per type."
+    ),
+)
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    dec = "decimal(38,0)"
+    s = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s1i"),
+        F.sum("g").cast("double").alias("s1"),
+        F.sum(F.expr(f"CAST(g AS {dec}) * g")).cast("double").alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+    )
+    mu = F.col("s1") / F.col("nd")
+    sig = F.sqrt(F.greatest(F.col("s2") / F.col("nd") - mu * mu, F.lit(0.0)))
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.expr("s1i DIV n").cast("long").alias("mean_gap_us"),
+        fround((sig - mu) / (sig + mu), 6).alias("burstiness_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (r6) — Lincoln-Petersen from
+# ecology applied to coverage estimation: treat 'view' users and
+# 'click' users as two independent captures of the same population;
+# N̂ = n₁·n₂ DIV m (m = users in both). The audit column compares the
+# estimate against the TRUE distinct-user count — the estimator's
+# bias under non-independent captures is itself the measurement (the
+# same trick estimates corpus coverage from two crawl snapshots).
+# Exact integers end to end.
+# 100 TB: three distinct-count aggregates over one user_id shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "capture_recapture_estimate",
+    oracle="""
+        WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        m AS (SELECT COUNT(*) AS m FROM a JOIN b USING (user_id)),
+        t AS (SELECT COUNT(DISTINCT user_id) AS truth FROM events)
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_capture1,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_capture2,
+               CAST((SELECT m FROM m) AS BIGINT) AS n_both,
+               CAST((SELECT COUNT(*) FROM a) * (SELECT COUNT(*) FROM b)
+                    // (SELECT m FROM m) AS BIGINT) AS lincoln_petersen_est,
+               CAST((SELECT truth FROM t) AS BIGINT) AS true_users,
+               CAST(ABS((SELECT COUNT(*) FROM a) * (SELECT COUNT(*) FROM b)
+                        // (SELECT m FROM m) - (SELECT truth FROM t))
+                    * 1000000 // (SELECT truth FROM t) AS BIGINT) AS err_ppm
+    """,
+    doc=(
+        "Lincoln–Petersen capture-recapture estimate of the user "
+        "population from the view/click capture pair, audited against "
+        "the true distinct count with exact ppm error — coverage "
+        "estimation from overlapping samples (two-crawl corpus "
+        "coverage uses the same arithmetic)."
+    ),
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    a = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    n1 = a.agg(F.count(F.lit(1)).cast("long").alias("n_capture1"))
+    n2 = b.agg(F.count(F.lit(1)).cast("long").alias("n_capture2"))
+    m = a.join(b, "user_id").agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    t = ev.agg(F.countDistinct("user_id").cast("long").alias("true_users"))
+    return (
+        n1.join(F.broadcast(n2))
+        .join(F.broadcast(m))
+        .join(F.broadcast(t))
+        .select(
+            "n_capture1",
+            "n_capture2",
+            "n_both",
+            F.expr("n_capture1 * n_capture2 DIV n_both")
+            .cast("long")
+            .alias("lincoln_petersen_est"),
+            "true_users",
+            F.expr(
+                "ABS(n_capture1 * n_capture2 DIV n_both - true_users)"
+                " * 1000000 DIV true_users"
+            )
+            .cast("long")
+            .alias("err_ppm"),
+        )
+    )

@@ -677,3 +677,116 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("auth_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (r6) — Newman's r: the Pearson correlation of
+# endpoint degrees across edges, the one-number answer to "do hubs
+# connect to hubs?" (r>0) or "hub-and-spoke?" (r<0), on the bulk
+# co-purchase graph. Both edge orientations contribute (the undirected
+# convention), so the sums are symmetric; degrees are exact integers
+# and the correlation is one fixed double op tree over five exact
+# 128-bit sums — the OLS/dstd parity discipline on an edge list.
+# 100 TB: degree agg + one degree join per endpoint (broadcast: the
+# degree table is node-sized), then a 1-row reduce. No windows.
+# ---------------------------------------------------------------------------
+@register(
+    "degree_assortativity",
+    oracle=f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem WHERE l_quantity >= 40
+        ),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1
+        ),
+        ends AS (
+            SELECT du.d AS dx, dv.d AS dy
+            FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+            UNION ALL
+            SELECT dv.d AS dx, du.d AS dy
+            FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(dx) AS DOUBLE) AS sx,
+                   CAST(SUM(dy) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(dx AS HUGEINT) * dx) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(dx AS HUGEINT) * dy) AS DOUBLE) AS sxy,
+                   CAST(COUNT(*) AS BIGINT) AS n_edge_ends
+            FROM ends
+        )
+        SELECT n_edge_ends,
+               {sql_round('(n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))', 6)}
+                   AS assortativity_r
+        FROM sums
+    """,
+    doc=(
+        "Newman degree assortativity of the bulk co-purchase graph: "
+        "Pearson correlation of endpoint degrees over both edge "
+        "orientations — exact 128-bit degree power sums, one fixed "
+        "double op tree; hubs-to-hubs (r>0) vs hub-and-spoke (r<0) in "
+        "one number."
+    ),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = F.broadcast(deg).alias("du")
+    dv = F.broadcast(deg).alias("dv")
+    one = (
+        e.join(du, F.col("u") == F.col("du.node"))
+        .join(dv, F.col("v") == F.col("dv.node"))
+        .select(F.col("du.d").alias("dx"), F.col("dv.d").alias("dy"))
+    )
+    ends = one.unionAll(one.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    dec = "decimal(38,0)"
+    sums = ends.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.expr(f"CAST(dx AS {dec}) * dx")).cast("double").alias("sxx"),
+        F.sum(F.expr(f"CAST(dy AS {dec}) * dy")).cast("double").alias("syy"),
+        F.sum(F.expr(f"CAST(dx AS {dec}) * dy")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+    )
+    return sums.select(
+        "n_edge_ends",
+        fround(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity_r"),
+    )
