@@ -238,6 +238,7 @@ HEADLINE = [
     "degree_assortativity",
     "interevent_burstiness",
     "capture_recapture_estimate",
+    "kfold_balance_audit",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

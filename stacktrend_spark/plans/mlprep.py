@@ -1514,3 +1514,68 @@ def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_post").isNotNull().alias("label_active"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold balance audit (r6) — split_train_test covers the 80/10/10
+# split; serious evaluation needs K-FOLD, and the thing that silently
+# ruins it is label imbalance across folds. Folds are the
+# deterministic key-mod assignment (o_orderkey % 5 — reproducible
+# under re-runs/repartitioning, the split family's rule); the audit
+# reports per fold the size, positive rate (high-priority orders,
+# exact ppm), and the signed deviation from the global rate — the
+# "is fold 3 poisoned" check before any cross-validated number is
+# trusted. One map-side aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "kfold_balance_audit",
+    oracle="""
+        WITH folds AS (
+            SELECT o_orderkey % 5 AS fold,
+                   CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END AS y
+            FROM orders
+        ),
+        per AS (
+            SELECT fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM folds GROUP BY fold
+        ),
+        g AS (SELECT SUM(n_pos) * 1000000 // SUM(n_rows) AS grate FROM per)
+        SELECT fold, n_rows, n_pos,
+               CAST(n_pos * 1000000 // n_rows AS BIGINT) AS pos_rate_ppm,
+               CAST(n_pos * 1000000 // n_rows - (SELECT grate FROM g)
+                    AS BIGINT) AS dev_from_global_ppm
+        FROM per
+    """,
+    doc=(
+        "K-fold (key-mod 5) assignment balance audit: per-fold size, "
+        "positive rate ppm, signed deviation from the global rate — "
+        "the fold-poisoning check behind every cross-validated metric; "
+        "deterministic folds, one map-side aggregate."
+    ),
+)
+def kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    per = o.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    g = per.agg(
+        F.expr("SUM(n_pos) * 1000000 DIV SUM(n_rows)").alias("grate")
+    )
+    return per.join(F.broadcast(g)).select(
+        "fold",
+        "n_rows",
+        "n_pos",
+        F.expr("n_pos * 1000000 DIV n_rows").cast("long").alias("pos_rate_ppm"),
+        F.expr("n_pos * 1000000 DIV n_rows - grate")
+        .cast("long")
+        .alias("dev_from_global_ppm"),
+    )
