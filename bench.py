@@ -239,6 +239,8 @@ HEADLINE = [
     "interevent_burstiness",
     "capture_recapture_estimate",
     "kfold_balance_audit",
+    "cohens_kappa_raters",
+    "cohens_d_segments",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

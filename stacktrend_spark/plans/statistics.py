@@ -2343,3 +2343,175 @@ def quantile_drift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b97") - F.col("b96")).cast("long").alias("delta_cents"),
         F.expr("ABS(b97 - b96) * 1000000 DIV b96").cast("long").alias("drift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (r6) — chance-corrected agreement between two binary
+# "raters" on every order: rater A = high order priority, rater B =
+# finalized status ('F'). κ = (p_o − p_e)/(1 − p_e) from the 2×2
+# confusion counts — all exact integers; the single division is one
+# fixed double op tree over those integers. The label-quality /
+# annotator-agreement primitive of a training-data pipeline (swap the
+# raters for model-vs-human columns and the plan is unchanged).
+# 100 TB: one map-side 2×2 conditional aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "cohens_kappa_raters",
+    oracle=f"""
+        WITH c AS (
+            SELECT
+                CAST(SUM(CASE WHEN hi = 1 AND fi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                CAST(SUM(CASE WHEN hi = 1 AND fi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                CAST(SUM(CASE WHEN hi = 0 AND fi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                CAST(SUM(CASE WHEN hi = 0 AND fi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+            FROM (
+                SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END AS hi,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fi
+                FROM orders
+            )
+        )
+        SELECT n11, n10, n01, n00,
+               {sql_round(
+                   "((CAST(n11 AS DOUBLE) + n00) / (n11 + n10 + n01 + n00)"
+                   " - ((CAST(n11 AS DOUBLE) + n10) * (n11 + n01)"
+                   "    + (CAST(n01 AS DOUBLE) + n00) * (n10 + n00))"
+                   "   / ((CAST(n11 AS DOUBLE) + n10 + n01 + n00)"
+                   "      * (n11 + n10 + n01 + n00)))"
+                   " / (1.0 - ((CAST(n11 AS DOUBLE) + n10) * (n11 + n01)"
+                   "    + (CAST(n01 AS DOUBLE) + n00) * (n10 + n00))"
+                   "   / ((CAST(n11 AS DOUBLE) + n10 + n01 + n00)"
+                   "      * (n11 + n10 + n01 + n00)))",
+                   6,
+               )} AS cohens_kappa
+        FROM c
+    """,
+    doc=(
+        "Cohen's κ between two binary raters on orders (high priority "
+        "vs finalized status): exact 2×2 confusion integers, one fixed "
+        "double op tree — the annotator-agreement / label-quality "
+        "primitive; swap raters for model-vs-human columns unchanged."
+    ),
+)
+def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("hi"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("fi"),
+    )
+    c = o.agg(
+        F.sum(F.when((F.col("hi") == 1) & (F.col("fi") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("hi") == 1) & (F.col("fi") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("hi") == 0) & (F.col("fi") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("hi") == 0) & (F.col("fi") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    po = (F.col("n11").cast("double") + F.col("n00")) / n
+    pe = (
+        (F.col("n11").cast("double") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01").cast("double") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / ((F.col("n11").cast("double") + F.col("n10") + F.col("n01") + F.col("n00")) * n)
+    return c.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        fround((po - pe) / (F.lit(1.0) - pe), 6).alias("cohens_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size (r6) — the "is this difference MEANINGFUL"
+# companion to abtest_two_proportion_z's significance: standardized
+# mean difference of order value between BUILDING-segment customers
+# and everyone else, with the pooled standard deviation derived from
+# exact 128-bit per-group sums through one fixed double op tree.
+# 100 TB: one custkey join + a 2-group sufficient-statistics agg.
+# ---------------------------------------------------------------------------
+@register(
+    "cohens_d_segments",
+    oracle=f"""
+        WITH g AS (
+            SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+                   {sql_iscale('o.o_totalprice')} AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        s AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(y) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM g GROUP BY grp
+        ),
+        w AS (
+            SELECT MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN grp = 1 THEN s1 END) AS a1,
+                   MAX(CASE WHEN grp = 1 THEN s2 END) AS q1,
+                   MAX(CASE WHEN grp = 1 THEN n_rows END) AS nr1,
+                   MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN grp = 0 THEN s1 END) AS a0,
+                   MAX(CASE WHEN grp = 0 THEN s2 END) AS q0,
+                   MAX(CASE WHEN grp = 0 THEN n_rows END) AS nr0
+            FROM s
+        )
+        SELECT nr1 AS n_building, nr0 AS n_rest,
+               {sql_round(
+                   "(a1/n1 - a0/n0) / SQRT("
+                   " ((q1 - a1*a1/n1) + (q0 - a0*a0/n0)) / (n1 + n0 - 2.0))",
+                   6,
+               )} AS cohens_d
+        FROM w
+    """,
+    doc=(
+        "Cohen's d of order value, BUILDING segment vs rest: exact "
+        "128-bit per-group sums, pooled-SD standardized mean "
+        "difference in one fixed double op tree — the effect-size "
+        "companion to the z-test's significance."
+    ),
+)
+def cohens_d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dec = "decimal(38,0)"
+    g = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("grp"),
+        iscale("o_totalprice").alias("y"),
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("s1"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).cast("double").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s2"))).alias("q1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_rows"))).alias("nr1"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s1"))).alias("a0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s2"))).alias("q0"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_rows"))).alias("nr0"),
+    )
+    d = (F.col("a1") / F.col("n1") - F.col("a0") / F.col("n0")) / F.sqrt(
+        (
+            (F.col("q1") - F.col("a1") * F.col("a1") / F.col("n1"))
+            + (F.col("q0") - F.col("a0") * F.col("a0") / F.col("n0"))
+        )
+        / (F.col("n1") + F.col("n0") - F.lit(2.0))
+    )
+    return w.select(
+        F.col("nr1").alias("n_building"),
+        F.col("nr0").alias("n_rest"),
+        fround(d, 6).alias("cohens_d"),
+    )
