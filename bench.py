@@ -241,6 +241,7 @@ HEADLINE = [
     "kfold_balance_audit",
     "cohens_kappa_raters",
     "cohens_d_segments",
+    "dispersion_index_basket",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -154,7 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_share_of_region",
     # -- position 51+: NOT in the r6 window (driver reads the first
     # 50) — head of the r7 queue alongside the r2-era stale batch.
-    # r7 WINDOW PLAN: by round-6 close the registry holds 317 queries;
+    # r7 WINDOW PLAN: by round-6 close the registry holds 318 queries;
     # 214 carry driver proofs (CORRECTNESS_r01-r05) and every row is
     # local-gate green (296/296 full run + per-query double proofs for
     # the last two batches — COVERAGE.md). The ~84 never-driver-checked

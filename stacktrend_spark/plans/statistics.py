@@ -2515,3 +2515,59 @@ def cohens_d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr0").alias("n_rest"),
         fround(d, 6).alias("cohens_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dispersion index (r6) — variance-to-mean ratio of lines-per-order
+# (the basket-size distribution): 1 = Poisson, >1 over-dispersed
+# (bursty baskets), <1 under-dispersed (regular). Mean and variance
+# from exact integer sums (Σk, Σk² over per-order line counts) through
+# one fixed double op tree; the distributional sanity check behind
+# every "assume Poisson arrivals" capacity model.
+# 100 TB: one orderkey count aggregate + one 1-row reduce.
+# ---------------------------------------------------------------------------
+@register(
+    "dispersion_index_basket",
+    oracle=f"""
+        WITH k AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+            FROM lineitem GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(k) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS s2
+            FROM k
+        )
+        SELECT n_orders,
+               {sql_round('s1 / n', 6)} AS mean_lines,
+               {sql_round('(s2/n - (s1/n)*(s1/n)) / (s1/n)', 6)}
+                   AS dispersion_index
+        FROM s
+    """,
+    doc=(
+        "Variance-to-mean dispersion index of lines-per-order (1 = "
+        "Poisson, >1 bursty, <1 regular): exact integer count sums, "
+        "population variance, one fixed double op tree — the "
+        "distributional sanity check behind Poisson capacity models."
+    ),
+)
+def dispersion_index_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    dec = "decimal(38,0)"
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("k").cast("double").alias("s1"),
+        F.sum(F.expr(f"CAST(k AS {dec}) * k")).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    return s.select(
+        "n_orders",
+        fround(mu, 6).alias("mean_lines"),
+        fround((F.col("s2") / F.col("n") - mu * mu) / mu, 6).alias(
+            "dispersion_index"
+        ),
+    )
