@@ -303,14 +303,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     warm_runs: dict[str, list[float]] = {}
-    if picked and os.path.exists(full_path):
+    # committed warm medians from the last run — the reference the
+    # variance guard below compares against (read BEFORE overwrite)
+    prior_warm: dict[str, float] = {}
+    if os.path.exists(full_path):
         with open(full_path) as f:
             prior = json.load(f)
-        timings = {n: v for n, v in prior.get("queries", {}).items() if n in HEADLINE}
-        warm = {n: v for n, v in prior.get("queries_warm", {}).items() if n in HEADLINE}
-        warm_runs = {
-            n: v for n, v in prior.get("queries_warm_runs", {}).items() if n in HEADLINE
-        }
+        prior_warm = dict(prior.get("queries_warm", {}))
+        if picked:
+            timings = {n: v for n, v in prior.get("queries", {}).items() if n in HEADLINE}
+            warm = {n: v for n, v in prior.get("queries_warm", {}).items() if n in HEADLINE}
+            warm_runs = {
+                n: v for n, v in prior.get("queries_warm_runs", {}).items() if n in HEADLINE
+            }
     for name in run_list:
         # clean slate per query: several operators persist() small
         # intermediates they cannot unpersist (the result depends on
@@ -331,6 +336,35 @@ def main() -> None:
         warm_runs[name] = runs
         warm[name] = sorted(runs)[1]
 
+    # VARIANCE GUARD (r6 verdict task 2): the r6 driver artifact showed
+    # ~8 comparable-subset outliers (e.g. gold_repo_health_dashboard
+    # 0.28 → 2.38 s) on untouched code — transient host contention read
+    # as a regression. If a comparable query's warm median came out
+    # >2× its last committed value, re-measure it ONCE at the very end
+    # of the session (when whatever contended has moved on) and record
+    # BOTH sets; the official warm becomes the median of all 6 runs —
+    # still an honest estimator, but one a single noisy window can't own.
+    variance_reruns: dict[str, dict] = {}
+    for name in [n for n in COMPARABLE if n in run_list]:
+        ref = prior_warm.get(name)
+        if ref and ref > 0 and warm[name] > 2.0 * ref:
+            spark.catalog.clearCache()
+            rerun = []
+            for _ in range(3):
+                t1 = time.time()
+                specs[name].fn(spark, sf_dir).count()
+                rerun.append(round(time.time() - t1, 3))
+            all6 = sorted(warm_runs[name] + rerun)
+            med6 = round((all6[2] + all6[3]) / 2, 3)
+            variance_reruns[name] = {
+                "prior_committed_warm": ref,
+                "first_warm_runs": warm_runs[name],
+                "rerun_warm_runs": rerun,
+                "official_warm_median6": med6,
+            }
+            warm_runs[name] = all6
+            warm[name] = med6
+
     tables = input_stats(sf_dir)
     full = {
         "metric": "headline_queries_total",
@@ -348,6 +382,7 @@ def main() -> None:
             sorted(warm[n] for n in COMPARABLE)[len(COMPARABLE) // 2], 3
         ),
         "warm_is_median_of": 3,
+        "variance_reruns": variance_reruns,
         "python_worker_warmup_sec": py_warmup,
         "comparable_n": len(COMPARABLE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -370,6 +405,9 @@ def main() -> None:
         "comparable_total": full["comparable_total"],
         "comparable_warm_total": full["comparable_warm_total"],
         "comparable_warm_median": full["comparable_warm_median"],
+        "variance_reruns": {
+            n: v["official_warm_median6"] for n, v in variance_reruns.items()
+        },
         "python_worker_warmup_sec": py_warmup,
         "sf": full["sf"],
         "input_rows": {n: s["rows"] for n, s in tables.items()},

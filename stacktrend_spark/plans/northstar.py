@@ -170,6 +170,17 @@ _SQL_BANDS = "\n            UNION ALL ".join(
     doc="MinHash→banded-LSH candidates→exact-Jaccard verify; digests skew-free, oracle-exact.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BASELINE TIER (r6 verdict task 3). This query's OUTPUT
+    CONTRACT is the exhaustive listing of every verified intra-bucket
+    pair — Σ family² rows by definition, measured sf1 α=1.39 on
+    mirror-heavy data. That superlinearity is the contract, not the
+    plan (sketch + band join are corpus-linear), and it exists so the
+    bounded production twins — ``dedup_minhash_star`` (one edge per
+    member/band) and ``dedup_star_clusters`` (components) — have an
+    exact ground truth to be judged against. It is excluded from
+    BENCH_SF1 headline alpha stats (tools/bench_sf1.py
+    ORACLE_BASELINE) and must never be the path a 100 TB pipeline
+    runs; use the star twins."""
     corpus = fan_out(_corpus_near(spark, sf_dir))
     # NARROW pipeline: shingles stay as one array per doc — signatures
     # are a pure projection (array_min of salted md5s, no explode/
@@ -1584,25 +1595,29 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dv"),
     ).withColumn("bv", F.expr("(simhash div dv) % 256"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # popcount BEFORE the cross-band distinct (r6 verdict task 4): the
+    # xor/bit_count is a codegen'd expression evaluated inside the join
+    # stage, so filtering first costs nothing extra, shrinks the
+    # distinct's shuffle to the d<=3 survivors only, and narrows its
+    # rows from (id,id,hash64,hash64) to (id,id,hamming) — hamming is
+    # functionally determined by the id pair, so DISTINCT placement is
+    # semantics-preserving. A/B at sf0.1: cold 5.9 → 1.9 s, warm
+    # median 1.52 → 1.39 s, identical 4 835 rows.
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.dv") == F.col("b.dv"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(ham <= _HAMMING_MAX)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            ham.cast("long").alias("hamming"),
         )
         .distinct()
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        cand.filter(ham <= _HAMMING_MAX)
-        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
 
 

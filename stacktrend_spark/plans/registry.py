@@ -87,83 +87,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: queries added this round. Long-green rows rotate to the back — they
 #: are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-6 WINDOW. Priority principle (unchanged from r5): (a)
-    # never-driver-checked, (b) implementation changed since last
-    # driver proof, (c) new queries added this round, (d)
-    # oldest-green rotation. After r5 the cumulative ledger is
-    # 214/222 driver-proven with zero standing failures; the 8 rows
-    # below are the only registered queries with no driver proof at
-    # all (all local-replica green via tools/verify_local.py).
-    # -- (a) the 8 fourth-wave queries: never inside a driver window
-    "bitmap_audience_overlap",
-    "division_not_exists",
-    "exact_median_distributed",
-    "gdpr_anonymize_cascade",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "scd_consistency_audit",
-    "table_column_stats",
-    # -- (b)/(c) changed or added in r6: the bounded-output MinHash
-    # LSH variant (r5 verdict task 2) and the PPJoin-length-filtered
-    # setsim join (r5 verdict task 4)
-    "dedup_minhash_star",
-    "dedup_star_clusters",
-    "setsim_prefix_join",
-    # -- (d) freshness rotation: the entire r1-era batch (stalest
-    # driver proofs, last seen in CORRECTNESS_r01) — 40 rows, fills
-    # the window exactly. The r2-era batch (35 rows) rolls to r7.
-    "agg_conditional_by_priority",
-    "agg_global_market_pulse",
-    "array_word_cooccurrence",
-    "dedup_exact",
-    # dedup_ngram_jaccard (quadratic baseline) rolls to r7 to make room
-    "dedup_simhash",
-    "distinct_status_priority",
-    "gold_development_velocity",
-    "gold_lang_stats",
-    "gold_market_pulse",
-    "gold_portfolio_overview",
-    "gold_repo_health_dashboard",
-    "gold_trend_daily",
-    "join_anti_inactive_customers",
-    "join_left_customer_orders",
-    "join_revenue_by_nation",
-    "join_semi_active_suppliers",
-    "json_extract_props",
-    "merge_insert_only_events",
-    "merge_preserve_classification",
-    "pivot_status_by_segment",
-    "rank_global_scalable",
-    "rollup_revenue",
-    "scalar_conditional_tiers",
-    "scalar_datetime_parts",
-    "scalar_string_clean",
-    "scalar_try_clean",
-    "sessionize_events",
-    "subquery_exists_orders",
-    "subquery_scalar_above_avg",
-    "topk_orders",
-    "union_period_metrics",
-    "unpivot_flag_metrics",
-    "window_lag_monthly_trend",
-    "window_range_frame_trailing",
-    "window_rank_global",
-    "window_rank_in_group",
-    "window_running_total",
-    "window_share_global",
-    "window_share_of_region",
-    # -- position 51+: NOT in the r6 window (driver reads the first
-    # 50) — head of the r7 queue alongside the r2-era stale batch.
-    # r7 WINDOW PLAN: by round-6 close the registry holds 318 queries;
-    # 214 carry driver proofs (CORRECTNESS_r01-r05) and every row is
-    # local-gate green (296/296 full run + per-query double proofs for
-    # the last two batches — COVERAGE.md). The ~84 never-driver-checked
-    # rows are everything from position 51 down; r7's head should be
-    # drawn from them oldest-first (this list is already in that
-    # order), with the r2-era stale rotation filling the remainder.
-    "dedup_incremental_batch",
-    "er_sorted_neighborhood",
-    # r6 late batch: classic TPC-H optimizer shapes (plans/tpch_shapes.py)
+    # ROUND-7 WINDOW (r6 verdict task 1: unproven-first ordering).
+    # After r6 the cumulative ledger is 224/318 driver-proven with
+    # zero standing failures; 94 registered queries have never been
+    # inside a driver window (all are r6 late-batch additions, all
+    # local-replica green via tools/verify_local.py). This window
+    # takes 50 of those 94, TPC-H Q-series and the ML-eval family
+    # first per the verdict; the remaining 44 sit at positions
+    # 51-94 and lead the r8 window, followed by ~10 stale-rotation
+    # slots (r1/r2-era rows, oldest driver proof first — see
+    # COVERAGE.md staleness ledger).
+    # -- TPC-H optimizer shapes (16: completes driver proof of all
+    #    22 classic shapes; q1/q3/q6/q13/q15/q18 proven r01-r06)
     "q2_min_cost_supplier",
     "q4_late_ship_priority",
     "q5_local_supplier_volume",
@@ -172,13 +107,58 @@ _PRIORITY: tuple[str, ...] = (
     "q9_nation_profit",
     "q10_returned_items",
     "q11_important_parts",
+    "q12_shipmode_priority",
     "q14_promo_revenue",
     "q16_supplier_variety",
     "q17_small_qty_revenue",
     "q19_disjunctive_filter",
+    "q20_dominant_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
-    # r6 late batch 2: sketches/privacy/scan-state/attribution
+    # -- ML-eval / feature-engineering family (12)
+    "model_eval_auc",
+    "model_calibration_ece",
+    "gbdt_split_histogram",
+    "model_gains_deciles",
+    "psi_feature_drift",
+    "churn_training_assembly",
+    "pipeline_feature_store",
+    "negative_sampling_pairs",
+    "kfold_balance_audit",
+    "isotonic_calibration_minimax",
+    "hybrid_rrf_fusion",
+    "naive_bayes_lang_confusion",
+    # -- statistics family (12)
+    "moments_skew_kurtosis",
+    "benford_leading_digit",
+    "spearman_rank_corr",
+    "bootstrap_ci_revenue",
+    "theilsen_mann_kendall",
+    "wilson_lcb_category_ranking",
+    "cohens_kappa_raters",
+    "cohens_d_segments",
+    "abtest_two_proportion_z",
+    "ols_two_feature_cramer",
+    "ols_slope_by_nation",
+    "entropy_kl_priority_mix",
+    # -- graph family (5)
+    "hits_hubs_authorities",
+    "label_propagation_communities",
+    "clustering_coefficient_topk",
+    "degree_assortativity",
+    "powerlaw_degree_fit",
+    # -- time-series family (5)
+    "acf_daily_revenue",
+    "holt_level_trend",
+    "cusum_changepoint",
+    "stl_lite_decompose",
+    "rolling_correlation_14d",
+    # -- position 51+: NOT in the r7 window (driver reads the first
+    # 50). These are the remaining 44 never-driver-proven rows —
+    # they lead the r8 window, then ~6 stale-rotation slots
+    # (q1_pricing_summary, join_*, scalar_* from r1 — COVERAGE.md).
+    "dedup_incremental_batch",
+    "er_sorted_neighborhood",
     "hll_register_sketch",
     "k_anonymity_audit",
     "capped_running_balance",
@@ -189,53 +169,19 @@ _PRIORITY: tuple[str, ...] = (
     "stream_hll_daily_users",
     "outlier_mahalanobis_2d",
     "dbscan_grid_clusters",
-    "model_eval_auc",
     "golden_record_survivorship",
-    # r6 batch 2 (added after the window head was frozen; head of the
-    # r7 queue with the r2-era stale batch)
-    "abtest_two_proportion_z",
-    "powerlaw_degree_fit",
-    "acf_daily_revenue",
-    "holt_level_trend",
-    "label_propagation_communities",
     "assoc_rules_lift",
     "pca_power_iteration",
-    "model_calibration_ece",
-    "hybrid_rrf_fusion",
-    "moments_skew_kurtosis",
-    "benford_leading_digit",
     "survival_km_curve",
-    # r6 batch 5: TPC-H completion (22/22 shapes now covered)
-    "q12_shipmode_priority",
-    "q20_dominant_suppliers",
-    # r6 batch 6: sketch/model shapes
     "bloom_filter_membership",
-    "entropy_kl_priority_mix",
-    "gbdt_split_histogram",
-    "naive_bayes_lang_confusion",
-    "isotonic_calibration_minimax",
-    "ols_two_feature_cramer",
-    "hits_hubs_authorities",
-    "cusum_changepoint",
-    "stl_lite_decompose",
     "seq_pattern_trigrams",
     "stream_full_outer_attribution",
     "item_item_collab_filter",
     "dtw_nation_revenue",
-    "spearman_rank_corr",
-    "bootstrap_ci_revenue",
     "multimodal_image_dhash",
-    "theilsen_mann_kendall",
-    "model_gains_deciles",
     "mutual_info_pmi_cells",
-    "negative_sampling_pairs",
     "l_diversity_audit",
-    "clustering_coefficient_topk",
-    "psi_feature_drift",
-    "churn_training_assembly",
     "isoweek_rollup_parity",
-    "ols_slope_by_nation",
-    "wilson_lcb_category_ranking",
     "stl_residual_outliers",
     "lang_centroid_similarity",
     "collocation_pmi_topk",
@@ -244,6 +190,17 @@ _PRIORITY: tuple[str, ...] = (
     "huffman_code_cost",
     "join_cardinality_estimate",
     "bloom_prejoin_pruning",
+    "quantile_drift_boundaries",
+    "dispersion_index_basket",
+    "forecast_backtest_snaive",
+    "session_type_affinity",
+    "interevent_burstiness",
+    "capture_recapture_estimate",
+    "lexical_diversity_by_source",
+    "vocab_coverage_curve",
+    "array_hof_cosine_topk",
+    "zorder_vs_linear_skipping",
+    "recursive_amortization_native",
 )
 
 

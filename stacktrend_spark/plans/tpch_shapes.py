@@ -906,6 +906,18 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "form; exact integer cents.",
 )
 def band_join_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT-CONTRACT / DENSITY NOTE (r6 verdict task 7, SCALE.md
+    adjudication moved here): the result aggregates over every
+    within-band pair, so candidate volume — and therefore runtime —
+    is O(N · density), where density = parts per (brand, 1.00-price
+    cell). On a corpus whose price distribution is density-STABLE
+    (10× more parts spread over a proportionally wider catalog),
+    scaling is linear. The measured sf1 α=1.12 comes from the
+    key-shifted replica synthesizer, which multiplies per-cell
+    density by 10 instead of widening the catalog — per-cell pair
+    counts grow quadratically in replica count BY CONSTRUCTION.
+    That is the contract's cost on densifying data, not a plan
+    defect: the plan itself never forms an O(N²) candidate set."""
     part = load_table(spark, sf_dir, "part")
     px = part.select(
         "p_partkey",

@@ -49,12 +49,23 @@ sys.path.insert(0, "/root/repo")
 SF1_DIR = os.path.join(tempfile.gettempdir(), "stacktrend_sf1")
 SF01_DIR = "/root/testdata/sf0.1"
 
+#: ORACLE-BASELINE TIER (r6 verdict task 3): queries whose OUTPUT
+#: CONTRACT is intentionally exhaustive — they enumerate a quadratic
+#: listing so the bounded twins (`dedup_minhash_star`,
+#: `dedup_star_clusters`) have an exact ground truth to be judged
+#: against. Their sf1 exponent measures the contract, not the plan,
+#: so they are excluded from the headline alpha stats: they run only
+#: when explicitly picked on the command line, and their rows land
+#: under "oracle_baseline_tier" in BENCH_SF1.json, never "queries".
+ORACLE_BASELINE = [
+    "dedup_minhash_lsh",  # all intra-bucket pairs: alpha=1.39 BY CONTRACT
+]
+
 #: the 6 heaviest bench queries (BENCH_FULL r4) and the tables they read
 HEAVY = [
     "pipeline_semdedup",
     "dedup_embedding_cosine",
     "sim_ivf_multiprobe",
-    "dedup_minhash_lsh",
     "triangle_count_copurchase",
     "customer_rfm_scores",
     # r5 second wave (documents/lineitem-based)
@@ -236,13 +247,18 @@ def main() -> None:
 
     picked = [a for a in sys.argv[1:] if not a.startswith("--")]
     run_list = [n for n in HEAVY if not picked or n in picked]
+    # oracle-baseline rows run ONLY when explicitly picked
+    run_list += [n for n in ORACLE_BASELINE if n in picked]
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH_SF1.json")
     out: dict[str, dict] = {}
+    base_out: dict[str, dict] = {}
     if picked and os.path.exists(path):
         with open(path) as f:
-            out = json.load(f).get("queries", {})
+            prior = json.load(f)
+        out = prior.get("queries", {})
+        base_out = prior.get("oracle_baseline_tier", {})
     for name in run_list:
         row: dict[str, float | list[float]] = {}
         for tag, d in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
@@ -259,14 +275,22 @@ def main() -> None:
             row[f"{tag}_warm"] = sorted(runs)[1]
         alpha = math.log10(max(row["sf1_warm"], 1e-3) / max(row["sf0.1_warm"], 1e-3))
         row["alpha_warm"] = round(alpha, 3)
-        out[name] = row
+        (base_out if name in ORACLE_BASELINE else out)[name] = row
         print(f"{name}: sf0.1 warm={row['sf0.1_warm']}s  "
               f"sf1 warm={row['sf1_warm']}s  alpha={row['alpha_warm']}")
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH_SF1.json")
+    payload = {"replicas": _REPLICAS, "queries": out}
+    if base_out:
+        payload["oracle_baseline_tier"] = base_out
+        payload["oracle_baseline_note"] = (
+            "exhaustive-output-contract ground-truth queries; excluded "
+            "from headline alpha stats by design (see HEAVY/ORACLE_BASELINE "
+            "in tools/bench_sf1.py)"
+        )
     with open(path, "w") as f:
-        json.dump({"replicas": _REPLICAS, "queries": out}, f, indent=1, sort_keys=True)
+        json.dump(payload, f, indent=1, sort_keys=True)
     print(f"wrote {path}")
 
 
