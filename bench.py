@@ -242,6 +242,10 @@ HEADLINE = [
     "cohens_kappa_raters",
     "cohens_d_segments",
     "dispersion_index_basket",
+    # r7 additions
+    "c4_boilerplate_ngrams",
+    "quality_budget_cut",
+    "curriculum_stage_assign",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -62,6 +62,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.mlencode",
     "stacktrend_spark.plans.geo",
     "stacktrend_spark.plans.tpch_shapes",
+    "stacktrend_spark.plans.selection",
 )
 
 
@@ -201,6 +202,13 @@ _PRIORITY: tuple[str, ...] = (
     "array_hof_cosine_topk",
     "zorder_vs_linear_skipping",
     "recursive_amortization_native",
+    # -- r7 additions (plans/selection.py): join the never-proven queue
+    # behind the 44 above; changed-in-r7 rows (dedup_simhash_hamming's
+    # filter-first rewrite) also belong in the r8 window.
+    "c4_boilerplate_ngrams",
+    "quality_budget_cut",
+    "curriculum_stage_assign",
+    "dedup_simhash_hamming",
 )
 
 

@@ -74,6 +74,15 @@ SHOWCASE = [
         "combine per salt, then the final merge; no single hot reducer.",
     ),
     (
+        "quality_budget_cut",
+        "r7 global token-budget selection: the corpus-wide prefix sum is "
+        "TWO-PHASE — RangePartitioning exchange, then a WindowExec "
+        "partitioned by spark_partition_id (never a single-partition "
+        "window), partial sums to the driver (one row per partition), "
+        "BroadcastHashJoin of the offsets back. The budget scalar joins "
+        "as a broadcast, so the cut runs at any corpus size.",
+    ),
+    (
         "pipeline_semdedup",
         "r5 Arrow-kernel SemDeDup: cell assignment is a constant-size "
         "ArrowEvalPython/MapInArrow map (no centroid cross-join, no "
