@@ -246,6 +246,11 @@ HEADLINE = [
     "c4_boilerplate_ngrams",
     "quality_budget_cut",
     "curriculum_stage_assign",
+    "ngram_novelty_decay",
+    "dedup_containment_star",
+    "source_leakage_matrix",
+    "max_word_run_lengths",
+    "dedup_cluster_stats",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -63,6 +63,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.geo",
     "stacktrend_spark.plans.tpch_shapes",
     "stacktrend_spark.plans.selection",
+    "stacktrend_spark.plans.dedup_audit",
 )
 
 
@@ -208,6 +209,11 @@ _PRIORITY: tuple[str, ...] = (
     "c4_boilerplate_ngrams",
     "quality_budget_cut",
     "curriculum_stage_assign",
+    "ngram_novelty_decay",
+    "dedup_containment_star",
+    "source_leakage_matrix",
+    "max_word_run_lengths",
+    "dedup_cluster_stats",
     "dedup_simhash_hamming",
 )
 

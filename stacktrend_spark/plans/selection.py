@@ -293,3 +293,104 @@ def curriculum_stage_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("difficulty").cast("long").alias("min_difficulty"),
         F.max("difficulty").cast("long").alias("max_difficulty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty decay: how much NEW content does each additional
+# slice of the corpus contribute? Each distinct trigram is attributed
+# to the document where it first appears (min doc_id — one map-side-
+# combinable aggregate over the trigram stream); docs are bucketed
+# into ingestion-order deciles by two-phase global rank. The marginal-
+# novelty curve is the data-mixing diagnostic for "is more of this
+# source still worth ingesting at 100 TB, or is it redundant?".
+# ---------------------------------------------------------------------------
+_DECILES = 10
+
+
+@register(
+    "ngram_novelty_decay",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        tg AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                          i -> array_to_string(w[i:i + 2], ' '))) AS g
+            FROM words
+        ),
+        counts AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tg FROM tg GROUP BY 1
+        ),
+        novel AS (
+            SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_novel
+            FROM (SELECT g, MIN(doc_id) AS first_doc FROM tg GROUP BY 1)
+            GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT c.doc_id, c.n_tg, COALESCE(v.n_novel, 0) AS n_novel
+            FROM counts c LEFT JOIN novel v ON v.first_doc = c.doc_id
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+                   COUNT(*) OVER () AS n
+            FROM per_doc
+        )
+        SELECT CAST((rnk - 1) * {_DECILES} // n AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT)     AS n_docs,
+               CAST(SUM(n_tg) AS BIGINT)    AS n_trigrams,
+               CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+               CAST(SUM(n_novel) * 10000 // SUM(n_tg) AS BIGINT) AS novelty_bp
+        FROM ranked
+        GROUP BY 1
+    """,
+    doc=(
+        "Marginal-novelty curve: distinct trigrams attributed to their "
+        "first document, docs bucketed into ingestion-order deciles by "
+        "scalable two-phase rank; per-decile novelty in exact basis "
+        "points."
+    ),
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    # NO instances-vs-vocabulary join (A/B at sf0.1: cold 8.1 -> 2.3 s):
+    # a doc's novel count is just the first-occurrence aggregate
+    # re-grouped by its min doc — two map-side-combinable aggregates
+    # over the trigram stream and a doc-cardinality left join.
+    tg = docs.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams("w", 3))).alias("g")
+    ).persist()
+    counts = tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tg")
+    )
+    novel = (
+        tg.groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    per_doc = counts.join(
+        novel, counts.doc_id == novel.first_doc, "left"
+    ).select(
+        "doc_id",
+        "n_tg",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )
+    ranked = global_rank_scalable(per_doc, [F.col("doc_id")], rank_col="rnk")
+    n = per_doc.agg(F.count(F.lit(1)).alias("n"))
+    bucketed = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "decile", F.expr(f"(rnk - 1) * {_DECILES} DIV n").cast("long")
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tg").cast("long").alias("n_trigrams"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+        F.expr("SUM(n_novel) * 10000 DIV SUM(n_tg)")
+        .cast("long")
+        .alias("novelty_bp"),
+    )
