@@ -251,6 +251,9 @@ HEADLINE = [
     "source_leakage_matrix",
     "max_word_run_lengths",
     "dedup_cluster_stats",
+    "feature_hashing_trick",
+    "t_closeness_audit",
+    "corpus_datasheet",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

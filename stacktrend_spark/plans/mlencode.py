@@ -1175,3 +1175,86 @@ def mutual_info_pmi_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "piqj_ppm",
         (ilog(F.col("pij_ppm")) - ilog(F.col("piqj_ppm"))).cast("long").alias("pmi_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing trick (r7) — Vowpal-style categorical encoding: each
+# feature string hashes to one of D buckets with a sign bit, so the
+# encoder needs NO vocabulary pass, no fit state, and a fixed-width
+# output — the only categorical encoding that works on an unbounded
+# 100 TB feature stream. This audit materializes the bucket table for
+# D=64: instance mass, distinct-feature collisions, and the signed
+# mass that shows cancellation doing its job. Engine-neutral 40-bit
+# md5 hashing (functions/hashing.py) keeps every bucket id and sign
+# bit-identical in the oracle.
+# 100 TB: a 3x map-side explode and ONE 64-row aggregate; no joins,
+# no vocabulary state, nothing driver-side.
+# ---------------------------------------------------------------------------
+from stacktrend_spark.functions.hashing import sql_hex40  # noqa: E402
+
+_FH_D = 64
+
+
+@register(
+    "feature_hashing_trick",
+    oracle=f"""
+        WITH feats AS (
+            SELECT unnest([
+                       'prio=' || o_orderpriority,
+                       'status=' || o_orderstatus,
+                       'px=' || o_orderpriority || '|' || o_orderstatus
+                   ]) AS feat
+            FROM orders
+        ),
+        hashed AS (
+            SELECT feat,
+                   ({sql_hex40('feat')}) % {_FH_D} AS bucket,
+                   CASE WHEN (({sql_hex40('feat')}) // {_FH_D}) % 2 = 0
+                        THEN 1 ELSE -1 END AS sign
+            FROM feats
+        )
+        SELECT CAST(bucket AS BIGINT)                 AS bucket,
+               CAST(COUNT(*) AS BIGINT)               AS n_instances,
+               CAST(COUNT(DISTINCT feat) AS BIGINT)   AS n_distinct_feats,
+               CAST(SUM(sign) AS BIGINT)              AS signed_mass,
+               COUNT(DISTINCT feat) > 1               AS has_collision
+        FROM hashed
+        GROUP BY 1
+    """,
+    doc=(
+        "Hashing-trick encoder audit (D=64, signed): per-bucket "
+        "instance mass, distinct-feature collisions, and signed mass "
+        "- the vocabulary-free categorical encoding for unbounded "
+        "feature streams; engine-neutral 40-bit md5 buckets."
+    ),
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.hashing import spark_hex40
+
+    orders = load_table(spark, sf_dir, "orders")
+    feats = orders.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("prio="), F.col("o_orderpriority")),
+                F.concat(F.lit("status="), F.col("o_orderstatus")),
+                F.concat(
+                    F.lit("px="),
+                    F.col("o_orderpriority"),
+                    F.lit("|"),
+                    F.col("o_orderstatus"),
+                ),
+            )
+        ).alias("feat")
+    )
+    h = spark_hex40(F.col("feat"))
+    hashed = feats.select(
+        "feat",
+        (h % _FH_D).alias("bucket"),
+        F.when((h / _FH_D).cast("long") % 2 == 0, 1).otherwise(-1).alias("sign"),
+    )
+    return hashed.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_instances"),
+        F.countDistinct("feat").cast("long").alias("n_distinct_feats"),
+        F.sum("sign").cast("long").alias("signed_mass"),
+        (F.countDistinct("feat") > 1).alias("has_collision"),
+    )

@@ -214,6 +214,9 @@ _PRIORITY: tuple[str, ...] = (
     "source_leakage_matrix",
     "max_word_run_lengths",
     "dedup_cluster_stats",
+    "feature_hashing_trick",
+    "t_closeness_audit",
+    "corpus_datasheet",
     "dedup_simhash_hamming",
 )
 

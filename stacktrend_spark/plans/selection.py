@@ -394,3 +394,75 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("novelty_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet: the one-row "datasheet for a dataset" rollup a
+# training run records next to its checkpoint — size, composition,
+# exact-dup mass, vocabulary shape. Two corpus-wide aggregates (row
+# stats + vocabulary), both map-side combinable, joined as 1-row
+# broadcasts; nothing else. Ratios in exact basis points.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_datasheet",
+    oracle="""
+        WITH row_stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT)                       AS n_docs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT)         AS n_sources,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT)           AS n_langs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                                                                  AS n_tokens,
+                   CAST(COUNT(DISTINCT md5(text)) AS BIGINT)      AS n_distinct_texts,
+                   CAST(COUNT(CASE WHEN len(string_split(text, ' ')) < 50
+                              THEN 1 END) AS BIGINT)              AS n_short
+            FROM documents
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        )
+        SELECT n_docs, n_sources, n_langs, n_tokens, n_distinct_texts,
+               CAST(n_tokens // n_docs AS BIGINT)                   AS mean_tokens,
+               CAST(n_short * 10000 // n_docs AS BIGINT)            AS short_bp,
+               CAST((n_docs - n_distinct_texts) * 10000 // n_docs
+                    AS BIGINT)                                      AS exact_dup_bp,
+               n_types,
+               CAST(n_tokens // n_types AS BIGINT)                  AS tokens_per_type
+        FROM row_stats CROSS JOIN vocab
+    """,
+    doc=(
+        "One-row corpus datasheet: docs/sources/langs/tokens, exact-dup "
+        "mass via content digests, short-doc share, vocabulary size and "
+        "tokens-per-type - all exact integers, two map-side aggregates."
+    ),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.split("text", " ")
+    )
+    row_stats = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.size("w")).cast("long").alias("n_tokens"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+        F.count(F.when(F.size("w") < 50, 1)).cast("long").alias("n_short"),
+    )
+    vocab = (
+        docs.select(F.explode("w").alias("word"))
+        .agg(F.countDistinct("word").cast("long").alias("n_types"))
+    )
+    return row_stats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "n_tokens",
+        "n_distinct_texts",
+        F.expr("n_tokens DIV n_docs").cast("long").alias("mean_tokens"),
+        F.expr("n_short * 10000 DIV n_docs").cast("long").alias("short_bp"),
+        F.expr("(n_docs - n_distinct_texts) * 10000 DIV n_docs")
+        .cast("long")
+        .alias("exact_dup_bp"),
+        "n_types",
+        F.expr("n_tokens DIV n_types").cast("long").alias("tokens_per_type"),
+    )

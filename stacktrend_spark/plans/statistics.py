@@ -2571,3 +2571,104 @@ def dispersion_index_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dispersion_index"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (r7) — completes the anonymity triad: k_anonymity
+# (class sizes), l_diversity (distinct sensitive values), t-closeness
+# (DISTRIBUTION distance — a class can be large and diverse yet still
+# leak because its sensitive mix differs from the population's). Per
+# QI class (nation × segment): total-variation distance between the
+# class-conditional sensitive distribution (balance band) and the
+# global one, in EXACT integers over the common denominator k·N:
+#
+#   tv_num = Σ_{s present} |n_cs·N − n_s·k| + k·(N − Σ_{s present} n_s)
+#   TV     = tv_num / (2·k·N)        → reported as exact ppm (DIV)
+#
+# The second term folds every band ABSENT from the class without ever
+# materializing the class × band cross product.
+# 100 TB: one (class, band) aggregate, class sizes joined on the QI
+# key, global band counts BROADCAST; products stay < 2⁶³ up to ~10⁹
+# customers x 10⁶-row classes — route through DECIMAL(38,0) beyond.
+# ---------------------------------------------------------------------------
+_T_PPM = 300_000  # flag classes with TV > 0.30
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+        WITH cs AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_cs
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        cls AS (
+            SELECT c_nationkey, c_mktsegment, CAST(SUM(n_cs) AS BIGINT) AS k
+            FROM cs GROUP BY 1, 2
+        ),
+        gl AS (
+            SELECT band, CAST(SUM(n_cs) AS BIGINT) AS n_s FROM cs GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM gl),
+        terms AS (
+            SELECT c.c_nationkey, c.c_mktsegment, cl.k,
+                   CAST(SUM(ABS(c.n_cs * t.n - g.n_s * cl.k)) AS BIGINT)
+                       AS present_num,
+                   CAST(SUM(g.n_s) AS BIGINT) AS present_ns
+            FROM cs c
+            JOIN cls cl ON c.c_nationkey = cl.c_nationkey
+                       AND c.c_mktsegment = cl.c_mktsegment
+            JOIN gl g ON c.band = g.band
+            CROSS JOIN tot t
+            GROUP BY 1, 2, 3
+        )
+        SELECT t1.c_nationkey, t1.c_mktsegment, t1.k,
+               CAST((t1.present_num + t1.k * (t.n - t1.present_ns))
+                    * 1000000 // (2 * t1.k * t.n) AS BIGINT) AS tv_ppm,
+               (t1.present_num + t1.k * (t.n - t1.present_ns)) * 1000000
+                   // (2 * t1.k * t.n) > {_T_PPM} AS exceeds_t
+        FROM terms t1 CROSS JOIN tot t
+    """,
+    doc=(
+        "t-closeness audit (QI = nation x segment, sensitive = balance "
+        "band): exact-ppm total-variation distance between each class's "
+        "sensitive distribution and the global one; absent bands folded "
+        "algebraically - no class x band cross product."
+    ),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cs = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("band"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_cs"))
+    cls = cs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cs").cast("long").alias("k")
+    )
+    gl = cs.groupBy("band").agg(F.sum("n_cs").cast("long").alias("n_s"))
+    tot = gl.agg(F.sum("n_s").cast("long").alias("n"))
+    terms = (
+        cs.join(cls, ["c_nationkey", "c_mktsegment"])
+        .join(F.broadcast(gl), "band")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "k")
+        .agg(
+            F.sum(F.abs(F.col("n_cs") * F.col("n") - F.col("n_s") * F.col("k")))
+            .cast("long")
+            .alias("present_num"),
+            F.sum("n_s").cast("long").alias("present_ns"),
+        )
+    )
+    out = terms.crossJoin(F.broadcast(tot))
+    tv_ppm = F.expr(
+        "(present_num + k * (n - present_ns)) * 1000000 DIV (2 * k * n)"
+    )
+    return out.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "k",
+        tv_ppm.cast("long").alias("tv_ppm"),
+        (tv_ppm > _T_PPM).alias("exceeds_t"),
+    )

@@ -103,6 +103,15 @@ HEAVY = [
     "item_item_collab_filter",
     "stream_full_outer_attribution",
     "clustering_coefficient_topk",
+    # r7: the selection/audit layer (documents-heavy) + the rewritten
+    # simhash hamming search (filter-first candidate distinct)
+    "c4_boilerplate_ngrams",
+    "quality_budget_cut",
+    "curriculum_stage_assign",
+    "ngram_novelty_decay",
+    "dedup_containment_star",
+    "max_word_run_lengths",
+    "dedup_simhash_hamming",
 ]
 
 _REPLICAS = 10
