@@ -602,10 +602,9 @@ def test_feature_hashing_no_joins_no_window(spark, sf_dir):
     p = plan_of(all_queries()["feature_hashing_trick"].fn(spark, sf_dir))
     assert "Join" not in p and "Window" not in p
     # two aggregate exchanges: (bucket, feat) partial for the distinct
-    # count, then bucket — each node appears once in the tree and once
-    # in the detail section of the formatted plan
+    # count, then bucket — count the detail-section node headers
     n_exchanges = len(
-        {l.split(")")[0] for l in p.splitlines() if "Exchange" in l and "(" in l}
+        [l for l in p.splitlines() if l.startswith("(") and "Exchange" in l]
     )
     assert n_exchanges <= 2
 
