@@ -254,6 +254,7 @@ HEADLINE = [
     "feature_hashing_trick",
     "t_closeness_audit",
     "corpus_datasheet",
+    "minhash_band_tuning",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -323,3 +323,170 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash band tuning (r7) — the index-parameter sweep every LSH
+# rollout runs before committing a (bands × rows) shape: for each
+# config, expected verification work (candidate pairs) vs planted-
+# near-dup recall. The critical scale trick: candidate counts come
+# from Σ_buckets C(n,2) — ONE aggregate over bucket sizes — so the
+# sweep never enumerates a single candidate pair; recall joins only
+# the bounded planted-pair list (corpus/5 rows) against the band rows.
+# 100 TB: 3 configs × (one groupBy on digest band keys + one bounded
+# semi-join); tuning cost is O(corpus · bands), independent of how
+# duplicate-heavy the data is.
+# ---------------------------------------------------------------------------
+_TUNE_CFGS = [(8, 1), (4, 2), (2, 4)]  # (n_bands, band_size) over 8 hashes
+
+
+def _tune_sql_bands(cfg_id: int, n_bands: int, band_size: int) -> str:
+    selects = []
+    for b in range(n_bands):
+        cols = " || ".join(f"h{b * band_size + i}" for i in range(band_size))
+        selects.append(
+            f"SELECT {cfg_id} AS cfg, doc_id, {b} AS band_id, "
+            f"MD5({cols}) AS band_key FROM sig"
+        )
+    return "\n            UNION ALL ".join(selects)
+
+
+def _tune_oracle() -> str:
+    all_bands = "\n            UNION ALL ".join(
+        _tune_sql_bands(i, nb, bs) for i, (nb, bs) in enumerate(_TUNE_CFGS)
+    )
+    cfg_rows = ", ".join(
+        f"({i}, {nb}, {bs})" for i, (nb, bs) in enumerate(_TUNE_CFGS)
+    )
+    return f"""
+        WITH corpus AS ({_SQL_CORPUS_NEAR}),
+        sh AS ({_SQL_SHINGLES_3}),
+        sig AS (
+            SELECT doc_id,
+            {_SQL_SIG_COLS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {all_bands}
+        ),
+        buckets AS (
+            SELECT cfg, band_id, band_key, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bands GROUP BY 1, 2, 3
+        ),
+        work AS (
+            SELECT cfg,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+            FROM buckets GROUP BY 1
+        ),
+        planted AS (
+            SELECT a.doc_id AS id_orig, b.doc_id AS id_copy
+            FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 100000
+        ),
+        caught AS (
+            SELECT DISTINCT ba.cfg, p.id_orig
+            FROM planted p
+            JOIN bands ba ON ba.doc_id = p.id_orig
+            JOIN bands bb ON bb.doc_id = p.id_copy
+                         AND bb.cfg = ba.cfg
+                         AND bb.band_id = ba.band_id
+                         AND bb.band_key = ba.band_key
+        ),
+        recall AS (
+            SELECT cfg, CAST(COUNT(*) AS BIGINT) AS n_caught FROM caught GROUP BY 1
+        ),
+        cfgs(cfg, n_bands, band_size) AS (VALUES {cfg_rows})
+        SELECT CAST(c.cfg AS BIGINT)       AS cfg,
+               CAST(c.n_bands AS BIGINT)   AS n_bands,
+               CAST(c.band_size AS BIGINT) AS band_size,
+               w.n_buckets,
+               w.n_candidate_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM planted) AS n_planted,
+               COALESCE(r.n_caught, 0)     AS n_caught,
+               CAST(COALESCE(r.n_caught, 0) * 10000
+                    // (SELECT COUNT(*) FROM planted) AS BIGINT) AS recall_bp
+        FROM cfgs c
+        JOIN work w ON w.cfg = c.cfg
+        LEFT JOIN recall r ON r.cfg = c.cfg
+    """
+
+
+@register(
+    "minhash_band_tuning",
+    oracle=_tune_oracle(),
+    doc=(
+        "LSH parameter sweep (8x1 / 4x2 / 2x4 bands over 8 minhashes): "
+        "per config, candidate-pair work from bucket-size C(n,2) "
+        "aggregates (no pair ever enumerated) vs planted-near-dup "
+        "recall in exact basis points."
+    ),
+)
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.dedup import lsh_band_rows
+
+    corpus = fan_out(_corpus_near(spark, sf_dir))
+    arrs = shingle_arrays(corpus, "doc_id", "text", n=3)
+    sigs = minhash_signatures_from_arrays(
+        arrs, "doc_id", num_hashes=_MINHASH_K
+    ).persist()
+    band_frames = []
+    for i, (nb, bs) in enumerate(_TUNE_CFGS):
+        rows = lsh_band_rows(sigs, "doc_id", num_hashes=nb * bs, band_size=bs)
+        band_frames.append(rows.withColumn("cfg", F.lit(i)))
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    bands = bands.persist()
+
+    buckets = bands.groupBy("cfg", "band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    work = buckets.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias("n_candidate_pairs"),
+    )
+    ids = sigs.select("doc_id")
+    planted = ids.alias("a").join(
+        ids.alias("b"),
+        F.col("b.doc_id") == F.col("a.doc_id") + 100000,
+    ).select(
+        F.col("a.doc_id").alias("id_orig"), F.col("b.doc_id").alias("id_copy")
+    )
+    n_planted = planted.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    caught = (
+        planted.join(
+            bands.select("cfg", F.col("doc_id").alias("id_orig"), "band_id", "band_key"),
+            "id_orig",
+        )
+        .join(
+            bands.select(
+                "cfg", F.col("doc_id").alias("id_copy"), "band_id", "band_key"
+            ),
+            ["cfg", "id_copy", "band_id", "band_key"],
+        )
+        .select("cfg", "id_orig")
+        .distinct()
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    )
+    cfgs = spark.createDataFrame(
+        [(i, nb, bs) for i, (nb, bs) in enumerate(_TUNE_CFGS)],
+        "cfg int, n_bands long, band_size long",
+    )
+    return (
+        cfgs.join(work, "cfg")
+        .join(caught, "cfg", "left")
+        .crossJoin(F.broadcast(n_planted))
+        .select(
+            F.col("cfg").cast("long").alias("cfg"),
+            "n_bands",
+            "band_size",
+            "n_buckets",
+            "n_candidate_pairs",
+            "n_planted",
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            F.expr("COALESCE(n_caught, 0) * 10000 DIV n_planted")
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )

@@ -217,6 +217,7 @@ _PRIORITY: tuple[str, ...] = (
     "feature_hashing_trick",
     "t_closeness_audit",
     "corpus_datasheet",
+    "minhash_band_tuning",
     "dedup_simhash_hamming",
 )
 
