@@ -112,6 +112,9 @@ HEAVY = [
     "dedup_containment_star",
     "max_word_run_lengths",
     "dedup_simhash_hamming",
+    "minhash_band_tuning",
+    "feature_hashing_trick",
+    "t_closeness_audit",
 ]
 
 _REPLICAS = 10
