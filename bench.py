@@ -255,6 +255,7 @@ HEADLINE = [
     "t_closeness_audit",
     "corpus_datasheet",
     "minhash_band_tuning",
+    "source_corrupt_record_routing",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -253,3 +253,83 @@ def source_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(codec).alias("codec"), "n_rows", "sum_cents")
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record routing (r7) — the ingest-quarantine surface every
+# production JSON feed needs: PERMISSIVE parsing with a
+# _corrupt_record column routes malformed lines into a quarantine
+# stream instead of failing the job (or silently dropping rows, as
+# DROPMALFORMED would). Corruption is synthesized deterministically
+# (every 7th document's JSON line loses its closing brace), so the
+# oracle predicts the routing closed-form from the parquet table.
+# 100 TB: parsing is map-side (schema declared, no inference pass);
+# the rollup is one aggregate. Quarantined rows keep their raw bytes —
+# the replayable dead-letter contract.
+# ---------------------------------------------------------------------------
+@register(
+    "source_corrupt_record_routing",
+    oracle="""
+        SELECT
+            CAST(COUNT(*) AS BIGINT)                             AS n_total,
+            CAST(COUNT(CASE WHEN doc_id % 7 <> 0 THEN 1 END)
+                 AS BIGINT)                                      AS n_valid,
+            CAST(COUNT(CASE WHEN doc_id % 7 = 0 THEN 1 END)
+                 AS BIGINT)                                      AS n_quarantined,
+            CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id END)
+                 AS BIGINT)                                      AS sum_valid_ids,
+            CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END)
+                 AS BIGINT)                                      AS sum_valid_chars
+        FROM documents
+    """,
+    doc=(
+        "PERMISSIVE JSON ingest with _corrupt_record quarantine "
+        "routing: every 7th line deterministically malformed; valid "
+        "rows parse against the declared schema, corrupt rows keep "
+        "raw bytes for replay; closed-form oracle."
+    ),
+)
+def source_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "source"
+    )
+    # build the raw JSONL feed: valid lines via to_json, every 7th
+    # line truncated (closing brace dropped) -> guaranteed malformed
+    line = F.to_json(F.struct("doc_id", "n_chars", "source"))
+    raw = docs.withColumn("l", line).select(
+        F.when(
+            F.col("doc_id") % 7 == 0, F.expr("substring(l, 1, length(l) - 1)")
+        )
+        .otherwise(F.col("l"))
+        .alias("value")
+    )
+    base = tempfile.mkdtemp(prefix="stacktrend_corrupt_")
+    path = f"{base}/feed_jsonl"
+    raw.write.mode("overwrite").text(path)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_chars", LongType()),
+            StructField("source", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    is_bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count(F.when(~is_bad, 1)).cast("long").alias("n_valid"),
+        F.count(F.when(is_bad, 1)).cast("long").alias("n_quarantined"),
+        F.sum(F.when(~is_bad, F.col("doc_id"))).cast("long").alias("sum_valid_ids"),
+        F.sum(F.when(~is_bad, F.col("n_chars")))
+        .cast("long")
+        .alias("sum_valid_chars"),
+    )

@@ -218,6 +218,7 @@ _PRIORITY: tuple[str, ...] = (
     "t_closeness_audit",
     "corpus_datasheet",
     "minhash_band_tuning",
+    "source_corrupt_record_routing",
     "dedup_simhash_hamming",
 )
 
