@@ -129,3 +129,33 @@ def test_word_runs_bounds(spark, sf_dir):
         | (F.col("n_runs_ge3") < 0)
     ).count()
     assert bad == 0
+
+
+def test_band_tuning_monotone_tradeoff(spark, sf_dir):
+    """Band refinement guarantees BOTH monotonicities structurally:
+    a 2x4 band match implies the two 4x2 matches it contains, which
+    imply the four 8x1 matches — so recall can only fall as bands
+    widen; and every wider-band bucket is a refinement of a
+    narrower-band bucket, so Sigma C(n,2) candidate work can only
+    fall too. A violation means the band digests are miswired."""
+    from stacktrend_spark.plans.dedup_audit import minhash_band_tuning
+
+    rows = {r["band_size"]: r for r in minhash_band_tuning(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["n_caught"] >= rows[2]["n_caught"] >= rows[4]["n_caught"]
+    assert (
+        rows[1]["n_candidate_pairs"]
+        >= rows[2]["n_candidate_pairs"]
+        >= rows[4]["n_candidate_pairs"]
+    )
+    # planted truncated copies are genuinely near-dup: 8 single-hash
+    # bands must catch essentially all of them
+    assert rows[1]["recall_bp"] >= 9000
+
+
+def test_corrupt_routing_partitions_feed(spark, sf_dir):
+    from stacktrend_spark.plans.formats import source_corrupt_record_routing
+
+    r = source_corrupt_record_routing(spark, sf_dir).collect()[0]
+    assert r["n_total"] == r["n_valid"] + r["n_quarantined"]
+    assert r["n_quarantined"] > 0 and r["n_valid"] > 0
