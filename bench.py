@@ -256,6 +256,9 @@ HEADLINE = [
     "corpus_datasheet",
     "minhash_band_tuning",
     "source_corrupt_record_routing",
+    "dsir_importance_resampling",
+    "unigram_surprisal_filter",
+    "tokenizer_fertility_panel",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -64,6 +64,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.tpch_shapes",
     "stacktrend_spark.plans.selection",
     "stacktrend_spark.plans.dedup_audit",
+    "stacktrend_spark.plans.resampling",
 )
 
 
@@ -220,6 +221,10 @@ _PRIORITY: tuple[str, ...] = (
     "minhash_band_tuning",
     "source_corrupt_record_routing",
     "dedup_simhash_hamming",
+    # -- r7 additions (plans/resampling.py)
+    "dsir_importance_resampling",
+    "unigram_surprisal_filter",
+    "tokenizer_fertility_panel",
 )
 
 
