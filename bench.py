@@ -259,6 +259,9 @@ HEADLINE = [
     "dsir_importance_resampling",
     "unigram_surprisal_filter",
     "tokenizer_fertility_panel",
+    "fairness_demographic_parity",
+    "conformal_calibration_quantile",
+    "woe_information_value",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

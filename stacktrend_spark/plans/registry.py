@@ -65,6 +65,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.selection",
     "stacktrend_spark.plans.dedup_audit",
     "stacktrend_spark.plans.resampling",
+    "stacktrend_spark.plans.governance",
 )
 
 
@@ -225,6 +226,10 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_importance_resampling",
     "unigram_surprisal_filter",
     "tokenizer_fertility_panel",
+    # -- r7 additions (plans/governance.py)
+    "fairness_demographic_parity",
+    "conformal_calibration_quantile",
+    "woe_information_value",
 )
 
 

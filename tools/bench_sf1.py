@@ -115,6 +115,11 @@ HEAVY = [
     "minhash_band_tuning",
     "feature_hashing_trick",
     "t_closeness_audit",
+    # r7 batch 6: the resampling layer (documents-heavy token explodes
+    # into bounded aggregates — expect flat/linear)
+    "dsir_importance_resampling",
+    "unigram_surprisal_filter",
+    "tokenizer_fertility_panel",
 ]
 
 _REPLICAS = 10
