@@ -262,6 +262,8 @@ HEADLINE = [
     "fairness_demographic_parity",
     "conformal_calibration_quantile",
     "woe_information_value",
+    "matryoshka_truncation_agreement",
+    "jl_projection_distortion",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

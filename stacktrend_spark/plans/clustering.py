@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from stacktrend_spark.functions.hashing import sql_hex40
 from stacktrend_spark.functions.rounding import fround, sql_round
 from stacktrend_spark.operators.similarity import rank_cells_arrow, with_cell_arrow
 from stacktrend_spark.plans.registry import register
@@ -1007,4 +1008,322 @@ def array_hof_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot_scaled",
         "cos_ppb",
         F.col("rk").cast("long").alias("sim_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation agreement (r7) — MRL embeddings (Kusupati et
+# al. 2022, arXiv:2205.13147) are served truncated to a dimension
+# prefix; before shipping a truncated index you measure how often the
+# prefix retrieves the SAME top-1 neighbor as the full vector. Exact
+# integer surface: components quantize to ⌊x·10⁶+0.5⌋ before any
+# arithmetic, the ranking is the signed ppb cosine² (same discipline
+# as array_hof_cosine_topk), and the top-1 per (k, query) is a
+# (cos_ppb, −vec_id) struct max — a partial-aggregable argmax, no
+# global window. dot ≤ 2.6e14 so dot²·10⁹ ≤ 7e37 < decimal(38,0).
+# 100 TB: queries broadcast; the corpus is scanned ONCE computing all
+# four prefix scores map-side; the only shuffle is the (k, qid) argmax
+# combine (4·|Q| groups).
+# ---------------------------------------------------------------------------
+_MRL_Q = 6                    # query vectors: vec_id < _MRL_Q
+_MRL_KS = (8, 16, 32, 64)     # dimension prefixes
+
+
+@register(
+    "matryoshka_truncation_agreement",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid,
+                   list_transform({_SQL_D.format("embedding")},
+                                  x -> FLOOR(x * 1000000.0 + 0.5)) AS qv
+            FROM embeddings WHERE vec_id < {_MRL_Q}
+        ),
+        c AS (
+            SELECT vec_id,
+                   list_transform({_SQL_D.format("embedding")},
+                                  x -> FLOOR(x * 1000000.0 + 0.5)) AS cv
+            FROM embeddings WHERE vec_id >= {_MRL_Q}
+        ),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in _MRL_KS)}]) AS k),
+        scored AS (
+            SELECT ks.k, q.qid, c.vec_id,
+                   CAST(CAST(list_dot_product(list_slice(q.qv, 1, ks.k),
+                                              list_slice(c.cv, 1, ks.k))
+                             AS BIGINT) AS HUGEINT) AS dot,
+                   CAST(CAST(list_dot_product(list_slice(q.qv, 1, ks.k),
+                                              list_slice(q.qv, 1, ks.k))
+                             AS BIGINT) AS HUGEINT) AS na2,
+                   CAST(CAST(list_dot_product(list_slice(c.cv, 1, ks.k),
+                                              list_slice(c.cv, 1, ks.k))
+                             AS BIGINT) AS HUGEINT) AS nb2
+            FROM q CROSS JOIN c CROSS JOIN ks
+        ),
+        ranked AS (
+            SELECT k, qid, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY k, qid
+                       ORDER BY CASE WHEN dot >= 0 THEN 1 ELSE -1 END
+                                * (dot * dot * 1000000000 // (na2 * nb2)) DESC,
+                                vec_id ASC) AS rk
+            FROM scored
+        ),
+        top1 AS (SELECT k, qid, vec_id FROM ranked WHERE rk = 1),
+        full_ AS (SELECT qid, vec_id AS full_nb FROM top1 WHERE k = 64)
+        SELECT t.k,
+               CAST(COUNT(*) AS BIGINT)                             AS n_queries,
+               CAST(SUM(CASE WHEN t.vec_id = f.full_nb THEN 1 ELSE 0 END)
+                    AS BIGINT)                                      AS n_agree,
+               CAST(SUM(CASE WHEN t.vec_id = f.full_nb THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT)                AS agree_ppm
+        FROM top1 t JOIN full_ f USING (qid)
+        GROUP BY t.k
+    """,
+    doc=(
+        "Matryoshka (MRL) truncation audit: top-1 neighbor agreement "
+        "of 8/16/32/64-dim prefixes vs the full vector — exact ppb "
+        "cosine² ranking, one corpus scan scoring all prefixes, "
+        "partial-aggregable argmax."
+    ),
+)
+def matryoshka_truncation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    quant = (
+        "transform(embedding,"
+        " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    q = emb.filter(F.col("vec_id") < _MRL_Q).select(
+        F.col("vec_id").alias("qid"), F.expr(quant).alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= _MRL_Q).select(
+        "vec_id", F.expr(quant).alias("cv")
+    )
+    dec = "DECIMAL(38,0)"
+
+    def cosp(k: int) -> str:
+        qs, cs = f"slice(qv, 1, {k})", f"slice(cv, 1, {k})"
+        dot = (
+            f"aggregate(zip_with({qs}, {cs}, (x, y) -> CAST(x AS {dec}) * y),"
+            f" CAST(0 AS {dec}), (acc, v) -> acc + v)"
+        )
+        na2 = (
+            f"aggregate({qs}, CAST(0 AS {dec}),"
+            f" (acc, x) -> acc + CAST(x AS {dec}) * x)"
+        )
+        nb2 = (
+            f"aggregate({cs}, CAST(0 AS {dec}),"
+            f" (acc, x) -> acc + CAST(x AS {dec}) * x)"
+        )
+        return (
+            f"CAST(CASE WHEN {dot} >= 0 THEN 1 ELSE -1 END"
+            f" * ({dot} * {dot} * 1000000000 DIV ({na2} * {nb2})) AS BIGINT)"
+        )
+
+    # one corpus scan computes every prefix score; explode the 4
+    # (k, cos) structs map-side
+    scored = c.join(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct(CAST({k} AS BIGINT) AS k, {cosp(k)} AS cos_ppb)"
+                    for k in _MRL_KS
+                )
+                + ")"
+            )
+        ).alias("kc"),
+    ).select("qid", "vec_id", F.col("kc.k").alias("k"), F.col("kc.cos_ppb").alias("cos_ppb"))
+    # argmax via struct max: highest cos_ppb, then LOWEST vec_id —
+    # partial-aggregable, no window over the candidate set
+    top1 = (
+        scored.groupBy("k", "qid")
+        .agg(
+            F.max(
+                F.struct(F.col("cos_ppb").alias("c"), (-F.col("vec_id")).alias("nv"))
+            ).alias("best")
+        )
+        .select("k", "qid", (-F.col("best.nv")).alias("vec_id"))
+    )
+    full = top1.filter(F.col("k") == 64).select("qid", F.col("vec_id").alias("full_nb"))
+    return (
+        top1.join(F.broadcast(full), "qid")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("vec_id") == F.col("full_nb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+            F.expr(
+                "CAST(SUM(CASE WHEN vec_id = full_nb THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("agree_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss projection distortion (r7) — before replacing
+# 64-dim vectors with an m=16 random ±1 projection (Achlioptas 2003,
+# "Database-friendly random projections"), audit how well pairwise
+# squared distances survive: distortion = ‖y_a−y_b‖²/(m·‖x_a−x_b‖²)
+# should concentrate near 1. The sign matrix is the engine-neutral
+# md5 hash of (d, j) — both engines rebuild it bit-identically; all
+# distances are exact integers on µ-quantized components.
+# Overflow ledger: |x|≤2e6 → d2_orig ≤ 64·(4e6)² ≈ 1e15 (BIGINT);
+# |y|≤64·2e6=1.3e8 → d2_proj ≤ 16·(2.6e8)² ≈ 1.1e18 (BIGINT);
+# d2_proj·10⁶ goes through HUGEINT/decimal(38,0).
+# 100 TB: the projection is a (vec × 1024-row broadcast matrix) join
+# → (vec_id, j) combine — linear, no fact-side shuffle beyond the
+# per-vector aggregate; the PAIR audit is bounded by contract to the
+# _JL_N lowest vec_ids (the production path projects everything but
+# audits a fixed panel).
+# ---------------------------------------------------------------------------
+_JL_N = 40    # audit panel: all pairs of the _JL_N lowest vec_ids
+_JL_M = 16    # projected dimensions
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=f"""
+        WITH panel AS (
+            SELECT vec_id,
+                   list_transform({_SQL_D.format("embedding")},
+                                  x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT)) AS v
+            FROM embeddings WHERE vec_id < {_JL_N}
+        ),
+        dims AS (
+            SELECT p.vec_id, d.d, p.v[d.d] AS x
+            FROM panel p CROSS JOIN
+                 (SELECT unnest(generate_series(1, 64)) AS d) d
+        ),
+        mat AS (
+            SELECT d.d, j.j,
+                   CASE WHEN ({sql_hex40("'jl|' || d.d || '|' || j.j")}) % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM (SELECT unnest(generate_series(1, 64)) AS d) d
+            CROSS JOIN (SELECT unnest(generate_series(1, {_JL_M})) AS j) j
+        ),
+        proj AS (
+            SELECT dims.vec_id, mat.j,
+                   CAST(SUM(mat.s * dims.x) AS BIGINT) AS y
+            FROM dims JOIN mat USING (d)
+            GROUP BY 1, 2
+        ),
+        d2o AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2_orig
+            FROM dims a JOIN dims b ON a.d = b.d AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        d2p AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(SUM((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+            FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        dist AS (
+            SELECT d2o.va, d2o.vb,
+                   CAST(CAST(d2p.d2_proj AS HUGEINT) * 1000000
+                        // (CAST({_JL_M} AS HUGEINT) * d2o.d2_orig) AS BIGINT)
+                       AS distortion_ppm
+            FROM d2o JOIN d2p USING (va, vb)
+        )
+        SELECT distortion_ppm // 200000             AS bucket,
+               CAST(COUNT(*) AS BIGINT)             AS n_pairs,
+               CAST(MIN(distortion_ppm) AS BIGINT)  AS min_distortion_ppm,
+               CAST(MAX(distortion_ppm) AS BIGINT)  AS max_distortion_ppm,
+               CAST(SUM(distortion_ppm) // COUNT(*) AS BIGINT)
+                                                    AS mean_distortion_ppm
+        FROM dist GROUP BY 1
+    """,
+    doc=(
+        "JL random-projection audit (64→16 dims, md5 ±1 matrix): "
+        "pairwise squared-distance distortion in exact ppm over a "
+        "fixed 40-vector panel, bucketed at 0.2 — concentrates near 1."
+    ),
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.hashing import spark_hex40
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _JL_N)
+    panel = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    )
+    dims = panel.select(
+        "vec_id", F.posexplode("v").alias("d0", "x")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
+    mat = (
+        spark.range(1, 65)
+        .select(F.col("id").alias("d"))
+        .crossJoin(spark.range(1, _JL_M + 1).select(F.col("id").alias("j")))
+        .select(
+            "d",
+            "j",
+            F.when(
+                spark_hex40(
+                    F.concat(F.lit("jl|"), F.col("d"), F.lit("|"), F.col("j"))
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    proj = (
+        dims.join(F.broadcast(mat), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).cast("long").alias("y"))
+    )
+    a_o = dims.select(
+        F.col("vec_id").alias("va"), F.col("d").alias("da"), F.col("x").alias("xa")
+    )
+    b_o = dims.select(
+        F.col("vec_id").alias("vb"), F.col("d").alias("db"), F.col("x").alias("xb")
+    )
+    d2o = (
+        a_o.join(b_o, (F.col("da") == F.col("db")) & (F.col("va") < F.col("vb")))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")))
+            .cast("long")
+            .alias("d2_orig")
+        )
+    )
+    a_p = proj.select(
+        F.col("vec_id").alias("va"), F.col("j").alias("ja"), F.col("y").alias("ya")
+    )
+    b_p = proj.select(
+        F.col("vec_id").alias("vb"), F.col("j").alias("jb"), F.col("y").alias("yb")
+    )
+    d2p = (
+        a_p.join(b_p, (F.col("ja") == F.col("jb")) & (F.col("va") < F.col("vb")))
+        .groupBy("va", "vb")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("long")
+            .alias("d2_proj")
+        )
+    )
+    dist = d2o.join(d2p, ["va", "vb"]).select(
+        F.expr(
+            f"CAST(CAST(d2_proj AS DECIMAL(38,0)) * 1000000"
+            f" DIV (CAST({_JL_M} AS DECIMAL(38,0)) * d2_orig) AS BIGINT)"
+        ).alias("distortion_ppm")
+    )
+    return dist.groupBy(
+        F.expr("distortion_ppm DIV 200000").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("distortion_ppm").cast("long").alias("min_distortion_ppm"),
+        F.max("distortion_ppm").cast("long").alias("max_distortion_ppm"),
+        F.expr("CAST(SUM(distortion_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_distortion_ppm"
+        ),
     )

@@ -230,6 +230,9 @@ _PRIORITY: tuple[str, ...] = (
     "fairness_demographic_parity",
     "conformal_calibration_quantile",
     "woe_information_value",
+    # -- r7 additions (plans/clustering.py embeddings batch)
+    "matryoshka_truncation_agreement",
+    "jl_projection_distortion",
 )
 
 

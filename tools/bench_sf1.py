@@ -120,6 +120,9 @@ HEAVY = [
     "dsir_importance_resampling",
     "unigram_surprisal_filter",
     "tokenizer_fertility_panel",
+    # r7 batch 8: full-corpus prefix scoring (queries broadcast; the
+    # JL audit is panel-bounded by contract and stays out)
+    "matryoshka_truncation_agreement",
 ]
 
 _REPLICAS = 10
