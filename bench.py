@@ -264,6 +264,8 @@ HEADLINE = [
     "woe_information_value",
     "matryoshka_truncation_agreement",
     "jl_projection_distortion",
+    "anova_oneway_f",
+    "kruskal_wallis_h",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -233,6 +233,9 @@ _PRIORITY: tuple[str, ...] = (
     # -- r7 additions (plans/clustering.py embeddings batch)
     "matryoshka_truncation_agreement",
     "jl_projection_distortion",
+    # -- r7 additions (plans/statistics.py omnibus tests)
+    "anova_oneway_f",
+    "kruskal_wallis_h",
 )
 
 

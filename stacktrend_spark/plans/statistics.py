@@ -2672,3 +2672,217 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tv_ppm.cast("long").alias("tv_ppm"),
         (tv_ppm > _T_PPM).alias("exceeds_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (r7) — the missing omnibus test beside the pairwise
+# family (cohens_d_segments, abtest_two_proportion_z): does order
+# priority explain any variance in order value? Fully integer-exact:
+# values quantize to whole currency units, the between/within sums of
+# squares come from the ONE-PASS identities
+#     SSW = Σx² − Σ_g s_g²/n_g          SSB = Σ_g s_g²/n_g − s²/N
+# with every s_g²/n_g TRUNCATED to an integer (DECIMAL(38,0) DIV) so
+# the 5-term cross-group sums are order-free integers — both engines
+# produce identical bits with no double summation anywhere. The
+# quantization error is < k units² — invisible at ppm output grain.
+# Overflow ledger: s_g ≤ N·2e5 units → s_g² < 1e38 for N up to ~1e16
+# rows (decimal(38,0) / HUGEINT); term_g = s_g² DIV n_g stays ≤ BIGINT
+# through ~1e11 rows/group — parity-gate machinery bounds, same class
+# as functions/rounding.py's note.
+# 100 TB: one scan → 5-row group aggregate + 1-row total; everything
+# downstream is arithmetic on ≤ 6 rows.
+# ---------------------------------------------------------------------------
+@register(
+    "anova_oneway_f",
+    oracle="""
+        WITH vals AS (
+            SELECT o_orderpriority AS g,
+                   CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS x
+            FROM orders
+        ),
+        cells AS (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(x) AS BIGINT)   AS s1_g
+            FROM vals GROUP BY 1
+        ),
+        terms AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   CAST(SUM(s1_g) AS BIGINT) AS s1_tot,
+                   CAST(SUM(CAST(CAST(s1_g AS HUGEINT) * s1_g // n_g AS BIGINT))
+                        AS BIGINT) AS sum_term
+            FROM cells
+        ),
+        tot AS (
+            SELECT CAST(SUM(CAST(CAST(x AS HUGEINT) * x AS HUGEINT)) AS BIGINT)
+                       AS s2_tot
+            FROM vals
+        ),
+        ss AS (
+            SELECT t.n_total, t.k_groups,
+                   t.sum_term
+                     - CAST(CAST(t.s1_tot AS HUGEINT) * t.s1_tot // t.n_total
+                            AS BIGINT)                        AS ssb_units2,
+                   tot.s2_tot - t.sum_term                    AS ssw_units2
+            FROM terms t CROSS JOIN tot
+        )
+        SELECT n_total, k_groups, ssb_units2, ssw_units2,
+               CAST(CAST(ssb_units2 AS HUGEINT) * (n_total - k_groups) * 1000000
+                    // (CAST(ssw_units2 AS HUGEINT) * (k_groups - 1))
+                    AS BIGINT)                                AS f_micro,
+               CAST(CAST(ssb_units2 AS HUGEINT) * 1000000
+                    // (ssb_units2 + ssw_units2) AS BIGINT)   AS eta2_ppm
+        FROM ss
+    """,
+    doc=(
+        "One-way ANOVA omnibus (order value ~ priority): integer-"
+        "truncated SSB/SSW from one-pass sufficient statistics, "
+        "F and eta-squared in exact µ/ppm units — no double summation "
+        "on any hashed surface."
+    ),
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38,0)"
+    vals = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("x"),
+    )
+    cells = vals.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s1_g"),
+    )
+    terms = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("s1_g").cast("long").alias("s1_tot"),
+        F.sum(
+            F.expr(f"CAST(CAST(s1_g AS {dec}) * s1_g DIV n_g AS BIGINT)")
+        )
+        .cast("long")
+        .alias("sum_term"),
+    )
+    tot = vals.agg(
+        F.sum(F.expr(f"CAST(CAST(x AS {dec}) * x AS {dec})"))
+        .cast("long")
+        .alias("s2_tot")
+    )
+    ss = (
+        terms.join(F.broadcast(tot))
+        .select(
+            "n_total",
+            "k_groups",
+            F.expr(
+                f"sum_term - CAST(CAST(s1_tot AS {dec}) * s1_tot DIV n_total"
+                f" AS BIGINT)"
+            ).alias("ssb_units2"),
+            F.expr("s2_tot - sum_term").alias("ssw_units2"),
+        )
+    )
+    return ss.select(
+        "n_total",
+        "k_groups",
+        "ssb_units2",
+        "ssw_units2",
+        F.expr(
+            f"CAST(CAST(ssb_units2 AS {dec}) * (n_total - k_groups) * 1000000"
+            f" DIV (CAST(ssw_units2 AS {dec}) * (k_groups - 1)) AS BIGINT)"
+        ).alias("f_micro"),
+        F.expr(
+            f"CAST(CAST(ssb_units2 AS {dec}) * 1000000"
+            f" DIV (ssb_units2 + ssw_units2) AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H (r7) — the rank-based omnibus twin of
+# anova_oneway_f, robust to the value distribution. Ranks are the
+# TIE-BROKEN total order (value, o_orderkey) — deterministic across
+# engines by construction (the classic mid-rank tie correction would
+# reintroduce doubles; on a continuous-valued column the difference is
+# negligible and the contract is documented). Spark ranks via the
+# two-phase range-partitioned row numbering (operators/ranking.py) —
+# no single-partition window over the fact table; the oracle uses the
+# plain window, asserting the distributed rank IS the total-order rank.
+#     H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+# computed with R_g²/n_g truncated to integers (order-free cross-group
+# sum), H in exact µ units through 128-bit products.
+# 100 TB: one range shuffle + O(#partitions) offsets + 5-row group
+# aggregate. R_g² < 1e38 holds through ~1e12 total rows.
+# ---------------------------------------------------------------------------
+@register(
+    "kruskal_wallis_h",
+    oracle="""
+        WITH vals AS (
+            SELECT o_orderpriority AS g,
+                   CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS x,
+                   o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT g, ROW_NUMBER() OVER (ORDER BY x, o_orderkey) AS r
+            FROM vals
+        ),
+        cells AS (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(r) AS BIGINT)   AS r_g
+            FROM ranked GROUP BY 1
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT)  AS k_groups,
+                   CAST(SUM(n_g) AS BIGINT)  AS n_total,
+                   CAST(SUM(r_g) AS BIGINT)  AS sum_ranks,
+                   CAST(SUM(CAST(CAST(r_g AS HUGEINT) * r_g // n_g AS BIGINT))
+                        AS BIGINT)           AS sum_term
+            FROM cells
+        )
+        SELECT n_total, k_groups,
+               sum_ranks = n_total * (n_total + 1) // 2 AS rank_sum_ok,
+               CAST(CAST(12 AS HUGEINT) * sum_term * 1000000
+                    // (CAST(n_total AS HUGEINT) * (n_total + 1))
+                    - CAST(3000000 AS HUGEINT) * (n_total + 1)
+                    AS BIGINT)                          AS h_micro
+        FROM agg
+    """,
+    doc=(
+        "Kruskal-Wallis rank omnibus (tie-broken total-order ranks, "
+        "two-phase distributed ranking, integer-truncated "
+        "R_g^2/n_g terms, H in exact µ units)."
+    ),
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    dec = "DECIMAL(38,0)"
+    vals = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("x"),
+        "o_orderkey",
+    )
+    ranked = global_rank_scalable(
+        vals, [F.col("x"), F.col("o_orderkey")], rank_col="r"
+    )
+    cells = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("r").cast("long").alias("r_g"),
+    )
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("r_g").cast("long").alias("sum_ranks"),
+        F.sum(F.expr(f"CAST(CAST(r_g AS {dec}) * r_g DIV n_g AS BIGINT)"))
+        .cast("long")
+        .alias("sum_term"),
+    )
+    return agg.select(
+        "n_total",
+        "k_groups",
+        F.expr("sum_ranks = n_total * (n_total + 1) DIV 2").alias("rank_sum_ok"),
+        F.expr(
+            f"CAST(CAST(12 AS {dec}) * sum_term * 1000000"
+            f" DIV (CAST(n_total AS {dec}) * (n_total + 1))"
+            f" - CAST(3000000 AS {dec}) * (n_total + 1) AS BIGINT)"
+        ).alias("h_micro"),
+    )
