@@ -266,6 +266,9 @@ HEADLINE = [
     "jl_projection_distortion",
     "anova_oneway_f",
     "kruskal_wallis_h",
+    "cuped_variance_reduction",
+    "did_revenue_estimator",
+    "srm_allocation_check",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

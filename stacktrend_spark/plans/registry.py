@@ -236,6 +236,10 @@ _PRIORITY: tuple[str, ...] = (
     # -- r7 additions (plans/statistics.py omnibus tests)
     "anova_oneway_f",
     "kruskal_wallis_h",
+    # -- r7 additions (plans/statistics.py experimentation batch)
+    "cuped_variance_reduction",
+    "did_revenue_estimator",
+    "srm_allocation_check",
 )
 
 

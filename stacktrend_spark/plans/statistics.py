@@ -2886,3 +2886,260 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - CAST(3000000 AS {dec}) * (n_total + 1) AS BIGINT)"
         ).alias("h_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation analytics (r7 batch 10) — the three audits an
+# A/B-testing platform runs on every experiment readout:
+# CUPED variance reduction (Deng et al. 2013, WSDM — "Improving the
+# sensitivity of online controlled experiments"), the
+# difference-in-differences estimator, and the sample-ratio-mismatch
+# guardrail. All on exact-integer sufficient statistics; the only
+# doubles are single correctly-rounded op trees over exact ints
+# (the dstd discipline), rounded via the shared formula.
+# ---------------------------------------------------------------------------
+_CUPED_CUTOFF = "1998-01-01"   # pre-period strictly before (testdata orders span 1995-2001)
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CASE WHEN o_orderdate <  DATE '{_CUPED_CUTOFF}'
+                        THEN CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN o_orderdate >= DATE '{_CUPED_CUTOFF}'
+                        THEN CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy
+            FROM per_cust
+        )
+        SELECT n AS n_units,
+               {{TH}} AS theta_micro,
+               {{R2}} AS rho2_ppm
+        FROM (
+            SELECT n,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n
+            FROM m
+        )
+    """.replace(
+        "{TH}", "CAST(FLOOR(cov_n / varx_n * 1000000.0 + 0.5) AS BIGINT)"
+    ).replace(
+        "{R2}",
+        "CAST(FLOOR(cov_n * cov_n / (varx_n * vary_n) * 1000000.0 + 0.5) AS BIGINT)",
+    ),
+    doc=(
+        "CUPED variance reduction: theta = cov(pre,post)/var(pre) and "
+        "the achieved variance-reduction fraction rho^2 (exact-integer "
+        "co-moments, one correctly-rounded double op tree, µ/ppm "
+        "outputs). Var(Y - theta*X) = (1 - rho^2) Var(Y)."
+    ),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one groupBy(custkey) pass builds per-unit (pre, post)
+    pairs; the co-moments collapse to ONE row of exact integers
+    (HUGEINT/decimal-widened products exact past 1e12 units); theta
+    and rho^2 come from identical IEEE op trees in both engines."""
+    dec = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("units"),
+    )
+    cut = F.lit(_CUPED_CUTOFF).cast("date")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < cut, F.col("units")).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("o_orderdate") >= cut, F.col("units")).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    m = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {dec}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).alias("syy"),
+    )
+    t = m.select(
+        "n",
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        ).alias("cov_n"),
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ).alias("varx_n"),
+        (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        ).alias("vary_n"),
+    )
+    return t.select(
+        F.col("n").alias("n_units"),
+        F.floor(F.col("cov_n") / F.col("varx_n") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("theta_micro"),
+        F.floor(
+            F.col("cov_n")
+            * F.col("cov_n")
+            / (F.col("varx_n") * F.col("vary_n"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rho2_ppm"),
+    )
+
+
+@register(
+    "did_revenue_estimator",
+    oracle=f"""
+        WITH cells AS (
+            SELECT (c.c_mktsegment = 'BUILDING')                    AS treated,
+                   (o.o_orderdate >= DATE '{_CUPED_CUTOFF}')        AS post,
+                   CAST(COUNT(*) AS BIGINT)                         AS n,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT)                                  AS s_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN treated AND post THEN CAST(s_cents AS DOUBLE) / n END)         AS m_t_post,
+                MAX(CASE WHEN treated AND NOT post THEN CAST(s_cents AS DOUBLE) / n END)     AS m_t_pre,
+                MAX(CASE WHEN NOT treated AND post THEN CAST(s_cents AS DOUBLE) / n END)     AS m_c_post,
+                MAX(CASE WHEN NOT treated AND NOT post THEN CAST(s_cents AS DOUBLE) / n END) AS m_c_pre,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM cells
+        )
+        SELECT n_total,
+               CAST(FLOOR(m_t_post * 100.0 + 0.5) AS BIGINT)  AS mean_t_post_c,
+               CAST(FLOOR(m_t_pre  * 100.0 + 0.5) AS BIGINT)  AS mean_t_pre_c,
+               CAST(FLOOR(m_c_post * 100.0 + 0.5) AS BIGINT)  AS mean_c_post_c,
+               CAST(FLOOR(m_c_pre  * 100.0 + 0.5) AS BIGINT)  AS mean_c_pre_c,
+               CAST(FLOOR(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                          * 100.0 + 0.5) AS BIGINT)           AS did_centicents
+        FROM wide
+    """,
+    doc=(
+        "Difference-in-differences: 2x2 (treated=BUILDING x pre/post) "
+        "mean order value from exact cents sums, DiD estimate through "
+        "one correctly-rounded op tree (centicent grain)."
+    ),
+)
+def did_revenue_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import iscale
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", iscale("o_totalprice").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            (F.col("o_orderdate") >= F.lit(_CUPED_CUTOFF).cast("date")).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s_cents"),
+        )
+    )
+    mean = F.col("s_cents").cast("double") / F.col("n")
+    wide = cells.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), mean)).alias("m_t_post"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), mean)).alias("m_t_pre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), mean)).alias("m_c_post"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), mean)).alias("m_c_pre"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+
+    def cc(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+    return wide.select(
+        "n_total",
+        cc(F.col("m_t_post")).alias("mean_t_post_c"),
+        cc(F.col("m_t_pre")).alias("mean_t_pre_c"),
+        cc(F.col("m_c_post")).alias("mean_c_post_c"),
+        cc(F.col("m_c_pre")).alias("mean_c_pre_c"),
+        cc(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre"))
+        ).alias("did_centicents"),
+    )
+
+
+@register(
+    "srm_allocation_check",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT c_mktsegment AS segment,
+                   ({sql_hex40("'srm|' || c_custkey")}) % 2 AS arm
+            FROM customer
+        ),
+        counts AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT)                       AS n,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM assigned GROUP BY 1
+        )
+        SELECT segment, n, n_a, n_b,
+               CAST((n_a - n_b) * (n_a - n_b) * 1000000 // n AS BIGINT)
+                   AS chi2_micro,
+               (n_a - n_b) * (n_a - n_b) * 1000000 // n > 3841459
+                   AS srm_flag
+        FROM counts
+    """,
+    doc=(
+        "Sample-ratio-mismatch guardrail: hash-assigned 50/50 arms per "
+        "segment, chi-square statistic (obs-exp)^2/exp in exact µ "
+        "units, flagged past the 3.841 critical value (p<0.05, df=1)."
+    ),
+)
+def srm_allocation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: assignment is a map-side hash; one |segments|-row
+    aggregate. chi2 for a 50/50 split reduces to (n_a−n_b)²/n — exact
+    integers end to end."""
+    from stacktrend_spark.functions.hashing import spark_hex40
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    assigned = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        (spark_hex40(F.concat(F.lit("srm|"), F.col("c_custkey"))) % 2).alias("arm"),
+    )
+    counts = assigned.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    return counts.select(
+        "segment",
+        "n",
+        "n_a",
+        "n_b",
+        F.expr("CAST((n_a - n_b) * (n_a - n_b) * 1000000 DIV n AS BIGINT)").alias(
+            "chi2_micro"
+        ),
+        F.expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV n > 3841459").alias(
+            "srm_flag"
+        ),
+    )
