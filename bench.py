@@ -269,6 +269,7 @@ HEADLINE = [
     "cuped_variance_reduction",
     "did_revenue_estimator",
     "srm_allocation_check",
+    "stream_cms_event_counters",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -240,6 +240,8 @@ _PRIORITY: tuple[str, ...] = (
     "cuped_variance_reduction",
     "did_revenue_estimator",
     "srm_allocation_check",
+    # -- r7 additions (plans/streaming_mirrors.py)
+    "stream_cms_event_counters",
 )
 
 

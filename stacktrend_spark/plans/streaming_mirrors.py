@@ -948,3 +948,120 @@ def stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="append",
         state_partitions=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min Sketch (r7) — completes the streaming-sketch
+# trio (KMV distinct, HLL registers, CMS frequencies). The stream
+# maintains the d×w counter grid incrementally (each event updates one
+# bucket per hash row, map-side explode; the stateful aggregate is
+# bounded at d·w = 1024 keys regardless of stream volume); the batch
+# probe then point-queries every event_type against the materialized
+# grid — estimate = min over rows, one-sided error ≥ exact. The 40-bit
+# md5 rows make the sketch bit-reproducible, so the oracle checks the
+# ESTIMATES, not just shape.
+# 100 TB: state is 1024 counters per state store — the canonical
+# "sketch in the stream, query at rest" pattern; the exact-count side
+# exists only for the audit.
+# ---------------------------------------------------------------------------
+from stacktrend_spark.functions.hashing import spark_hex40, sql_hex40  # noqa: E402
+
+_SCMS_D = 4
+_SCMS_W = 256
+
+
+@register(
+    "stream_cms_event_counters",
+    oracle=f"""
+        WITH grid AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(j)),
+        cells AS (
+            SELECT g.j,
+                   ({sql_hex40("CAST(g.j AS VARCHAR) || ':' || e.event_type")})
+                       % {_SCMS_W} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS s
+            FROM events e CROSS JOIN grid g
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM events GROUP BY 1
+        ),
+        probe AS (
+            SELECT x.event_type, x.exact_cnt, g.j,
+                   ({sql_hex40("CAST(g.j AS VARCHAR) || ':' || x.event_type")})
+                       % {_SCMS_W} AS bucket
+            FROM exact x CROSS JOIN grid g
+        )
+        SELECT p.event_type,
+               CAST(MAX(p.exact_cnt) AS BIGINT) AS exact_cnt,
+               CAST(MIN(c.s) AS BIGINT)         AS cms_est,
+               CAST((MIN(c.s) - MAX(p.exact_cnt)) * 1000000
+                    // MAX(p.exact_cnt) AS BIGINT) AS over_ppm
+        FROM probe p JOIN cells c USING (j, bucket)
+        GROUP BY p.event_type
+    """,
+    doc=(
+        f"Streaming count-min sketch (d={_SCMS_D}, w={_SCMS_W}): the "
+        "stream maintains the bounded counter grid incrementally; the "
+        "batch probe point-queries every event_type (min over rows, "
+        "one-sided error vs exact counts in ppm). Bit-reproducible "
+        "md5 rows — the gate checks estimate values."
+    ),
+)
+def stream_cms_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.sources.tables import load_table
+
+    ev = load_events_stream(spark, sf_dir)
+    grid = F.explode(F.expr(f"sequence(0, {_SCMS_D - 1})")).alias("j")
+    cells_stream = (
+        ev.select("event_type")
+        .select("event_type", grid)
+        .select(
+            "j",
+            (
+                spark_hex40(
+                    F.concat(
+                        F.col("j").cast("string"), F.lit(":"), F.col("event_type")
+                    )
+                )
+                % _SCMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    cells = run_to_batch(
+        cells_stream, "stream_cms_event_counters_sink", state_partitions=8
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    probe = exact.select(
+        "event_type",
+        "exact_cnt",
+        F.explode(F.expr(f"sequence(0, {_SCMS_D - 1})")).alias("j"),
+    ).select(
+        "event_type",
+        "exact_cnt",
+        "j",
+        (
+            spark_hex40(
+                F.concat(F.col("j").cast("string"), F.lit(":"), F.col("event_type"))
+            )
+            % _SCMS_W
+        ).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.max("exact_cnt").cast("long").alias("exact_cnt"),
+            F.min("s").cast("long").alias("cms_est"),
+            F.expr(
+                "CAST((MIN(s) - MAX(exact_cnt)) * 1000000"
+                " DIV MAX(exact_cnt) AS BIGINT)"
+            ).alias("over_ppm"),
+        )
+    )

@@ -173,3 +173,18 @@ def test_staged_feed_yields_multiple_microbatches(spark, sf_dir, tmp_path):
     q.stop()
     assert len(batches) == 3
     assert sum(n for _, n in batches) == ev.count()
+
+
+def test_stream_cms_one_sided_error(spark, sf_dir):
+    """CMS structural guarantee: the streaming-grid estimate NEVER
+    undercounts (min over rows of bucket sums >= true count), and the
+    grid conserves total mass per row."""
+    from stacktrend_spark.plans.streaming_mirrors import stream_cms_event_counters
+
+    rows = stream_cms_event_counters(spark, sf_dir).collect()
+    assert rows
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["exact_cnt"] for r in rows) == n_events
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["over_ppm"] >= 0
