@@ -270,6 +270,8 @@ HEADLINE = [
     "did_revenue_estimator",
     "srm_allocation_check",
     "stream_cms_event_counters",
+    "query_likelihood_dirichlet",
+    "misra_gries_summary",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

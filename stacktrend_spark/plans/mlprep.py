@@ -1579,3 +1579,139 @@ def kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dev_from_global_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (r7) — the
+# language-modeling twin of bm25_keyword_search (Zhai & Lafferty 2001,
+# SIGIR — "A study of smoothing methods for language models applied to
+# ad hoc information retrieval"):
+#     score(d|Q) = Σ_q log p(q|d),
+#     p(q|d) = (tf_qd + µ·cf_q/|C|) / (len_d + µ)
+#            = (tf_qd·|C| + µ·cf_q) / ((len_d + µ)·|C|)
+# — the second form keeps every log argument an exact BIGINT, so the
+# score is a sum of exact µlog10 integers (decade-interpolated xlog10,
+# no libm). The query is the corpus's 3 most frequent terms (term-asc
+# tiebreak) — deterministic at any sf. Docs missing a query term still
+# pay the collection-model term (tf = 0), as the model requires.
+# 100 TB: vocabulary aggregate → 3-row TakeOrdered broadcast; scoring
+# is one left join of (docs × 3 query rows) against per-doc query-term
+# tfs — map-side after the broadcast; top-10 via TakeOrderedAndProject.
+# tf·|C| ≤ len·|C| stays int64-safe through ~10^17 corpus tokens.
+# ---------------------------------------------------------------------------
+_QL_MU = 100
+_QL_NQ = 3
+_QL_TOPK = 10
+
+
+@register(
+    "query_likelihood_dirichlet",
+    oracle=None,  # bound right below (needs the rendered sql_xlog10)
+    doc=(
+        "Query-likelihood retrieval, Dirichlet smoothing (µ=100): "
+        "query = the 3 most frequent corpus terms, scores as exact "
+        "µlog10 integer sums (missing terms pay the collection model), "
+        "top-10 docs."
+    ),
+)
+def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import xlog10
+
+    def ilog(col: F.Column) -> F.Column:
+        return F.floor(
+            xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)
+        ).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    c_tot = vocab.agg(F.sum("cf").alias("c"))
+    qterms = vocab.orderBy(F.desc("cf"), F.col("term")).limit(_QL_NQ)
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len_d"))
+    tf = (
+        toks.join(F.broadcast(qterms.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # every (doc × query-term) pair scores — missing terms at tf = 0
+    pairs = (
+        lens.crossJoin(F.broadcast(qterms))
+        .join(tf, ["doc_id", "term"], "left")
+        .na.fill({"tf": 0})
+        .crossJoin(F.broadcast(c_tot))
+    )
+    scored = pairs.select(
+        "doc_id",
+        "len_d",
+        (
+            ilog(F.expr(f"tf * c + {_QL_MU} * cf"))
+            - ilog(F.expr(f"(len_d + {_QL_MU}) * c"))
+        ).alias("term_score"),
+    ).groupBy("doc_id").agg(
+        F.max("len_d").cast("long").alias("n_tokens"),
+        F.sum("term_score").cast("long").alias("ql_score_micro"),
+    )
+    top = scored.orderBy(F.desc("ql_score_micro"), F.col("doc_id")).limit(_QL_TOPK)
+    w = W.orderBy(F.desc("ql_score_micro"), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        "doc_id", "n_tokens", "ql_score_micro", "rnk"
+    )
+
+
+def _bind_ql_oracle() -> None:
+    from stacktrend_spark.functions.rounding import sql_xlog10
+    from stacktrend_spark.plans.registry import _REGISTRY
+
+    def silog(expr: str) -> str:
+        return (
+            f"CAST(FLOOR({sql_xlog10(f'GREATEST({expr}, 1)')}"
+            f" * 1000000.0) AS BIGINT)"
+        )
+
+    _REGISTRY["query_likelihood_dirichlet"].oracle = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        vocab AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY 1
+        ),
+        ctot AS (SELECT SUM(cf) AS c FROM vocab),
+        qterms AS (
+            SELECT term, cf FROM vocab ORDER BY cf DESC, term LIMIT {_QL_NQ}
+        ),
+        lens AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d
+            FROM toks GROUP BY 1
+        ),
+        tf AS (
+            SELECT t.doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT l.doc_id, l.len_d, q.cf, COALESCE(tf.tf, 0) AS tf, ctot.c
+            FROM lens l CROSS JOIN qterms q CROSS JOIN ctot
+            LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.term = q.term
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(MAX(len_d) AS BIGINT) AS n_tokens,
+                   CAST(SUM({silog(f"tf * c + {_QL_MU} * cf")}
+                          - {silog(f"(len_d + {_QL_MU}) * c")}) AS BIGINT)
+                       AS ql_score_micro
+            FROM pairs GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       ORDER BY ql_score_micro DESC, doc_id) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, n_tokens, ql_score_micro, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= {_QL_TOPK}
+    """
+
+
+_bind_ql_oracle()

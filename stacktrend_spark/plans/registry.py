@@ -242,6 +242,9 @@ _PRIORITY: tuple[str, ...] = (
     "srm_allocation_check",
     # -- r7 additions (plans/streaming_mirrors.py)
     "stream_cms_event_counters",
+    # -- r7 additions (IR + deterministic sketch)
+    "query_likelihood_dirichlet",
+    "misra_gries_summary",
 )
 
 

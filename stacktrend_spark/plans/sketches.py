@@ -806,3 +806,76 @@ def bloom_prejoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pruned_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries frequency summary (r7) — the deterministic heavy-hitter
+# summary beside the probabilistic CMS: keep at most k keys, each with
+# weight = count − θ where θ is the (k+1)-th largest per-key count
+# (the exact merged form of streaming MG decrements). Structural
+# guarantees, both pinned by the output: at most k survivors, and
+# (k+1)·θ ≤ N (the top k+1 keys each count ≥ θ), hence every surviving
+# weight undercounts its true frequency by at most N/(k+1) — the
+# classic MG bound, here checked row by row.
+# 100 TB: the per-key count table is bounded by key cardinality
+# (map-side combinable); θ is a (k+1)-row TakeOrdered broadcast; the
+# summary is a filter over the count table. Nothing rescans the corpus.
+# ---------------------------------------------------------------------------
+_MG_K = 8
+
+
+@register(
+    "misra_gries_summary",
+    oracle=f"""
+        WITH counts AS (
+            SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1
+        ),
+        n AS (SELECT SUM(cnt) AS n_total FROM counts),
+        theta AS (
+            SELECT MIN(cnt) AS th FROM (
+                SELECT cnt FROM counts
+                ORDER BY cnt DESC, l_suppkey LIMIT {_MG_K + 1}
+            )
+        )
+        SELECT c.l_suppkey,
+               c.cnt                                   AS exact_cnt,
+               CAST(c.cnt - t.th AS BIGINT)            AS mg_weight,
+               CAST(t.th AS BIGINT)                    AS theta,
+               c.cnt - t.th >= c.cnt - n.n_total // {_MG_K + 1}
+                                                       AS mg_bound_ok
+        FROM counts c CROSS JOIN theta t CROSS JOIN n
+        WHERE c.cnt > t.th
+    """,
+    doc=(
+        f"Misra-Gries k={_MG_K} heavy-hitter summary: weight = count "
+        "minus the (k+1)-th largest count; at most k survivors, each "
+        "undercounting by at most N/(k+1) (bound audited per row)."
+    ),
+)
+def misra_gries_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n = counts.agg(F.sum("cnt").alias("n_total"))
+    theta = (
+        counts.orderBy(F.desc("cnt"), F.col("l_suppkey"))
+        .limit(_MG_K + 1)
+        .agg(F.min("cnt").alias("th"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") > F.col("th"))
+        .select(
+            "l_suppkey",
+            F.col("cnt").alias("exact_cnt"),
+            (F.col("cnt") - F.col("th")).cast("long").alias("mg_weight"),
+            F.col("th").cast("long").alias("theta"),
+            F.expr(f"cnt - th >= cnt - n_total DIV {_MG_K + 1}").alias(
+                "mg_bound_ok"
+            ),
+        )
+    )
