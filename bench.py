@@ -272,6 +272,8 @@ HEADLINE = [
     "stream_cms_event_counters",
     "query_likelihood_dirichlet",
     "misra_gries_summary",
+    "session_window_native_batch",
+    "snippet_best_window",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1715,3 +1715,109 @@ def _bind_ql_oracle() -> None:
 
 
 _bind_ql_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Best-snippet window (r7) — the search-results stage after retrieval:
+# for every document hit by the query, find the W=10-token window with
+# the most query-term occurrences (the snippet a SERP would excerpt).
+# Query = the same deterministic top-3 corpus terms as
+# query_likelihood_dirichlet. Exact + scalable: each HIT position
+# explodes into its ≤ W candidate window starts (map-side ×10 on the
+# hit set only, never the full token stream); per-(doc, start) counts
+# are a bounded aggregate; the per-doc argmax is a (hits, −start)
+# struct max — partial-aggregable, no window function anywhere.
+# Ties break to the SMALLEST start.
+# ---------------------------------------------------------------------------
+_SNIP_W = 10
+
+
+@register(
+    "snippet_best_window",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        vocab AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents) GROUP BY 1
+        ),
+        qterms AS (
+            SELECT term FROM vocab ORDER BY cf DESC, term LIMIT {_QL_NQ}
+        ),
+        pos AS (
+            SELECT t.doc_id, p.p, CAST(len(t.w) AS BIGINT) AS len_d
+            FROM toks t CROSS JOIN
+                 (SELECT unnest(generate_series(1, 10000)) AS p) p
+            WHERE p.p <= len(t.w)
+              AND t.w[p.p] IN (SELECT term FROM qterms)
+        ),
+        cand AS (
+            SELECT doc_id, p, len_d,
+                   unnest(generate_series(GREATEST(p - {_SNIP_W - 1}, 1),
+                          LEAST(p, GREATEST(len_d - {_SNIP_W - 1}, 1)))) AS s
+            FROM pos
+        ),
+        win AS (
+            SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM cand GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT doc_id, s, n_hits,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY n_hits DESC, s ASC) AS rk
+            FROM win
+        )
+        SELECT doc_id, CAST(s AS BIGINT) AS best_start, n_hits
+        FROM best WHERE rk = 1
+    """,
+    doc=(
+        "Best-snippet window: per hit doc, the 10-token window with "
+        "the most query-term occurrences (query = top-3 corpus terms), "
+        "hit-set-only ×W explode, partial-aggregable argmax, "
+        "smallest-start tiebreak."
+    ),
+)
+def snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "term"),
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("len_d"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "term", "len_d")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    qterms = vocab.orderBy(F.desc("cf"), F.col("term")).limit(_QL_NQ).select("term")
+    pos = toks.join(F.broadcast(qterms), "term").select("doc_id", "p", "len_d")
+    cand = pos.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("p") - (_SNIP_W - 1), F.lit(1)),
+                F.least(
+                    F.col("p"),
+                    F.greatest(F.col("len_d") - (_SNIP_W - 1), F.lit(1)),
+                ),
+            )
+        ).alias("s"),
+    )
+    win = cand.groupBy("doc_id", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        win.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_hits").alias("h"), (-F.col("s")).alias("ns"))
+            ).alias("best")
+        )
+        .select(
+            "doc_id",
+            (-F.col("best.ns")).cast("long").alias("best_start"),
+            F.col("best.h").alias("n_hits"),
+        )
+    )

@@ -245,6 +245,9 @@ _PRIORITY: tuple[str, ...] = (
     # -- r7 additions (IR + deterministic sketch)
     "query_likelihood_dirichlet",
     "misra_gries_summary",
+    # -- r7 additions (native session window + snippet)
+    "session_window_native_batch",
+    "snippet_best_window",
 )
 
 

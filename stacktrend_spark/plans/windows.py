@@ -624,3 +624,72 @@ def window_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("distinct_users_to_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window batch aggregation (r7) — sessionize_events
+# above is the lag+running-sum ISLAND formulation; this is Spark's
+# NATIVE gap-session operator (F.session_window in a batch groupBy):
+# one SessionWindow aggregate node, no window-function pass, merge
+# semantics handled by the engine. Same 30-min gap; the oracle rebuilds
+# the identical sessions with the island SQL (session end = last event
+# + gap, per session_window's contract).
+# 100 TB: ONE shuffle on user_id into a sort-merge session aggregate —
+# strictly fewer passes than the two-window island plan; the state per
+# group is the open session, not the user's history.
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_native_batch",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            > {_GAP_US}
+                        OR LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, ts_us, cents,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM seq
+        )
+        SELECT user_id,
+               CAST(MIN(ts_us) AS BIGINT)              AS session_start_us,
+               CAST(MAX(ts_us) + {_GAP_US} AS BIGINT)  AS session_end_us,
+               CAST(COUNT(*) AS BIGINT)                AS n_events,
+               CAST(SUM(cents) AS BIGINT)              AS sum_cents
+        FROM islands
+        GROUP BY user_id, sid
+    """,
+    doc=(
+        "NATIVE gap-session aggregation (F.session_window, 30-min "
+        "gap): one SessionWindow aggregate node instead of the "
+        "two-window island plan; session end = last event + gap."
+    ),
+)
+def session_window_native_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(iscale("value")).cast("long").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("session_start_us"),
+            F.unix_micros(F.col("win.end")).alias("session_end_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )
