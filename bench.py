@@ -274,6 +274,7 @@ HEADLINE = [
     "misra_gries_summary",
     "session_window_native_batch",
     "snippet_best_window",
+    "decayed_halflife_trending",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -248,6 +248,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- r7 additions (native session window + snippet)
     "session_window_native_batch",
     "snippet_best_window",
+    "decayed_halflife_trending",
 )
 
 

@@ -1652,3 +1652,79 @@ def forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("ae * 1000000 DIV y")).cast("long").alias("sum_ape_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Half-life-decayed trending scores (r7) — the recency-weighted
+# popularity ranking every feed/trending surface runs: each event
+# contributes 2^(−age_days) with a 1-day half-life. EXACT arithmetic
+# by construction: ages are whole days, so the weights are the dyadic
+# integers 2^(W_MAX − age) — no pow(), no doubles, bit-identical sums
+# in any engine; contributions older than W_MAX days are exactly 0
+# (the honest truncation a production decay uses anyway).
+# recency_share = the last-7-days share of the decayed mass, in ppm.
+# 100 TB: one (event_type, day) aggregate — map-side combinable,
+# bounded by |types|·|days|; the max-day anchor is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+_DECAY_WMAX = 30   # ages beyond this contribute exactly 0
+_RECENT_DAYS = 7
+
+
+@register(
+    "decayed_halflife_trending",
+    oracle=f"""
+        WITH days AS (
+            SELECT event_type,
+                   CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+                       AS d,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        anchor AS (SELECT MAX(d) AS d_max FROM days),
+        weighted AS (
+            SELECT event_type, cnt,
+                   a.d_max - d AS age,
+                   CASE WHEN a.d_max - d <= {_DECAY_WMAX}
+                        THEN cnt * (CAST(1 AS BIGINT) << ({_DECAY_WMAX} - (a.d_max - d)))
+                        ELSE 0 END AS dec_part
+            FROM days CROSS JOIN anchor a
+        )
+        SELECT event_type,
+               CAST(SUM(cnt) AS BIGINT)      AS n_events,
+               CAST(SUM(dec_part) AS BIGINT) AS decayed_scaled,
+               CAST(SUM(CASE WHEN age < {_RECENT_DAYS} THEN dec_part ELSE 0 END)
+                    * 1000000 // SUM(dec_part) AS BIGINT)
+                                             AS recency_share_ppm
+        FROM weighted GROUP BY 1
+    """,
+    doc=(
+        "Half-life-decayed trending (1-day half-life, exact dyadic "
+        "2^(30-age) integer weights, zero beyond 30 days): per-type "
+        "decayed mass and last-7-days recency share in ppm."
+    ),
+)
+def decayed_halflife_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    anchor = days.agg(F.max("d").alias("d_max"))
+    weighted = days.join(F.broadcast(anchor)).select(
+        "event_type",
+        "cnt",
+        (F.col("d_max") - F.col("d")).alias("age"),
+        F.expr(
+            f"CASE WHEN d_max - d <= {_DECAY_WMAX}"
+            f" THEN cnt * (CAST(1 AS BIGINT) << CAST({_DECAY_WMAX} - (d_max - d) AS INT))"
+            f" ELSE CAST(0 AS BIGINT) END"
+        ).alias("dec_part"),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.sum("dec_part").cast("long").alias("decayed_scaled"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN age < {_RECENT_DAYS} THEN dec_part ELSE 0 END)"
+            f" * 1000000 DIV SUM(dec_part) AS BIGINT)"
+        ).alias("recency_share_ppm"),
+    )

@@ -65,3 +65,19 @@ def test_range_join_boundaries(spark):
         point_band=F.date_trunc("day", F.col("ts")),
     )
     assert sorted(r.pid for r in out.collect()) == [1, 2]
+
+
+def test_decayed_trending_mass_and_shares(spark, sf_dir):
+    from stacktrend_spark.plans.temporal import (
+        _DECAY_WMAX,
+        decayed_halflife_trending,
+    )
+
+    from stacktrend_spark.sources.tables import load_table
+
+    rows = decayed_halflife_trending(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert 0 < r["decayed_scaled"] <= r["n_events"] * (1 << _DECAY_WMAX)
+        assert 0 <= r["recency_share_ppm"] <= 1000000
