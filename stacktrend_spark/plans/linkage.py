@@ -732,3 +732,162 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cc_ppm"), F.asc("part_key"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter comparison-pattern weights (r7) — the probabilistic
+# record-linkage theory underneath the blocking/survivorship operators
+# above (Fellegi & Sunter 1969, JASA): each candidate pair gets a
+# log-likelihood-ratio match weight Σ_f agree ? log(m_f/u_f)
+# : log((1−m_f)/(1−u_f)). The u-probabilities (chance agreement) come
+# from the EXACT value-frequency identity u_f = Σ_v (n_v/N)² — a
+# corpus aggregate, no pair enumeration; m-probabilities are the
+# documented fixed constants a production linker would learn by EM
+# (m = 0.95 per field). Scoring demonstrates on a bounded panel
+# (c_custkey < 200 → C(200,2) pairs BY CONTRACT), grouped into the 8
+# comparison patterns over (nation, segment, phone-prefix).
+# All integer: u in ppm through 128-bit products, weights as exact
+# µlog10 differences.
+# 100 TB: u-stats are map-side-combinable value-count aggregates;
+# weights are arithmetic on ≤ 8 rows; the panel self-join is bounded
+# by contract (production pairs come from the blocking operators).
+# ---------------------------------------------------------------------------
+_FS_M_PPM = 950000      # documented fixed m-probability per field
+_FS_PANEL = 200         # scoring panel: c_custkey < _FS_PANEL
+
+from stacktrend_spark.functions.rounding import sql_xlog10, xlog10  # noqa: E402
+
+
+def _fs_ilog(col):
+    return F.floor(
+        xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)
+    ).cast("long")
+
+
+def _fs_sql_ilog(expr: str) -> str:
+    return (
+        f"CAST(FLOOR({sql_xlog10(f'GREATEST({expr}, 1)')}"
+        f" * 1000000.0) AS BIGINT)"
+    )
+
+
+def _fs_sql_u(field: str) -> str:
+    """Exact chance-agreement probability of ``field`` in ppm."""
+    return f"""(
+        SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c2) * 1000000
+                    // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        FROM (SELECT {field} AS v, COUNT(*) AS c2 FROM customer GROUP BY 1),
+             (SELECT COUNT(*) AS n FROM customer)
+    )"""
+
+
+@register(
+    "fellegi_sunter_weights",
+    oracle=f"""
+        WITH u AS (
+            SELECT {_fs_sql_u('c_nationkey')}            AS u_nat,
+                   {_fs_sql_u('c_mktsegment')}           AS u_seg,
+                   {_fs_sql_u('SUBSTR(c_phone, 1, 3)')}  AS u_ph
+        ),
+        panel AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   SUBSTR(c_phone, 1, 3) AS ph
+            FROM customer WHERE c_custkey < {_FS_PANEL}
+        ),
+        pairs AS (
+            SELECT a.c_nationkey = b.c_nationkey   AS agree_nation,
+                   a.c_mktsegment = b.c_mktsegment AS agree_segment,
+                   a.ph = b.ph                     AS agree_phonepfx
+            FROM panel a JOIN panel b ON a.c_custkey < b.c_custkey
+        ),
+        pat AS (
+            SELECT agree_nation, agree_segment, agree_phonepfx,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY 1, 2, 3
+        )
+        SELECT p.agree_nation, p.agree_segment, p.agree_phonepfx, p.n_pairs,
+               CAST(
+                 (CASE WHEN p.agree_nation
+                       THEN {_fs_sql_ilog(str(_FS_M_PPM))} - {_fs_sql_ilog('u.u_nat')}
+                       ELSE {_fs_sql_ilog(str(1000000 - _FS_M_PPM))}
+                            - {_fs_sql_ilog('1000000 - u.u_nat')} END)
+               + (CASE WHEN p.agree_segment
+                       THEN {_fs_sql_ilog(str(_FS_M_PPM))} - {_fs_sql_ilog('u.u_seg')}
+                       ELSE {_fs_sql_ilog(str(1000000 - _FS_M_PPM))}
+                            - {_fs_sql_ilog('1000000 - u.u_seg')} END)
+               + (CASE WHEN p.agree_phonepfx
+                       THEN {_fs_sql_ilog(str(_FS_M_PPM))} - {_fs_sql_ilog('u.u_ph')}
+                       ELSE {_fs_sql_ilog(str(1000000 - _FS_M_PPM))}
+                            - {_fs_sql_ilog('1000000 - u.u_ph')} END)
+               AS BIGINT) AS fs_weight_micro
+        FROM pat p CROSS JOIN u
+    """,
+    doc=(
+        "Fellegi-Sunter match weights: exact chance-agreement u from "
+        "the value-frequency identity (ppm), fixed documented m, "
+        "log-likelihood-ratio weights in exact µlog10 per comparison "
+        "pattern over a bounded scoring panel."
+    ),
+)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    n_row = cust.agg(F.count(F.lit(1)).alias("n"))
+    dec = "DECIMAL(38,0)"
+
+    def u_of(col: F.Column, alias: str) -> DataFrame:
+        return (
+            cust.groupBy(col.alias("v"))
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .join(F.broadcast(n_row))
+            .agg(
+                F.expr(
+                    f"CAST(SUM(CAST(c2 AS {dec}) * c2) * 1000000"
+                    f" DIV (CAST(MAX(n) AS {dec}) * MAX(n)) AS BIGINT)"
+                ).alias(alias)
+            )
+        )
+
+    u = (
+        u_of(F.col("c_nationkey"), "u_nat")
+        .crossJoin(u_of(F.col("c_mktsegment"), "u_seg"))
+        .crossJoin(u_of(F.substring("c_phone", 1, 3), "u_ph"))
+    )
+    panel = cust.filter(F.col("c_custkey") < _FS_PANEL).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring("c_phone", 1, 3).alias("ph"),
+    )
+    a, b = panel.alias("pa"), panel.alias("pb")
+    pairs = a.join(b, F.col("pa.c_custkey") < F.col("pb.c_custkey")).select(
+        (F.col("pa.c_nationkey") == F.col("pb.c_nationkey")).alias("agree_nation"),
+        (F.col("pa.c_mktsegment") == F.col("pb.c_mktsegment")).alias("agree_segment"),
+        (F.col("pa.ph") == F.col("pb.ph")).alias("agree_phonepfx"),
+    )
+    pat = pairs.groupBy("agree_nation", "agree_segment", "agree_phonepfx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    m_hi = _fs_ilog(F.lit(_FS_M_PPM))
+    m_lo = _fs_ilog(F.lit(1000000 - _FS_M_PPM))
+
+    def w(flag: str, ucol: str) -> F.Column:
+        return F.when(
+            F.col(flag), m_hi - _fs_ilog(F.col(ucol))
+        ).otherwise(m_lo - _fs_ilog(F.lit(1000000) - F.col(ucol)))
+
+    return (
+        pat.join(F.broadcast(u))
+        .select(
+            "agree_nation",
+            "agree_segment",
+            "agree_phonepfx",
+            "n_pairs",
+            (
+                w("agree_nation", "u_nat")
+                + w("agree_segment", "u_seg")
+                + w("agree_phonepfx", "u_ph")
+            )
+            .cast("long")
+            .alias("fs_weight_micro"),
+        )
+    )
