@@ -275,6 +275,7 @@ HEADLINE = [
     "session_window_native_batch",
     "snippet_best_window",
     "decayed_halflife_trending",
+    "fellegi_sunter_weights",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -745,7 +745,7 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # documented fixed constants a production linker would learn by EM
 # (m = 0.95 per field). Scoring demonstrates on a bounded panel
 # (c_custkey < 200 → C(200,2) pairs BY CONTRACT), grouped into the 8
-# comparison patterns over (nation, segment, phone-prefix).
+# comparison patterns over (nation, segment, balance band).
 # All integer: u in ppm through 128-bit products, weights as exact
 # µlog10 differences.
 # 100 TB: u-stats are map-side-combinable value-count aggregates;
@@ -775,7 +775,7 @@ def _fs_sql_u(field: str) -> str:
     """Exact chance-agreement probability of ``field`` in ppm."""
     return f"""(
         SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c2) * 1000000
-                    // (CAST(n AS HUGEINT) * n) AS BIGINT)
+                    // (CAST(MAX(n) AS HUGEINT) * MAX(n)) AS BIGINT)
         FROM (SELECT {field} AS v, COUNT(*) AS c2 FROM customer GROUP BY 1),
              (SELECT COUNT(*) AS n FROM customer)
     )"""
@@ -787,25 +787,25 @@ def _fs_sql_u(field: str) -> str:
         WITH u AS (
             SELECT {_fs_sql_u('c_nationkey')}            AS u_nat,
                    {_fs_sql_u('c_mktsegment')}           AS u_seg,
-                   {_fs_sql_u('SUBSTR(c_phone, 1, 3)')}  AS u_ph
+                   {_fs_sql_u('CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)')}  AS u_ph
         ),
         panel AS (
             SELECT c_custkey, c_nationkey, c_mktsegment,
-                   SUBSTR(c_phone, 1, 3) AS ph
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS ph
             FROM customer WHERE c_custkey < {_FS_PANEL}
         ),
         pairs AS (
             SELECT a.c_nationkey = b.c_nationkey   AS agree_nation,
                    a.c_mktsegment = b.c_mktsegment AS agree_segment,
-                   a.ph = b.ph                     AS agree_phonepfx
+                   a.ph = b.ph                     AS agree_balband
             FROM panel a JOIN panel b ON a.c_custkey < b.c_custkey
         ),
         pat AS (
-            SELECT agree_nation, agree_segment, agree_phonepfx,
+            SELECT agree_nation, agree_segment, agree_balband,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs
             FROM pairs GROUP BY 1, 2, 3
         )
-        SELECT p.agree_nation, p.agree_segment, p.agree_phonepfx, p.n_pairs,
+        SELECT p.agree_nation, p.agree_segment, p.agree_balband, p.n_pairs,
                CAST(
                  (CASE WHEN p.agree_nation
                        THEN {_fs_sql_ilog(str(_FS_M_PPM))} - {_fs_sql_ilog('u.u_nat')}
@@ -815,7 +815,7 @@ def _fs_sql_u(field: str) -> str:
                        THEN {_fs_sql_ilog(str(_FS_M_PPM))} - {_fs_sql_ilog('u.u_seg')}
                        ELSE {_fs_sql_ilog(str(1000000 - _FS_M_PPM))}
                             - {_fs_sql_ilog('1000000 - u.u_seg')} END)
-               + (CASE WHEN p.agree_phonepfx
+               + (CASE WHEN p.agree_balband
                        THEN {_fs_sql_ilog(str(_FS_M_PPM))} - {_fs_sql_ilog('u.u_ph')}
                        ELSE {_fs_sql_ilog(str(1000000 - _FS_M_PPM))}
                             - {_fs_sql_ilog('1000000 - u.u_ph')} END)
@@ -850,21 +850,21 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         u_of(F.col("c_nationkey"), "u_nat")
         .crossJoin(u_of(F.col("c_mktsegment"), "u_seg"))
-        .crossJoin(u_of(F.substring("c_phone", 1, 3), "u_ph"))
+        .crossJoin(u_of(F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long"), "u_ph"))
     )
     panel = cust.filter(F.col("c_custkey") < _FS_PANEL).select(
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
-        F.substring("c_phone", 1, 3).alias("ph"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("ph"),
     )
     a, b = panel.alias("pa"), panel.alias("pb")
     pairs = a.join(b, F.col("pa.c_custkey") < F.col("pb.c_custkey")).select(
         (F.col("pa.c_nationkey") == F.col("pb.c_nationkey")).alias("agree_nation"),
         (F.col("pa.c_mktsegment") == F.col("pb.c_mktsegment")).alias("agree_segment"),
-        (F.col("pa.ph") == F.col("pb.ph")).alias("agree_phonepfx"),
+        (F.col("pa.ph") == F.col("pb.ph")).alias("agree_balband"),
     )
-    pat = pairs.groupBy("agree_nation", "agree_segment", "agree_phonepfx").agg(
+    pat = pairs.groupBy("agree_nation", "agree_segment", "agree_balband").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
     m_hi = _fs_ilog(F.lit(_FS_M_PPM))
@@ -880,12 +880,12 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "agree_nation",
             "agree_segment",
-            "agree_phonepfx",
+            "agree_balband",
             "n_pairs",
             (
                 w("agree_nation", "u_nat")
                 + w("agree_segment", "u_seg")
-                + w("agree_phonepfx", "u_ph")
+                + w("agree_balband", "u_ph")
             )
             .cast("long")
             .alias("fs_weight_micro"),

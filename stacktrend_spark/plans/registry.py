@@ -249,6 +249,7 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_native_batch",
     "snippet_best_window",
     "decayed_halflife_trending",
+    "fellegi_sunter_weights",
 )
 
 

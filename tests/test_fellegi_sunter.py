@@ -21,12 +21,12 @@ def test_fs_patterns_partition_panel_and_weights_order(spark, sf_dir):
     # just pin the combinatorial identity against the observed count
     n_rec = int((1 + math.isqrt(1 + 8 * total)) // 2)
     assert n_rec * (n_rec - 1) // 2 == total
-    patterns = {(r["agree_nation"], r["agree_segment"], r["agree_phonepfx"]) for r in rows}
+    patterns = {(r["agree_nation"], r["agree_segment"], r["agree_balband"]) for r in rows}
     assert len(patterns) == len(rows)  # one row per pattern
     # monotonicity: flipping any field from disagree to agree must
     # INCREASE the weight (log(m/u) > 0 > log((1-m)/(1-u)) for m > u)
     by_pat = {
-        (r["agree_nation"], r["agree_segment"], r["agree_phonepfx"]): r[
+        (r["agree_nation"], r["agree_segment"], r["agree_balband"]): r[
             "fs_weight_micro"
         ]
         for r in rows
