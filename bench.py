@@ -276,6 +276,7 @@ HEADLINE = [
     "snippet_best_window",
     "decayed_halflife_trending",
     "fellegi_sunter_weights",
+    "grouped_applyinarrow_iqr",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -478,3 +478,104 @@ def capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cap_hits bigint, n_tx bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped applyInArrow (r7) — completes the Python extension matrix:
+# UDTF, pandas UDAF, cogrouped applyInPandas, mapInArrow, grouped-map
+# applyInPandas, and now Spark 4's GROUPED Arrow path (applyInArrow):
+# the group arrives as a pyarrow.Table (zero pandas conversion), the
+# kernel computes exact order statistics on int64 cents, and the
+# result returns as a pyarrow.Table. Quartile contract (deterministic,
+# engine-neutral): r-th smallest with r = max(1, (n·q) DIV 100) — pure
+# integer ranks, no interpolation, so the oracle rebuilds it exactly.
+# 100 TB: one shuffle on the group key, one bounded group per Arrow
+# batch — right for bounded groups (25 nations), documented-wrong for
+# unbounded ones (the algebraic two-phase selection in
+# exact_median_distributed is the scale path).
+# ---------------------------------------------------------------------------
+@register(
+    "grouped_applyinarrow_iqr",
+    oracle="""
+        WITH vals AS (
+            SELECT c_nationkey,
+                   CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM customer
+        ),
+        ranked AS (
+            SELECT c_nationkey, cents,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                      ORDER BY cents) AS r,
+                   COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+            FROM vals
+        ),
+        q AS (
+            SELECT c_nationkey,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   MAX(CASE WHEN r = GREATEST(1, n * 25 // 100)
+                            THEN cents END) AS q1_cents,
+                   MAX(CASE WHEN r = GREATEST(1, n * 75 // 100)
+                            THEN cents END) AS q3_cents
+            FROM ranked GROUP BY 1
+        )
+        SELECT q.c_nationkey,
+               q.n,
+               CAST(q.q1_cents AS BIGINT) AS q1_cents,
+               CAST(q.q3_cents AS BIGINT) AS q3_cents,
+               CAST(q.q3_cents - q.q1_cents AS BIGINT) AS iqr_cents,
+               CAST((SELECT COUNT(*) FROM vals v
+                     WHERE v.c_nationkey = q.c_nationkey
+                       AND (v.cents < q.q1_cents - 3 * (q.q3_cents - q.q1_cents) / 2
+                         OR v.cents > q.q3_cents + 3 * (q.q3_cents - q.q1_cents) / 2))
+                    AS BIGINT) AS n_outliers
+        FROM q
+    """,
+    doc=(
+        "Grouped applyInArrow (Spark 4 Arrow-native grouped map): "
+        "per-nation exact integer quartiles (r = max(1, n·q DIV 100) "
+        "rank contract), IQR, and 1.5-IQR outlier counts — the group "
+        "arrives and returns as pyarrow Tables, no pandas hop."
+    ),
+)
+def grouped_applyinarrow_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+
+    def iqr_kernel(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.sort_indices(tbl["cents"])
+        vals = pc.take(tbl["cents"], cents)
+        n = len(vals)
+        r1 = max(1, n * 25 // 100)
+        r3 = max(1, n * 75 // 100)
+        q1 = vals[r1 - 1].as_py()
+        q3 = vals[r3 - 1].as_py()
+        iqr = q3 - q1
+        lo = q1 - 3 * iqr / 2
+        hi = q3 + 3 * iqr / 2
+        n_out = sum(1 for v in vals.to_pylist() if v < lo or v > hi)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [tbl["c_nationkey"][0].as_py()], type=pa.int64()
+                ),
+                "n": pa.array([n], type=pa.int64()),
+                "q1_cents": pa.array([q1], type=pa.int64()),
+                "q3_cents": pa.array([q3], type=pa.int64()),
+                "iqr_cents": pa.array([iqr], type=pa.int64()),
+                "n_outliers": pa.array([n_out], type=pa.int64()),
+            }
+        )
+
+    return cust.groupBy("c_nationkey").applyInArrow(
+        iqr_kernel,
+        schema=(
+            "c_nationkey long, n long, q1_cents long, q3_cents long,"
+            " iqr_cents long, n_outliers long"
+        ),
+    )

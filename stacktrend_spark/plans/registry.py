@@ -250,6 +250,7 @@ _PRIORITY: tuple[str, ...] = (
     "snippet_best_window",
     "decayed_halflife_trending",
     "fellegi_sunter_weights",
+    "grouped_applyinarrow_iqr",
 )
 
 
