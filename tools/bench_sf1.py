@@ -123,6 +123,15 @@ HEAVY = [
     # r7 batch 8: full-corpus prefix scoring (queries broadcast; the
     # JL audit is panel-bounded by contract and stays out)
     "matryoshka_truncation_agreement",
+    # r7 batches 9-16: the fact-table-scaled rows (the 5-row
+    # governance/experimentation outputs and bounded-panel audits are
+    # fertility-class and stay out)
+    "kruskal_wallis_h",
+    "cuped_variance_reduction",
+    "session_window_native_batch",
+    "query_likelihood_dirichlet",
+    "snippet_best_window",
+    "decayed_halflife_trending",
 ]
 
 _REPLICAS = 10
