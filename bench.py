@@ -277,6 +277,7 @@ HEADLINE = [
     "decayed_halflife_trending",
     "fellegi_sunter_weights",
     "grouped_applyinarrow_iqr",
+    "source_python_datasource",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -333,3 +333,61 @@ def source_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("sum_valid_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source API (r7) — Spark 4's pyspark.sql.datasource:
+# a PYTHON-DEFINED table-valued source whose partitions generate rows
+# on executors (sources/pyfeed.py). The reference collects REST pages
+# on the driver (github_api_client.py); this is the native
+# partition-parallel form. The feed is deterministic md5 arithmetic,
+# so the oracle rebuilds all 10k rows closed-form with generate_series
+# + the engine-neutral hex40 — the gate value-checks a Python-defined
+# source end to end.
+# 100 TB: ingestion parallelism = len(partitions()), each reading its
+# own range/page window executor-side; nothing flows through the
+# driver. Registration is idempotent per session.
+# ---------------------------------------------------------------------------
+from stacktrend_spark.functions.hashing import sql_hex40  # noqa: E402
+
+
+@register(
+    "source_python_datasource",
+    oracle=f"""
+        WITH feed AS (
+            SELECT i AS event_id,
+                   (['push', 'fork', 'star', 'issue', 'release'])
+                       [({sql_hex40("'feed|' || CAST(i AS VARCHAR)")}) % 5 + 1]
+                       AS kind,
+                   (({sql_hex40("'feed|' || CAST(i AS VARCHAR)")}) // 7) % 100000
+                       AS score_cents
+            FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+        )
+        SELECT kind,
+               CAST(COUNT(*) AS BIGINT)          AS n_events,
+               CAST(SUM(score_cents) AS BIGINT)  AS sum_score_cents,
+               CAST(MIN(event_id) AS BIGINT)     AS first_event_id,
+               CAST(MAX(event_id) AS BIGINT)     AS last_event_id
+        FROM feed GROUP BY kind
+    """,
+    doc=(
+        "Python Data Source API: a python-defined partition-parallel "
+        "feed (8 executor-side generators, 10k deterministic md5 "
+        "rows), rolled up per kind — the source itself is "
+        "value-checked against a closed-form oracle."
+    ),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.sources.pyfeed import SyntheticFeedDataSource
+
+    try:
+        spark.dataSource.register(SyntheticFeedDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    feed = spark.read.format("synthetic_feed").load()
+    return feed.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("score_cents").cast("long").alias("sum_score_cents"),
+        F.min("event_id").cast("long").alias("first_event_id"),
+        F.max("event_id").cast("long").alias("last_event_id"),
+    )

@@ -251,6 +251,7 @@ _PRIORITY: tuple[str, ...] = (
     "decayed_halflife_trending",
     "fellegi_sunter_weights",
     "grouped_applyinarrow_iqr",
+    "source_python_datasource",
 )
 
 

@@ -324,3 +324,26 @@ def test_audio_windows_partition_sample_stream(spark, sf_dir):
         .count()
     )
     assert mismatch == 0 and tot.count() > 0
+
+
+def test_python_datasource_partitions_and_volume(spark, sf_dir):
+    """The Python Data Source must parallelize: 8 executor-side
+    partitions, 10k rows total, schema as declared."""
+    from stacktrend_spark.sources.pyfeed import (
+        N_PARTITIONS,
+        N_ROWS,
+        SyntheticFeedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticFeedDataSource)
+    except Exception:
+        pass
+    feed = spark.read.format("synthetic_feed").load()
+    assert feed.rdd.getNumPartitions() == N_PARTITIONS
+    assert feed.count() == N_ROWS
+    assert [f.name for f in feed.schema.fields] == [
+        "event_id",
+        "kind",
+        "score_cents",
+    ]
