@@ -278,6 +278,7 @@ HEADLINE = [
     "fellegi_sunter_weights",
     "grouped_applyinarrow_iqr",
     "source_python_datasource",
+    "source_dynamic_partition_pruning",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -252,6 +252,7 @@ _PRIORITY: tuple[str, ...] = (
     "fellegi_sunter_weights",
     "grouped_applyinarrow_iqr",
     "source_python_datasource",
+    "source_dynamic_partition_pruning",
 )
 
 

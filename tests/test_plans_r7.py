@@ -88,3 +88,17 @@ def test_srm_is_map_side_hash_plus_one_aggregate(spark, sf_dir):
         [l for l in p.splitlines() if l.startswith("(") and "Exchange" in l]
     )
     assert n_exchanges <= 2  # segment agg + the AQE final coalesce at most
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir):
+    """The day-partitioned fact scan must carry a
+    DynamicPruningExpression fed by the calendar-dim broadcast —
+    runtime pruning, not a static PartitionFilter. (Learned: the dim
+    filter must be classified 'likely selective' — an attr-vs-literal
+    predicate; a bare boolean attribute filter does NOT qualify, and
+    the dim join key must match the hive-inferred INT partition type
+    or the cast lands on the partition attribute and kills the rule.)"""
+    from stacktrend_spark.plans.layout import _dpp_frame
+
+    p = plan_of(_dpp_frame(spark, sf_dir)).lower()
+    assert "dynamicpruning" in p
