@@ -279,6 +279,8 @@ HEADLINE = [
     "grouped_applyinarrow_iqr",
     "source_python_datasource",
     "source_dynamic_partition_pruning",
+    "observed_metrics_noop_sink",
+    "retrieval_ndcg_eval",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -391,3 +391,67 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("first_event_id"),
         F.max("event_id").cast("long").alias("last_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation API + noop sink (r7) — production pipelines attach
+# df.observe() metrics to passes they were running ANYWAY (row counts,
+# null rates, sums for reconciliation) and read them from the query
+# listener at zero extra scan cost; the noop sink is the benchmark/
+# audit sink that executes a full pass with no output. This query runs
+# ONE observed pass over lineitem into noop and returns the collected
+# metrics as the result frame — the oracle recomputes them from SQL,
+# so the gate value-checks Spark's observed-metrics channel itself.
+# 100 TB: the metrics ride an existing action (here: the noop write);
+# no second scan, no collect of data rows — only the aggregated
+# observation comes back to the driver.
+# ---------------------------------------------------------------------------
+@register(
+    "observed_metrics_noop_sink",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT)                    AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT)                             AS n_returns,
+               CAST(SUM(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END)
+                    AS BIGINT)                             AS n_high_qty
+        FROM lineitem
+    """,
+    doc=(
+        "df.observe() metrics riding a noop-sink pass over lineitem "
+        "(row count, quantity sum, return count, high-quantity count) "
+        "returned as the result frame — value-checks the "
+        "observed-metrics channel end to end."
+    ),
+)
+def observed_metrics_noop_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_returnflag"
+    )
+    obs = Observation("lineitem_pass")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returns"
+        ),
+        F.sum(F.when(F.col("l_quantity") >= 45, 1).otherwise(0)).alias(
+            "n_high_qty"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_qty"]),
+                int(m["n_returns"]),
+                int(m["n_high_qty"]),
+            )
+        ],
+        "n_rows long, sum_qty long, n_returns long, n_high_qty long",
+    )

@@ -1821,3 +1821,178 @@ def snippet_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.h").alias("n_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality evaluation (r7) — NDCG@10 and MRR for the
+# query-likelihood ranker above, against graded relevance labels
+# derived from term frequency (grade = min(tf, 3), gain = 2^grade − 1
+# ∈ {1, 3, 7}; ranking is the QL score, which folds in document-length
+# normalization, so the retrieved order is NOT the ideal order and
+# NDCG is a real number < 1). Discounts 1/log2(rank+1) go through the
+# decade-interpolated xlog10 on both engines (exact same bits); DCG /
+# IDCG / NDCG are one correctly-rounded double op tree, µ-rounded.
+# IDCG contract: ideal reordering OF THE RETRIEVED top-10 set (local
+# NDCG — deterministic and self-contained). MRR: first rank with
+# grade 3, in ppm, 0 when absent.
+# 100 TB: postings shuffle once on the query term (3 partitions of
+# work); ranking windows partition per term — never single-partition.
+# ---------------------------------------------------------------------------
+_NDCG_K = 10
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=None,  # bound right below (needs the rendered sql_xlog10)
+    doc=(
+        "NDCG@10 + MRR for the Dirichlet QL ranker: graded tf labels "
+        "(gain 2^min(tf,3)-1), xlog10-exact log2 discounts, local-set "
+        "IDCG, micro-rounded — the IR-evaluation stage beside "
+        "ann_recall_eval."
+    ),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import fround, xlog10
+
+    def ilog(col: F.Column) -> F.Column:
+        return F.floor(
+            xlog10(F.greatest(col, F.lit(1))) * F.lit(1000000.0)
+        ).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    c_tot = vocab.agg(F.sum("cf").alias("c"))
+    qterms = vocab.orderBy(F.desc("cf"), F.col("term")).limit(_QL_NQ)
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len_d"))
+    tf = (
+        toks.join(F.broadcast(qterms.select("term")), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scored = (
+        tf.join(lens, "doc_id")
+        .join(F.broadcast(qterms.withColumnRenamed("term", "qt")), F.col("term") == F.col("qt"))
+        .join(F.broadcast(c_tot))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                ilog(F.expr(f"tf * c + {_QL_MU} * cf"))
+                - ilog(F.expr(f"(len_d + {_QL_MU}) * c"))
+            ).alias("ql"),
+            F.least(F.col("tf"), F.lit(3)).alias("grade"),
+        )
+    )
+    w_rank = W.partitionBy("term").orderBy(F.desc("ql"), F.col("doc_id"))
+    top = (
+        scored.withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") <= _NDCG_K)
+        .withColumn("gain", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(grade AS INT)) - 1"))
+    )
+    w_ideal = W.partitionBy("term").orderBy(F.desc("gain"), F.col("doc_id"))
+    top = top.withColumn("ri", F.row_number().over(w_ideal))
+    # discount(r) = xlog10(2) / xlog10(r+1) — identical IEEE tree both
+    # sides; xlog10(2) = (2/1 - 1)/9 = 1/9 exactly
+    log2c = F.lit(1.0) / F.lit(9.0)
+    disc_i = log2c / xlog10(F.col("ri") + F.lit(1))
+    per_term = top.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.col("gain") * (log2c / xlog10(F.col("r") + F.lit(1)))).alias("dcg"),
+        F.sum(F.col("gain") * disc_i).alias("idcg"),
+        F.max(
+            F.when(F.col("grade") >= 3, F.expr("CAST(1000000 DIV r AS BIGINT)"))
+        ).alias("mrr_raw"),
+    )
+    return per_term.select(
+        "term",
+        "n_ranked",
+        fround(F.col("dcg"), 6).alias("dcg_r6"),
+        fround(F.col("idcg"), 6).alias("idcg_r6"),
+        F.floor(F.col("dcg") / F.col("idcg") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("ndcg_ppm"),
+        F.coalesce(F.col("mrr_raw"), F.lit(0)).cast("long").alias("mrr_ppm"),
+    )
+
+
+def _bind_ndcg_oracle() -> None:
+    from stacktrend_spark.functions.rounding import sql_round, sql_xlog10
+    from stacktrend_spark.plans.registry import _REGISTRY
+
+    def silog(expr: str) -> str:
+        return (
+            f"CAST(FLOOR({sql_xlog10(f'GREATEST({expr}, 1)')}"
+            f" * 1000000.0) AS BIGINT)"
+        )
+
+    disc_r = f"((1.0 / 9.0) / ({sql_xlog10('(r + 1)')}))"
+    disc_i = f"((1.0 / 9.0) / ({sql_xlog10('(ri + 1)')}))"
+    _REGISTRY["retrieval_ndcg_eval"].oracle = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        vocab AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY 1
+        ),
+        ctot AS (SELECT SUM(cf) AS c FROM vocab),
+        qterms AS (
+            SELECT term, cf FROM vocab ORDER BY cf DESC, term LIMIT {_QL_NQ}
+        ),
+        lens AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d
+            FROM toks GROUP BY 1
+        ),
+        tf AS (
+            SELECT t.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks t JOIN qterms q USING (term)
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT tf.term, tf.doc_id, tf.tf,
+                   {silog(f"tf.tf * ctot.c + {_QL_MU} * q.cf")}
+                 - {silog(f"(l.len_d + {_QL_MU}) * ctot.c")} AS ql,
+                   LEAST(tf.tf, 3) AS grade
+            FROM tf
+            JOIN lens l USING (doc_id)
+            JOIN qterms q ON q.term = tf.term
+            CROSS JOIN ctot
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                         ORDER BY ql DESC, doc_id) AS r
+            FROM scored
+        ),
+        top AS (
+            SELECT term, doc_id, grade, r,
+                   (CAST(1 AS BIGINT) << CAST(grade AS INT)) - 1 AS gain
+            FROM ranked WHERE r <= {_NDCG_K}
+        ),
+        ideal AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                         ORDER BY gain DESC, doc_id) AS ri
+            FROM top
+        ),
+        agg AS (
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS n_ranked,
+                   SUM(gain * {disc_r})     AS dcg,
+                   SUM(gain * {disc_i})     AS idcg,
+                   MAX(CASE WHEN grade >= 3
+                            THEN CAST(1000000 // r AS BIGINT) END) AS mrr_raw
+            FROM ideal GROUP BY 1
+        )
+        SELECT term, n_ranked,
+               {sql_round('dcg', 6)}  AS dcg_r6,
+               {sql_round('idcg', 6)} AS idcg_r6,
+               CAST(FLOOR(dcg / idcg * 1000000.0 + 0.5) AS BIGINT) AS ndcg_ppm,
+               CAST(COALESCE(mrr_raw, 0) AS BIGINT) AS mrr_ppm
+        FROM agg
+    """
+
+
+_bind_ndcg_oracle()

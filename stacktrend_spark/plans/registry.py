@@ -253,6 +253,8 @@ _PRIORITY: tuple[str, ...] = (
     "grouped_applyinarrow_iqr",
     "source_python_datasource",
     "source_dynamic_partition_pruning",
+    "observed_metrics_noop_sink",
+    "retrieval_ndcg_eval",
 )
 
 

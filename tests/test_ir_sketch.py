@@ -36,3 +36,32 @@ def test_misra_gries_summary_guarantees(spark, sf_dir):
         assert r["mg_weight"] >= 1
         # the classic MG undercount bound, audited per row
         assert r["mg_bound_ok"] is True
+
+
+def test_ndcg_bounds_and_ideal_dominance(spark, sf_dir):
+    from stacktrend_spark.plans.mlprep import retrieval_ndcg_eval
+
+    rows = retrieval_ndcg_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_ranked"] <= 10
+        # ideal ordering dominates the retrieved ordering
+        assert r["idcg_r6"] >= r["dcg_r6"] > 0
+        assert 0 < r["ndcg_ppm"] <= 1000000
+        assert r["mrr_ppm"] == 0 or 100000 <= r["mrr_ppm"] <= 1000000
+
+
+def test_observed_metrics_match_direct_aggregate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from stacktrend_spark.plans.formats import observed_metrics_noop_sink
+    from stacktrend_spark.sources.tables import load_table
+
+    got = observed_metrics_noop_sink(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("q"),
+    ).collect()[0]
+    assert got["n_rows"] == want["n"]
+    assert got["sum_qty"] == want["q"]
