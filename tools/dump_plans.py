@@ -201,6 +201,29 @@ SHOWCASE = [
         "bin spine (the WindowExec-global warning class documented "
         "'bounded by construction').",
     ),
+    (
+        "dsir_importance_resampling",
+        "The r7 resampling layer's flagship: two token explodes feed a "
+        "256-bucket HashAggregate; the bucket-weight table and the 1-row "
+        "totals come back as Broadcast joins (the token stream never "
+        "shuffles to meet them); the top-25 is TakeOrderedAndProject — "
+        "per-partition heaps, no global window.",
+    ),
+    (
+        "source_dynamic_partition_pruning",
+        "Dynamic partition pruning: the day-partitioned fact scan carries "
+        "PartitionFilters: [... dynamicpruningexpression(...)] fed by the "
+        "calendar-dim BroadcastExchange — only qualifying day directories "
+        "are listed/read, decided at runtime after the dim side executes.",
+    ),
+    (
+        "conformal_calibration_quantile",
+        "The exact distributed order statistic at arbitrary rank: the "
+        "calibration corpus reduces to a bounded bucket histogram "
+        "(map-side combinable); the fine pass scans ONLY the target "
+        "bucket (predicate at the scan); every scalar (target bucket, "
+        "offsets, q-hat) joins back as a broadcast.",
+    ),
 ]
 
 
