@@ -281,6 +281,7 @@ HEADLINE = [
     "source_dynamic_partition_pruning",
     "observed_metrics_noop_sink",
     "retrieval_ndcg_eval",
+    "attribution_position_based",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

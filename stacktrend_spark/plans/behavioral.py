@@ -1889,3 +1889,171 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution (r7) — the
+# 40/20/40 model beside first/last-touch above: 40% of conversion
+# credit to the first touch, 40% to the last, 20% spread over the
+# middle touches. Exact integer ppm: the middle share is
+# 200000 DIV (n−2) per touch with the remainder assigned to the FIRST
+# touch (deterministic), so every conversion's credits sum to exactly
+# 1,000,000 ppm — mass conservation is an invariant, not a rounding
+# hope. Same single-window-pass shape as attribution_first_last_touch:
+# encoded argmin/argmax keys + two conditional counts in ONE 7-day
+# RANGE frame; per-channel credit is then pure map-side arithmetic —
+# middle touches are NEVER enumerated.
+# 100 TB: one user_id window pass; no joins, no touch explosion.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_position_based",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, event_id,
+                   epoch_us(ts) AS us,
+                   (epoch_us(ts) * 1000 + event_id % 1000) * 2
+                   + CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS k
+            FROM events
+        ),
+        wnd AS (
+            SELECT user_id, event_type,
+                   MIN(CASE WHEN event_type IN ('view', 'click') THEN k END)
+                       OVER w AS first_k,
+                   MAX(CASE WHEN event_type IN ('view', 'click') THEN k END)
+                       OVER w AS last_k,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                       OVER w AS cv,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                       OVER w AS cc
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN {_WEEK_US} PRECEDING AND 1 PRECEDING)
+        ),
+        sel AS (
+            SELECT cv + cc AS n,
+                   CASE WHEN first_k % 2 = 1 THEN 1 ELSE 0 END AS fv,
+                   CASE WHEN last_k % 2 = 1 THEN 1 ELSE 0 END  AS lv,
+                   cv, cc
+            FROM wnd WHERE event_type = 'purchase'
+        ),
+        credited AS (
+            SELECT n, cv, cc, fv, lv,
+                   CASE WHEN n >= 3 THEN 200000 // (n - 2) ELSE 0 END AS q,
+                   CASE WHEN n >= 3
+                        THEN 200000 - (200000 // (n - 2)) * (n - 2)
+                        ELSE 0 END AS r
+            FROM sel
+        ),
+        percase AS (
+            SELECT
+                CASE WHEN n = 0 THEN 1000000 ELSE 0 END AS cr_direct,
+                CASE WHEN n = 1 THEN fv * 1000000
+                     WHEN n = 2 THEN fv * 500000 + lv * 500000
+                     WHEN n >= 3 THEN fv * 400000 + lv * 400000
+                          + (cv - fv - lv) * q + fv * r
+                     ELSE 0 END AS cr_view,
+                CASE WHEN n = 1 THEN (1 - fv) * 1000000
+                     WHEN n = 2 THEN (1 - fv) * 500000 + (1 - lv) * 500000
+                     WHEN n >= 3 THEN (1 - fv) * 400000 + (1 - lv) * 400000
+                          + (cc - (1 - fv) - (1 - lv)) * q + (1 - fv) * r
+                     ELSE 0 END AS cr_click
+            FROM credited
+        ),
+        longf AS (
+            SELECT 'direct' AS channel, cr_direct AS cr FROM percase
+            UNION ALL SELECT 'view', cr_view FROM percase
+            UNION ALL SELECT 'click', cr_click FROM percase
+        )
+        SELECT channel,
+               CAST(SUM(cr) AS BIGINT)  AS total_credit_ppm,
+               CAST(SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                        AS n_conversions
+        FROM longf WHERE cr > 0 OR channel = 'direct'
+        GROUP BY channel
+        HAVING SUM(cr) > 0
+    """,
+    doc=(
+        "Position-based (40/20/40) multi-touch attribution: one 7-day "
+        "RANGE window pass (argmin/argmax keys + conditional counts), "
+        "middle credit 200000 DIV (n-2) ppm with remainder to the "
+        "first touch — per-conversion credits sum to exactly 1e6 ppm."
+    ),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    k = (
+        (F.unix_micros("ts") * 1000 + F.col("event_id") % 1000) * 2
+        + F.when(F.col("event_type") == "view", 1).otherwise(0)
+    )
+    touch_k = F.when(F.col("event_type").isin("view", "click"), k)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_WEEK_US, -1)
+    )
+    sel = (
+        ev.select(
+            "event_type",
+            F.min(touch_k).over(w).alias("first_k"),
+            F.max(touch_k).over(w).alias("last_k"),
+            F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("cv"),
+            F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("cc"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("cv") + F.col("cc")).alias("n"),
+            F.when(F.col("first_k") % 2 == 1, 1).otherwise(0).alias("fv"),
+            F.when(F.col("last_k") % 2 == 1, 1).otherwise(0).alias("lv"),
+            "cv",
+            "cc",
+        )
+        .withColumn(
+            "q", F.expr("CASE WHEN n >= 3 THEN 200000 DIV (n - 2) ELSE 0 END")
+        )
+        .withColumn(
+            "r",
+            F.expr(
+                "CASE WHEN n >= 3"
+                " THEN 200000 - (200000 DIV (n - 2)) * (n - 2) ELSE 0 END"
+            ),
+        )
+    )
+    percase = sel.select(
+        F.expr("CASE WHEN n = 0 THEN 1000000 ELSE 0 END").alias("cr_direct"),
+        F.expr(
+            "CASE WHEN n = 1 THEN fv * 1000000"
+            " WHEN n = 2 THEN fv * 500000 + lv * 500000"
+            " WHEN n >= 3 THEN fv * 400000 + lv * 400000"
+            "      + (cv - fv - lv) * q + fv * r"
+            " ELSE 0 END"
+        ).alias("cr_view"),
+        F.expr(
+            "CASE WHEN n = 1 THEN (1 - fv) * 1000000"
+            " WHEN n = 2 THEN (1 - fv) * 500000 + (1 - lv) * 500000"
+            " WHEN n >= 3 THEN (1 - fv) * 400000 + (1 - lv) * 400000"
+            "      + (cc - (1 - fv) - (1 - lv)) * q + (1 - fv) * r"
+            " ELSE 0 END"
+        ).alias("cr_click"),
+    )
+    longf = percase.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("direct").alias("channel"), F.col("cr_direct").alias("cr")),
+                F.struct(F.lit("view").alias("channel"), F.col("cr_view").alias("cr")),
+                F.struct(F.lit("click").alias("channel"), F.col("cr_click").alias("cr")),
+            )
+        ).alias("c")
+    ).select("c.channel", "c.cr")
+    return (
+        longf.filter((F.col("cr") > 0) | (F.col("channel") == "direct"))
+        .groupBy("channel")
+        .agg(
+            F.sum("cr").cast("long").alias("total_credit_ppm"),
+            F.sum(F.when(F.col("cr") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_conversions"),
+        )
+        .filter(F.col("total_credit_ppm") > 0)
+    )

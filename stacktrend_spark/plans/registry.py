@@ -255,6 +255,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_dynamic_partition_pruning",
     "observed_metrics_noop_sink",
     "retrieval_ndcg_eval",
+    "attribution_position_based",
 )
 
 

@@ -81,3 +81,21 @@ def test_decayed_trending_mass_and_shares(spark, sf_dir):
     for r in rows:
         assert 0 < r["decayed_scaled"] <= r["n_events"] * (1 << _DECAY_WMAX)
         assert 0 <= r["recency_share_ppm"] <= 1000000
+
+
+def test_position_attribution_mass_conservation(spark, sf_dir):
+    """Every conversion's credits must sum to exactly 1e6 ppm — the
+    integer remainder-to-first-touch contract, not a rounding hope."""
+    from pyspark.sql import functions as F
+
+    from stacktrend_spark.plans.behavioral import attribution_position_based
+    from stacktrend_spark.sources.tables import load_table
+
+    rows = attribution_position_based(spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["total_credit_ppm"] for r in rows) == n_purchases * 1000000
+    assert {r["channel"] for r in rows} <= {"direct", "view", "click"}
