@@ -282,6 +282,7 @@ HEADLINE = [
     "observed_metrics_noop_sink",
     "retrieval_ndcg_eval",
     "attribution_position_based",
+    "geo_point_in_polygon",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -330,3 +330,101 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n_points"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (r7) — the geofencing primitive beside the grid
+# family: integer ray casting against a NON-CONVEX polygon (an
+# L-shaped service area in µdeg). Crossing test is pure int64 cross
+# products — ((x2−x1)(py−y1) − (px−x1)(y2−y1))·sign(y2−y1) > 0 on
+# straddling edges — no division, no floats, bit-identical in both
+# engines (products ≤ ~1.3e17 < int64). Odd crossings = inside.
+# 100 TB: the polygon's edges are a 6-row broadcast; the test is a
+# map-side explode (|points| × |edges|) into a per-point parity
+# aggregate — linear in points, no shuffle beyond the final rollup.
+# Polygons with thousands of vertices would first grid-prune by cell
+# (geo_grid_nearest's machinery) before the exact test.
+# ---------------------------------------------------------------------------
+_PIP_VERTS = [
+    (-60_000_000, -60_000_000),
+    (60_000_000, -60_000_000),
+    (60_000_000, 0),
+    (0, 0),
+    (0, 60_000_000),
+    (-60_000_000, 60_000_000),
+]
+_PIP_EDGES = [
+    (x1, y1, x2, y2)
+    for (x1, y1), (x2, y2) in zip(_PIP_VERTS, _PIP_VERTS[1:] + _PIP_VERTS[:1])
+]
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_nationkey,
+                   {_sql_coords('c_custkey', 'pip')[0]} AS py,
+                   {_sql_coords('c_custkey', 'pip')[1]} AS px
+            FROM customer
+        ),
+        edges AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"({x1}, {y1}, {x2}, {y2})" for x1, y1, x2, y2 in _PIP_EDGES)}
+            ) t(x1, y1, x2, y2)
+        ),
+        crossings AS (
+            SELECT p.c_nationkey, p.px, p.py,
+                   SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                             AND ((e.x2 - e.x1) * (p.py - e.y1)
+                                  - (p.px - e.x1) * (e.y2 - e.y1))
+                                 * SIGN(e.y2 - e.y1) > 0
+                            THEN 1 ELSE 0 END) AS nc
+            FROM pts p CROSS JOIN edges e
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT)                 AS n_customers,
+               CAST(SUM(nc % 2) AS BIGINT)              AS n_inside,
+               CAST(SUM(nc % 2) * 1000000 // COUNT(*) AS BIGINT) AS inside_ppm
+        FROM crossings GROUP BY 1
+    """,
+    doc=(
+        "Point-in-polygon geofence (integer ray casting, non-convex "
+        "L-shaped region, exact int64 cross products): per-nation "
+        "inside counts and ppm share; 6-edge broadcast, map-side "
+        "parity aggregate."
+    ),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lat, lon = _spark_coords(F.col("c_custkey"), "pip")
+    pts = cust.select("c_nationkey", lat.alias("py"), lon.alias("px"))
+    edges = spark.createDataFrame(_PIP_EDGES, "x1 long, y1 long, x2 long, y2 long")
+    crossings = (
+        pts.join(F.broadcast(edges))
+        .groupBy("c_nationkey", "px", "py")
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+                    & (
+                        (
+                            (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1"))
+                            - (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+                        )
+                        * F.signum(F.col("y2") - F.col("y1")).cast("long")
+                        > 0
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("nc")
+        )
+    )
+    return crossings.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("nc") % 2).cast("long").alias("n_inside"),
+        F.expr("CAST(SUM(nc % 2) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "inside_ppm"
+        ),
+    )

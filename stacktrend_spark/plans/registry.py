@@ -256,6 +256,7 @@ _PRIORITY: tuple[str, ...] = (
     "observed_metrics_noop_sink",
     "retrieval_ndcg_eval",
     "attribution_position_based",
+    "geo_point_in_polygon",
 )
 
 

@@ -102,3 +102,20 @@ def test_dynamic_partition_pruning_injected(spark, sf_dir):
 
     p = plan_of(_dpp_frame(spark, sf_dir)).lower()
     assert "dynamicpruning" in p
+
+
+def test_point_in_polygon_share_matches_area_fraction(spark, sf_dir):
+    """Hash coordinates are uniform, so the inside share must
+    concentrate near the polygon's area fraction: the L-shape covers
+    (120e6 x 120e6 - 60e6 x 60e6) / (360e6 x 180e6) = 1/6 of the
+    coordinate space."""
+    from stacktrend_spark.plans.geo import geo_point_in_polygon
+
+    rows = geo_point_in_polygon(spark, sf_dir).collect()
+    n = sum(r["n_customers"] for r in rows)
+    inside = sum(r["n_inside"] for r in rows)
+    assert 0 < inside < n
+    assert 0.10 <= inside / n <= 0.25
+    for r in rows:
+        assert 0 <= r["n_inside"] <= r["n_customers"]
+        assert r["inside_ppm"] == r["n_inside"] * 1000000 // r["n_customers"]
