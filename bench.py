@@ -283,6 +283,7 @@ HEADLINE = [
     "retrieval_ndcg_eval",
     "attribution_position_based",
     "geo_point_in_polygon",
+    "stream_scd2_asof_enrichment",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -257,6 +257,7 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_ndcg_eval",
     "attribution_position_based",
     "geo_point_in_polygon",
+    "stream_scd2_asof_enrichment",
 )
 
 

@@ -1065,3 +1065,96 @@ def stream_cms_event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("over_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time-correct SCD2 enrichment of a stream (r7) — the production
+# pattern stream_static_enrichment (current-state lookup) deliberately
+# does NOT cover: the dimension is SLOWLY CHANGING, and each event
+# must join the version VALID AT ITS EVENT TIME, not the current one.
+# Stream-static joins accept arbitrary predicates on the static side,
+# so the validity-range condition (ts >= valid_from AND ts < valid_to)
+# rides the same user_id equi-join — no watermark state needed for the
+# join itself (the static SCD2 dim is re-resolvable per micro-batch).
+# The dim here is deterministic: every user has tier version v0 before
+# the mid-month flip and v1 after, tiers from the engine-neutral md5 —
+# the oracle rebuilds both versions and the event-time routing exactly.
+# 100 TB: the dim is |users|×2 rows (broadcastable per micro-batch or
+# shuffle-joined on user_id); the rollup state is |tiers|×|types|.
+# ---------------------------------------------------------------------------
+_SCD2_FLIP = "2024-01-15"
+
+
+@register(
+    "stream_scd2_asof_enrichment",
+    oracle=f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        dim AS (
+            SELECT user_id,
+                   'T' || CAST(({sql_hex40("'tier0|' || CAST(user_id AS VARCHAR)")}) % 3 AS VARCHAR) AS tier,
+                   TIMESTAMP '1970-01-01' AS valid_from,
+                   TIMESTAMP '{_SCD2_FLIP}' AS valid_to
+            FROM users
+            UNION ALL
+            SELECT user_id,
+                   'T' || CAST(({sql_hex40("'tier1|' || CAST(user_id AS VARCHAR)")}) % 3 AS VARCHAR),
+                   TIMESTAMP '{_SCD2_FLIP}',
+                   TIMESTAMP '2100-01-01'
+            FROM users
+        )
+        SELECT d.tier, e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events e
+        JOIN dim d ON d.user_id = e.user_id
+                  AND e.ts >= d.valid_from AND e.ts < d.valid_to
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Event-time-correct SCD2 enrichment of a stream: stream-static "
+        "join carrying the validity-range predicate (each event joins "
+        "the dim version valid AT ITS EVENT TIME), rolled up per "
+        "(tier, event_type); deterministic two-version md5 dim."
+    ),
+)
+def stream_scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.sources.tables import load_table
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+
+    def version(v: int, start: str, end: str):
+        return users.select(
+            "user_id",
+            F.concat(
+                F.lit("T"),
+                (
+                    spark_hex40(
+                        F.concat(F.lit(f"tier{v}|"), F.col("user_id"))
+                    )
+                    % 3
+                ).cast("string"),
+            ).alias("tier"),
+            F.lit(start).cast("timestamp").alias("valid_from"),
+            F.lit(end).cast("timestamp").alias("valid_to"),
+        )
+
+    dim = version(0, "1970-01-01", _SCD2_FLIP).unionByName(
+        version(1, _SCD2_FLIP, "2100-01-01")
+    )
+    ev = load_events_stream(spark, sf_dir)
+    enriched = ev.join(
+        dim,
+        (ev.user_id == dim.user_id)
+        & (ev.ts >= dim.valid_from)
+        & (ev.ts < dim.valid_to),
+    )
+    rollup = enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    )
+    return run_to_batch(
+        rollup, "stream_scd2_asof_enrichment_sink", state_partitions=8
+    )

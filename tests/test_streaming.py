@@ -188,3 +188,15 @@ def test_stream_cms_one_sided_error(spark, sf_dir):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"]
         assert r["over_ppm"] >= 0
+
+
+def test_scd2_asof_enrichment_routes_every_event_once(spark, sf_dir):
+    """The validity ranges partition time, so the stream-static SCD2
+    join must route EVERY event to exactly one dim version — event
+    conservation is the correctness of the as-of semantics."""
+    from stacktrend_spark.plans.streaming_mirrors import stream_scd2_asof_enrichment
+
+    rows = stream_scd2_asof_enrichment(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert all(r["tier"] in {"T0", "T1", "T2"} for r in rows)
