@@ -284,6 +284,7 @@ HEADLINE = [
     "attribution_position_based",
     "geo_point_in_polygon",
     "stream_scd2_asof_enrichment",
+    "multimodal_scene_diff",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -1697,3 +1697,95 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video inter-frame difference (r7) — the scene-cut/motion metric that
+# drives frame sampling in video training pipelines: per video, the L1
+# distance between consecutive decoded frames. The Spark side runs the
+# REAL decode path (VID0 magic + header parse + numpy frame tensor in
+# an Arrow-batched kernel — trusting nothing from the synthesis side);
+# the oracle recomputes every byte of every frame pair from the
+# synthetic body's closed form ((7i + doc_id) mod 256) via
+# generate_series — so the gate value-checks the DECODER + kernel
+# against pure arithmetic. Videos with a single frame are excluded
+# (no pair exists).
+# 100 TB: map-only mapInPandas over the payload column (one video per
+# row, frames never shuffled); output one row per video.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_scene_diff",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id AS d,
+                   8 + doc_id % 16        AS w,
+                   8 + (3 * doc_id) % 16  AS h,
+                   1 + doc_id % 8         AS nf
+            FROM documents WHERE doc_id % 3 = 2 AND doc_id % 8 <> 0
+        ),
+        dims AS (SELECT d, nf, w * h * 3 AS fs FROM v),
+        diffs AS (
+            SELECT dims.d, dims.nf, dims.fs,
+                   SUM(ABS(((7 * ((f.f + 1) * dims.fs + j.j) + dims.d) % 256)
+                         - ((7 * (f.f * dims.fs + j.j) + dims.d) % 256)))
+                       AS l1
+            FROM dims,
+                 LATERAL (SELECT unnest(generate_series(0, dims.nf - 2)) AS f) f,
+                 LATERAL (SELECT unnest(generate_series(0, dims.fs - 1)) AS j) j
+            GROUP BY 1, 2, 3
+        )
+        SELECT d AS doc_id,
+               CAST(nf AS BIGINT)            AS n_frames,
+               CAST(fs AS BIGINT)            AS frame_size,
+               CAST(l1 AS BIGINT)            AS interframe_l1_total,
+               CAST(l1 // (nf - 1) AS BIGINT) AS mean_pair_l1
+        FROM diffs
+    """,
+    doc=(
+        "Video inter-frame L1 (scene-cut metric): REAL VID0 decode + "
+        "numpy frame-tensor kernel in mapInPandas, value-checked "
+        "against the synthetic body's closed form byte by byte."
+    ),
+)
+def multimodal_scene_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from stacktrend_spark.operators.multimodal import synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs).filter(F.col("media_type") == "video")
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "frame_size": [],
+                   "interframe_l1_total": [], "mean_pair_l1": []}
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:4] != b"VID0":
+                    raise ValueError("not a VID0 payload")
+                nf, w, h = struct.unpack("<III", raw[4:16])
+                if nf < 2:
+                    continue
+                fs = w * h * 3
+                frames = np.frombuffer(raw, dtype=np.uint8, offset=16).reshape(
+                    nf, fs
+                ).astype(np.int16)
+                l1 = int(np.abs(frames[1:] - frames[:-1]).sum())
+                out["doc_id"].append(int(d))
+                out["n_frames"].append(int(nf))
+                out["frame_size"].append(int(fs))
+                out["interframe_l1_total"].append(l1)
+                out["mean_pair_l1"].append(l1 // (nf - 1))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id long, n_frames long, frame_size long,"
+            " interframe_l1_total long, mean_pair_l1 long"
+        ),
+    )

@@ -258,6 +258,7 @@ _PRIORITY: tuple[str, ...] = (
     "attribution_position_based",
     "geo_point_in_polygon",
     "stream_scd2_asof_enrichment",
+    "multimodal_scene_diff",
 )
 
 

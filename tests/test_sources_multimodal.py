@@ -347,3 +347,25 @@ def test_python_datasource_partitions_and_volume(spark, sf_dir):
         "kind",
         "score_cents",
     ]
+
+
+def test_scene_diff_decoder_matches_closed_form(spark, sf_dir):
+    """The decode kernel's L1 must equal the synthetic body's closed
+    form for a hand-computed case, and every emitted video must have
+    at least one frame pair."""
+    from stacktrend_spark.plans.northstar import multimodal_scene_diff
+
+    rows = multimodal_scene_diff(spark, sf_dir).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    for d, r in list(by_id.items())[:5]:
+        w, h, nf = 8 + d % 16, 8 + (3 * d) % 16, 1 + d % 8
+        assert r["n_frames"] == nf >= 2
+        fs = w * h * 3
+        assert r["frame_size"] == fs
+        want = sum(
+            abs(((7 * ((f + 1) * fs + j) + d) % 256) - ((7 * (f * fs + j) + d) % 256))
+            for f in range(nf - 1)
+            for j in range(fs)
+        )
+        assert r["interframe_l1_total"] == want
