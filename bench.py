@@ -285,6 +285,7 @@ HEADLINE = [
     "geo_point_in_polygon",
     "stream_scd2_asof_enrichment",
     "multimodal_scene_diff",
+    "neyman_allocation_plan",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -259,6 +259,7 @@ _PRIORITY: tuple[str, ...] = (
     "geo_point_in_polygon",
     "stream_scd2_asof_enrichment",
     "multimodal_scene_diff",
+    "neyman_allocation_plan",
 )
 
 

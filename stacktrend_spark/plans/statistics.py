@@ -21,10 +21,12 @@ from pyspark.sql import functions as F
 
 from stacktrend_spark.functions.rounding import (
     comoments,
+    dstd,
     dsum,
     fround,
     iscale,
     sql_comoments,
+    sql_dstd,
     sql_dsum,
     sql_iscale,
     sql_round,
@@ -3142,4 +3144,104 @@ def srm_allocation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_a - n_b) * (n_a - n_b) * 1000000 DIV n > 3841459").alias(
             "srm_flag"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal allocation (r7) — the survey-sampling design step
+# beside the proportional stratified sampler (sample_stratified_hash):
+# allocate a fixed budget K across strata proportionally to n_h·s_h
+# (stddev-weighted — more sample where there is more variance), with
+# LARGEST-REMAINDER integer rounding so Σ alloc_h = K EXACTLY (mass
+# conservation by construction, ties on segment name). s_h comes from
+# the deterministic dstd tree (exact scaled-integer moments → one
+# correctly-rounded IEEE op tree), so both engines compute identical
+# weights, identical floors, identical remainder ranks.
+# 100 TB: one |strata|-row sufficient-statistics aggregate; the
+# allocation arithmetic runs on ≤ 5 rows.
+# ---------------------------------------------------------------------------
+_NEYMAN_K = 1000
+
+
+@register(
+    "neyman_allocation_plan",
+    oracle=f"""
+        WITH stats AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_h,
+                   {sql_dstd('c_acctbal')}  AS s_h
+            FROM customer GROUP BY 1
+        ),
+        w AS (
+            SELECT segment, n_h, s_h,
+                   CAST(n_h AS DOUBLE) * s_h AS wt
+            FROM stats
+        ),
+        tot AS (SELECT SUM(wt) AS wsum FROM w),
+        base AS (
+            SELECT segment, n_h, s_h, wt,
+                   FLOOR(wt * {_NEYMAN_K} / tot.wsum)      AS alloc_floor,
+                   wt * {_NEYMAN_K} / tot.wsum
+                     - FLOOR(wt * {_NEYMAN_K} / tot.wsum)  AS frac
+            FROM w CROSS JOIN tot
+        ),
+        seats AS (SELECT {_NEYMAN_K} - SUM(alloc_floor) AS r FROM base),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, segment) AS rk
+            FROM base
+        )
+        SELECT segment, n_h, s_h,
+               CAST(alloc_floor + CASE WHEN rk <= seats.r THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_n
+        FROM ranked CROSS JOIN seats
+    """,
+    doc=(
+        f"Neyman optimal allocation of K={_NEYMAN_K} samples across "
+        "market segments (weights n_h*stddev_h from the deterministic "
+        "dstd tree), largest-remainder integer rounding — allocations "
+        "sum to exactly K."
+    ),
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    stats = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            dstd("c_acctbal").alias("s_h"),
+        )
+    )
+    w = stats.withColumn("wt", F.col("n_h").cast("double") * F.col("s_h"))
+    tot = w.agg(F.sum("wt").alias("wsum"))
+    base = w.join(F.broadcast(tot)).select(
+        "segment",
+        "n_h",
+        "s_h",
+        F.floor(F.col("wt") * _NEYMAN_K / F.col("wsum")).alias("alloc_floor"),
+        (
+            F.col("wt") * _NEYMAN_K / F.col("wsum")
+            - F.floor(F.col("wt") * _NEYMAN_K / F.col("wsum"))
+        ).alias("frac"),
+    )
+    seats = base.agg((F.lit(_NEYMAN_K) - F.sum("alloc_floor")).alias("r"))
+    ranked = base.withColumn(
+        # bounded |strata|-row frame: single-partition by construction
+        "rk",
+        F.row_number().over(W2.orderBy(F.desc("frac"), F.col("segment"))),
+    )
+    return (
+        ranked.join(F.broadcast(seats))
+        .select(
+            "segment",
+            "n_h",
+            "s_h",
+            (
+                F.col("alloc_floor")
+                + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_n"),
+        )
     )

@@ -50,3 +50,16 @@ def test_srm_counts_partition_and_chi2_formula(spark, sf_dir):
         d = r["n_a"] - r["n_b"]
         assert r["chi2_micro"] == d * d * 1000000 // r["n"]
         assert r["srm_flag"] == (r["chi2_micro"] > 3841459)
+
+
+def test_neyman_allocation_conserves_budget(spark, sf_dir):
+    from stacktrend_spark.plans.statistics import (
+        _NEYMAN_K,
+        neyman_allocation_plan,
+    )
+
+    rows = neyman_allocation_plan(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sum(r["alloc_n"] for r in rows) == _NEYMAN_K
+    for r in rows:
+        assert r["alloc_n"] >= 0
