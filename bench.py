@@ -286,6 +286,7 @@ HEADLINE = [
     "stream_scd2_asof_enrichment",
     "multimodal_scene_diff",
     "neyman_allocation_plan",
+    "parameterized_sql_binding",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

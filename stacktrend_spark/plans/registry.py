@@ -260,6 +260,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_scd2_asof_enrichment",
     "multimodal_scene_diff",
     "neyman_allocation_plan",
+    "parameterized_sql_binding",
 )
 
 

@@ -305,3 +305,50 @@ def recursive_amortization_native(spark: SparkSession, sf_dir: str) -> DataFrame
             "principal // 72", "principal DIV 72"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (r7) — Spark 4's named-parameter binding
+# (spark.sql(query, args={...})): the injection-safe way to template
+# queries, with literals bound by the PARSER (so Catalyst still
+# constant-folds and pushes them down — same plan as hand-inlined
+# literals, unlike string formatting which risks injection, or a UDF
+# closure which blocks pushdown). The oracle inlines the identical
+# values; the gate proves binding changes nothing about results.
+# ---------------------------------------------------------------------------
+_PSQL_MIN_BAL = 5000.0
+_PSQL_SEGMENT = "BUILDING"
+
+
+@register(
+    "parameterized_sql_binding",
+    oracle=f"""
+        SELECT c.c_nationkey                                   AS nation,
+               CAST(COUNT(*) AS BIGINT)                        AS n_customers,
+               CAST(SUM({sql_iscale('c.c_acctbal')}) AS BIGINT) AS sum_bal_cents
+        FROM customer c
+        WHERE c.c_mktsegment = '{_PSQL_SEGMENT}'
+          AND c.c_acctbal >= {_PSQL_MIN_BAL}
+        GROUP BY 1
+    """,
+    doc=(
+        "Named-parameter SQL binding (spark.sql(args=...)): "
+        "parser-level literal binding keeps pushdown/constant-folding "
+        "intact; results identical to inlined literals."
+    ),
+)
+def parameterized_sql_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_nationkey                                  AS nation,
+               CAST(COUNT(*) AS BIGINT)                       AS n_customers,
+               CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT)                                AS sum_bal_cents
+        FROM customer c
+        WHERE c.c_mktsegment = :segment
+          AND c.c_acctbal >= :min_bal
+        GROUP BY 1
+        """,
+        args={"segment": _PSQL_SEGMENT, "min_bal": _PSQL_MIN_BAL},
+    )

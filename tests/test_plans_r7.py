@@ -119,3 +119,14 @@ def test_point_in_polygon_share_matches_area_fraction(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_inside"] <= r["n_customers"]
         assert r["inside_ppm"] == r["n_inside"] * 1000000 // r["n_customers"]
+
+
+def test_parameterized_sql_pushes_bound_literals_to_scan(spark, sf_dir):
+    """Parser-level binding must leave pushdown intact: the bound
+    segment/balance predicates reach the parquet scan as
+    PushedFilters, exactly as hand-inlined literals would."""
+    from stacktrend_spark.plans.sql_surface import parameterized_sql_binding
+
+    p = plan_of(parameterized_sql_binding(spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "BUILDING" in p  # the bound literal itself reached the scan
