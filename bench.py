@@ -287,6 +287,7 @@ HEADLINE = [
     "multimodal_scene_diff",
     "neyman_allocation_plan",
     "parameterized_sql_binding",
+    "arrow_scalar_udf_luhn",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

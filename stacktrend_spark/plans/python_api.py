@@ -579,3 +579,73 @@ def grouped_applyinarrow_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " iqr_cents long, n_outliers long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized scalar Python UDF (r7) — completes the Python
+# extension matrix's last cell: the SCALAR udf, in its Spark 4
+# Arrow-optimized form (useArrow=True — Arrow batch transport instead
+# of pickled rows; SPARK-40307). Registered DELIBERATELY as the
+# slow-path demonstration the engine's standing policy warns about:
+# this Luhn checksum is fully expressible with builtin transform/
+# aggregate HOFs (the form a hot path must use); the UDF exists to
+# prove the surface works and is value-checked like everything else.
+# The oracle recomputes Luhn digit-by-digit in pure SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "arrow_scalar_udf_luhn",
+    oracle="""
+        WITH d AS (
+            SELECT c_custkey,
+                   lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS s
+            FROM customer
+        ),
+        digits AS (
+            SELECT c_custkey,
+                   list_sum(
+                     list_transform(
+                       generate_series(1, 12),
+                       i -> CASE
+                              WHEN (13 - i) % 2 = 1 THEN
+                                CASE WHEN 2 * CAST(s[i] AS INTEGER) > 9
+                                     THEN 2 * CAST(s[i] AS INTEGER) - 9
+                                     ELSE 2 * CAST(s[i] AS INTEGER) END
+                              ELSE CAST(s[i] AS INTEGER)
+                            END)) AS total
+            FROM d
+        )
+        SELECT CAST((10 - total % 10) % 10 AS BIGINT) AS check_digit,
+               CAST(COUNT(*) AS BIGINT)               AS n_keys
+        FROM digits
+        GROUP BY 1
+    """,
+    doc=(
+        "Arrow-optimized scalar Python UDF (useArrow=True): Luhn check "
+        "digit over zero-padded customer keys, grouped by digit — the "
+        "slow-path demonstration cell of the Python matrix, "
+        "value-checked against a pure-SQL Luhn."
+    ),
+)
+def arrow_scalar_udf_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def luhn_check_digit(key: int) -> int:
+        s = str(key).zfill(12)
+        total = 0
+        # positions from the right, 1-indexed: double every second
+        for pos, ch in enumerate(reversed(s), start=1):
+            v = int(ch)
+            if pos % 2 == 1:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            total += v
+        return (10 - total % 10) % 10
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.select(luhn_check_digit(F.col("c_custkey")).alias("check_digit"))
+        .groupBy(F.col("check_digit").cast("long").alias("check_digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )

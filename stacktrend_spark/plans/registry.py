@@ -261,6 +261,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_scene_diff",
     "neyman_allocation_plan",
     "parameterized_sql_binding",
+    "arrow_scalar_udf_luhn",
 )
 
 
