@@ -132,6 +132,12 @@ HEAVY = [
     "query_likelihood_dirichlet",
     "snippet_best_window",
     "decayed_halflife_trending",
+    # r7 batches 17-26 fact-scaled rows
+    "attribution_position_based",
+    "geo_point_in_polygon",
+    "stream_scd2_asof_enrichment",
+    "multimodal_scene_diff",
+    "arrow_scalar_udf_luhn",
 ]
 
 _REPLICAS = 10
