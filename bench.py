@@ -288,6 +288,7 @@ HEADLINE = [
     "neyman_allocation_plan",
     "parameterized_sql_binding",
     "arrow_scalar_udf_luhn",
+    "pinball_loss_quantile_eval",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -262,6 +262,7 @@ _PRIORITY: tuple[str, ...] = (
     "neyman_allocation_plan",
     "parameterized_sql_binding",
     "arrow_scalar_udf_luhn",
+    "pinball_loss_quantile_eval",
 )
 
 

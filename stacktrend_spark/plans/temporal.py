@@ -1728,3 +1728,79 @@ def decayed_halflife_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 1000000 DIV SUM(dec_part) AS BIGINT)"
         ).alias("recency_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation (r7) — the metric that scores a
+# QUANTILE forecast, completing the forecast-evaluation pair with
+# forecast_backtest_snaive's point metrics: for target quantile
+# τ = 0.9, loss(e) = τ·e for under-forecast (e ≥ 0) and (τ−1)·e for
+# over-forecast. Everything ×10 keeps it integer-exact:
+# loss_x10 = 9e when e ≥ 0 else −e, on exact daily cents deltas
+# (forecast = previous day's value — the seasonal-naive baseline a
+# production quantile model must beat).
+# 100 TB: one (type, day) aggregate; the lag runs on the bounded
+# |types|×|days| spine.
+# ---------------------------------------------------------------------------
+@register(
+    "pinball_loss_quantile_eval",
+    oracle="""
+        WITH days AS (
+            SELECT event_type,
+                   CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+                       AS d,
+                   CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, d, cents,
+                   LAG(cents) OVER (PARTITION BY event_type ORDER BY d) AS pred
+            FROM days
+        ),
+        scored AS (
+            SELECT event_type,
+                   cents - pred AS e
+            FROM lagged WHERE pred IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN e >= 0 THEN 9 * e ELSE -e END) AS BIGINT)
+                   AS pinball_x10_total,
+               CAST(SUM(CASE WHEN e >= 0 THEN 9 * e ELSE -e END) // COUNT(*)
+                    AS BIGINT) AS mean_pinball_x10,
+               CAST(SUM(CASE WHEN e >= 0 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS under_forecast_ppm
+        FROM scored GROUP BY 1
+    """,
+    doc=(
+        "Pinball loss at tau=0.9 for the previous-day naive quantile "
+        "forecast of daily revenue per type: x10 integer losses "
+        "(9e under / -e over), under-forecast share in ppm — the "
+        "quantile-forecast evaluation twin of the snaive backtest."
+    ),
+)
+def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000").alias("d"),
+    ).agg(F.sum(iscale("value")).cast("long").alias("cents"))
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = days.withColumn("pred", F.lag("cents").over(w))
+    scored = lagged.filter(F.col("pred").isNotNull()).select(
+        "event_type", (F.col("cents") - F.col("pred")).alias("e")
+    )
+    loss = F.expr("CASE WHEN e >= 0 THEN 9 * e ELSE -e END")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(loss).cast("long").alias("pinball_x10_total"),
+        F.expr(
+            "CAST(SUM(CASE WHEN e >= 0 THEN 9 * e ELSE -e END) DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("mean_pinball_x10"),
+        F.expr(
+            "CAST(SUM(CASE WHEN e >= 0 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("under_forecast_ppm"),
+    )

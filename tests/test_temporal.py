@@ -99,3 +99,15 @@ def test_position_attribution_mass_conservation(spark, sf_dir):
     )
     assert sum(r["total_credit_ppm"] for r in rows) == n_purchases * 1000000
     assert {r["channel"] for r in rows} <= {"direct", "view", "click"}
+
+
+def test_pinball_loss_asymmetry_and_bounds(spark, sf_dir):
+    from stacktrend_spark.plans.temporal import pinball_loss_quantile_eval
+
+    rows = pinball_loss_quantile_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] >= 1
+        assert r["pinball_x10_total"] >= 0
+        assert r["mean_pinball_x10"] == r["pinball_x10_total"] // r["n_days"]
+        assert 0 <= r["under_forecast_ppm"] <= 1000000
