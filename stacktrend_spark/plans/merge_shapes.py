@@ -167,3 +167,66 @@ def merge_preserve_classification(spark: SparkSession, sf_dir: str) -> DataFrame
         preserve_cols=["category", "confidence"],
         preserve_when=preserve_when,
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-sync merge (r7) — WHEN NOT MATCHED BY SOURCE THEN DELETE,
+# partition-scoped: the daily re-sync that repairs the 1998+ slice of
+# the orders table from a corrected feed. The feed drops every 7th
+# order (deletions), re-prices the rest (updates); pre-1998 rows are
+# untouched. Output is the per-year contract of the synced table
+# (counts + exact cents), so deletions, updates and the untouched
+# remainder are all visible to the value hash.
+# ---------------------------------------------------------------------------
+@register(
+    "merge_full_sync_orders",
+    oracle="""
+        WITH scope AS (
+            SELECT * FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+        ),
+        source AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+                   CAST(FLOOR((o_totalprice * 1.05) * 100.0 + 0.5) AS BIGINT)
+                       AS cents
+            FROM scope WHERE o_orderkey % 7 <> 0
+        ),
+        synced AS (
+            SELECT o_orderkey, o_orderdate, cents FROM source
+            UNION ALL
+            SELECT o_orderkey, o_orderdate,
+                   CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+            FROM orders WHERE o_orderdate < DATE '1998-01-01'
+        )
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(COUNT(*) AS BIGINT)                       AS n_orders,
+               CAST(SUM(cents) AS BIGINT)                     AS sum_cents
+        FROM synced GROUP BY 1
+    """,
+    doc=(
+        "Partition-scoped full-sync MERGE (not-matched-by-source "
+        "DELETE): the 1998+ slice re-synced from a corrected feed "
+        "(every 7th order deleted, the rest re-priced +5%), pre-1998 "
+        "untouched; per-year counts + exact cents expose all three "
+        "clause effects."
+    ),
+)
+def merge_full_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.functions.rounding import fround, iscale
+    from stacktrend_spark.operators.merge import merge_full_sync
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    scope = F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    source = (
+        orders.filter(scope)
+        .filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn("o_totalprice", fround(F.col("o_totalprice") * 1.05, 2))
+    )
+    synced = merge_full_sync(orders, source, ["o_orderkey"], scope)
+    return synced.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(iscale("o_totalprice")).cast("long").alias("sum_cents"),
+    )

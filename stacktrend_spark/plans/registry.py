@@ -263,6 +263,7 @@ _PRIORITY: tuple[str, ...] = (
     "parameterized_sql_binding",
     "arrow_scalar_udf_luhn",
     "pinball_loss_quantile_eval",
+    "merge_full_sync_orders",
 )
 
 

@@ -74,3 +74,26 @@ def test_schema_mismatch_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_full_sync_deletes_updates_and_preserves(spark, sf_dir):
+    """The three clause effects of the scoped full sync: in-scope rows
+    absent from the source are GONE, in-scope survivors carry source
+    values, out-of-scope rows are byte-identical to the target."""
+    from pyspark.sql import functions as F
+
+    from stacktrend_spark.operators.merge import merge_full_sync
+    from stacktrend_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    scope = F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")
+    source = orders.filter(scope).filter(F.col("o_orderkey") % 7 != 0)
+    synced = merge_full_sync(orders, source, ["o_orderkey"], scope)
+    # deletions: no in-scope row with orderkey % 7 == 0 survives
+    assert synced.filter(scope & (F.col("o_orderkey") % 7 == 0)).count() == 0
+    # preservation: out-of-scope row count unchanged
+    assert synced.filter(~scope).count() == orders.filter(~scope).count()
+    # conservation: result = out-of-scope + source
+    assert synced.count() == orders.filter(~scope).count() + source.count()
