@@ -290,6 +290,7 @@ HEADLINE = [
     "arrow_scalar_udf_luhn",
     "pinball_loss_quantile_eval",
     "merge_full_sync_orders",
+    "running_max_drawdown",
 ]
 
 #: the r1-membership prefix of HEADLINE (see marker above)

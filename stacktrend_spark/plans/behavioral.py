@@ -2057,3 +2057,112 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_credit_ppm") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (r7) — the running-max/peak-to-trough metric
+# (finance's risk statistic, equally the "engagement collapse" signal
+# on cumulative user value): per user, cumulative purchase value, its
+# running maximum, and the largest peak-to-trough drop — all exact
+# cents through per-user window frames (state bounded per user), then
+# a distributed top-10 by drawdown. Drawdown ppm of peak uses the
+# 128-bit-safe integer DIV.
+# 100 TB: one user_id window pass + TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "running_max_drawdown",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, epoch_us(ts) AS us, event_id,
+                   CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cum1 AS (
+            SELECT user_id, us, event_id,
+                   SUM(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cents
+            FROM p
+        ),
+        cum AS (
+            SELECT user_id, cum_cents,
+                   MAX(cum_cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS peak_cents
+            FROM cum1
+        ),
+        dd AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT)                    AS n_purchases,
+                   CAST(MAX(peak_cents) AS BIGINT)             AS peak_cents,
+                   CAST(MAX(peak_cents - cum_cents) AS BIGINT) AS max_drawdown_cents
+            FROM cum GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       ORDER BY max_drawdown_cents DESC, user_id) AS rnk
+            FROM dd
+        )
+        SELECT user_id, n_purchases, peak_cents, max_drawdown_cents,
+               CAST(max_drawdown_cents * 1000000 // GREATEST(peak_cents, 1)
+                    AS BIGINT) AS drawdown_ppm_of_peak,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 10
+    """,
+    doc=(
+        "Maximum drawdown per user (cumulative purchase cents, running "
+        "peak, largest peak-to-trough drop, ppm of peak), distributed "
+        "top-10 — one user-partitioned window pass."
+    ),
+)
+def running_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            iscale("value").alias("cents"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        p.select(
+            "user_id",
+            "us",
+            "event_id",
+            F.sum("cents").over(w).alias("cum_cents"),
+        )
+        .withColumn("peak_cents", F.max("cum_cents").over(w))
+        .drop("us", "event_id")
+    )
+    dd = cum.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.max("peak_cents").cast("long").alias("peak_cents"),
+        F.max(F.col("peak_cents") - F.col("cum_cents"))
+        .cast("long")
+        .alias("max_drawdown_cents"),
+    )
+    top = dd.orderBy(F.desc("max_drawdown_cents"), F.col("user_id")).limit(10)
+    w2 = W.orderBy(F.desc("max_drawdown_cents"), F.col("user_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .select(
+            "user_id",
+            "n_purchases",
+            "peak_cents",
+            "max_drawdown_cents",
+            F.expr(
+                "CAST(max_drawdown_cents * 1000000"
+                " DIV GREATEST(peak_cents, 1) AS BIGINT)"
+            ).alias("drawdown_ppm_of_peak"),
+            "rnk",
+        )
+    )

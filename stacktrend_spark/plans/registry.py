@@ -264,6 +264,7 @@ _PRIORITY: tuple[str, ...] = (
     "arrow_scalar_udf_luhn",
     "pinball_loss_quantile_eval",
     "merge_full_sync_orders",
+    "running_max_drawdown",
 )
 
 

@@ -111,3 +111,15 @@ def test_pinball_loss_asymmetry_and_bounds(spark, sf_dir):
         assert r["pinball_x10_total"] >= 0
         assert r["mean_pinball_x10"] == r["pinball_x10_total"] // r["n_days"]
         assert 0 <= r["under_forecast_ppm"] <= 1000000
+
+
+def test_drawdown_bounds(spark, sf_dir):
+    from stacktrend_spark.plans.behavioral import running_max_drawdown
+
+    rows = running_max_drawdown(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sorted(r["rnk"] for r in rows) == list(range(1, 11))
+    for r in rows:
+        # drawdown can never exceed the peak it fell from
+        assert 0 <= r["max_drawdown_cents"] <= r["peak_cents"]
+        assert 0 <= r["drawdown_ppm_of_peak"] <= 1000000
