@@ -291,7 +291,45 @@ HEADLINE = [
     "pinball_loss_quantile_eval",
     "merge_full_sync_orders",
     "running_max_drawdown",
+    # r8 additions — the ~11 nontrivial rows the r7 verdict found with
+    # no recorded timing anywhere (six gold_* mirrors, pagerank, the
+    # two orchestration pipelines, semantic curation, patch grid):
+    # HEADLINE now carries them every round instead of a one-shot.
+    "gold_lang_stats",
+    "gold_market_pulse",
+    "gold_development_velocity",
+    "gold_portfolio_overview",
+    "gold_adoption_matrix",
+    "gold_tech_health",
+    "pagerank_copurchase",
+    "pipeline_trend_gold",
+    "pipeline_personal_gold",
+    "pipeline_semantic_curation",
+    "multimodal_patch_grid",
 ]
+
+#: Exclusion manifest (r7 verdict task 3 — "no silent caps"): every
+#: registered query NOT in HEADLINE gets an explicit reason here, and
+#: bench.py emits the resolved map into BENCH_FULL.json. One-shot
+#: cold/warm timings for every excluded row live in BENCH_LITE.json
+#: (tools/bench_lite.py), so no query is without a recorded number.
+EXCLUDE_TIER_REASONS = {
+    # ground-truth baselines whose scale-safe twins are the headline
+    "dedup_ngram_jaccard": "O(N²)-family ground-truth baseline; headline twin: dedup_minhash_lsh/dedup_minhash_star",
+}
+EXCLUDE_DEFAULT_REASON = (
+    "outside HEADLINE to bound bench wall time; one-shot timing "
+    "recorded in BENCH_LITE.json (tools/bench_lite.py)"
+)
+
+
+def excluded_queries(registered: list[str]) -> dict[str, str]:
+    head = set(HEADLINE)
+    return {
+        n: EXCLUDE_TIER_REASONS.get(n, EXCLUDE_DEFAULT_REASON)
+        for n in registered
+        if n not in head
+    }
 
 #: the r1-membership prefix of HEADLINE (see marker above)
 COMPARABLE = HEADLINE[:29]
@@ -385,18 +423,21 @@ def main() -> None:
         warm_runs[name] = runs
         warm[name] = sorted(runs)[1]
 
-    # VARIANCE GUARD (r6 verdict task 2): the r6 driver artifact showed
-    # ~8 comparable-subset outliers (e.g. gold_repo_health_dashboard
-    # 0.28 → 2.38 s) on untouched code — transient host contention read
-    # as a regression. If a comparable query's warm median came out
-    # >2× its last committed value, re-measure it ONCE at the very end
-    # of the session (when whatever contended has moved on) and record
-    # BOTH sets; the official warm becomes the median of all 6 runs —
-    # still an honest estimator, but one a single noisy window can't own.
+    # VARIANCE GUARD (r6 verdict task 2; SYMMETRIC since r8 per
+    # ADVICE): the r6 driver artifact showed ~8 comparable-subset
+    # outliers (e.g. gold_repo_health_dashboard 0.28 → 2.38 s) on
+    # untouched code — transient host contention read as a regression.
+    # If a comparable query's warm median came out >2× OR <0.5× its
+    # last committed value, re-measure it ONCE at the very end of the
+    # session (when whatever contended has moved on) and record BOTH
+    # sets; the official warm becomes the median of all 6 runs — still
+    # an honest estimator, but one a single noisy window can't own.
+    # The <0.5× side keeps a lucky quiet window from ratcheting the
+    # committed medians down (the asymmetry ADVICE flagged).
     variance_reruns: dict[str, dict] = {}
     for name in [n for n in COMPARABLE if n in run_list]:
         ref = prior_warm.get(name)
-        if ref and ref > 0 and warm[name] > 2.0 * ref:
+        if ref and ref > 0 and (warm[name] > 2.0 * ref or warm[name] < 0.5 * ref):
             spark.catalog.clearCache()
             rerun = []
             for _ in range(3):
@@ -436,6 +477,11 @@ def main() -> None:
         "comparable_n": len(COMPARABLE),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries_registered": len(specs),
+        "n_queries_headline": len(HEADLINE),
+        # no silent caps (r7 verdict task 3): every registered-but-
+        # unbenched query appears here with its reason; one-shot
+        # timings for all of them live in BENCH_LITE.json.
+        "excluded_queries": excluded_queries(list(specs)),
         "input_tables": tables,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

@@ -125,13 +125,26 @@ def merge_full_sync(
     without rewriting the table — an unscoped not-matched-by-source
     delete would degenerate to "result = source".
 
-    Scale: the scoped slice and the source shuffle on the merge keys
-    (one exchange each under AQE); the out-of-scope remainder is a
-    pure filter that never shuffles.
+    NULL handling matches Delta/SQL MERGE: a WHEN NOT MATCHED BY
+    SOURCE clause whose condition evaluates to NULL does NOT fire, so
+    a target row where ``scope`` is NULL is PRESERVED (treated as
+    out-of-scope), not deleted. Source rows where ``scope`` evaluates
+    to NULL or FALSE are ignored — only in-scope source rows
+    participate in the sync, keeping the "rows outside the scope are
+    untouched" contract even when the caller hands a wider feed.
+
+    Precondition: in-scope source rows must be key-unique. Duplicate
+    keys are collapsed by ``dropDuplicates`` with an engine-chosen
+    survivor (Delta MERGE would instead error on multi-match); callers
+    that need the strict behavior should dedupe-or-assert upstream.
+
+    Scale: the scoped slice is a pure filter (no shuffle); the source
+    dedupe shuffles once on the merge keys; the out-of-scope remainder
+    never shuffles.
     """
     _validate(target, source, keys)
-    outside = target.filter(~scope)
-    # inside the scope the source IS the truth: updates, inserts and
-    # deletes all collapse to "take the source rows" — keep the join
-    # only to document/verify key overlap in callers' tests
-    return outside.unionByName(source.dropDuplicates(keys))
+    scope_true = F.coalesce(scope, F.lit(False))
+    outside = target.filter(~scope_true)
+    # inside the scope the in-scope source IS the truth: updates,
+    # inserts and deletes all collapse to "take the source rows"
+    return outside.unionByName(source.filter(scope_true).dropDuplicates(keys))

@@ -22,6 +22,8 @@ tests/test_plans.py) but the results the layouts produce.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -530,15 +532,23 @@ def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     return _dpp_frame(spark, sf_dir)
 
 
-def _dpp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared by the registered query and the plan-shape test."""
+#: fixture cache: sf_dir → (fact_dir, cal_dir). The partitioned fact +
+#: calendar dim are write-once inputs; rebuilding them per invocation
+#: leaked mkdtemp copies and folded two full parquet writes into every
+#: "warm" bench timing (r7 ADVICE). Registered atexit for cleanup.
+_DPP_FIXTURES: dict[str, tuple[str, str]] = {}
+
+
+def _dpp_fixture_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    cached = _DPP_FIXTURES.get(sf_dir)
+    if cached is not None:
+        return cached
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day_no"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
     base = tempfile.mkdtemp(prefix="stacktrend_dpp_")
     ev.write.mode("overwrite").partitionBy("day_no").parquet(base)
-    fact = spark.read.parquet(base)
     # calendar dim ON DISK with a read-time filter: the filter on the
     # build side is what makes Catalyst classify the join as prunable
     # (a computed/limit dim without a filter predicate does not
@@ -547,6 +557,16 @@ def _dpp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.select("day_no").distinct().withColumn(
         "window_flag", F.expr("CAST(day_no % 7 < 2 AS INT)")
     ).write.mode("overwrite").parquet(cal_dir)
+    _DPP_FIXTURES[sf_dir] = (base, cal_dir)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    atexit.register(shutil.rmtree, cal_dir, ignore_errors=True)
+    return base, cal_dir
+
+
+def _dpp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the registered query and the plan-shape test."""
+    base, cal_dir = _dpp_fixture_dirs(spark, sf_dir)
+    fact = spark.read.parquet(base)
     # the hive partition directory values read back as INT; the dim
     # side must match that type exactly or the cast lands on the
     # PARTITION attribute and the DPP rule no longer matches the scan

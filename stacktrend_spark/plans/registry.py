@@ -80,87 +80,23 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 #: Driver-window rotation. The correctness driver records rows for the
-#: FIRST 50 entries of queries() order only (observed rounds 1-2:
-#: exactly registry indices 0-49 got CORRECTNESS rows). Driver-green
-#: union after r2 = 92 distinct queries; this round's window pins
-#: (a) the two r2-red rows after their fixes (gold_tech_metrics now
-#: emits exact µ-unit BIGINTs; grouping_sets_orders casts its sum to
-#: DOUBLE), (b) the four probe_tm_* bisection probes that re-register
-#: round 2's float constructs column-by-column, and (c) every query
-#: that has never been inside a driver window. Remaining slots go to
-#: queries added this round. Long-green rows rotate to the back — they
-#: are re-provable in any later round.
+#: FIRST 50 entries of queries() order only (observed every round:
+#: exactly registry indices 0-49 get CORRECTNESS rows). Long-green
+#: rows rotate to the back — they are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-7 WINDOW (r6 verdict task 1: unproven-first ordering).
-    # After r6 the cumulative ledger is 224/318 driver-proven with
-    # zero standing failures; 94 registered queries have never been
-    # inside a driver window (all are r6 late-batch additions, all
-    # local-replica green via tools/verify_local.py). This window
-    # takes 50 of those 94, TPC-H Q-series and the ML-eval family
-    # first per the verdict; the remaining 44 sit at positions
-    # 51-94 and lead the r8 window, followed by ~10 stale-rotation
-    # slots (r1/r2-era rows, oldest driver proof first — see
+    # ROUND-8 WINDOW (r7 verdict task 1: drain the backlog oldest-
+    # first). After r7 the cumulative ledger is 274/366 driver-proven
+    # with zero standing failures; 92 registered queries have never
+    # been inside a driver window. This window takes the 44 r6-era
+    # never-driven rows (the oldest of the backlog) plus the 6
+    # heaviest/changed r7 rows (merge_full_sync_orders and
+    # source_dynamic_partition_pruning also carry round-8 ADVICE
+    # fixes: NULL-safe scope + scoped source in merge_full_sync;
+    # cached DPP fixture dirs). The remaining 42 r7-era rows sit at
+    # positions 51+ and lead the r9 window, followed by the stale-
+    # rotation slots (r1/r2-era rows, oldest driver proof first —
     # COVERAGE.md staleness ledger).
-    # -- TPC-H optimizer shapes (16: completes driver proof of all
-    #    22 classic shapes; q1/q3/q6/q13/q15/q18 proven r01-r06)
-    "q2_min_cost_supplier",
-    "q4_late_ship_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_filter",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # -- ML-eval / feature-engineering family (12)
-    "model_eval_auc",
-    "model_calibration_ece",
-    "gbdt_split_histogram",
-    "model_gains_deciles",
-    "psi_feature_drift",
-    "churn_training_assembly",
-    "pipeline_feature_store",
-    "negative_sampling_pairs",
-    "kfold_balance_audit",
-    "isotonic_calibration_minimax",
-    "hybrid_rrf_fusion",
-    "naive_bayes_lang_confusion",
-    # -- statistics family (12)
-    "moments_skew_kurtosis",
-    "benford_leading_digit",
-    "spearman_rank_corr",
-    "bootstrap_ci_revenue",
-    "theilsen_mann_kendall",
-    "wilson_lcb_category_ranking",
-    "cohens_kappa_raters",
-    "cohens_d_segments",
-    "abtest_two_proportion_z",
-    "ols_two_feature_cramer",
-    "ols_slope_by_nation",
-    "entropy_kl_priority_mix",
-    # -- graph family (5)
-    "hits_hubs_authorities",
-    "label_propagation_communities",
-    "clustering_coefficient_topk",
-    "degree_assortativity",
-    "powerlaw_degree_fit",
-    # -- time-series family (5)
-    "acf_daily_revenue",
-    "holt_level_trend",
-    "cusum_changepoint",
-    "stl_lite_decompose",
-    "rolling_correlation_14d",
-    # -- position 51+: NOT in the r7 window (driver reads the first
-    # 50). These are the remaining 44 never-driver-proven rows —
-    # they lead the r8 window, then ~6 stale-rotation slots
-    # (q1_pricing_summary, join_*, scalar_* from r1 — COVERAGE.md).
+    # -- the 44 r6-era never-driven rows --
     "dedup_incremental_batch",
     "er_sorted_neighborhood",
     "hll_register_sketch",
@@ -205,15 +141,25 @@ _PRIORITY: tuple[str, ...] = (
     "array_hof_cosine_topk",
     "zorder_vs_linear_skipping",
     "recursive_amortization_native",
-    # -- r7 additions (plans/selection.py): join the never-proven queue
-    # behind the 44 above; changed-in-r7 rows (dedup_simhash_hamming's
-    # filter-first rewrite) also belong in the r8 window.
+    # -- heaviest / round-8-changed r7 rows (6) --
+    "merge_full_sync_orders",
+    "source_dynamic_partition_pruning",
+    "dedup_containment_star",
+    "source_leakage_matrix",
+    "matryoshka_truncation_agreement",
+    "multimodal_scene_diff",
+    # -- position 51+: NOT in the r8 window (driver reads the first
+    # 50). dedup_simhash_hamming leads: its filter-first rewrite
+    # landed in r7 after its last (r5) driver proof, so the current
+    # code needs a re-prove; then the remaining r7-era never-driven
+    # rows, then round-8 additions, then the stale-rotation candidates
+    # (COVERAGE.md ledger: the 35 r2-proven rows are oldest).
+    "dedup_simhash_hamming",
+    # -- r7-era never-driven (lead the r9 window) --
     "c4_boilerplate_ngrams",
     "quality_budget_cut",
     "curriculum_stage_assign",
     "ngram_novelty_decay",
-    "dedup_containment_star",
-    "source_leakage_matrix",
     "max_word_run_lengths",
     "dedup_cluster_stats",
     "feature_hashing_trick",
@@ -221,49 +167,36 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_datasheet",
     "minhash_band_tuning",
     "source_corrupt_record_routing",
-    "dedup_simhash_hamming",
-    # -- r7 additions (plans/resampling.py)
     "dsir_importance_resampling",
     "unigram_surprisal_filter",
     "tokenizer_fertility_panel",
-    # -- r7 additions (plans/governance.py)
     "fairness_demographic_parity",
     "conformal_calibration_quantile",
     "woe_information_value",
-    # -- r7 additions (plans/clustering.py embeddings batch)
-    "matryoshka_truncation_agreement",
     "jl_projection_distortion",
-    # -- r7 additions (plans/statistics.py omnibus tests)
     "anova_oneway_f",
     "kruskal_wallis_h",
-    # -- r7 additions (plans/statistics.py experimentation batch)
     "cuped_variance_reduction",
     "did_revenue_estimator",
     "srm_allocation_check",
-    # -- r7 additions (plans/streaming_mirrors.py)
     "stream_cms_event_counters",
-    # -- r7 additions (IR + deterministic sketch)
     "query_likelihood_dirichlet",
     "misra_gries_summary",
-    # -- r7 additions (native session window + snippet)
     "session_window_native_batch",
     "snippet_best_window",
     "decayed_halflife_trending",
     "fellegi_sunter_weights",
     "grouped_applyinarrow_iqr",
     "source_python_datasource",
-    "source_dynamic_partition_pruning",
     "observed_metrics_noop_sink",
     "retrieval_ndcg_eval",
     "attribution_position_based",
     "geo_point_in_polygon",
     "stream_scd2_asof_enrichment",
-    "multimodal_scene_diff",
     "neyman_allocation_plan",
     "parameterized_sql_binding",
     "arrow_scalar_udf_luhn",
     "pinball_loss_quantile_eval",
-    "merge_full_sync_orders",
     "running_max_drawdown",
 )
 

@@ -97,3 +97,33 @@ def test_full_sync_deletes_updates_and_preserves(spark, sf_dir):
     assert synced.filter(~scope).count() == orders.filter(~scope).count()
     # conservation: result = out-of-scope + source
     assert synced.count() == orders.filter(~scope).count() + source.count()
+
+
+def test_full_sync_null_scope_preserves_and_scopes_source(spark):
+    """r8 (ADVICE): NULL scope rows are PRESERVED (Delta's
+    not-matched-by-source clause does not fire on NULL), and source
+    rows outside the scope are ignored — the out-of-scope slice stays
+    byte-identical even when the feed is wider than the scope."""
+    from stacktrend_spark.operators.merge import merge_full_sync
+
+    target = _df(
+        spark,
+        [(1, "in", 0.9, 10.0), (2, "out", 0.5, 20.0), (3, None, 0.5, 30.0)],
+    )
+    # scope over the category column: 'in' → true, 'out' → false,
+    # NULL → NULL (three-valued logic)
+    scope = F.when(F.col("category") == "in", F.lit(True)).when(
+        F.col("category") == "out", F.lit(False)
+    )
+    # feed carries an in-scope update for k=1 AND an out-of-scope row
+    # for k=2 (must be ignored) and a NULL-scope row k=4 (ignored too)
+    source = _df(
+        spark,
+        [(1, "in", 0.95, 11.0), (2, "out", 0.99, 99.0), (4, None, 0.1, 40.0)],
+    )
+    out = {r["k"]: r for r in merge_full_sync(target, source, ["k"], scope).collect()}
+    assert out[1]["metric"] == 11.0  # in-scope update applied
+    assert out[2]["metric"] == 20.0  # out-of-scope target untouched
+    assert out[3]["metric"] == 30.0  # NULL scope → preserved, not deleted
+    assert 4 not in out  # out-of-scope source row never inserted
+    assert len(out) == 3

@@ -59,6 +59,12 @@ SF01_DIR = "/root/testdata/sf0.1"
 #: under "oracle_baseline_tier" in BENCH_SF1.json, never "queries".
 ORACLE_BASELINE = [
     "dedup_minhash_lsh",  # all intra-bucket pairs: alpha=1.39 BY CONTRACT
+    # r8 (r7 verdict task 5): full-corpus brute-force prefix scoring —
+    # it IS the ground truth the ANN recall evals are judged against
+    # (headline twins: sim_ivf_topk / sim_ivf_multiprobe), so its
+    # exponent measures the contract (alpha=0.84, 17.4 s warm at sf1
+    # in r7), not the plan.
+    "matryoshka_truncation_agreement",
 ]
 
 #: the 6 heaviest bench queries (BENCH_FULL r4) and the tables they read
@@ -120,9 +126,9 @@ HEAVY = [
     "dsir_importance_resampling",
     "unigram_surprisal_filter",
     "tokenizer_fertility_panel",
-    # r7 batch 8: full-corpus prefix scoring (queries broadcast; the
-    # JL audit is panel-bounded by contract and stays out)
-    "matryoshka_truncation_agreement",
+    # r7 batch 8: matryoshka_truncation_agreement moved to the
+    # ORACLE_BASELINE tier in r8 (ground-truth brute force; twins:
+    # sim_ivf_*); the JL audit is panel-bounded by contract and stays out
     # r7 batches 9-16: the fact-table-scaled rows (the 5-row
     # governance/experimentation outputs and bounded-panel audits are
     # fertility-class and stay out)
