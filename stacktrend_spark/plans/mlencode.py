@@ -1258,3 +1258,150 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("long").alias("signed_mass"),
         (F.countDistinct("feat") > 1).alias("has_collision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (r8) — the companion to ECE: split the
+# binned Brier score into RELIABILITY (calibration error, want 0),
+# RESOLUTION (how far bin outcome rates move from the base rate, want
+# large) and UNCERTAINTY (base-rate variance, fixed by the data):
+#     Brier = REL - RES + UNC    (Murphy 1973, exact for binned p̄_k)
+# Confidence is the same exact percentile-rank ppm as model_eval_auc /
+# model_calibration_ece, so the whole chain stays integer-exact: the
+# three terms are Σ n_k·gap² style integer sums in ppm² units.
+#
+# 100 TB: identical shape to ECE — one distinct-score groupBy, the
+# two-phase running sum over the score spine, a 10-row bin rollup,
+# then a 1-row fold. n_k·gap² ≤ n·10¹² fits int64 through sf1000;
+# beyond that the same code switches the fold to DecimalType (SCALE.md
+# numeric policy).
+# ---------------------------------------------------------------------------
+@register(
+    "brier_score_decomposition",
+    oracle=f"""
+        WITH e AS (
+            SELECT {_AUC_SCORE_SQL} AS score,
+                   CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+            FROM embeddings
+        ),
+        per AS (
+            SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(pos) AS BIGINT) AS pos_cnt
+            FROM e GROUP BY score
+        ),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(SUM(pos_cnt) AS BIGINT) AS npos FROM per),
+        r AS (
+            SELECT score, c, pos_cnt,
+                   COALESCE(SUM(c) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS below
+            FROM per
+        ),
+        conf AS (
+            SELECT c, pos_cnt,
+                   below * 1000000 // ((SELECT n FROM n) - 1) AS conf_ppm
+            FROM r
+        ),
+        bins AS (
+            SELECT LEAST(conf_ppm // 100000, 9) AS bin,
+                   CAST(SUM(c) AS BIGINT)       AS nk,
+                   CAST(SUM(conf_ppm * c) // SUM(c) AS BIGINT)      AS pk_ppm,
+                   CAST(SUM(pos_cnt) * 1000000 // SUM(c) AS BIGINT) AS ok_ppm
+            FROM conf GROUP BY 1
+        ),
+        base AS (
+            SELECT n, CAST(npos * 1000000 // n AS BIGINT) AS base_ppm FROM n
+        )
+        SELECT
+            b.n,
+            b.base_ppm,
+            CAST(b.base_ppm * (1000000 - b.base_ppm) AS BIGINT)
+                AS uncertainty_ppm2,
+            CAST(SUM(k.nk * (k.pk_ppm - k.ok_ppm) * (k.pk_ppm - k.ok_ppm))
+                 // b.n AS BIGINT) AS reliability_ppm2,
+            CAST(SUM(k.nk * (k.ok_ppm - b.base_ppm) * (k.ok_ppm - b.base_ppm))
+                 // b.n AS BIGINT) AS resolution_ppm2,
+            CAST(b.base_ppm * (1000000 - b.base_ppm)
+                 + SUM(k.nk * (k.pk_ppm - k.ok_ppm) * (k.pk_ppm - k.ok_ppm)) // b.n
+                 - SUM(k.nk * (k.ok_ppm - b.base_ppm) * (k.ok_ppm - b.base_ppm)) // b.n
+                 AS BIGINT) AS brier_ppm2
+        FROM bins k CROSS JOIN base b
+        GROUP BY b.n, b.base_ppm
+    """,
+    doc=(
+        "Murphy decomposition of the binned Brier score: reliability, "
+        "resolution, uncertainty and their REL-RES+UNC total as exact "
+        "ppm^2 integers over the same rank-calibrated 10-bin diagram "
+        "as model_calibration_ece."
+    ),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = (
+        (
+            F.element_at("embedding", 1).cast("double")
+            + F.element_at("embedding", 2).cast("double")
+        )
+        + F.element_at("embedding", 3).cast("double")
+    ) + F.element_at("embedding", 4).cast("double")
+    pos = F.when(F.col("label") < 5, 1).otherwise(0)
+    per = (
+        emb.select(score.alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("pos_cnt"))
+    )
+    rs = global_running_sum_scalable(
+        per, [F.col("score")], "c", sum_col="cum_incl", num_partitions=8
+    )
+    nn = per.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("pos_cnt").cast("long").alias("npos"),
+    )
+    conf = rs.join(F.broadcast(nn)).select(
+        "c",
+        "pos_cnt",
+        F.expr("(cum_incl - c) * 1000000 DIV (n - 1)").alias("conf_ppm"),
+    )
+    bins = (
+        conf.groupBy(F.least(F.expr("conf_ppm DIV 100000"), F.lit(9)).alias("bin"))
+        .agg(
+            F.sum("c").cast("long").alias("nk"),
+            F.expr("CAST(SUM(conf_ppm * c) DIV SUM(c) AS BIGINT)").alias("pk_ppm"),
+            F.expr("CAST(SUM(pos_cnt) * 1000000 DIV SUM(c) AS BIGINT)").alias(
+                "ok_ppm"
+            ),
+        )
+    )
+    base = nn.select(
+        "n", F.expr("CAST(npos * 1000000 DIV n AS BIGINT)").alias("base_ppm")
+    )
+    return (
+        bins.join(F.broadcast(base))
+        .groupBy("n", "base_ppm")
+        .agg(
+            F.expr(
+                "CAST(SUM(nk * (pk_ppm - ok_ppm) * (pk_ppm - ok_ppm)) DIV MAX(n)"
+                " AS BIGINT)"
+            ).alias("rel"),
+            F.expr(
+                "CAST(SUM(nk * (ok_ppm - base_ppm) * (ok_ppm - base_ppm)) DIV MAX(n)"
+                " AS BIGINT)"
+            ).alias("res"),
+        )
+        .select(
+            "n",
+            "base_ppm",
+            F.expr("CAST(base_ppm * (1000000 - base_ppm) AS BIGINT)").alias(
+                "uncertainty_ppm2"
+            ),
+            F.col("rel").alias("reliability_ppm2"),
+            F.col("res").alias("resolution_ppm2"),
+            F.expr(
+                "CAST(base_ppm * (1000000 - base_ppm) + rel - res AS BIGINT)"
+            ).alias("brier_ppm2"),
+        )
+    )

@@ -148,6 +148,15 @@ def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Cogrouped applyInPandas: per-key (customer row × order group) reconciliation.",
 )
 def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface demonstration cell — deliberately the per-key slow
+    path. cogroup().applyInPandas invokes the Python kernel ONCE PER
+    KEY (one pandas frame per customer), so wall-clock is dominated by
+    ~1 ms/key dispatch (measured 17.4 s warm at sf0.1's 15 k keys —
+    BENCH_LITE.json, r8). That cost is the cogroup contract, not a
+    plan defect: the production twin for these semantics is the pure
+    JVM left join + aggregate (join_left_customer_orders,
+    q13_customer_distribution). Use cogroup only when the per-key
+    kernel genuinely needs BOTH full row groups in Python at once."""
     # Nested so cloudpickle ships it by value (see udtf_bigrams).
     def _reconcile(key, customers: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         """Cogroup kernel: one output row per customer key, combining

@@ -66,6 +66,7 @@ _PLAN_MODULES = (
     "stacktrend_spark.plans.dedup_audit",
     "stacktrend_spark.plans.resampling",
     "stacktrend_spark.plans.governance",
+    "stacktrend_spark.plans.pretrain_mix",
 )
 
 
@@ -198,6 +199,13 @@ _PRIORITY: tuple[str, ...] = (
     "arrow_scalar_udf_luhn",
     "pinball_loss_quantile_eval",
     "running_max_drawdown",
+    # -- r8 additions (throttled to ~15 per r7 verdict task 2) --
+    "gopher_quality_rules",
+    "mixture_temperature_weights",
+    "ngram_entropy_profile",
+    "brier_score_decomposition",
+    "bh_fdr_segment_tests",
+    "sprt_sequential_monitor",
 )
 
 

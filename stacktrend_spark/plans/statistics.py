@@ -3245,3 +3245,247 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alloc_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control (r8) — the multiple-testing layer the
+# experimentation family was missing: m per-segment two-proportion
+# tests (is this segment's high-value-order rate different from the
+# global rate?) corrected by the BH step-up procedure at alpha=0.10.
+# p-values are the CHEBYSHEV bound p <= 1/z^2 — a conservative,
+# distribution-free surrogate chosen because it is an exact rational
+# (normal-CDF p-values would hit the engine-dependent erf lottery);
+# the BH mechanics (sort, compare to rank*alpha/m, step-up) are the
+# operator under test and are exact integer arithmetic either way.
+#
+# 100 TB: the fact scan folds to ONE m-row aggregate (m = #segments);
+# everything after — quantized z^2, p, ranks, the step-up max — runs
+# on those m rows (bounded spine; the global window is m<=5 rows by
+# construction). dp_ppm^2 * n fits int64 through n ~ 10^6 per segment;
+# beyond that the same fold switches to DecimalType (SCALE.md numeric
+# policy).
+# ---------------------------------------------------------------------------
+_BH_ALPHA_PPM = 100_000  # alpha = 0.10
+_BH_CENTS = 20_000_000   # "high-value order" threshold: > $200k
+
+
+@register(
+    "bh_fdr_segment_tests",
+    oracle=f"""
+        WITH o AS (
+            SELECT c.c_mktsegment AS segment,
+                   CASE WHEN CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+                             > {_BH_CENTS} THEN 1 ELSE 0 END AS hi
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        ),
+        seg AS (
+            SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(hi) AS BIGINT) AS k
+            FROM o GROUP BY segment
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(k) AS BIGINT) AS kk,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM seg
+        ),
+        z AS (
+            SELECT s.segment, s.n, s.k, t.m,
+                   (s.k * 1000000 // s.n - t.kk * 1000000 // t.nn) AS dp_ppm,
+                   (t.kk * 1000000 // t.nn) AS p0_ppm
+            FROM seg s CROSS JOIN tot t
+        ),
+        p AS (
+            SELECT segment, n, k, m,
+                   LEAST(1000000, 1000000000000 // GREATEST(
+                       dp_ppm * dp_ppm * n
+                       // GREATEST(p0_ppm * (1000000 - p0_ppm) // 1000000, 1),
+                       1)) AS p_ppm
+            FROM z
+        ),
+        ranked AS (
+            SELECT segment, n, k, m, p_ppm,
+                   ROW_NUMBER() OVER (ORDER BY p_ppm, segment) AS rnk
+            FROM p
+        ),
+        stepped AS (
+            SELECT *,
+                   rnk * {_BH_ALPHA_PPM} // m AS thr_ppm,
+                   MAX(CASE WHEN p_ppm <= rnk * {_BH_ALPHA_PPM} // m
+                            THEN rnk ELSE 0 END) OVER () AS kstar
+            FROM ranked
+        )
+        SELECT segment,
+               CAST(n AS BIGINT)       AS n,
+               CAST(k AS BIGINT)       AS k_high,
+               CAST(p_ppm AS BIGINT)   AS p_ppm,
+               CAST(rnk AS BIGINT)     AS rnk,
+               CAST(thr_ppm AS BIGINT) AS thr_ppm,
+               CAST(CASE WHEN rnk <= kstar THEN 1 ELSE 0 END AS BIGINT)
+                                       AS rejected
+        FROM stepped
+    """,
+    doc=(
+        "Benjamini-Hochberg step-up FDR control (alpha=0.10) over "
+        "per-segment two-proportion tests; Chebyshev-bounded exact "
+        "rational p-values (no erf), rank thresholds and the step-up "
+        "max all exact integers on the m-row segment spine."
+    ),
+)
+def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (iscale("o_totalprice") > _BH_CENTS).cast("int").alias("hi"),
+    )
+    seg = o.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("hi").cast("long").alias("k"),
+    )
+    tot = seg.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("k").cast("long").alias("kk"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    z = seg.join(F.broadcast(tot)).select(
+        "segment",
+        "n",
+        "k",
+        "m",
+        F.expr("k * 1000000 DIV n - kk * 1000000 DIV nn").alias("dp_ppm"),
+        F.expr("kk * 1000000 DIV nn").alias("p0_ppm"),
+    )
+    p = z.select(
+        "segment",
+        "n",
+        "k",
+        "m",
+        F.expr(
+            "LEAST(1000000, 1000000000000 DIV GREATEST("
+            "dp_ppm * dp_ppm * n"
+            " DIV GREATEST(p0_ppm * (1000000 - p0_ppm) DIV 1000000, 1), 1))"
+        ).alias("p_ppm"),
+    )
+    # m-row spine by construction (segments) — the global window is
+    # bounded, not corpus-sized
+    win = W.orderBy("p_ppm", "segment")
+    ranked = p.withColumn("rnk", F.row_number().over(win))
+    stepped = ranked.select(
+        "segment",
+        "n",
+        F.col("k").alias("k_high"),
+        "p_ppm",
+        "rnk",
+        F.expr(f"rnk * {_BH_ALPHA_PPM} DIV m").alias("thr_ppm"),
+        F.max(
+            F.expr(f"CASE WHEN p_ppm <= rnk * {_BH_ALPHA_PPM} DIV m THEN rnk ELSE 0 END")
+        )
+        .over(W.partitionBy())
+        .alias("kstar"),
+    )
+    return stepped.select(
+        "segment",
+        "n",
+        "k_high",
+        "p_ppm",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("thr_ppm").cast("long").alias("thr_ppm"),
+        (F.col("rnk") <= F.col("kstar")).cast("long").alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential monitor (r8) — Wald's sequential probability ratio
+# test as a daily experiment monitor: per arm, the cumulative Bernoulli
+# log-likelihood ratio for H1: p=0.55 vs H0: p=0.50 over the event
+# stream's day spine, with the alpha=beta=0.05 decision boundaries
+# ln(19) = +/-2.944439. The per-success/per-failure LLR increments are
+# CONSTANTS, precomputed once in Python and embedded as identical
+# micro-nat integer literals in BOTH engines — so every cumulative
+# value is an exact integer and the crossing day is deterministic.
+#
+# 100 TB: the event scan folds to one (arm, day) aggregate (2 x 30
+# rows here; #arms x #days generally); the cumulative window is
+# partitioned by arm over the bounded day spine.
+# ---------------------------------------------------------------------------
+_SPRT_LA = 95_310     # round(ln(0.55/0.50) * 1e6)
+_SPRT_LB = -105_361   # round(ln(0.45/0.50) * 1e6)
+_SPRT_BOUND = 2_944_439  # round(ln(0.95/0.05) * 1e6)
+_SPRT_THRESH = 245.0  # success = event value above this (~p=0.5)
+
+
+@register(
+    "sprt_sequential_monitor",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+                   CASE WHEN value > {_SPRT_THRESH} THEN 1 ELSE 0 END AS s
+            FROM events
+        ),
+        d AS (
+            SELECT arm, day_no, CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(SUM(s) AS BIGINT) AS s
+            FROM e GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT arm, day_no, t, s,
+                   SUM(s * {_SPRT_LA} + (t - s) * ({_SPRT_LB}))
+                       OVER (PARTITION BY arm ORDER BY day_no) AS llr
+            FROM d
+        )
+        SELECT CAST(arm AS BIGINT)    AS arm,
+               day_no,
+               t                      AS n_trials,
+               s                      AS n_success,
+               CAST(llr AS BIGINT)    AS llr_micro,
+               CASE WHEN llr >= {_SPRT_BOUND} THEN 'accept_h1'
+                    WHEN llr <= -{_SPRT_BOUND} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM c
+    """,
+    doc=(
+        "Wald SPRT daily monitor: per-arm cumulative Bernoulli LLR "
+        "(H1 p=0.55 vs H0 p=0.50) in exact micro-nat integers with "
+        "ln(19) boundaries; increments are shared precomputed integer "
+        "literals so both engines agree bitwise."
+    ),
+)
+def sprt_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    d = (
+        ev.select(
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day_no"),
+            (F.col("value") > _SPRT_THRESH).cast("int").alias("s"),
+        )
+        .groupBy("arm", "day_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trials"),
+            F.sum("s").cast("long").alias("n_success"),
+        )
+    )
+    win = W.partitionBy("arm").orderBy("day_no")
+    c = d.withColumn(
+        "llr_micro",
+        F.sum(
+            F.expr(
+                f"n_success * {_SPRT_LA} + (n_trials - n_success) * ({_SPRT_LB})"
+            )
+        )
+        .over(win)
+        .cast("long"),
+    )
+    return c.select(
+        "arm",
+        "day_no",
+        "n_trials",
+        "n_success",
+        "llr_micro",
+        F.when(F.col("llr_micro") >= _SPRT_BOUND, "accept_h1")
+        .when(F.col("llr_micro") <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
