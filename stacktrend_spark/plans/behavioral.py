@@ -2166,3 +2166,108 @@ def running_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segment migration matrix (r8) — the period-over-period customer
+# lifecycle view next to customer_rfm_scores: tier every customer in
+# the 1995-1997 half and the 1998-2001 half by frequency + monetary
+# thresholds, then cross-tabulate the transitions ('none' = absent in
+# that half). The churn/upsell planning table every retention team
+# asks for.
+#
+# 100 TB: two per-(customer, half) aggregates in ONE groupBy (the half
+# is a CASE column), a self-equi-join on custkey (hash, one shuffle),
+# then a <= 4x4-row matrix rollup with the total broadcast back.
+# ---------------------------------------------------------------------------
+_RFM_HI_F = 4                 # orders in a half for the 'high' gate
+_RFM_HI_M = 80_000_000        # cents in a half for the 'high' gate
+
+
+@register(
+    "rfm_migration_matrix",
+    oracle=f"""
+        WITH h AS (
+            SELECT o_custkey AS ck,
+                   CASE WHEN o_orderdate < DATE '1998-01-01' THEN 0 ELSE 1 END
+                       AS half,
+                   CAST(COUNT(*) AS BIGINT) AS f,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS m_cents
+            FROM orders GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT ck, half,
+                   CASE WHEN f >= {_RFM_HI_F} AND m_cents >= {_RFM_HI_M}
+                             THEN 'high'
+                        WHEN f >= 2 THEN 'mid'
+                        ELSE 'low' END AS tier
+            FROM h
+        ),
+        mat AS (
+            SELECT COALESCE(b.tier, 'none') AS tier_before,
+                   COALESCE(a.tier, 'none') AS tier_after,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM (SELECT ck, tier FROM t WHERE half = 0) b
+            FULL OUTER JOIN (SELECT ck, tier FROM t WHERE half = 1) a
+              ON a.ck = b.ck
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS nn FROM mat)
+        SELECT m.tier_before, m.tier_after, m.n_customers,
+               CAST(m.n_customers * 10000 // t.nn AS BIGINT) AS share_bp
+        FROM mat m CROSS JOIN tot t
+    """,
+    doc=(
+        "Period-over-period RFM tier migration: frequency+monetary "
+        "tiers per half (1995-97 vs 1998-2001), full-outer transition "
+        "matrix with 'none' for absence, exact share in basis points."
+    ),
+)
+def rfm_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    h = (
+        orders.select(
+            F.col("o_custkey").alias("ck"),
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), 0
+            )
+            .otherwise(1)
+            .alias("half"),
+            iscale("o_totalprice").alias("cents"),
+        )
+        .groupBy("ck", "half")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum("cents").cast("long").alias("m_cents"),
+        )
+    )
+    t = h.select(
+        "ck",
+        "half",
+        F.when(
+            (F.col("f") >= _RFM_HI_F) & (F.col("m_cents") >= _RFM_HI_M), "high"
+        )
+        .when(F.col("f") >= 2, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+    b = t.filter(F.col("half") == 0).select("ck", F.col("tier").alias("tb"))
+    a = t.filter(F.col("half") == 1).select("ck", F.col("tier").alias("ta"))
+    mat = (
+        b.join(a, "ck", "full_outer")
+        .groupBy(
+            F.coalesce("tb", F.lit("none")).alias("tier_before"),
+            F.coalesce("ta", F.lit("none")).alias("tier_after"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    tot = mat.agg(F.sum("n_customers").cast("long").alias("nn"))
+    return mat.join(F.broadcast(tot)).select(
+        "tier_before",
+        "tier_after",
+        "n_customers",
+        F.expr("CAST(n_customers * 10000 DIV nn AS BIGINT)").alias("share_bp"),
+    )

@@ -1327,3 +1327,250 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_distortion_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall sweep (r8) — the ANN tuning curve, the exact
+# analog of minhash_band_tuning for the vector index: recall@3 vs
+# exact brute force at nprobe in {1, 2, 4}, as ONE aggregate row per
+# setting. The operational question a 100 TB index answers before
+# deployment: how many cells must each query probe to hit its recall
+# target, and what candidate volume does that cost?
+#
+# 100 TB: the ranked assignment is computed once and persisted (Arrow
+# kernel, map-only); each sweep point is the proven cell-bounded
+# cosine_topk equi-join (candidates = sum of probed cells, never N^2);
+# ground truth is the broadcast-20-queries brute force (linear, one
+# scan) shared by all points. Output: 3 rows.
+# ---------------------------------------------------------------------------
+_SWEEP_NPROBES = (1, 2, 4)
+_SWEEP_NQ = 20  # query panel: vec_id < 20
+_SWEEP_K = 3
+
+
+def _sql_cos6(q: str, c: str) -> str:
+    """The 6-dp-rounded cosine used by operators/similarity.cosine_topk,
+    rendered for the oracle (same text as the sim_ivf_multiprobe twin)."""
+    qd, cd = _SQL_D.format(q), _SQL_D.format(c)
+    return (
+        f"FLOOR((list_dot_product({qd}, {cd})"
+        f" / (SQRT(list_dot_product({qd}, {qd}))"
+        f" * SQRT(list_dot_product({cd}, {cd})))) * 1000000.0 + 0.5) / 1000000.0"
+    )
+
+
+def _sweep_oracle() -> str:
+    cos_qc = _sql_cos6("q.embedding", "c.embedding")
+    arms = []
+    for p in _SWEEP_NPROBES:
+        arms.append(f"""
+        SELECT CAST({p} AS BIGINT) AS nprobe,
+               CAST(COUNT(DISTINCT b.query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(a.neighbor_id) AS BIGINT)       AS n_hits,
+               CAST(COUNT(a.neighbor_id) * 1000
+                    // ({_SWEEP_K} * COUNT(DISTINCT b.query_id)) AS BIGINT)
+                                                          AS recall_milli
+        FROM bf b LEFT JOIN (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {cos_qc} DESC, c.vec_id) AS r
+                FROM (SELECT r1.vec_id, r1.embedding, r1.cid FROM ranked r1
+                      WHERE r1.rn <= {p} AND r1.vec_id < {_SWEEP_NQ}) q
+                JOIN corpus c ON q.cid = c.cid
+                WHERE q.vec_id <> c.vec_id
+            ) t WHERE r <= {_SWEEP_K}
+        ) a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        """)
+    body = " UNION ALL ".join(arms)
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, {_SQL_D.format("embedding")} AS cvec
+            FROM embeddings WHERE vec_id < {_K}
+        ),
+        pts AS (SELECT vec_id, embedding, {_SQL_D.format("embedding")} AS v
+                FROM embeddings),
+        d AS (
+            SELECT p.vec_id, p.embedding, p.v, c.cid,
+                   list_dot_product(p.v, p.v) + list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(p.v, c.cvec) AS dist2
+            FROM pts p CROSS JOIN cent c
+        ),
+        ranked AS (
+            SELECT vec_id, embedding, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, cid) AS rn
+            FROM d
+        ),
+        corpus AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+        bf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {cos_qc} DESC, c.vec_id) AS r
+                FROM embeddings q CROSS JOIN embeddings c
+                WHERE q.vec_id < {_SWEEP_NQ} AND q.vec_id <> c.vec_id
+            ) t WHERE r <= {_SWEEP_K}
+        )
+        {body}
+    """
+
+
+@register(
+    "ann_nprobe_recall_sweep",
+    oracle=_sweep_oracle(),
+    doc=(
+        f"IVF tuning curve: recall@{_SWEEP_K} vs brute force at nprobe "
+        f"in {_SWEEP_NPROBES} over a {_SWEEP_NQ}-query panel — one "
+        "aggregate row per setting, exact integer recall_milli."
+    ),
+)
+def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.similarity import cosine_topk
+    from stacktrend_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    ranked = _assignment_ranked(emb).persist()
+    corpus = emb.join(
+        ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell")),
+        "vec_id",
+    )
+    queries = emb.filter(F.col("vec_id") < _SWEEP_NQ)
+    bf = (
+        cosine_topk(emb, queries, k=_SWEEP_K, dim=_DIM)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    arms = []
+    for p in _SWEEP_NPROBES:
+        probes = queries.join(
+            ranked.filter(F.col("rn") <= p).select(
+                "vec_id", F.col("cid").alias("cell")
+            ),
+            "vec_id",
+        )
+        appr = cosine_topk(corpus, probes, k=_SWEEP_K, bucket_col="cell", dim=_DIM).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        arms.append(
+            bf.join(appr, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+                F.count("hit").cast("long").alias("n_hits"),
+                F.expr(
+                    f"CAST(COUNT(hit) * 1000"
+                    f" DIV ({_SWEEP_K} * COUNT(DISTINCT query_id)) AS BIGINT)"
+                ).alias("recall_milli"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm outliers (r8) — vector-quality audit: per label, the
+# distribution of mu-quantized squared L2 norms and the count of
+# 3-sigma outliers. Broken embeddings (all-zero, exploded magnitudes,
+# truncated writes) show up as norm outliers before they poison ANN
+# recall or clustering; this is the embedding-column twin of the
+# outlier_iqr_filter quality gate.
+#
+# Exactness: components quantize to integer milli-units, norm2 is an
+# integer fold; mean/variance are integer-quantized per label and the
+# 3-sigma rule is evaluated WITHOUT sqrt as (x - mean)^2 > 9*var —
+# both sides exact integers, so both engines agree bitwise.
+# 100 TB: map-only fold + one |labels|-row aggregate broadcast back;
+# (x-mean)^2 <= (6.4e7)^2 ~ 4e15 fits int64 at any corpus size
+# (bounded by quantization, not by N).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, label,
+                   CAST(list_sum(list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS norm2
+            FROM embeddings
+        ),
+        st AS (
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT)     AS n_vecs,
+                   CAST(SUM(norm2) AS BIGINT)   AS s1,
+                   CAST(SUM(norm2 * norm2) AS BIGINT) AS s2
+            FROM q GROUP BY label
+        ),
+        m AS (
+            SELECT label, n_vecs,
+                   s1 // n_vecs AS mean_q,
+                   (s2 // n_vecs) - (s1 // n_vecs) * (s1 // n_vecs) AS var_q
+            FROM st
+        )
+        SELECT q.label,
+               CAST(m.n_vecs AS BIGINT) AS n_vecs,
+               CAST(m.mean_q AS BIGINT) AS mean_norm2,
+               CAST(MIN(q.norm2) AS BIGINT) AS min_norm2,
+               CAST(MAX(q.norm2) AS BIGINT) AS max_norm2,
+               CAST(SUM(CASE WHEN (q.norm2 - m.mean_q) * (q.norm2 - m.mean_q)
+                                  > 9 * m.var_q THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM q JOIN m ON m.label = q.label
+        GROUP BY q.label, m.n_vecs, m.mean_q
+    """,
+    doc=(
+        "Embedding-column quality audit: per-label mu-quantized squared "
+        "L2 norm stats + 3-sigma outlier counts, sqrt-free exact "
+        "integer rule (x-mean)^2 > 9*var."
+    ),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(aggregate(transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (a, v) -> a + v * v) AS BIGINT)"
+        ).alias("norm2"),
+    )
+    st = q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("norm2").cast("long").alias("s1"),
+        F.sum(F.expr("norm2 * norm2")).cast("long").alias("s2"),
+    )
+    m = st.select(
+        "label",
+        "n_vecs",
+        F.expr("s1 DIV n_vecs").alias("mean_q"),
+        F.expr("(s2 DIV n_vecs) - (s1 DIV n_vecs) * (s1 DIV n_vecs)").alias("var_q"),
+    )
+    return (
+        q.join(F.broadcast(m), "label")
+        .groupBy(q["label"], "n_vecs", "mean_q")
+        .agg(
+            F.min("norm2").cast("long").alias("min_norm2"),
+            F.max("norm2").cast("long").alias("max_norm2"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN (norm2 - mean_q) * (norm2 - mean_q) > 9 * var_q"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("mean_q").cast("long").alias("mean_norm2"),
+            "min_norm2",
+            "max_norm2",
+            "n_outliers",
+        )
+    )

@@ -1299,3 +1299,88 @@ def gdpr_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(l_leg)
         .select(F.col("ck").alias("custkey"), "table_name", "n_records", "value_checksum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention / expire-snapshots audit (r8) — the Iceberg/Delta
+# VACUUM planning question: given a ledger of table snapshots and the
+# files each references, which files become deletable when only the
+# newest R snapshots are retained? A file is expirable iff its NEWEST
+# referencing snapshot is older than the retention horizon. The ledger
+# here derives deterministically from orders: snapshot v (one per
+# year, 1995->v=0) references file f iff f has order activity in year
+# v or v-1 — a sliding two-snapshot reference window, so older files
+# age out of newer snapshots the way real rewrites age out data files.
+# Files are TIME-CLUSTERED (file = year*100000 + orderkey DIV 2000),
+# matching how ingest actually lays out data files; orderkey-only
+# grouping would give every file activity in every year and nothing
+# would ever expire.
+#
+# 100 TB: the (file, version) reference set is one groupBy of the
+# fact scan; the verdict is a per-file MAX — one shuffle on file_id,
+# output O(#files). No snapshot x file cross product anywhere.
+# ---------------------------------------------------------------------------
+_RETAIN_LAST = 2  # keep the newest 2 snapshots (versions 5 and 6)
+
+
+@register(
+    "snapshot_retention_expiry",
+    oracle=f"""
+        WITH refs AS (
+            SELECT DISTINCT
+                   (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1995)
+                       * 100000 + o_orderkey // 2000 AS file_id,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1995 AS v
+            FROM orders
+        ),
+        slid AS (
+            SELECT file_id, v FROM refs
+            UNION
+            SELECT file_id, v + 1 AS v FROM refs WHERE v + 1 <= 6
+        ),
+        latest AS (
+            SELECT file_id, MAX(v) AS latest_ref FROM slid GROUP BY file_id
+        ),
+        horizon AS (SELECT MAX(v) - {_RETAIN_LAST} + 1 AS keep_from FROM slid)
+        SELECT CAST(l.latest_ref AS BIGINT) AS latest_ref_version,
+               CAST(COUNT(*) AS BIGINT)     AS n_files,
+               CAST(CASE WHEN l.latest_ref < h.keep_from THEN 1 ELSE 0 END
+                    AS BIGINT)              AS is_expirable
+        FROM latest l CROSS JOIN horizon h
+        GROUP BY l.latest_ref, h.keep_from
+    """,
+    doc=(
+        f"Expire-snapshots audit (retain newest {_RETAIN_LAST}): files "
+        "grouped by their newest referencing snapshot version with the "
+        "expirable verdict — the VACUUM planning aggregate."
+    ),
+)
+def snapshot_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    refs = orders.select(
+        F.expr(
+            "(year(o_orderdate) - 1995) * 100000 + o_orderkey DIV 2000"
+        ).cast("long").alias("file_id"),
+        (F.year("o_orderdate").cast("long") - 1995).alias("v"),
+    ).distinct()
+    slid = refs.unionByName(
+        refs.filter(F.col("v") + 1 <= 6).select(
+            "file_id", (F.col("v") + 1).alias("v")
+        )
+    ).distinct()
+    latest = slid.groupBy("file_id").agg(F.max("v").alias("latest_ref"))
+    horizon = slid.agg(
+        (F.max("v") - F.lit(_RETAIN_LAST) + F.lit(1)).alias("keep_from")
+    )
+    return (
+        latest.join(F.broadcast(horizon))
+        .groupBy("latest_ref", "keep_from")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+        .select(
+            F.col("latest_ref").cast("long").alias("latest_ref_version"),
+            "n_files",
+            (F.col("latest_ref") < F.col("keep_from")).cast("long").alias(
+                "is_expirable"
+            ),
+        )
+    )

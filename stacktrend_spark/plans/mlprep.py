@@ -1996,3 +1996,90 @@ def _bind_ndcg_oracle() -> None:
 
 
 _bind_ndcg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Mode imputation (r8) — the categorical-feature cleaning step next to
+# feature_standardize / feature_quantile_bins: NULL segment labels
+# (synthesized deterministically: every 7th customer) imputed with the
+# customer's NATION-level modal segment, min-label tie-break so the
+# survivor is engine-independent. Reports the post-imputation segment
+# distribution per nation with the imputed counts visible.
+#
+# 100 TB: the mode table is one (nation, segment) aggregate -> per-
+# nation argmax (bounded: |nations| x |segments| rows), broadcast back
+# over the customer scan — map-only after one small-aggregate shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "mode_imputation_nulls",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_mktsegment END AS seg
+            FROM customer
+        ),
+        cnt AS (
+            SELECT c_nationkey, seg, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c WHERE seg IS NOT NULL GROUP BY 1, 2
+        ),
+        md AS (
+            SELECT c_nationkey, seg AS mode_seg FROM (
+                SELECT c_nationkey, seg, ROW_NUMBER() OVER (
+                    PARTITION BY c_nationkey ORDER BY n DESC, seg ASC) AS rn
+                FROM cnt
+            ) t WHERE rn = 1
+        )
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               COALESCE(c.seg, m.mode_seg)   AS segment,
+               CAST(COUNT(*) AS BIGINT)      AS n_customers,
+               CAST(SUM(CASE WHEN c.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                             AS n_imputed
+        FROM c JOIN md m ON m.c_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Categorical mode imputation: NULL segments (every 7th "
+        "customer) filled with the nation-level modal segment "
+        "(min-label tie-break); post-imputation distribution with "
+        "imputed counts visible."
+    ),
+)
+def mode_imputation_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    c = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    cnt = (
+        c.filter(F.col("seg").isNotNull())
+        .groupBy("c_nationkey", "seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # bounded spine: |nations| x |segments| rows
+    md = (
+        cnt.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("c_nationkey").orderBy(F.desc("n"), F.asc("seg"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("seg").alias("mode_seg"))
+    )
+    return (
+        c.join(F.broadcast(md), "c_nationkey")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.coalesce("seg", "mode_seg").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("seg").isNull().cast("int")).cast("long").alias("n_imputed"),
+        )
+    )

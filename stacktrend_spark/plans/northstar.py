@@ -1789,3 +1789,86 @@ def multimodal_scene_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " interframe_l1_total long, mean_pair_l1 long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal 6 (r8) — energy-threshold VAD segmentation: the
+# voice-activity step between the raw acoustic frames
+# (multimodal_audio_windows) and any ASR/captioning stage. A window is
+# ACTIVE when its mean |sample| clears the threshold; consecutive
+# active windows merge into segments via the island trick (window_id -
+# per-doc active rank), giving (start, end, frames, energy) per
+# segment. The REAL WAV decode path feeds it; the oracle recomputes
+# everything closed-form from the synthesis formula.
+#
+# 100 TB: decode + window stats are the proven map-only Arrow path;
+# the island rank partitions BY DOC (a few windows each), and segments
+# are a (doc, island) groupBy — no global window, no shuffle beyond
+# the per-doc key.
+# ---------------------------------------------------------------------------
+_VAD_THRESHOLD = 6000  # mean |int16 sample| per window (the synthetic
+# clips are short, so samples live in the low band — measured per-window
+# means span ~1k-15k; 6000 splits active/inactive meaningfully at every sf)
+
+
+@register(
+    "multimodal_vad_segments",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id AS d,
+                   (50 + LENGTH(text) % 200) * (1 + doc_id % 2) AS cnt
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        wins AS (
+            SELECT d, cnt,
+                   unnest(range(CAST((cnt + 63) // 64 AS INTEGER))) AS w
+            FROM p
+        ),
+        agg AS (
+            SELECT d, w,
+                   LEAST(64, cnt - w * 64) AS n,
+                   list_sum(list_transform(
+                       range(CAST(LEAST(64, cnt - w * 64) AS INTEGER)),
+                       j -> ABS(CASE WHEN (31 * (w * 64 + j) + d) % 65536 >= 32768
+                                     THEN (31 * (w * 64 + j) + d) % 65536 - 65536
+                                     ELSE (31 * (w * 64 + j) + d) % 65536 END)
+                   )) AS sum_abs
+            FROM wins
+        ),
+        act AS (
+            SELECT d, w, n, sum_abs,
+                   w - ROW_NUMBER() OVER (PARTITION BY d ORDER BY w) AS isl
+            FROM agg WHERE sum_abs // n >= {_VAD_THRESHOLD}
+        )
+        SELECT d                            AS doc_id,
+               CAST(MIN(w) AS BIGINT)       AS seg_start,
+               CAST(MAX(w) AS BIGINT)       AS seg_end,
+               CAST(COUNT(*) AS BIGINT)     AS n_windows,
+               CAST(SUM(sum_abs) AS BIGINT) AS energy_abs
+        FROM act GROUP BY d, isl
+    """,
+    doc=(
+        "Voice-activity segmentation over the real WAV decode: "
+        f"windows with mean |sample| >= {_VAD_THRESHOLD} merged into "
+        "segments via the per-doc island rank; (start, end, frames, "
+        "energy) per segment, closed-form oracle."
+    ),
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.multimodal import audio_windows, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = audio_windows(synthesize_media(docs))
+    act = wins.filter(
+        F.expr(f"sum_abs DIV n_samples >= {_VAD_THRESHOLD}")
+    ).withColumn(
+        "isl",
+        F.col("window_id")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("window_id")),
+    )
+    return act.groupBy("doc_id", "isl").agg(
+        F.min("window_id").cast("long").alias("seg_start"),
+        F.max("window_id").cast("long").alias("seg_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("sum_abs").cast("long").alias("energy_abs"),
+    ).drop("isl")

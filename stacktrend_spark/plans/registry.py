@@ -206,6 +206,13 @@ _PRIORITY: tuple[str, ...] = (
     "brier_score_decomposition",
     "bh_fdr_segment_tests",
     "sprt_sequential_monitor",
+    "ann_nprobe_recall_sweep",
+    "embedding_norm_outliers",
+    "anti_join_null_semantics",
+    "snapshot_retention_expiry",
+    "rfm_migration_matrix",
+    "mode_imputation_nulls",
+    "multimodal_vad_segments",
 )
 
 

@@ -352,3 +352,50 @@ def parameterized_sql_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": _PSQL_SEGMENT, "min_bal": _PSQL_MIN_BAL},
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN vs NOT EXISTS vs anti-join NULL semantics (r8) — the classic
+# three-valued-logic trap, pinned as an oracle-checked row: when the
+# subquery list contains a NULL, `x NOT IN (list)` is never TRUE (x <>
+# NULL is UNKNOWN), so the count collapses to 0; NOT EXISTS and the
+# left-anti join compare with = (UNKNOWN falls out of the match) and
+# return the intuitive complement. Engines agree on the standard; code
+# that migrates between the forms silently changes results — this row
+# documents and VALUE-CHECKS all three side by side.
+#
+# 100 TB: both correlated forms decorrelate to the same left-anti
+# hash join (one shuffle); the NOT IN form plans a null-aware anti
+# join, which at scale is the expensive variant — one more reason the
+# anti-join form is the production spelling.
+# ---------------------------------------------------------------------------
+_NULLSEM_SQL = """
+    WITH keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) AS k
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+            AS n_not_in,
+        CAST((SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = c.c_custkey))
+              AS BIGINT)
+            AS n_not_exists,
+        CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_customers
+"""
+
+
+@register(
+    "anti_join_null_semantics",
+    oracle=_NULLSEM_SQL,
+    doc=(
+        "Three-valued-logic pin: NOT IN over a NULL-bearing list "
+        "(always-UNKNOWN -> 0 rows) vs NOT EXISTS (the intuitive "
+        "complement), value-checked side by side on the same key set."
+    ),
+)
+def anti_join_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_NULLSEM_SQL)
