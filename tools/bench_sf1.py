@@ -138,6 +138,14 @@ HEAVY = [
     "query_likelihood_dirichlet",
     "snippet_best_window",
     "decayed_halflife_trending",
+    # r8 additions: the fact/document-scaled rows (the bounded-panel
+    # sweep, segment stats, and matrix rows are fertility-class and
+    # stay out)
+    "gopher_quality_rules",
+    "ngram_entropy_profile",
+    "multimodal_vad_segments",
+    "rfm_migration_matrix",
+    "brier_score_decomposition",
     # r7 batches 17-26 fact-scaled rows
     "attribution_position_based",
     "geo_point_in_polygon",

@@ -224,6 +224,19 @@ SHOWCASE = [
         "bucket (predicate at the scan); every scalar (target bucket, "
         "offsets, q-hat) joins back as a broadcast.",
     ),
+    (
+        "ann_nprobe_recall_sweep",
+        "IVF tuning curve: each sweep point is the cell-bounded equi-join "
+        "(query probes JOIN corpus on cell), brute-force ground truth is a "
+        "broadcast of the 20-query panel — no N x N candidate set at any "
+        "nprobe; the three points union into 3 aggregate rows.",
+    ),
+    (
+        "gopher_quality_rules",
+        "Published-rule quality panel: ONE explode feeds the top-word-share "
+        "aggregate, joined back key-local on doc_id; the per-source rollup "
+        "is a partial+final HashAggregate pair. No UDF, no global window.",
+    ),
 ]
 
 
