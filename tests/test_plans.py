@@ -615,3 +615,24 @@ def test_t_closeness_broadcasts_global_band_counts(spark, sf_dir):
     p = plan_of(all_queries()["t_closeness_audit"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_gopher_rules_no_udf_no_cartesian(spark, sf_dir):
+    """The published-rule panel is pure column exprs: no Python
+    boundary, no cartesian product; the top-word share joins back
+    key-local on doc_id (hash join, either side)."""
+    p = plan_of(all_queries()["gopher_quality_rules"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_nprobe_sweep_is_cell_bounded(spark, sf_dir):
+    """Every sweep arm must prune candidates via the cell equi-join —
+    a hash join on the cell id, never a nested-loop over the corpus
+    (the 20-query brute-force ground truth is the one deliberate
+    broadcast scan)."""
+    p = plan_of(all_queries()["ann_nprobe_recall_sweep"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
