@@ -1574,3 +1574,143 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook training iteration (r8) — the missing third of the PQ
+# story: embedding_pq_codes ENCODES against a codebook and
+# sim_ivfpq_adc_topk SEARCHES with one; this row TRAINS one — a full
+# per-subspace Lloyd update (assign every subvector to its nearest
+# codeword, recompute codeword components as exact scaled-int means).
+# 4 subspaces x 16 dims over the 64-dim embeddings, 16 seed codewords
+# per subspace (vec_id < 16 subvectors, the embedding_pq_codes seed).
+#
+# Parity: dist^2 from three left-fold dot products over double-cast
+# slices (== DuckDB list_dot_product, PARITY.md); (dist2, code)
+# ordering breaks ties identically; centroid components quantize to
+# 1e-6 BEFORE summing so the integer sums are order-independent.
+# 100 TB: the codebook (4x16 subvectors) broadcasts; assignment is
+# map-side k-fold candidate amplification + a per-(vec, subspace)
+# struct-min; the only Exchange is the (subspace, code, dim) rollup —
+# output bounded at 4*16*16 = 1024 rows at any corpus size.
+# ---------------------------------------------------------------------------
+_PQ_M_SUB = 4    # subspaces
+_PQ_SUBDIM = 16  # dims per subspace
+_PQ_CODES = 16   # codewords per subspace (seed: vec_id < 16)
+
+
+@register(
+    "pq_codebook_train_iter",
+    oracle=f"""
+        WITH ms AS (SELECT unnest(range({_PQ_M_SUB})) AS m),
+        cw AS (
+            SELECT e.vec_id AS code, ms.m,
+                   list_transform(
+                       e.embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}],
+                       x -> CAST(x AS DOUBLE)) AS cvec
+            FROM embeddings e CROSS JOIN ms WHERE e.vec_id < {_PQ_CODES}
+        ),
+        sub AS (
+            SELECT e.vec_id, ms.m,
+                   list_transform(
+                       e.embedding[ms.m * {_PQ_SUBDIM} + 1 : ms.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}],
+                       x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings e CROSS JOIN ms
+        ),
+        d AS (
+            SELECT s.vec_id, s.m, s.v, c.code,
+                   list_dot_product(s.v, s.v) + list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(s.v, c.cvec) AS dist2
+            FROM sub s JOIN cw c ON c.m = s.m
+        ),
+        a AS (
+            SELECT m, code, v FROM (
+                SELECT m, code, v, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, m ORDER BY dist2, code) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ),
+        comps AS (
+            SELECT m, code, unnest(generate_series(1, {_PQ_SUBDIM})) AS dim, v
+            FROM a
+        )
+        SELECT CAST(m AS BIGINT)    AS subspace,
+               CAST(code AS BIGINT) AS code,
+               CAST(dim AS BIGINT)  AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(CAST(FLOOR(v[dim] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                                    AS sum_scaled,
+               CAST(SUM(CAST(FLOOR(v[dim] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (1000000.0 * COUNT(*)) AS centroid_val
+        FROM comps GROUP BY 1, 2, 3
+    """,
+    doc=(
+        f"PQ codebook Lloyd iteration: {_PQ_M_SUB} subspaces x "
+        f"{_PQ_SUBDIM} dims, {_PQ_CODES} codewords each — nearest-"
+        "codeword assignment (left-fold dot parity) + exact scaled-int "
+        "centroid recompute; output bounded at 1024 rows."
+    ),
+)
+def pq_codebook_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ms = F.explode(F.array(*[F.lit(i) for i in range(_PQ_M_SUB)])).alias("m")
+    sub = emb.select("vec_id", ms, "embedding").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("v"),
+    )
+    cw = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .select(F.col("vec_id").alias("code"), ms, "embedding")
+        .select(
+            "code",
+            "m",
+            F.expr(f"slice(embedding, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias(
+                "cvec"
+            ),
+        )
+    )
+    d = sub.join(F.broadcast(cw), "m").select(
+        "vec_id",
+        "m",
+        "v",
+        "code",
+        (
+            dot(F.col("v"), F.col("v"), dim=_PQ_SUBDIM)
+            + dot(F.col("cvec"), F.col("cvec"), dim=_PQ_SUBDIM)
+            - F.lit(2.0) * dot(F.col("v"), F.col("cvec"), dim=_PQ_SUBDIM)
+        ).alias("dist2"),
+    )
+    a = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id", "m").orderBy("dist2", "code")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("m", "code", "v")
+    )
+    comps = a.select(
+        "m",
+        "code",
+        F.posexplode("v").alias("dim0", "x"),
+    ).select(
+        "m",
+        "code",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("long").alias("xs"),
+    )
+    return comps.groupBy(
+        F.col("m").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+        F.col("dim").cast("long").alias("dim"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("xs").cast("long").alias("sum_scaled"),
+        (F.sum("xs").cast("double") / (F.lit(1000000.0) * F.count(F.lit(1)))).alias(
+            "centroid_val"
+        ),
+    )

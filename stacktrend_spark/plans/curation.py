@@ -1994,3 +1994,117 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n_vocab").cast("long"), "covered_tokens", "coverage_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training, 3 unrolled rounds (r8) — completes the tokenizer-
+# training story next to bpe_pair_stats (which reports ONE round's pair
+# table): each round picks the argmax adjacent pair over the weighted
+# DISTINCT-word vocabulary (count desc, pair asc tie-break — the
+# deterministic GPT-2 rule), rewrites the vocabulary by replacing that
+# pair with a fresh single symbol ('A', 'B', 'C' — outside the
+# lowercase corpus alphabet), and recounts. Output: one row per merge
+# with the winning pair, its weighted count, and the corpus character
+# mass after the merge (the compression curve).
+#
+# Parity: replace() is left-to-right non-overlapping in both engines;
+# pair extraction is the same substring explode as bpe_pair_stats;
+# each round's winner is a 1-row broadcast scalar. Exact integers
+# everywhere.
+# 100 TB: the vocabulary aggregate is Heaps-law bounded (distinct
+# words, not the token stream); each round is one explode over that
+# bounded table + a 1-row TakeOrdered + a map-only rewrite. The
+# unroll depth is fixed, so the plan is static.
+# ---------------------------------------------------------------------------
+_BPE_SYMS = ("A", "B", "C")
+
+
+def _bpe_merge_oracle() -> str:
+    ctes = [
+        """v0 AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE LENGTH(w) >= 2 GROUP BY w
+        )"""
+    ]
+    for k, sym in enumerate(_BPE_SYMS):
+        ctes.append(
+            f"""c{k} AS (
+                SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM (
+                    SELECT SUBSTR(w, CAST(i AS INTEGER), 2) AS pair, wc
+                    FROM v{k}, UNNEST(range(1, LENGTH(w))) t(i)
+                    WHERE LENGTH(w) >= 2
+                ) GROUP BY pair
+            )"""
+        )
+        ctes.append(
+            f"b{k} AS (SELECT pair, n FROM c{k} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"""v{k + 1} AS (
+                SELECT replace(w, (SELECT pair FROM b{k}), '{sym}') AS w, wc
+                FROM v{k}
+            )"""
+        )
+        ctes.append(
+            f"""s{k} AS (
+                SELECT CAST(SUM(wc * LENGTH(w)) AS BIGINT) AS t FROM v{k + 1}
+            )"""
+        )
+    arms = " UNION ALL ".join(
+        f"""SELECT CAST({k + 1} AS BIGINT) AS merge_step, pair,
+                   CAST(n AS BIGINT) AS n_occurrences,
+                   (SELECT t FROM s{k}) AS corpus_chars_after
+            FROM b{k}"""
+        for k in range(len(_BPE_SYMS))
+    )
+    return f"WITH {', '.join(ctes)} {arms}"
+
+
+@register(
+    "bpe_merge_unrolled",
+    oracle=_bpe_merge_oracle(),
+    doc=(
+        "BPE tokenizer training, 3 unrolled merge rounds over the "
+        "weighted distinct-word vocabulary: argmax pair (count desc, "
+        "pair asc), symbol rewrite, recount — winning pair, weighted "
+        "count, and post-merge corpus character mass per round."
+    ),
+)
+def bpe_merge_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    out = None
+    for k, sym in enumerate(_BPE_SYMS):
+        pairs = cur.filter(F.length("w") >= 2).select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            "wc",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+        )
+        # 1-row winner broadcast into the vocabulary rewrite
+        cur = cur.join(F.broadcast(best.select("pair"))).select(
+            F.expr(f"replace(w, pair, '{sym}')").alias("w"), "wc"
+        )
+        mass = cur.agg(
+            F.sum(F.expr("wc * length(w)")).cast("long").alias("corpus_chars_after")
+        )
+        row = best.join(F.broadcast(mass)).select(
+            F.lit(k + 1).cast("long").alias("merge_step"),
+            "pair",
+            F.col("n").alias("n_occurrences"),
+            "corpus_chars_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1872,3 +1872,132 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum("sum_abs").cast("long").alias("energy_abs"),
     ).drop("isl")
+
+
+# ---------------------------------------------------------------------------
+# Cluster-aware train/test split (r8) — the leakage-safe split a
+# near-dup-bearing corpus REQUIRES: splitting by raw id (split_train_
+# test) puts members of the same duplicate family on both sides, so
+# the eval set leaks training data. The fix is to split by the dup-
+# CLUSTER representative (dedup_clusters' connected components), which
+# lands whole families on one side by construction. This row runs BOTH
+# policies on the same corpus and reports the leakage each produces
+# (clusters with members on both sides) — naive > 0, cluster == 0.
+#
+# 100 TB: clusters come from the proven star-funnel + CC path; the
+# split tag is a map-side mod; the leakage audit is one (cluster,
+# side)-distinct aggregate. No pair enumeration anywhere.
+# ---------------------------------------------------------------------------
+_SPLIT_MOD = 7  # ~14% eval; 7 is coprime with the near-dup copy offset
+# (+100000, divisible by 5), so the naive split genuinely separates
+# some duplicate families — mod 5 would hide the leakage by accident
+
+
+@register(
+    "cluster_aware_split",
+    oracle=f"""
+        WITH RECURSIVE
+        emb AS ({_SQL_EMB_CORPUS}),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {sql_round(_SQL_PAIR_COSINE, 6)} >= {_NEAR_DUP_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT vec_id, vec_id FROM emb
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+        ),
+        clusters AS (
+            SELECT node AS vec_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        tagged AS (
+            SELECT vec_id, cluster_id,
+                   CASE WHEN vec_id % {_SPLIT_MOD} = 0 THEN 1 ELSE 0 END
+                       AS naive_test,
+                   CASE WHEN cluster_id % {_SPLIT_MOD} = 0 THEN 1 ELSE 0 END
+                       AS cluster_test
+            FROM clusters
+        ),
+        arms AS (
+            SELECT 'naive_id_mod' AS method, naive_test AS is_test,
+                   cluster_id FROM tagged
+            UNION ALL
+            SELECT 'cluster_rep_mod' AS method, cluster_test AS is_test,
+                   cluster_id FROM tagged
+        ),
+        span AS (
+            SELECT method, cluster_id,
+                   CASE WHEN COUNT(DISTINCT is_test) > 1 THEN 1 ELSE 0 END
+                       AS spans
+            FROM arms GROUP BY 1, 2
+        )
+        SELECT a.method,
+               CAST(SUM(1 - a.is_test) AS BIGINT) AS n_train,
+               CAST(SUM(a.is_test) AS BIGINT)     AS n_test,
+               CAST(s.n_spanning AS BIGINT)       AS n_clusters_spanning
+        FROM arms a
+        JOIN (SELECT method, SUM(spans) AS n_spanning FROM span GROUP BY 1) s
+          ON s.method = a.method
+        GROUP BY a.method, s.n_spanning
+    """,
+    doc=(
+        "Leakage-safe train/test split: naive id-mod vs dup-cluster-"
+        "representative-mod on the same corpus, with the leakage each "
+        "produces (clusters spanning both sides) — naive leaks, "
+        "cluster split is 0 by construction."
+    ),
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.graph import connected_components
+
+    corpus = _emb_corpus(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(
+        corpus, threshold=_NEAR_DUP_THRESHOLD, dim=64
+    ).select("id_a", "id_b")
+    clusters = connected_components(
+        pairs, nodes=corpus.select(F.col("vec_id").alias("node"))
+    ).select(F.col("node").alias("vec_id"), F.col("component").alias("cluster_id"))
+    tagged = clusters.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") % _SPLIT_MOD == 0).cast("int").alias("naive_test"),
+        (F.col("cluster_id") % _SPLIT_MOD == 0).cast("int").alias("cluster_test"),
+    )
+    arms = tagged.select(
+        F.lit("naive_id_mod").alias("method"),
+        F.col("naive_test").alias("is_test"),
+        "cluster_id",
+    ).unionByName(
+        tagged.select(
+            F.lit("cluster_rep_mod").alias("method"),
+            F.col("cluster_test").alias("is_test"),
+            "cluster_id",
+        )
+    )
+    span = (
+        arms.groupBy("method", "cluster_id")
+        .agg((F.countDistinct("is_test") > 1).cast("int").alias("spans"))
+        .groupBy("method")
+        .agg(F.sum("spans").cast("long").alias("n_spanning"))
+    )
+    return (
+        arms.groupBy("method")
+        .agg(
+            F.sum(F.lit(1) - F.col("is_test")).cast("long").alias("n_train"),
+            F.sum("is_test").cast("long").alias("n_test"),
+        )
+        .join(F.broadcast(span), "method")
+        .select(
+            "method",
+            "n_train",
+            "n_test",
+            F.col("n_spanning").cast("long").alias("n_clusters_spanning"),
+        )
+    )

@@ -213,6 +213,9 @@ _PRIORITY: tuple[str, ...] = (
     "rfm_migration_matrix",
     "mode_imputation_nulls",
     "multimodal_vad_segments",
+    "bpe_merge_unrolled",
+    "pq_codebook_train_iter",
+    "cluster_aware_split",
 )
 
 

@@ -139,3 +139,41 @@ def test_vad_segments_are_islands(spark, sf_dir):
         segs.sort(key=lambda r: r["seg_start"])
         for a, b in zip(segs, segs[1:]):
             assert b["seg_start"] > a["seg_end"] + 1
+
+
+def test_bpe_merges_compress_monotonically(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "bpe_merge_unrolled"), key=lambda r: r["merge_step"]
+    )
+    assert [r["merge_step"] for r in rows] == [1, 2, 3]
+    # each merge strictly shrinks the corpus character mass, by exactly
+    # the number of replaced occurrences (2 chars -> 1 symbol)
+    for a, b in zip(rows, rows[1:]):
+        assert b["corpus_chars_after"] < a["corpus_chars_after"]
+    # counts are non-increasing across rounds (argmax over a shrinking
+    # pair table can't grow)
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_occurrences"] <= a["n_occurrences"]
+
+
+def test_pq_codebook_partitions_each_subspace(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "pq_codebook_train_iter")
+    assert len(rows) == 4 * 16 * 16
+    # within a subspace every codeword's member count is dim-invariant,
+    # and the counts sum to the corpus size per (subspace, dim)
+    n_vecs = {}
+    for r in rows:
+        key = (r["subspace"], r["dim"])
+        n_vecs[key] = n_vecs.get(key, 0) + r["n_members"]
+    assert len(set(n_vecs.values())) == 1  # same corpus in every cell
+
+
+def test_cluster_split_eliminates_leakage(spark, sf_dir):
+    rows = {r["method"]: r for r in _rows(spark, sf_dir, "cluster_aware_split")}
+    assert rows["cluster_rep_mod"]["n_clusters_spanning"] == 0
+    assert rows["naive_id_mod"]["n_clusters_spanning"] > 0
+    # both policies split the same corpus
+    assert (
+        rows["naive_id_mod"]["n_train"] + rows["naive_id_mod"]["n_test"]
+        == rows["cluster_rep_mod"]["n_train"] + rows["cluster_rep_mod"]["n_test"]
+    )
