@@ -1483,9 +1483,13 @@ def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer fold; mean/variance are integer-quantized per label and the
 # 3-sigma rule is evaluated WITHOUT sqrt as (x - mean)^2 > 9*var —
 # both sides exact integers, so both engines agree bitwise.
-# 100 TB: map-only fold + one |labels|-row aggregate broadcast back;
-# (x-mean)^2 <= (6.4e7)^2 ~ 4e15 fits int64 at any corpus size
-# (bounded by quantization, not by N).
+# 100 TB: map-only fold + one |labels|-row aggregate broadcast back.
+# The outlier PREDICATE (x-mean)^2 <= ~4e15 is bounded by quantization
+# at any N, but the second-moment fold SUM(norm2^2) grows with N:
+# ~1e12 per row means int64 saturates near 9e6 vectors per label —
+# past that the fold switches to DecimalType (SCALE.md numeric
+# policy; DuckDB's HUGEINT sum is already exact), same ceiling the
+# brier/bh_fdr rows document.
 # ---------------------------------------------------------------------------
 @register(
     "embedding_norm_outliers",

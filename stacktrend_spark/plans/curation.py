@@ -2092,11 +2092,15 @@ def bpe_merge_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("wc").cast("long").alias("n"))
             .orderBy(F.desc("n"), F.asc("pair"))
             .limit(1)
+            .persist()  # read twice: rewrite join + output row
         )
-        # 1-row winner broadcast into the vocabulary rewrite
+        # 1-row winner broadcast into the vocabulary rewrite; persist
+        # each round's vocabulary so round k's lineage doesn't re-run
+        # all earlier rounds' explode+TakeOrdered subtrees (released
+        # by the caller's clearCache like every other persisted plan)
         cur = cur.join(F.broadcast(best.select("pair"))).select(
             F.expr(f"replace(w, pair, '{sym}')").alias("w"), "wc"
-        )
+        ).persist()
         mass = cur.agg(
             F.sum(F.expr("wc * length(w)")).cast("long").alias("corpus_chars_after")
         )

@@ -1311,10 +1311,11 @@ def gdpr_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 # year, 1995->v=0) references file f iff f has order activity in year
 # v or v-1 — a sliding two-snapshot reference window, so older files
 # age out of newer snapshots the way real rewrites age out data files.
-# Files are TIME-CLUSTERED (file = year*100000 + orderkey DIV 2000),
-# matching how ingest actually lays out data files; orderkey-only
-# grouping would give every file activity in every year and nothing
-# would ever expire.
+# Files are TIME-CLUSTERED (file = (orderkey DIV 2000)*10 + year-index,
+# year in the LOW digit so the id never aliases across years at any
+# orderkey range), matching how ingest actually lays out data files;
+# orderkey-only grouping would give every file activity in every year
+# and nothing would ever expire.
 #
 # 100 TB: the (file, version) reference set is one groupBy of the
 # fact scan; the verdict is a per-file MAX — one shuffle on file_id,
@@ -1328,8 +1329,9 @@ _RETAIN_LAST = 2  # keep the newest 2 snapshots (versions 5 and 6)
     oracle=f"""
         WITH refs AS (
             SELECT DISTINCT
-                   (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1995)
-                       * 100000 + o_orderkey // 2000 AS file_id,
+                   (o_orderkey // 2000) * 10
+                       + CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1995
+                       AS file_id,
                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1995 AS v
             FROM orders
         ),
@@ -1359,7 +1361,7 @@ def snapshot_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     refs = orders.select(
         F.expr(
-            "(year(o_orderdate) - 1995) * 100000 + o_orderkey DIV 2000"
+            "(o_orderkey DIV 2000) * 10 + year(o_orderdate) - 1995"
         ).cast("long").alias("file_id"),
         (F.year("o_orderdate").cast("long") - 1995).alias("v"),
     ).distinct()

@@ -260,7 +260,11 @@ def ngram_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entropy fold runs on that bounded table. Every term is an
     integer once xlog10 is mu-quantized, so both engines agree bitwise."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    inst = docs.select(
+    # length >= 2 guard: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (it infers step -1), which would emit phantom bigrams for
+    # 1-char/empty texts; DuckDB's generate_series(1, 0) is empty, so
+    # the filter keeps the two engines identical on degenerate docs.
+    inst = docs.filter(F.length("text") >= 2).select(
         "source",
         F.explode(
             F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")

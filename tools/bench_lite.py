@@ -32,6 +32,16 @@ def main() -> None:
     specs = all_queries()
     head = set(HEADLINE)
     picked = set(sys.argv[1:])
+    # no silent drops (the tool's whole purpose): a misspelled name or
+    # a HEADLINE row on the command line must be an error, not a no-op
+    unknown = picked - set(specs)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
+    in_headline = picked & head
+    if in_headline:
+        raise SystemExit(
+            f"HEADLINE queries (bench.py times these): {sorted(in_headline)}"
+        )
     run_list = [
         n for n in specs if n not in head and (not picked or n in picked)
     ]
