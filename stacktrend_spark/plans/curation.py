@@ -786,7 +786,7 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "w", F.split("text", " ")
     )
-    grams = docs.select(
+    grams = docs.filter(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -794,7 +794,7 @@ def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
             )
         ).alias("gram"),
-    )
+    )  # size>=2 guard: sequence(1,0) is DESCENDING in Spark (r8 sweep)
     # bounded driver scalar. r5 (ADVICE): the gram total is derived
     # ARITHMETICALLY from per-doc word counts — Σ(size(w)−1) — which
     # scans documents once WITHOUT the explode, instead of counting the
@@ -1011,7 +1011,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "w", F.split("text", " ")
     )
-    bi = docs.select(
+    bi = docs.filter(F.size("w") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -1020,6 +1020,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # size>=2 guard: sequence(1,0) is DESCENDING in Spark (r8 sweep)
     sl = bi.filter(F.col("doc_id") % _LM_SLICE_MOD == 0)
     cb = sl.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = sl.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))

@@ -38,13 +38,20 @@ from stacktrend_spark.sources.tables import load_table
 
 def _word_ngrams(words_col: str, n: int) -> Column:
     """Array of space-joined word n-grams (same construction as
-    plans/curation.py so oracles can mirror it with list slices)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(words_col) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col(words_col), i + k + 1) for k in range(n)]
+    plans/curation.py so oracles can mirror it with list slices).
+    Guarded: Spark's sequence(0, negative) yields a DESCENDING array
+    (phantom n-grams) for docs with fewer than n words, where DuckDB's
+    generate_series is empty — the when() keeps degenerate docs
+    engine-identical (r8 parity-audit sweep)."""
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words_col) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col(words_col), i + k + 1) for k in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # ---------------------------------------------------------------------------

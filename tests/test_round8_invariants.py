@@ -177,3 +177,37 @@ def test_cluster_split_eliminates_leakage(spark, sf_dir):
         rows["naive_id_mod"]["n_train"] + rows["naive_id_mod"]["n_test"]
         == rows["cluster_rep_mod"]["n_train"] + rows["cluster_rep_mod"]["n_test"]
     )
+
+
+def test_word_ngrams_empty_on_short_docs(spark):
+    """r8 parity sweep: Spark's sequence(a, b) with b < a is DESCENDING
+    (not empty like DuckDB's generate_series), so every n-gram helper
+    must guard short inputs — a 1-word doc yields NO n-grams."""
+    from pyspark.sql import functions as F
+
+    from stacktrend_spark.plans.selection import _word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, ["solo"]), (2, ["a", "b", "c", "d"])], "doc_id long, w array<string>"
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", _word_ngrams("w", 3).alias("g")).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["a b c", "b c d"]
+    # the raw-text bigram guard: 1-char text explodes to zero bigrams
+    docs = spark.createDataFrame([("x",), ("ab cd",)], "text string")
+    n = (
+        docs.filter(F.length("text") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("bg")
+        )
+        .count()
+    )
+    assert n == 4  # only from 'ab cd'
