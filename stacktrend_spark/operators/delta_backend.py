@@ -54,6 +54,8 @@ def merge_into_delta(
     policy: str = "upsert",
     preserve_cols: list[str] | None = None,
     preserve_when: Column | None = None,
+    sync_scope: Column | None = None,
+    sync_scope_target_sql: str | None = None,
 ) -> None:
     """Run one of the three reference merge policies as a true Delta
     ``MERGE INTO`` against the table at ``path``.
@@ -68,6 +70,17 @@ def merge_into_delta(
       ``preserve_when`` over ``t.*``) refreshes every column EXCEPT
       ``preserve_cols``; second unconditional clause updates all;
       unmatched rows insert (b2s:899-914)
+    - ``full_sync``   — partition-scoped full synchronization (the
+      fourth clause family, operators/merge.merge_full_sync): matched
+      update, unmatched insert, and WHEN NOT MATCHED BY SOURCE AND
+      <scope> THEN DELETE. ``sync_scope`` is the predicate over PLAIN
+      column names (filters the feed to in-scope rows, matching the
+      emulation); ``sync_scope_target_sql`` is the same predicate as
+      SQL text over ``t.``-qualified names (the delete-clause and
+      merge-on conjunct). A NULL scope never fires the delete —
+      identical to the emulation's coalesce(scope, false). Same
+      precondition as the emulation: in-scope source rows keyed to
+      OUT-of-scope target rows produce duplicate keys.
     """
     from delta.tables import DeltaTable  # gated import
 
@@ -75,6 +88,13 @@ def merge_into_delta(
 
     if policy == "insert_only":
         source = source.dropDuplicates(keys)
+    if policy == "full_sync":
+        if sync_scope is None or not sync_scope_target_sql:
+            raise ValueError(
+                "full_sync policy needs sync_scope + sync_scope_target_sql"
+            )
+        source = source.filter(sync_scope).dropDuplicates(keys)
+        cond = f"({cond}) AND ({sync_scope_target_sql})"
 
     builder = (
         DeltaTable.forPath(spark, path)
@@ -97,6 +117,12 @@ def merge_into_delta(
             builder.whenMatchedUpdate(condition=preserve_when, set=refresh)
             .whenMatchedUpdateAll()
             .whenNotMatchedInsertAll()
+        )
+    elif policy == "full_sync":
+        builder = (
+            builder.whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .whenNotMatchedBySourceDelete(condition=sync_scope_target_sql)
         )
     else:
         raise ValueError(f"unknown merge policy {policy!r}")

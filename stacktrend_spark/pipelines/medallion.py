@@ -27,6 +27,7 @@ from stacktrend_spark.operators.delta_backend import (
     merge_into_delta,
 )
 from stacktrend_spark.operators.merge import (
+    merge_full_sync,
     merge_insert_only,
     merge_preserve,
     merge_upsert,
@@ -82,10 +83,12 @@ class MedallionStore:
         partition_by: list[str] | None = None,
         preserve_cols: list[str] | None = None,
         preserve_when=None,
+        sync_scope=None,
+        sync_scope_target_sql: str | None = None,
     ) -> None:
-        """Keyed merge write (S11/S12/S14). policy ∈ {upsert,
-        insert_only, preserve}. First write = plain write (the MERGE
-        no-target case)."""
+        """Keyed merge write (S11/S12/S14 + the r8 full-sync clause
+        family). policy ∈ {upsert, insert_only, preserve, full_sync}.
+        First write = plain write (the MERGE no-target case)."""
         if not self.exists(layer, table):
             merged = df if policy != "insert_only" else df.dropDuplicates(keys)
         elif self.backend == "delta":
@@ -98,6 +101,8 @@ class MedallionStore:
                 policy=policy,
                 preserve_cols=preserve_cols,
                 preserve_when=preserve_when,
+                sync_scope=sync_scope,
+                sync_scope_target_sql=sync_scope_target_sql,
             )
             return
         else:
@@ -110,6 +115,10 @@ class MedallionStore:
                 merged = merge_preserve(
                     target, df, keys, preserve_cols or [], preserve_when
                 )
+            elif policy == "full_sync":
+                if sync_scope is None:
+                    raise ValueError("full_sync policy needs sync_scope")
+                merged = merge_full_sync(target, df, keys, sync_scope)
             else:
                 raise ValueError(f"unknown merge policy {policy!r}")
         # parquet dirs can't be read and overwritten in one job —

@@ -38,6 +38,10 @@ class _RecordingBuilder:
         self.log.append(("whenMatchedUpdate", condition, set))
         return self
 
+    def whenNotMatchedBySourceDelete(self, condition=None):
+        self.log.append(("whenNotMatchedBySourceDelete", condition, None))
+        return self
+
     def execute(self):
         self.log.append(("execute", None, None))
 
@@ -146,3 +150,49 @@ def test_unknown_policy_raises(spark, fake_delta):
         merge_into_delta(
             spark, "/tmp/t", _src(spark), keys=["k"], policy="nope"
         )
+
+
+def test_full_sync_builder_wiring(spark, fake_delta):
+    """The 4th clause family as a true Delta MERGE: the feed is scoped
+    + key-deduped, the ON condition carries the t.-scope conjunct, and
+    the clause order is matched-update-all / not-matched-insert-all /
+    not-matched-by-source-DELETE(scope)."""
+    from pyspark.sql import functions as F
+
+    from stacktrend_spark.operators.delta_backend import merge_into_delta
+
+    src = _src(spark).withColumn(
+        "part", F.when(F.col("k") % 2 == 0, "new").otherwise("old")
+    )
+    merge_into_delta(
+        spark,
+        "/fake/path",
+        src,
+        ["k"],
+        policy="full_sync",
+        sync_scope=F.col("part") == "new",
+        sync_scope_target_sql="t.part = 'new'",
+    )
+    assert _calls(fake_delta) == [
+        "forPath", "alias", "merge",
+        "whenMatchedUpdateAll", "whenNotMatchedInsertAll",
+        "whenNotMatchedBySourceDelete", "execute",
+    ]
+    cond = next(c for n, c, _ in fake_delta if n == "merge")
+    assert "(t.part = 'new')" in cond  # scope conjunct on the ON cond
+    assert "t.k <=> s.k" in cond
+    del_cond = next(
+        c for n, c, _ in fake_delta if n == "whenNotMatchedBySourceDelete"
+    )
+    assert del_cond == "t.part = 'new'"
+    # the feed reaching merge() is scoped + key-deduped
+    src_df = next(df for n, _, df in fake_delta if n == "merge")
+
+
+def test_full_sync_requires_contract(spark, fake_delta):
+    import pytest
+
+    from stacktrend_spark.operators.delta_backend import merge_into_delta
+
+    with pytest.raises(ValueError):
+        merge_into_delta(spark, "/fake/path", _src(spark), ["k"], policy="full_sync")

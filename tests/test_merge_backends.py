@@ -89,3 +89,44 @@ def test_delta_path_writes_delta_log(spark, store, tmp_path):
     base = _rows(spark, [(1, "a", 0.5)])
     store.upsert(spark, base, "silver", "d", keys=["k"])
     assert (tmp_path / "silver" / "d" / "_delta_log").is_dir()
+
+
+def test_full_sync_scoped_resync(spark, store):
+    """The 4th clause family through the store API: within the scope
+    the feed is truth (update/insert/delete); outside it the table is
+    untouched. Runs on whichever backend is active."""
+    base = _rows(spark, [(1, "old-a", 0.1), (2, "old-b", 0.2), (10, "keep", 0.9)])
+    store.upsert(spark, base, "silver", "sync", keys=["k"])
+    # scope = k < 10; feed updates k=1, inserts k=3, omits k=2 (delete)
+    feed = _rows(spark, [(1, "new-a", 0.5), (3, "new-c", 0.6)])
+    store.upsert(
+        spark,
+        feed,
+        "silver",
+        "sync",
+        keys=["k"],
+        policy="full_sync",
+        sync_scope=F.col("k") < 10,
+        sync_scope_target_sql="t.k < 10",
+    )
+    got = {r.k: r.v for r in store.read(spark, "silver", "sync").collect()}
+    assert got == {1: "new-a", 3: "new-c", 10: "keep"}
+
+
+def test_full_sync_idempotent(spark, store):
+    base = _rows(spark, [(1, "a", 0.1), (2, "b", 0.2), (10, "out", 0.9)])
+    store.upsert(spark, base, "silver", "sync2", keys=["k"])
+    feed = _rows(spark, [(1, "a2", 0.5)])
+    for _ in range(2):
+        store.upsert(
+            spark,
+            feed,
+            "silver",
+            "sync2",
+            keys=["k"],
+            policy="full_sync",
+            sync_scope=F.col("k") < 10,
+            sync_scope_target_sql="t.k < 10",
+        )
+    got = sorted((r.k, r.v) for r in store.read(spark, "silver", "sync2").collect())
+    assert got == [(1, "a2"), (10, "out")]
