@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from stacktrend_spark.functions.langdist import language_distribution
 from stacktrend_spark.functions.rounding import fround, sql_round
 from stacktrend_spark.operators.merge import (
+    merge_full_sync,
     merge_insert_only,
     merge_preserve,
     merge_upsert,
@@ -68,6 +69,30 @@ def test_merge_insert_only_immutable(spark, target, source):
         assert merged[k] == v
     for k, v in source:
         assert k in merged
+
+
+@_SETTINGS
+@given(target=_rows, source=_rows, pivot=st.integers(0, 20))
+def test_merge_full_sync_model(spark, target, source, pivot):
+    """r8: the scoped full sync equals the set model — out-of-scope
+    target rows unchanged, in-scope rows exactly the in-scope source —
+    for ANY scope pivot, and the operation is idempotent."""
+    t = spark.createDataFrame(target, "k int, v int")
+    s = spark.createDataFrame(source, "k int, v int")
+    scope = F.col("k") < pivot
+    once = dict(map(tuple, merge_full_sync(t, s, ["k"], scope).collect()))
+    expect = {k: v for k, v in target if not k < pivot}
+    expect.update({k: v for k, v in source if k < pivot})
+    assert once == expect
+    again = merge_full_sync(
+        spark.createDataFrame(list(once.items()) or [(0, 0)], "k int, v int")
+        if once
+        else spark.createDataFrame([], "k int, v int"),
+        s,
+        ["k"],
+        scope,
+    )
+    assert dict(map(tuple, again.collect())) == expect
 
 
 @_SETTINGS
