@@ -232,6 +232,13 @@ SHOWCASE = [
         "nprobe; the three points union into 3 aggregate rows.",
     ),
     (
+        "merge_full_sync_orders",
+        "The 4th MERGE clause family (scoped full sync): the out-of-scope "
+        "remainder is a pure Filter over the scan (no Exchange); the scoped "
+        "feed dedupes with ONE shuffle; union is narrow. NULL-safe scope "
+        "via coalesce keeps Delta's not-matched-by-source semantics.",
+    ),
+    (
         "gopher_quality_rules",
         "Published-rule quality panel: ONE explode feeds the top-word-share "
         "aggregate, joined back key-local on doc_id; the per-source rollup "
