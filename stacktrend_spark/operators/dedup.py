@@ -179,7 +179,16 @@ def lsh_band_rows(
 ) -> DataFrame:
     """(id, band_id, band_key) rows: signatures folded into
     ``num_hashes/band_size`` md5 band digests, one row per (id, band).
-    Shared by the all-pairs and star candidate generators."""
+    Shared by the all-pairs and star candidate generators.
+    ``num_hashes`` must divide evenly into bands — a remainder would
+    silently discard the trailing signature columns and lower recall
+    below the (bands, band_size) design point (r8 review)."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by band_size="
+            f"{band_size}: {num_hashes % band_size} trailing signature "
+            "columns would be silently discarded"
+        )
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -274,6 +283,16 @@ def jaccard_pairs(
     Returns (id_a, id_b, n_common, n_a, n_b) — jaccard left to the
     caller so it can apply deterministic rounding."""
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if pairs is not None:
+        # broadcast only the CANDIDATE ids' sizes, not the corpus-wide
+        # O(N) sizes table (r8 review): the semi-join keeps the
+        # broadcast bounded by the candidate set at any corpus size
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sizes = sizes.join(cand_ids, id_col, "left_semi")
     if pairs is not None:
         # candidate-driven intersection: pairs ⋈ postings(a) ⋈ postings(b)
         sh_a = shingled.select(

@@ -50,7 +50,13 @@ def connected_components(
     overhead for a 152-edge graph. Edge lists above the bound take the
     distributed min-label loop, whose per-iteration cost is two keyed
     shuffles — the 100 TB path. Both paths produce the identical
-    min-reachable-id labeling.
+    min-reachable-id labeling, INCLUDING through bridge endpoints that
+    appear in ``edges`` but not in ``nodes``: the distributed loop
+    seeds labels from nodes ∪ edge endpoints so propagation relays
+    through them (r8 review — the fastpath's union-find always did),
+    then returns only ``nodes`` rows. A graph whose diameter exceeds
+    ``max_iter`` raises instead of silently returning unconverged
+    labels (use the large-star/small-star variant for long chains).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     if e.count() <= driver_fastpath_max_edges:
@@ -90,9 +96,15 @@ def connected_components(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .persist()
     )
-    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
-        "component", F.col("node")
-    ).persist()
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .unionByName(e.select(F.col("a").alias("node")))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    changed = -1
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -129,7 +141,20 @@ def connected_components(
             break
     sym.unpersist()
     e.unpersist()
-    return labels
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "min-label rounds (graph diameter too large) — raise "
+            "max_iter or use the large-star/small-star rounds"
+        )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def pagerank_scaled(

@@ -29,8 +29,22 @@ so the shuffle has no skew.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _key_cond(keys: list[str]) -> Column:
+    """NULL-SAFE key equality (t.k <=> s.k) between frames aliased
+    ``t`` and ``s`` — the same ON condition the Delta backend builds
+    (operators/delta_backend.py), so a NULL merge key matches its own
+    row on BOTH backends instead of silently falling through to INSERT
+    on the emulation only (r8 review)."""
+    return reduce(
+        Column.__and__,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+    )
 
 
 def _validate(target: DataFrame, source: DataFrame, keys: list[str]) -> None:
@@ -48,9 +62,12 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     """Plain upsert: matched target rows are replaced by source rows,
     unmatched source rows are inserted, untouched target rows kept.
     Mirrors MERGE … WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED
-    THEN INSERT * (github_data_ingestion.py:355-383)."""
+    THEN INSERT * (github_data_ingestion.py:355-383). NULL merge keys
+    match null-safely, exactly like the Delta backend's <=> ON cond."""
     _validate(target, source, keys)
-    untouched = target.join(source.select(*keys), keys, "left_anti")
+    untouched = target.alias("t").join(
+        source.select(*keys).alias("s"), _key_cond(keys), "left_anti"
+    )
     return untouched.unionByName(source)
 
 
@@ -65,9 +82,19 @@ def merge_insert_only(
     """Insert-only merge: source rows whose key already exists in the
     target are dropped; new keys are deduplicated and appended. The
     event-table dedup-on-write policy (personal_repos_ingestion.py:
-    424-431 — "activities are immutable")."""
+    424-431 — "activities are immutable"). NULL merge keys match
+    null-safely (Delta <=> parity); dropDuplicates already groups
+    NULLs together."""
     _validate(target, source, keys)
-    new_rows = source.join(target.select(*keys), keys, "left_anti").dropDuplicates(keys)
+    new_rows = (
+        source.alias("s")
+        .join(
+            target.select(*keys).alias("t"),
+            _key_cond(keys),
+            "left_anti",
+        )
+        .dropDuplicates(keys)
+    )
     return target.unionByName(new_rows)
 
 
@@ -105,8 +132,10 @@ def merge_preserve(
             )
         else:
             resolved_cols.append(F.col(f"s.{c}").alias(c))
-    resolved = s.join(t, keys, "left").select(*resolved_cols)
-    untouched = target.join(source.select(*keys), keys, "left_anti")
+    resolved = s.join(t, _key_cond(keys), "left").select(*resolved_cols)
+    untouched = target.alias("t").join(
+        source.select(*keys).alias("s"), _key_cond(keys), "left_anti"
+    )
     return untouched.unionByName(resolved)
 
 

@@ -78,8 +78,12 @@ def global_running_sum_scalable(
     without a single-partition window — same two-phase shape as
     :func:`global_rank_scalable` but the per-partition driver step
     carries partial SUMS instead of counts. ``order_cols`` must define
-    a total order (include a unique tiebreaker). The explicit ROWS
-    frame avoids the default RANGE frame's tie-grouping."""
+    a total order (include a unique tiebreaker); ``value_col`` must be
+    INTEGER-typed (the exact-arithmetic contract every caller already
+    follows — a float value_col raises rather than silently truncating,
+    and an all-NULL partition contributes 0 instead of crashing the
+    driver fold; r8 review). The explicit ROWS frame avoids the
+    default RANGE frame's tie-grouping."""
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -101,6 +105,14 @@ def global_running_sum_scalable(
     )
     offsets, acc = [], 0
     for pid, s in partials:
+        if s is None:  # every value in this range partition was NULL
+            s = 0
+        if not isinstance(s, int):
+            raise TypeError(
+                f"global_running_sum_scalable needs an integer value_col "
+                f"(exact offsets); got partial sum {s!r} — iscale the "
+                "column first"
+            )
         offsets.append((pid, acc))
         acc += s
     spark = df.sparkSession

@@ -77,8 +77,19 @@ def salted_join(
     replicated once per salt value (explode of a literal range — B×
     |small| rows, still broadcastable). The (key, salt) equi-join then
     spreads each hot key over ``buckets`` tasks. Result is identical to
-    ``big.join(small, key, how)``.
+    ``big.join(key, how)`` for BIG-SIDE-PRESERVING joins only: the
+    replicated small side makes right/full outer joins emit up to
+    ``buckets`` spurious null-extended rows per small row, so those
+    hows are rejected (r8 review) — salt the other side instead.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti",
+                   "cross", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side "
+            "is replicated per salt, so right/full outer joins would "
+            "emit duplicate null-extended rows for unmatched replicas"
+        )
     b = with_salt(big, salt_src, buckets)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

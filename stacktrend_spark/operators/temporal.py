@@ -14,9 +14,10 @@ their scale properties honest:
   inequality join — the standard distributed as-of plan. (A sort-merge
   inequality join would be O(|L|·|R|) per key.)
 - **banded range join** (point-in-interval): equi-join on a coarse
-  time bucket first, verify the exact range second. With intervals no
-  wider than one band, a point joins at most 2 bands, so candidate
-  volume is O(|points| · intervals-per-band) instead of
+  time bucket first, verify the exact range second. Intervals no wider
+  than one band probe at most 2 bands (their start band and end band —
+  pass ``end_band`` so boundary-crossing intervals keep all matches),
+  so candidate volume is O(|points| · intervals-per-band) instead of
   O(|points| · |intervals|); the band key makes it an equi-join
   Catalyst can broadcast or hash-partition.
 """
@@ -61,10 +62,19 @@ def asof_join(
     ).select(*l.columns)  # align column order for union
     unioned = l.unionByName(r)
     # right rows sort BEFORE left rows at equal timestamps, so an
-    # exactly-simultaneous right row is visible to the left row
+    # exactly-simultaneous right row is visible to the left row; the
+    # payload struct is the final key so two right rows sharing
+    # (key, ts) resolve DETERMINISTICALLY (the max payload tuple wins —
+    # any total order works, it just must not be the shuffle order;
+    # r8 review). Left rows carry NULL payloads, which sort first under
+    # asc and therefore never displace a right row.
     w = (
         W.partitionBy(key)
-        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_is_right").desc(),
+            F.struct(*[F.col(f"_r_{c}") for c in right_payload]).asc(),
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned.select(
@@ -92,17 +102,28 @@ def range_join_banded(
     band: Column,
     point_band: Column,
     end_exclusive: bool = True,
+    end_band: Column | None = None,
 ) -> DataFrame:
     """Point-in-interval join via band equi-join + exact verification.
 
     ``band``/``point_band`` map interval starts and points onto the
-    same coarse grid (e.g. ``F.date_trunc("day", ...)``); intervals
-    must not span more than one band. The equi-join on the band key is
-    broadcast- or hash-joinable; the exact BETWEEN check then prunes
-    the few in-band false candidates.
+    same coarse grid (e.g. ``F.date_trunc("day", ...)``). An interval
+    whose END falls in the next band is handled by probing BOTH bands:
+    pass ``end_band`` (the same grid function over ``end_ts``) and the
+    interval is replicated to its start and end bands (deduplicated —
+    a one-band interval still produces one row, and a point joins at
+    most one replica because the point carries a single band value, so
+    no output duplicates are possible). Omitting ``end_band`` keeps
+    the start-band-only behavior, correct ONLY when the caller
+    guarantees intervals never cross a band boundary. The equi-join on
+    the band key is broadcast- or hash-joinable; the exact BETWEEN
+    check then prunes the few in-band false candidates.
     """
     p = points.withColumn("_band", point_band)
-    iv = intervals.withColumn("_band", band)
+    bands = F.array_distinct(
+        F.array(band, band if end_band is None else end_band)
+    )
+    iv = intervals.withColumn("_band", F.explode(bands))
     upper = (
         F.col(point_ts) < F.col(end_ts)
         if end_exclusive

@@ -1,0 +1,164 @@
+"""Contract tests for the r8 operator-review fixes: each pins a
+degenerate input the registered queries never produce but a general
+engine must handle (the operator-library half of the parity sweep)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_range_join_probes_end_band(spark):
+    """An interval narrower than one band but CROSSING a band boundary
+    keeps its matches when end_band is passed (r8: start-band-only
+    joins silently dropped them)."""
+    from stacktrend_spark.operators.temporal import range_join_banded
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-02 00:30:00")], "pid long, ts string"
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(7, "2024-01-01 23:00:00", "2024-01-02 01:00:00")],
+        "iid long, w_start string, w_end string",
+    ).select(
+        "iid",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    out = range_join_banded(
+        points,
+        iv,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        band=F.date_trunc("day", F.col("w_start")),
+        point_band=F.date_trunc("day", F.col("ts")),
+        end_band=F.date_trunc("day", F.col("w_end")),
+    )
+    assert out.count() == 1  # matched via the end band
+    # and a one-band interval is NOT duplicated by the probing
+    iv_same = iv.select(
+        "iid",
+        F.col("w_start"),
+        F.expr("w_start + interval 30 minutes").alias("w_end"),
+    )
+    pts2 = spark.createDataFrame(
+        [(2, "2024-01-01 23:15:00")], "pid long, ts string"
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    out2 = range_join_banded(
+        pts2,
+        iv_same,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        band=F.date_trunc("day", F.col("w_start")),
+        point_band=F.date_trunc("day", F.col("ts")),
+        end_band=F.date_trunc("day", F.col("w_end")),
+    )
+    assert out2.count() == 1
+
+
+def test_salted_join_rejects_small_side_preserving_hows(spark):
+    from stacktrend_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "d")], "k long, d string")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", F.col("v"), buckets=4, how="full")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", F.col("v"), buckets=4, how="right")
+
+
+def test_connected_components_relays_through_bridge_endpoints(spark):
+    """Edges may reference endpoints filtered out of `nodes`; the
+    distributed loop must still propagate THROUGH them (the fastpath's
+    union-find always did — r8 review fixed the divergence)."""
+    from stacktrend_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(1,), (3,)], "node long")
+    # force the distributed path
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, nodes, driver_fastpath_max_edges=0
+        ).collect()
+    }
+    assert got == {1: 1, 3: 1}  # 3 reaches 1 via the bridge node 2
+    # and the fastpath agrees
+    got_fast = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got_fast == got
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from stacktrend_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    with pytest.raises(RuntimeError):
+        connected_components(
+            chain, nodes, max_iter=2, driver_fastpath_max_edges=0
+        )
+
+
+def test_running_sum_null_partition_and_float_rejection(spark):
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "k long, v long"
+    )
+    out = {
+        r["k"]: r["rs"]
+        for r in global_running_sum_scalable(
+            df, [F.col("k")], "v", sum_col="rs", num_partitions=3
+        ).collect()
+    }
+    assert out[3] == 15  # NULL contributes 0, fold doesn't crash
+    fdf = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    with pytest.raises(TypeError):
+        global_running_sum_scalable(fdf, [F.col("k")], "v", num_partitions=2)
+
+
+def test_lsh_band_rows_rejects_indivisible_hashes(spark):
+    from stacktrend_spark.operators.dedup import lsh_band_rows
+
+    sigs = spark.createDataFrame([(1, "a", "b", "c")], "id long, h0 string, h1 string, h2 string")
+    with pytest.raises(ValueError):
+        lsh_band_rows(sigs, "id", num_hashes=3, band_size=2)
+
+
+def test_asof_join_right_ties_are_deterministic(spark):
+    """Two right rows sharing (key, ts): the carried payload must be
+    the same on every run (max payload tuple), not shuffle order."""
+    from stacktrend_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 100, "aaa"), (1, 100, "zzz")], "k long, rts long, payload string"
+    )
+    for _ in range(3):
+        (row,) = asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_payload=["payload"],
+        ).collect()
+        assert row["asof_payload"] == "zzz"  # max tuple, deterministic
+
+
+def test_merge_null_keys_match_null_safely(spark):
+    """A NULL merge key matches its own row on the emulation exactly
+    like the Delta backend's <=> ON condition: upsert replaces the
+    NULL-key row instead of duplicating it."""
+    from stacktrend_spark.operators.merge import merge_insert_only, merge_upsert
+
+    t = spark.createDataFrame([(None, "old"), (1, "one")], "k long, v string")
+    s = spark.createDataFrame([(None, "new")], "k long, v string")
+    got = {(r["k"], r["v"]) for r in merge_upsert(t, s, ["k"]).collect()}
+    assert got == {(None, "new"), (1, "one")}  # replaced, not duplicated
+    got2 = {(r["k"], r["v"]) for r in merge_insert_only(t, s, ["k"]).collect()}
+    assert got2 == {(None, "old"), (1, "one")}  # NULL key exists -> dropped
