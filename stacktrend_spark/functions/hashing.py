@@ -20,11 +20,13 @@ from pyspark.sql import functions as F
 def sql_hex40(expr: str) -> str:
     """DuckDB: first 40 md5 bits of ``expr`` as a non-negative BIGINT."""
     hx = f"SUBSTR(md5({expr}), 1, 10)"
-    return " + ".join(
+    # parenthesized so embedding next to a higher-precedence operator
+    # (e.g. "% 5") can never bind to just the last term (r8 review)
+    return "(" + " + ".join(
         f"(STRPOS('0123456789abcdef', SUBSTR({hx}, {i + 1}, 1)) - 1)"
         f" * CAST({16 ** (9 - i)} AS BIGINT)"
         for i in range(10)
-    )
+    ) + ")"
 
 
 def spark_hex40(col: Column) -> Column:

@@ -159,7 +159,10 @@ def dstd(col: Column | str, d: int = 2, n: int = 4) -> Column:
     i = iscale(c, d)
     cnt = F.count(c).cast("double")
     s1 = F.sum(i).cast("double")
-    s2 = F.sum((i * i).cast("decimal(38,0)")).cast("double")
+    # cast ONE OPERAND 128-bit BEFORE multiplying: (i*i) in int64 wraps
+    # silently past |i| ~ 3e9 while DuckDB's HUGEINT cast raises — the
+    # widening must cover the product, not just the sum (r8 review)
+    s2 = F.sum(i.cast("decimal(38,0)") * i).cast("double")
     var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1.0))
     std = fround(F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(float(10**d)), n)
     return F.when(F.count(c) >= 2, std)
@@ -169,7 +172,7 @@ def sql_dstd(expr: str, d: int = 2, n: int = 4) -> str:
     i = sql_iscale(expr, d)
     cnt = f"CAST(COUNT({expr}) AS DOUBLE)"
     s1 = f"CAST(SUM({i}) AS DOUBLE)"
-    s2 = f"CAST(SUM(CAST(({i}) * ({i}) AS HUGEINT)) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST({i} AS HUGEINT) * ({i})) AS DOUBLE)"
     var = f"(({s2} - {s1} * {s1} / {cnt}) / ({cnt} - 1.0))"
     std = sql_round(f"SQRT(GREATEST({var}, 0.0)) / {float(10 ** d)}", n)
     return f"CASE WHEN COUNT({expr}) >= 2 THEN {std} ELSE NULL END"
@@ -200,13 +203,17 @@ def comoments(x: Column | str, y: Column | str, dx: int, dy: int) -> list[Column
     cy = F.col(y) if isinstance(y, str) else y
     ix, iy = iscale(cx, dx), iscale(cy, dy)
     dec = "decimal(38,0)"
+    # widen BEFORE the multiply (r8 review — see dstd) and count rows
+    # with COUNT(*): callers must pass NON-NULL x/y columns (a NULL in
+    # either would skew n vs the NULL-skipping sums; every caller
+    # aggregates non-null fact columns)
     return [
         F.count(F.lit(1)).alias("n"),
         F.sum(ix).alias("sx"),
         F.sum(iy).alias("sy"),
-        F.sum((ix * iy).cast(dec)).alias("sxy"),
-        F.sum((ix * ix).cast(dec)).alias("sxx"),
-        F.sum((iy * iy).cast(dec)).alias("syy"),
+        F.sum(ix.cast(dec) * iy).alias("sxy"),
+        F.sum(ix.cast(dec) * ix).alias("sxx"),
+        F.sum(iy.cast(dec) * iy).alias("syy"),
     ]
 
 
@@ -216,7 +223,7 @@ def sql_comoments(x: str, y: str, dx: int, dy: int) -> str:
     return (
         f"CAST(COUNT(*) AS BIGINT) AS n, "
         f"SUM({ix}) AS sx, SUM({iy}) AS sy, "
-        f"SUM(CAST(({ix}) * ({iy}) AS HUGEINT)) AS sxy, "
-        f"SUM(CAST(({ix}) * ({ix}) AS HUGEINT)) AS sxx, "
-        f"SUM(CAST(({iy}) * ({iy}) AS HUGEINT)) AS syy"
+        f"SUM(CAST({ix} AS HUGEINT) * ({iy})) AS sxy, "
+        f"SUM(CAST({ix} AS HUGEINT) * ({ix})) AS sxx, "
+        f"SUM(CAST({iy} AS HUGEINT) * ({iy})) AS syy"
     )

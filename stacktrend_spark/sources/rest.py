@@ -186,8 +186,29 @@ def repos_to_bronze(
         F.to_timestamp(F.lit(ingestion_ts)).alias("ingestion_timestamp"),
         F.lit(partition_date).alias("partition_date"),
     )
-    deduped = flat.filter(F.col("repository_id").isNotNull()).dropDuplicates(
-        ["repository_id"]
+    # DETERMINISTIC survivor per repository_id (r8 review): plain
+    # dropDuplicates keeps whichever duplicate a partition touches
+    # first, so two runs over identical input could emit different
+    # bronze rows when overlapping search queries return the same repo
+    # with drifted counters. The min-payload-tuple rule is stable
+    # across runs and engines. (The reference's driver-side seen-set
+    # was first-wins in fetch order; fetch order doesn't survive the
+    # distributed shuffle, so a content-based total order replaces it.)
+    from pyspark.sql.window import Window as _W
+
+    nonnull = flat.filter(F.col("repository_id").isNotNull())
+    _payload = [c for c in nonnull.columns if c != "repository_id"]
+    deduped = (
+        nonnull.withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy("repository_id").orderBy(
+                    *[F.col(c).asc_nulls_first() for c in _payload]
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     if star_threshold:
         deduped = deduped.filter(F.col("stargazers_count") > star_threshold)
@@ -283,6 +304,12 @@ def repo_activity(
                 transport, path, {}, max_pages=1,
                 per_page=50 if kind == "commit" else 30, limiter=limiter,
             ):
+                # adapter contract: items carry the NORMALIZED flat
+                # shape (id / author / date / ...) the injected
+                # transport produces; a production GitHub client must
+                # map the raw API payload first (sha -> id, the nested
+                # author object -> author.login, commit.author.date ->
+                # date) before handing items to this adapter (r8 note)
                 rows.append(
                     {
                         "repository_id": r.repository_id,

@@ -18,6 +18,7 @@ per-query ceremony; idempotent per SparkContext.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -34,19 +35,37 @@ def ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base = os.path.dirname(pkg_dir)
+    # collect sources once; the cache key is a CONTENT hash, so a
+    # recycled pid or an edited source tree can never ship a stale zip
+    # (r8 review), and the unique tmp name + atomic replace make
+    # concurrent builders race-safe (last writer wins, same bytes)
+    sources: list[tuple[str, str]] = []
+    digest = hashlib.md5()
+    for dirpath, _dirnames, filenames in sorted(
+        (d, dn, fn) for d, dn, fn in os.walk(pkg_dir)
+    ):
+        if "__pycache__" in dirpath:
+            continue
+        for fname in sorted(filenames):
+            if fname.endswith(".py"):
+                full = os.path.join(dirpath, fname)
+                rel = os.path.relpath(full, base)
+                sources.append((full, rel))
+                digest.update(rel.encode())
+                with open(full, "rb") as f:
+                    digest.update(f.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"stacktrend_spark_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"stacktrend_spark_pyfiles_{digest.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip", dir=tempfile.gettempdir()
+        )
+        os.close(fd)
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
-                if "__pycache__" in dirpath:
-                    continue
-                for fname in filenames:
-                    if fname.endswith(".py"):
-                        full = os.path.join(dirpath, fname)
-                        z.write(full, os.path.relpath(full, base))
+            for full, rel in sources:
+                z.write(full, rel)
         os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _shipped.add(key)

@@ -138,9 +138,14 @@ def dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     the same event identity inside the watermark horizon — the
     streaming form of `MERGE WHEN NOT MATCHED THEN INSERT` on
     (activity_id, activity_type) (personal_repos_ingestion.py:424-431).
-    State is watermark-bounded, so at 100 TB the dedup map holds one
-    horizon of ids, not the full history."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    Uses ``dropDuplicatesWithinWatermark`` (r8 review): plain
+    dropDuplicates on a non-time key never evicts state — the map
+    would grow forever on an unbounded stream (the hazard
+    plans/streaming_mirrors.py documents) — whereas the
+    within-watermark form holds exactly one horizon of ids at 100 TB."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 #: output/state schemas for the custom stateful operator below.
@@ -313,7 +318,15 @@ def run_to_batch(
             .start()
         )
         try:
-            q.awaitTermination(timeout_s)
+            finished = q.awaitTermination(timeout_s)
+            if not finished:
+                # a timed-out query has committed only SOME micro-
+                # batches — surfacing a partial table as the answer
+                # would be silently wrong (r8 review)
+                raise TimeoutError(
+                    f"streaming query {name!r} did not finish within "
+                    f"{timeout_s}s; partial results discarded"
+                )
         finally:
             q.stop()
     finally:
