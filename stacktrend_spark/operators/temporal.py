@@ -14,12 +14,11 @@ their scale properties honest:
   inequality join — the standard distributed as-of plan. (A sort-merge
   inequality join would be O(|L|·|R|) per key.)
 - **banded range join** (point-in-interval): equi-join on a coarse
-  time bucket first, verify the exact range second. Intervals no wider
-  than one band probe at most 2 bands (their start band and end band —
-  pass ``end_band`` so boundary-crossing intervals keep all matches),
-  so candidate volume is O(|points| · intervals-per-band) instead of
-  O(|points| · |intervals|); the band key makes it an equi-join
-  Catalyst can broadcast or hash-partition.
+  time bucket first, verify the exact range second. Each interval is
+  replicated to every band it touches (``sequence(band, end_band,
+  band_step)``), so candidate volume is O(|points| ·
+  intervals-per-band) instead of O(|points| · |intervals|); the band
+  key makes it an equi-join Catalyst can broadcast or hash-partition.
 """
 
 from __future__ import annotations
@@ -77,20 +76,31 @@ def asof_join(
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # ONE last(ignorenulls) over a struct of the whole right row, so
+    # the matched row is carried ATOMICALLY: a NULL in one payload
+    # column of the winning right row stays NULL instead of being
+    # back-filled per-column from an older right row (r9 ADVICE — the
+    # per-column form only honored "max payload tuple wins" per
+    # column, not per row). The struct is non-NULL for every right row
+    # (even an all-NULL payload), so ignorenulls skips exactly the
+    # left rows.
+    matched = F.when(
+        F.col("_is_right") == 1,
+        F.struct(
+            F.col("_r_ts").alias("r_ts"),
+            *[F.col(f"_r_{c}").alias(f"p_{c}") for c in right_payload],
+        ),
+    )
     carried = unioned.select(
         *lcols,
         "_is_right",
-        *[
-            F.last(F.when(F.col("_is_right") == 1, F.col(f"_r_{c}")), ignorenulls=True)
-            .over(w)
-            .alias(f"{prefix}{c}")
-            for c in right_payload
-        ],
-        F.last(F.when(F.col("_is_right") == 1, F.col("_r_ts")), ignorenulls=True)
-        .over(w)
-        .alias(f"{prefix}ts"),
+        F.last(matched, ignorenulls=True).over(w).alias("_m"),
     )
-    return carried.filter(F.col("_is_right") == 0).drop("_is_right")
+    return carried.filter(F.col("_is_right") == 0).select(
+        *lcols,
+        *[F.col(f"_m.p_{c}").alias(f"{prefix}{c}") for c in right_payload],
+        F.col("_m.r_ts").alias(f"{prefix}ts"),
+    )
 
 
 def range_join_banded(
@@ -103,25 +113,45 @@ def range_join_banded(
     point_band: Column,
     end_exclusive: bool = True,
     end_band: Column | None = None,
+    band_step: Column | None = None,
 ) -> DataFrame:
     """Point-in-interval join via band equi-join + exact verification.
 
     ``band``/``point_band`` map interval starts and points onto the
     same coarse grid (e.g. ``F.date_trunc("day", ...)``). An interval
-    whose END falls in the next band is handled by probing BOTH bands:
-    pass ``end_band`` (the same grid function over ``end_ts``) and the
-    interval is replicated to its start and end bands (deduplicated —
-    a one-band interval still produces one row, and a point joins at
-    most one replica because the point carries a single band value, so
-    no output duplicates are possible). Omitting ``end_band`` keeps
-    the start-band-only behavior, correct ONLY when the caller
-    guarantees intervals never cross a band boundary. The equi-join on
-    the band key is broadcast- or hash-joinable; the exact BETWEEN
-    check then prunes the few in-band false candidates.
+    crossing band boundaries is handled by replicating it to EVERY
+    band it touches: pass ``end_band`` (the same grid function over
+    ``end_ts``) plus ``band_step`` (the grid pitch, e.g.
+    ``F.expr("INTERVAL 1 DAY")``) and the replicas come from
+    ``sequence(band, end_band, band_step)`` — an interval spanning any
+    number of bands keeps all its matches, a one-band interval still
+    produces one row, and a point joins at most one replica because
+    the point carries a single band value, so no output duplicates
+    are possible (r9 ADVICE: the former two-element start/end probe
+    silently lost middle-band matches for 3+-band intervals, so
+    ``end_band`` now REQUIRES the step instead of a docstring
+    constraint). Omitting ``end_band`` keeps the start-band-only
+    behavior, correct ONLY when the caller guarantees intervals never
+    cross a band boundary. The equi-join on the band key is broadcast-
+    or hash-joinable; the exact BETWEEN check then prunes the few
+    in-band false candidates.
+
+    Scale note: replica count per interval = bands spanned — bounded
+    by interval-width / band-width, which the caller controls by
+    picking the grid; candidate volume stays O(|points| ·
+    intervals-per-band).
     """
+    if end_band is not None and band_step is None:
+        raise ValueError(
+            "range_join_banded: end_band requires band_step (the grid "
+            "pitch) so boundary-crossing intervals replicate to every "
+            "band they span"
+        )
     p = points.withColumn("_band", point_band)
-    bands = F.array_distinct(
-        F.array(band, band if end_band is None else end_band)
+    bands = (
+        F.array(band)
+        if end_band is None
+        else F.sequence(band, end_band, band_step)
     )
     iv = intervals.withColumn("_band", F.explode(bands))
     upper = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from stacktrend_spark.operators.delta_backend import (
     delta_available,
@@ -90,7 +91,24 @@ class MedallionStore:
         family). policy ∈ {upsert, insert_only, preserve, full_sync}.
         First write = plain write (the MERGE no-target case)."""
         if not self.exists(layer, table):
-            merged = df if policy != "insert_only" else df.dropDuplicates(keys)
+            # First write = MERGE against an empty target, so each
+            # policy's no-target result must equal its merge result:
+            # insert_only collapses duplicate keys, and full_sync
+            # keeps only in-scope, key-unique source rows (NULL/FALSE
+            # scope rows are ignored exactly as merge_full_sync and
+            # the Delta builder do — a sync against a new table and
+            # against an empty existing table now yield identical
+            # contents).
+            if policy == "insert_only":
+                merged = df.dropDuplicates(keys)
+            elif policy == "full_sync":
+                if sync_scope is None:
+                    raise ValueError("full_sync policy needs sync_scope")
+                merged = df.filter(
+                    F.coalesce(sync_scope, F.lit(False))
+                ).dropDuplicates(keys)
+            else:
+                merged = df
         elif self.backend == "delta":
             # true MERGE INTO: transactional, file-skipping, no rewrite
             merge_into_delta(

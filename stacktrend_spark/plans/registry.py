@@ -85,78 +85,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: exactly registry indices 0-49 get CORRECTNESS rows). Long-green
 #: rows rotate to the back — they are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-8 WINDOW (r7 verdict task 1: drain the backlog oldest-
-    # first). After r7 the cumulative ledger is 274/366 driver-proven
-    # with zero standing failures; 92 registered queries have never
-    # been inside a driver window. This window takes the 44 r6-era
-    # never-driven rows (the oldest of the backlog) plus the 6
-    # heaviest/changed r7 rows (merge_full_sync_orders and
-    # source_dynamic_partition_pruning also carry round-8 ADVICE
-    # fixes: NULL-safe scope + scoped source in merge_full_sync;
-    # cached DPP fixture dirs). The remaining 42 r7-era rows sit at
-    # positions 51+ and lead the r9 window, followed by the stale-
-    # rotation slots (r1/r2-era rows, oldest driver proof first —
-    # COVERAGE.md staleness ledger).
-    # -- the 44 r6-era never-driven rows --
-    "dedup_incremental_batch",
-    "er_sorted_neighborhood",
-    "hll_register_sketch",
-    "k_anonymity_audit",
-    "capped_running_balance",
-    "attribution_first_last_touch",
-    "band_join_price_pairs",
-    "partition_skew_audit",
-    "phrase_match_positions",
-    "stream_hll_daily_users",
-    "outlier_mahalanobis_2d",
-    "dbscan_grid_clusters",
-    "golden_record_survivorship",
-    "assoc_rules_lift",
-    "pca_power_iteration",
-    "survival_km_curve",
-    "bloom_filter_membership",
-    "seq_pattern_trigrams",
-    "stream_full_outer_attribution",
-    "item_item_collab_filter",
-    "dtw_nation_revenue",
-    "multimodal_image_dhash",
-    "mutual_info_pmi_cells",
-    "l_diversity_audit",
-    "isoweek_rollup_parity",
-    "stl_residual_outliers",
-    "lang_centroid_similarity",
-    "collocation_pmi_topk",
-    "gdpr_subject_access_export",
-    "conversion_latency_quantiles",
-    "huffman_code_cost",
-    "join_cardinality_estimate",
-    "bloom_prejoin_pruning",
-    "quantile_drift_boundaries",
-    "dispersion_index_basket",
-    "forecast_backtest_snaive",
-    "session_type_affinity",
-    "interevent_burstiness",
-    "capture_recapture_estimate",
-    "lexical_diversity_by_source",
-    "vocab_coverage_curve",
-    "array_hof_cosine_topk",
-    "zorder_vs_linear_skipping",
-    "recursive_amortization_native",
-    # -- heaviest / round-8-changed r7 rows (6) --
-    "merge_full_sync_orders",
-    "source_dynamic_partition_pruning",
-    "dedup_containment_star",
-    "source_leakage_matrix",
-    "matryoshka_truncation_agreement",
-    "multimodal_scene_diff",
-    # -- position 51+: NOT in the r8 window (driver reads the first
-    # 50). dedup_simhash_hamming leads: its filter-first rewrite
-    # landed in r7 after its last (r5) driver proof, so the current
-    # code needs a re-prove; then the remaining r7-era never-driven
-    # rows, then round-8 additions, then the stale-rotation candidates
-    # (COVERAGE.md ledger: the 35 r2-proven rows are oldest).
+    # ROUND-9 WINDOW (r8 verdict task 1: drain the 58-row never-driven
+    # backlog below one driver window; cap r9 registry growth at ~10).
+    # After r8 the cumulative ledger is 324/382 driver-proven with zero
+    # standing failures; 58 rows have never been inside a driver
+    # window (42 r7-era + 16 r8 additions), plus dedup_simhash_hamming
+    # whose r7 filter-first rewrite postdates its last (r5) driver
+    # proof. This window = that re-prove + all 42 r7-era rows + the 7
+    # heaviest r8 rows (the verdict-named bpe/pq/cluster-split trio
+    # plus the pretrain-mix panel and the SPRT monitor). The remaining
+    # 9 r8 rows sit at 51+ and lead the r10 window, followed by the
+    # stale-rotation pool (r1/r2-era rows, oldest driver proof first —
+    # COVERAGE.md staleness ledger); r9 additions are capped so
+    # never-driven ≤ 15 at round end.
+    # -- re-prove: code changed (r7) after last driver proof (r5) --
     "dedup_simhash_hamming",
-    # -- r7-era never-driven (lead the r9 window) --
+    # -- the 42 r7-era never-driven rows --
     "c4_boilerplate_ngrams",
     "quality_budget_cut",
     "curriculum_stage_assign",
@@ -199,13 +143,18 @@ _PRIORITY: tuple[str, ...] = (
     "arrow_scalar_udf_luhn",
     "pinball_loss_quantile_eval",
     "running_max_drawdown",
-    # -- r8 additions (throttled to ~15 per r7 verdict task 2) --
+    # -- the 7 heaviest r8 additions (close the 50-row window) --
+    "bpe_merge_unrolled",
+    "pq_codebook_train_iter",
+    "cluster_aware_split",
     "gopher_quality_rules",
-    "mixture_temperature_weights",
     "ngram_entropy_profile",
+    "mixture_temperature_weights",
+    "sprt_sequential_monitor",
+    # -- position 51+: NOT in the r9 window (driver reads the first
+    # 50). The 9 remaining r8 additions lead the r10 window --
     "brier_score_decomposition",
     "bh_fdr_segment_tests",
-    "sprt_sequential_monitor",
     "ann_nprobe_recall_sweep",
     "embedding_norm_outliers",
     "anti_join_null_semantics",
@@ -213,9 +162,47 @@ _PRIORITY: tuple[str, ...] = (
     "rfm_migration_matrix",
     "mode_imputation_nulls",
     "multimodal_vad_segments",
-    "bpe_merge_unrolled",
-    "pq_codebook_train_iter",
-    "cluster_aware_split",
+    # -- r9 additions (cap ~6 so never-driven ≤ 15 at r9 end) append
+    # here as they land --
+    # -- stale-rotation pool (oldest driver proof first; fills the
+    # rest of the r10 window after the rows above) --
+    "dedup_ngram_jaccard",  # r1 — the single oldest proof
+    # the 35 r2-proven rows (COVERAGE.md staleness ledger)
+    "agg_argminmax_orders",
+    "agg_percentiles",
+    "agg_regression",
+    "agg_string_concat_langs",
+    "cogroup_reconcile",
+    "cohort_retention_weekly",
+    "cube_revenue",
+    "funnel_signup_conversion",
+    "histogram_value_buckets",
+    "langdist_shares",
+    "map_hof_lang_shares",
+    "multimodal_features",
+    "outlier_iqr_filter",
+    "pipeline_corpus_curation",
+    "range_join_halfday_windows",
+    "resample_daily_gapfill",
+    "sample_stratified_hash",
+    "set_intersect_except",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "split_train_test",
+    "stream_dedup_events",
+    "stream_session_windows",
+    "stream_sliding_2d",
+    "stream_tumbling_daily",
+    "text_fingerprint",
+    "text_language_id",
+    "text_levenshtein_pairs",
+    "text_quality",
+    "text_regex_tokens",
+    "text_tfidf_topk",
+    "text_token_stats",
+    "udtf_bigrams",
+    "window_lead_ntile",
+    "zorder_layout_stats",
 )
 
 

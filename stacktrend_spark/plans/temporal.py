@@ -142,6 +142,7 @@ def range_join_halfday_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         # [06:00, 18:00) sits inside one day-band, so this adds no
         # replica — passed for correct-by-default operator usage (r8)
         end_band=F.date_trunc("day", F.col("w_end")),
+        band_step=F.expr("INTERVAL 1 DAY"),
     )
     return joined.groupBy("window_id").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -185,8 +185,13 @@ def test_full_sync_builder_wiring(spark, fake_delta):
         c for n, c, _ in fake_delta if n == "whenNotMatchedBySourceDelete"
     )
     assert del_cond == "t.part = 'new'"
-    # the feed reaching merge() is scoped + key-deduped
+    # the feed reaching merge() is scoped + key-deduped: only the
+    # in-scope (part='new', i.e. even-k) rows remain, keys unique
     src_df = next(df for n, _, df in fake_delta if n == "merge")
+    rows = src_df.collect()
+    assert all(r["part"] == "new" for r in rows)
+    keys = [r["k"] for r in rows]
+    assert len(keys) == len(set(keys)) and keys == [2]
 
 
 def test_full_sync_requires_contract(spark, fake_delta):

@@ -35,6 +35,7 @@ def test_range_join_probes_end_band(spark):
         band=F.date_trunc("day", F.col("w_start")),
         point_band=F.date_trunc("day", F.col("ts")),
         end_band=F.date_trunc("day", F.col("w_end")),
+        band_step=F.expr("INTERVAL 1 DAY"),
     )
     assert out.count() == 1  # matched via the end band
     # and a one-band interval is NOT duplicated by the probing
@@ -55,8 +56,75 @@ def test_range_join_probes_end_band(spark):
         band=F.date_trunc("day", F.col("w_start")),
         point_band=F.date_trunc("day", F.col("ts")),
         end_band=F.date_trunc("day", F.col("w_end")),
+        band_step=F.expr("INTERVAL 1 DAY"),
     )
     assert out2.count() == 1
+
+
+def test_range_join_spans_three_bands_and_requires_step(spark):
+    """An interval spanning 3+ bands keeps middle-band matches (r9:
+    sequence() replicas replaced the two-element start/end probe,
+    which silently dropped them), and end_band without band_step is
+    rejected instead of being a silent docstring constraint."""
+    from stacktrend_spark.operators.temporal import range_join_banded
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-02 12:00:00"), (2, "2024-01-03 23:00:00")],
+        "pid long, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(7, "2024-01-01 06:00:00", "2024-01-04 06:00:00")],
+        "iid long, w_start string, w_end string",
+    ).select(
+        "iid",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    kw = dict(
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        band=F.date_trunc("day", F.col("w_start")),
+        point_band=F.date_trunc("day", F.col("ts")),
+        end_band=F.date_trunc("day", F.col("w_end")),
+    )
+    out = range_join_banded(
+        points, iv, **kw, band_step=F.expr("INTERVAL 1 DAY")
+    )
+    # both points sit in MIDDLE bands of the 4-band interval
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+    with pytest.raises(ValueError):
+        range_join_banded(points, iv, **kw)  # end_band without step
+
+
+def test_asof_join_carries_matched_row_atomically(spark):
+    """If the winning right row has NULL in one payload column, the
+    output must carry that NULL — not back-fill the column from an
+    older right row (r9 ADVICE: per-column last(ignorenulls) mixed
+    rows)."""
+    from stacktrend_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 12:00:00")], "key string, lts string"
+    ).select("key", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 10:00:00", 1, "old"),
+            ("u", "2024-01-01 11:00:00", None, "new"),
+        ],
+        "key string, rts string, a int, b string",
+    ).select(
+        "key",
+        F.col("rts").cast("timestamp").alias("rts"),
+        "a",
+        "b",
+    )
+    row = asof_join(
+        left, right, key="key", left_ts="lts", right_ts="rts",
+        right_payload=["a", "b"],
+    ).collect()[0]
+    assert row["asof_b"] == "new"
+    assert row["asof_a"] is None  # NOT 1 from the older row
 
 
 def test_salted_join_rejects_small_side_preserving_hows(spark):
