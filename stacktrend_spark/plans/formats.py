@@ -16,7 +16,9 @@ distributed input.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +26,16 @@ from pyspark.sql import functions as F
 
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp with atexit cleanup: roundtrip queries legitimately
+    time their own write (the write IS the operator), but the
+    directories must not leak across bench runs (r8 verdict task 4)."""
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
 
 
 @register(
@@ -50,7 +62,7 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-invocation dir: a fixed path lets concurrent harness processes
     # overwrite each other's files mid-read
-    base = tempfile.mkdtemp(prefix="stacktrend_formats_")
+    base = _tmpdir(prefix="stacktrend_formats_")
     csv_path = f"{base}/nation_csv"
     json_path = f"{base}/region_json"
     orc_path = f"{base}/supplier_orc"
@@ -106,7 +118,7 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()  # bounded: 20 rows, write-side fixture only
     )
-    base = tempfile.mkdtemp(prefix="stacktrend_binfiles_")
+    base = _tmpdir(prefix="stacktrend_binfiles_")
     for row in docs:
         with open(os.path.join(base, f"{row.doc_id}.bin"), "wb") as fh:
             fh.write(row.text.encode("utf-8"))
@@ -146,7 +158,7 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="stacktrend_evo_")
+    base = _tmpdir(prefix="stacktrend_evo_")
     v1 = f"{base}/gen=1"
     v2 = f"{base}/gen=2"
     orders.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -191,7 +203,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    base = tempfile.mkdtemp(prefix="stacktrend_xml_")
+    base = _tmpdir(prefix="stacktrend_xml_")
     path = f"{base}/nation_xml"
     nation.write.format("xml").option("rowTag", "nation").save(path)
     n = (
@@ -237,7 +249,7 @@ def source_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    base = tempfile.mkdtemp(prefix="stacktrend_codec_")
+    base = _tmpdir(prefix="stacktrend_codec_")
     out = None
     for codec in ("gzip", "snappy", "zstd"):
         path = f"{base}/{codec}"
@@ -305,7 +317,7 @@ def source_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.col("l"))
         .alias("value")
     )
-    base = tempfile.mkdtemp(prefix="stacktrend_corrupt_")
+    base = _tmpdir(prefix="stacktrend_corrupt_")
     path = f"{base}/feed_jsonl"
     raw.write.mode("overwrite").text(path)
 

@@ -105,13 +105,31 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pruned_read_frame(spark, sf_dir)
 
 
-def _pruned_read_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared by the registered query and the plan-shape test."""
+#: fixture cache: sf_dir → hive-partitioned events dir. Same pattern
+#: as _DPP_FIXTURES (r8 verdict task 4): the partitioned table is a
+#: write-once INPUT — the measured operator is the PRUNED READ, so
+#: rebuilding it per invocation both leaked mkdtemp copies and folded
+#: a full write into every "warm" bench sample. atexit-cleaned.
+_HIVEPART_FIXTURES: dict[str, str] = {}
+
+
+def _hivepart_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    cached = _HIVEPART_FIXTURES.get(sf_dir)
+    if cached is not None:
+        return cached
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "value", "event_type"
     )
     base = tempfile.mkdtemp(prefix="stacktrend_hivepart_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    _HIVEPART_FIXTURES[sf_dir] = base
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+def _pruned_read_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the registered query and the plan-shape test."""
+    base = _hivepart_fixture_dir(spark, sf_dir)
     pruned = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
     return pruned.groupBy(
         F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day_no")

@@ -6,6 +6,8 @@ entry points (dfp:14-222 / prdfp:14-222).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,6 +18,16 @@ from stacktrend_spark.pipelines.validation import Rule, violation_counts
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.search_gen import randomized_search_queries
 from stacktrend_spark.sources.tables import load_table
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp with atexit cleanup: roundtrip queries legitimately
+    time their own write (the write IS the operator), but the
+    directories must not leak across bench runs (r8 verdict task 4)."""
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
 
 # ---------------------------------------------------------------------------
 # Keyword extraction over the documents table. The document's lang and
@@ -245,7 +257,7 @@ def pipeline_trend_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.pipelines.medallion import MedallionStore
     from stacktrend_spark.pipelines.orchestration import run_trend_pipeline
 
-    store = MedallionStore(tempfile.mkdtemp(prefix="trend_store_"))
+    store = MedallionStore(_tmpdir(prefix="trend_store_"))
     out = run_trend_pipeline(spark, store, bronze_repos(spark), AS_OF_DATE)
     tm = out["gold.tech_metrics"]
     return tm.select(
@@ -345,7 +357,7 @@ def pipeline_personal_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     repos = bronze_repos(spark, n=120)
     ids = [r[0] for r in bronze_repos_rows(n=120)]
-    store = MedallionStore(tempfile.mkdtemp(prefix="personal_store_"))
+    store = MedallionStore(_tmpdir(prefix="personal_store_"))
     out = run_personal_pipeline(
         spark, store, repos, bronze_activity(spark, ids, n=800), AS_OF_DATE
     )
