@@ -152,6 +152,53 @@ HEAVY = [
     "stream_scd2_asof_enrichment",
     "multimodal_scene_diff",
     "arrow_scalar_udf_luhn",
+    # r9 (r8 verdict task 5): every remaining registered row with
+    # sf0.1 warm > 1 s and no BENCH_SF1 entry — full >1 s alpha coverage
+    "cogroup_reconcile",
+    "pipeline_trend_gold",
+    "pipeline_personal_gold",
+    "stream_upsert_user_totals",
+    "recursive_cte_reachability",
+    "stream_stream_attribution",
+    "dedup_cluster_stats",
+    "dedup_star_clusters",
+    "langdist_shares",
+    "bucketed_join_colocated",
+    "degree_assortativity",
+    "hybrid_rrf_fusion",
+    "source_leakage_matrix",
+    "lateral_top2_orders",
+    "stream_stateful_totals",
+    "multimodal_frame_offsets",
+    "pca_power_iteration",
+    "cluster_aware_split",
+    "assoc_rules_lift",
+    "recursive_amortization_native",
+    "multimodal_features",
+    "multimodal_patch_grid",
+    "table_column_stats",
+    "multimodal_image_dhash",
+    "dedup_clusters",
+    "multimodal_audio_windows",
+    "dedup_ngram_jaccard",
+    "stream_kmv_daily_users",
+    "stream_dedup_events",
+    "table_diff_by_fingerprint",
+    "negative_sampling_pairs",
+    "stream_dedup_within_watermark",
+    "stream_cms_event_counters",
+    "dedup_simhash",
+    "sim_lsh_topk",
+    "label_propagation_communities",
+    "conformal_calibration_quantile",
+    "pq_codebook_train_iter",
+    "dedup_incremental_batch",
+    "fellegi_sunter_weights",
+    "stream_hll_daily_users",
+    "quantile_normalize_lengths",
+    "stream_session_windows",
+    "q2_min_cost_supplier",
+    "powerlaw_degree_fit",
 ]
 
 _REPLICAS = 10
