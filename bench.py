@@ -306,6 +306,8 @@ HEADLINE = [
     "pipeline_personal_gold",
     "pipeline_semantic_curation",
     "multimodal_patch_grid",
+    # r9: the SemDeDup cell-scoped scale twin of dedup_embedding_cosine
+    "dedup_semdedup_pairs",
 ]
 
 #: Exclusion manifest (r7 verdict task 3 — "no silent caps"): every

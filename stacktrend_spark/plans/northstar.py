@@ -702,12 +702,111 @@ def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-dup pairs via bucket equi-join (label = coarse cell).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OUTPUT CONTRACT (r9 adjudication, SCALE.md "Round-9 scale
+    # notes"): this row enumerates EVERY same-label pair with cosine
+    # >= threshold — it is the exact ground truth the cell-scoped
+    # SemDeDup twin (`dedup_semdedup_pairs`, the 100 TB path) is
+    # judged against, so its cost is inherently Σ label-bucket² pair
+    # scoring and its sf1 exponent measures the contract, not the
+    # plan. ORACLE_BASELINE tier in tools/bench_sf1.py, same standing
+    # as dedup_minhash_lsh / matryoshka_truncation_agreement.
+    #
     # max_bucket_rows arms the hot-bucket triangle-grid guard: cold
     # buckets plan g=1 (plain bucket join); a bucket past 50k rows
     # splits into independent cell tasks (operators/similarity.py)
     return cosine_near_dup_pairs(
         _emb_corpus(spark, sf_dir),
         threshold=_NEAR_DUP_THRESHOLD,
+        dim=64,
+        max_bucket_rows=50_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 5b — SemDeDup cell-scoped near-duplicates: the 100 TB scale
+# path for embedding near-dup (arXiv:2303.09540 shape). Candidates are
+# restricted to pairs sharing BOTH the coarse label bucket AND the
+# Lloyd-assigned k-means cell (the IVF coarse quantizer that
+# kmeans_assign_cells trains), so pair volume drops from Σ bucket² to
+# Σ (bucket∩cell)² — at 100 TB, with the table written partitioned by
+# cell, the pairing is a co-located per-cell task and the corpus never
+# crosses a shuffle twice. The tradeoff is SemDeDup's: a true near-dup
+# pair assigned to different cells is missed — dedup_embedding_cosine
+# (oracle-baseline tier) is the exact ground truth for that recall.
+# Cell assignment is bit-identical on both engines (the
+# kmeans_assign_cells parity contract: left-fold dist², (dist2, cid)
+# tie-break).
+# ---------------------------------------------------------------------------
+_SEMDEDUP_K = 8  # corpus vec_id < K seeds the quantizer (kmeans_assign_cells)
+
+
+@register(
+    "dedup_semdedup_pairs",
+    oracle=f"""
+        WITH emb AS ({_SQL_EMB_CORPUS}),
+        cent AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM emb WHERE vec_id < {_SEMDEDUP_K}
+        ),
+        pts AS (
+            SELECT vec_id, label, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM emb
+        ),
+        d AS (
+            SELECT p.vec_id, c.cid,
+                   list_dot_product(p.v, p.v) + list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(p.v, c.cvec) AS dist2
+            FROM pts p CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, cid) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ),
+        cells AS (
+            SELECT p.vec_id, p.label, p.embedding, a.cid
+            FROM pts p JOIN assign a USING (vec_id)
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {sql_round(_SQL_PAIR_COSINE, 6)} AS cosine_sim
+        FROM cells a
+        JOIN cells b ON a.label = b.label AND a.cid = b.cid
+                    AND a.vec_id < b.vec_id
+        WHERE {sql_round(_SQL_PAIR_COSINE, 6)} >= {_NEAR_DUP_THRESHOLD}
+    """,
+    doc=(
+        "SemDeDup cell-scoped near-dup pairs: Lloyd cell (IVF coarse "
+        "quantizer) × label bucket bounds the candidate space; exact "
+        "twin/ground truth = dedup_embedding_cosine (oracle-baseline)."
+    ),
+)
+def dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.similarity import with_cell_arrow
+
+    corpus = _emb_corpus(spark, sf_dir)
+    cent_rows = (
+        corpus.filter(F.col("vec_id") < _SEMDEDUP_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
+    ]
+    # map-only fused assignment (no corpus ⋈ assignment shuffle), then
+    # the pairing key narrows to (label, cell)
+    assigned = with_cell_arrow(corpus, centroids, 64, out_col="cell")
+    bucketed = assigned.withColumn(
+        "_bucket", F.concat_ws(":", F.col("label"), F.col("cell").cast("string"))
+    )
+    return cosine_near_dup_pairs(
+        bucketed,
+        threshold=_NEAR_DUP_THRESHOLD,
+        bucket_col="_bucket",
         dim=64,
         max_bucket_rows=50_000,
     )

@@ -164,6 +164,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_vad_segments",
     # -- r9 additions (cap ~6 so never-driven ≤ 15 at r9 end) append
     # here as they land --
+    "dedup_semdedup_pairs",
     # -- stale-rotation pool (oldest driver proof first; fills the
     # rest of the r10 window after the rows above) --
     "dedup_ngram_jaccard",  # r1 — the single oldest proof

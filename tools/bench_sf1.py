@@ -65,12 +65,17 @@ ORACLE_BASELINE = [
     # exponent measures the contract (alpha=0.84, 17.4 s warm at sf1
     # in r7), not the plan.
     "matryoshka_truncation_agreement",
+    # r9 (r8 verdict task 6): exhaustive same-label pair enumeration —
+    # the exact ground truth its cell-scoped SemDeDup twin
+    # (dedup_semdedup_pairs, HEAVY) is judged against; alpha measures
+    # the contract (Σ bucket² pair mass), not the plan.
+    "dedup_embedding_cosine",
 ]
 
 #: the 6 heaviest bench queries (BENCH_FULL r4) and the tables they read
 HEAVY = [
     "pipeline_semdedup",
-    "dedup_embedding_cosine",
+    "dedup_semdedup_pairs",
     "sim_ivf_multiprobe",
     "triangle_count_copurchase",
     "customer_rfm_scores",
