@@ -318,6 +318,7 @@ HEADLINE = [
 EXCLUDE_TIER_REASONS = {
     # ground-truth baselines whose scale-safe twins are the headline
     "dedup_ngram_jaccard": "O(N²)-family ground-truth baseline; headline twin: dedup_minhash_lsh/dedup_minhash_star",
+    "semdedup_recall_eval": "recall eval that runs the exhaustive ground truth inside itself; headline twin: dedup_semdedup_pairs",
 }
 EXCLUDE_DEFAULT_REASON = (
     "outside HEADLINE to bound bench wall time; one-shot timing "

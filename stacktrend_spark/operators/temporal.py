@@ -9,10 +9,10 @@ their scale properties honest:
 
 - **as-of join** (most recent right row at-or-before each left row,
   per key): implemented as union → per-key event-time sort → carry the
-  last right payload with ``last(..., ignorenulls=True)`` → filter back
-  to left rows. ONE shuffle on the key, no range blow-up, no skewed
-  inequality join — the standard distributed as-of plan. (A sort-merge
-  inequality join would be O(|L|·|R|) per key.)
+  last right ROW atomically (one ``last(struct(...), ignorenulls=True)``)
+  → filter back to left rows. ONE shuffle on the key, no range
+  blow-up, no skewed inequality join — the standard distributed as-of
+  plan. (A sort-merge inequality join would be O(|L|·|R|) per key.)
 - **banded range join** (point-in-interval): equi-join on a coarse
   time bucket first, verify the exact range second. Each interval is
   replicated to every band it touches (``sequence(band, end_band,

@@ -923,13 +923,23 @@ def phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # 100 TB: the semantic leg is the broadcast-queries cosine kernel
 # (swap in the IVF variant for corpus scale); the lexical leg is a
-# posting-list equi-join (only docs SHARING a word are candidates);
-# the fusion itself joins two k-bounded lists — #queries × k rows.
-# Windows are per-query partitions, never global.
+# posting-list equi-join (only docs SHARING a word are candidates)
+# over a DF-CAPPED vocabulary — words in more than _RRF_MAXDF docs are
+# dropped from BOTH legs of the overlap, exactly what production
+# retrieval does to stopword postings (an uncapped posting join was
+# MEASURED quadratic: r9 sf1 spot-bench caught alpha=1.71 / 73 s at
+# sf1 because every stopword's posting list grows with the corpus and
+# every query joins all of them; with the cap, per-word fan-out is a
+# CONSTANT and the leg is linear in corpus size — SCALE.md Round-9).
+# The cap cannot bite below _RRF_MAXDF documents, so driver-scale
+# (sf0.01/0.001) output is unchanged. The fusion itself joins two
+# k-bounded lists — #queries × k rows. Windows are per-query
+# partitions, never global.
 # ---------------------------------------------------------------------------
 _RRF_K = 60
 _RRF_LIST = 20
 _RRF_OUT = 10
+_RRF_MAXDF = 1000  # max posting length a word may contribute
 
 
 def _rrf_oracle() -> str:
@@ -947,10 +957,17 @@ def _rrf_oracle() -> str:
                 WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
             ) t WHERE rank_sem <= {_RRF_LIST}
         ),
-        words AS (
+        words_all AS (
             SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' '))
                        AS w
             FROM documents
+        ),
+        df AS (
+            SELECT w FROM words_all GROUP BY w
+            HAVING COUNT(*) <= {_RRF_MAXDF}
+        ),
+        words AS (
+            SELECT doc_id, w FROM words_all WHERE w IN (SELECT w FROM df)
         ),
         lex AS (
             SELECT * FROM (
@@ -1008,9 +1025,19 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
+    words_all = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
     ).distinct()
+    # DF cap: drop words whose posting list exceeds _RRF_MAXDF docs
+    # (stopword postings grow with the corpus; everything downstream
+    # is bounded per word once they are gone — see header note)
+    kept_vocab = (
+        words_all.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _RRF_MAXDF)
+        .select("w")
+    )
+    words = words_all.join(kept_vocab, "w", "left_semi")
     qw = words.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), "w"
     )

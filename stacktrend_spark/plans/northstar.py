@@ -813,6 +813,109 @@ def dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup 5c — SemDeDup recall eval: measures what the cell-scoped twin
+# actually finds against the exhaustive ground truth, per cosine band
+# (floor(sim·20): 0.05-wide bands over [threshold, 1]). Cell-scoped
+# pairs are a SUBSET of the exhaustive pairs by construction (the cell
+# only restricts candidates), so recall_bp = found·10⁴ // true needs
+# no pair join — two aggregates over the two pair sets. This is the
+# recall number the dedup_embedding_cosine oracle-baseline tier exists
+# to provide; same pattern as ann_recall_eval for the IVF family.
+# Runs the exhaustive baseline, so it shares that row's cost contract
+# (ORACLE_BASELINE in tools/bench_sf1.py).
+# ---------------------------------------------------------------------------
+_SQL_SEMDEDUP_CELLS = f"""
+        cent AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM emb WHERE vec_id < {_SEMDEDUP_K}
+        ),
+        pts AS (
+            SELECT vec_id, label, embedding,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM emb
+        ),
+        d AS (
+            SELECT p.vec_id, c.cid,
+                   list_dot_product(p.v, p.v) + list_dot_product(c.cvec, c.cvec)
+                     - 2 * list_dot_product(p.v, c.cvec) AS dist2
+            FROM pts p CROSS JOIN cent c
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist2, cid) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ),
+        cells AS (
+            SELECT p.vec_id, p.label, p.embedding, a.cid
+            FROM pts p JOIN assign a USING (vec_id)
+        )
+"""
+
+
+@register(
+    "semdedup_recall_eval",
+    oracle=f"""
+        WITH emb AS ({_SQL_EMB_CORPUS}),
+        {_SQL_SEMDEDUP_CELLS},
+        tp AS (
+            SELECT {sql_round(_SQL_PAIR_COSINE, 6)} AS c
+            FROM cells a JOIN cells b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {sql_round(_SQL_PAIR_COSINE, 6)} >= {_NEAR_DUP_THRESHOLD}
+        ),
+        fp AS (
+            SELECT {sql_round(_SQL_PAIR_COSINE, 6)} AS c
+            FROM cells a JOIN cells b
+              ON a.label = b.label AND a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE {sql_round(_SQL_PAIR_COSINE, 6)} >= {_NEAR_DUP_THRESHOLD}
+        ),
+        tb AS (SELECT CAST(FLOOR(c * 20) AS BIGINT) AS cosine_band,
+                      COUNT(*) AS n_true
+               FROM tp GROUP BY 1),
+        fb AS (SELECT CAST(FLOOR(c * 20) AS BIGINT) AS cosine_band,
+                      COUNT(*) AS n_found
+               FROM fp GROUP BY 1)
+        SELECT tb.cosine_band,
+               CAST(tb.n_true AS BIGINT)              AS n_true,
+               CAST(COALESCE(fb.n_found, 0) AS BIGINT) AS n_found,
+               CAST(COALESCE(fb.n_found, 0) * 10000 // tb.n_true AS BIGINT)
+                   AS recall_bp
+        FROM tb LEFT JOIN fb ON tb.cosine_band = fb.cosine_band
+    """,
+    doc=(
+        "SemDeDup recall per 0.05 cosine band: cell-scoped pair counts "
+        "vs the exhaustive ground truth (exact integer basis points)."
+    ),
+)
+def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    true_pairs = dedup_embedding_cosine(spark, sf_dir)
+    found_pairs = dedup_semdedup_pairs(spark, sf_dir)
+    band = lambda df: df.select(  # noqa: E731
+        F.floor(F.col("cosine_sim") * 20).cast("long").alias("cosine_band")
+    )
+    tb = band(true_pairs).groupBy("cosine_band").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    fb = band(found_pairs).groupBy("cosine_band").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return (
+        tb.join(fb, "cosine_band", "left")
+        .select(
+            "cosine_band",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias("n_found"),
+        )
+        # integer DIV (not double /): exact on both engines
+        .withColumn("recall_bp", F.expr("CAST(n_found * 10000 DIV n_true AS LONG)"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1 — language_distribution as a pure column expression (map-valued
 # UDF of the reference, b2s:403-445/616-618), exploded to rows so the
 # map is value-checkable. Repos are synthesized deterministically from

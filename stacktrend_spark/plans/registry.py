@@ -152,7 +152,10 @@ _PRIORITY: tuple[str, ...] = (
     "mixture_temperature_weights",
     "sprt_sequential_monitor",
     # -- position 51+: NOT in the r9 window (driver reads the first
-    # 50). The 9 remaining r8 additions lead the r10 window --
+    # 50). Changed-code re-prove first (r9 DF-cap rewrite of the
+    # lexical leg postdates its r7 proof), then the 9 remaining r8
+    # additions — together they lead the r10 window --
+    "hybrid_rrf_fusion",
     "brier_score_decomposition",
     "bh_fdr_segment_tests",
     "ann_nprobe_recall_sweep",
@@ -165,6 +168,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- r9 additions (cap ~6 so never-driven ≤ 15 at r9 end) append
     # here as they land --
     "dedup_semdedup_pairs",
+    "semdedup_recall_eval",
     # -- stale-rotation pool (oldest driver proof first; fills the
     # rest of the r10 window after the rows above) --
     "dedup_ngram_jaccard",  # r1 — the single oldest proof

@@ -114,3 +114,46 @@ def test_kcore_checkpoint_every_preserves_result(spark, sf_dir):
         )
 
     assert run(0) == run(2)  # lineage and truncated plans agree exactly
+
+
+def test_semdedup_pairs_subset_of_exhaustive(spark, sf_dir):
+    """Cell scoping only RESTRICTS candidates: every cell-scoped pair
+    must appear in the exhaustive same-label set, with the identical
+    rounded cosine."""
+    from stacktrend_spark.plans.northstar import (
+        dedup_embedding_cosine,
+        dedup_semdedup_pairs,
+    )
+
+    true_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    found = dedup_semdedup_pairs(spark, sf_dir).collect()
+    assert found, "cell scoping must not empty the planted near-dups"
+    for r in found:
+        assert (r["id_a"], r["id_b"]) in true_pairs
+        assert r["cosine_sim"] == true_pairs[(r["id_a"], r["id_b"])]
+
+
+def test_semdedup_recall_eval_consistency(spark, sf_dir):
+    """recall_bp is the exact integer bp of n_found/n_true per band,
+    n_found <= n_true, and the banded totals reconcile with the two
+    pair sets."""
+    from stacktrend_spark.plans.northstar import (
+        dedup_embedding_cosine,
+        dedup_semdedup_pairs,
+        semdedup_recall_eval,
+    )
+
+    rows = semdedup_recall_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_found"] <= r["n_true"]
+        assert r["recall_bp"] == r["n_found"] * 10000 // r["n_true"]
+    assert sum(r["n_true"] for r in rows) == dedup_embedding_cosine(
+        spark, sf_dir
+    ).count()
+    assert sum(r["n_found"] for r in rows) == dedup_semdedup_pairs(
+        spark, sf_dir
+    ).count()

@@ -70,6 +70,11 @@ ORACLE_BASELINE = [
     # (dedup_semdedup_pairs, HEAVY) is judged against; alpha measures
     # the contract (Σ bucket² pair mass), not the plan.
     "dedup_embedding_cosine",
+    # r9: runs the exhaustive baseline inside the eval — same contract
+    "semdedup_recall_eval",
+    # r9: the O(N²) all-pairs n-gram jaccard ground truth (bench.py
+    # exclusion tier agrees); headline twins: dedup_minhash_*
+    "dedup_ngram_jaccard",
 ]
 
 #: the 6 heaviest bench queries (BENCH_FULL r4) and the tables they read
@@ -185,7 +190,6 @@ HEAVY = [
     "multimodal_image_dhash",
     "dedup_clusters",
     "multimodal_audio_windows",
-    "dedup_ngram_jaccard",
     "stream_kmv_daily_users",
     "stream_dedup_events",
     "table_diff_by_fingerprint",
