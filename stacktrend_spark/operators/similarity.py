@@ -95,6 +95,32 @@ def pairwise_cosine_arrow(
     return pairs.mapInArrow(kernel, schema)
 
 
+def _prep_centroids(
+    centroids: list[tuple[int, list[float]]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cids, C, cc): cid-sorted centroid ids, matrix, and per-centroid
+    self-dots in the pinned left-fold order — the shared closure state
+    of rank_cells_arrow / with_cell_arrow (extracted r9; the r8 review
+    flagged the duplication)."""
+    cents = sorted(centroids, key=lambda t: t[0])
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    return cids, C, _seq_dot(C, C)
+
+
+def _centroid_dist2(A: np.ndarray, C: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """(n, k) squared-L2 matrix in the PINNED parity op order:
+    d2[:, j] = (⟨a,a⟩ + ⟨c_j,c_j⟩) − 2·⟨a,c_j⟩, every dot sequential
+    left-fold (_seq_dot) — bit-identical to the DuckDB oracle's
+    list_dot_product form. Any change here moves hashed surfaces."""
+    aa = _seq_dot(A, A)
+    d2 = np.empty((len(A), len(cc)), dtype=np.float64)
+    for j in range(len(cc)):
+        ac = _seq_dot(A, np.broadcast_to(C[j], A.shape))
+        d2[:, j] = (aa + cc[j]) - 2.0 * ac
+    return d2
+
+
 def rank_cells_arrow(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -118,10 +144,7 @@ def rank_cells_arrow(
     broken by ascending cid via a stable argsort over cid-ordered
     columns, matching ORDER BY dist2, cid.
     """
-    cents = sorted(centroids, key=lambda t: t[0])
-    cids = np.array([c for c, _ in cents], dtype=np.int64)
-    C = np.array([v for _, v in cents], dtype=np.float64)
-    cc = _seq_dot(C, C)  # per-centroid self-dot, same fold order
+    cids, C, cc = _prep_centroids(centroids)
     k = len(cids)
     schema = StructType(
         [f for f in df.schema.fields if f.name == id_col]
@@ -132,11 +155,7 @@ def rank_cells_arrow(
             ids = b.column(b.schema.get_field_index(id_col))
             A = _np_mat(b, vec_col, dim)
             n = len(A)
-            aa = _seq_dot(A, A)
-            d2 = np.empty((n, k), dtype=np.float64)
-            for j in range(k):
-                ac = _seq_dot(A, np.broadcast_to(C[j], A.shape))
-                d2[:, j] = (aa + cc[j]) - 2.0 * ac
+            d2 = _centroid_dist2(A, C, cc)
             order = np.argsort(d2, axis=1, kind="stable")  # ties → lower cid
             yield pa.RecordBatch.from_arrays(
                 [
@@ -167,22 +186,14 @@ def with_cell_arrow(
     ``df.join(assignment, id)`` round-trip (a full shuffle of the
     corpus both sides) with zero extra stages. Same dist² parity
     contract as rank_cells_arrow."""
-    cents = sorted(centroids, key=lambda t: t[0])
-    cids = np.array([c for c, _ in cents], dtype=np.int64)
-    C = np.array([v for _, v in cents], dtype=np.float64)
-    cc = _seq_dot(C, C)
-    k = len(cids)
+    cids, C, cc = _prep_centroids(centroids)
     names = [f.name for f in df.schema.fields]
     schema = StructType(list(df.schema.fields)).add(out_col, LongType())
 
     def kernel(batches):
         for b in batches:
             A = _np_mat(b, vec_col, dim)
-            aa = _seq_dot(A, A)
-            d2 = np.empty((len(A), k), dtype=np.float64)
-            for j in range(k):
-                ac = _seq_dot(A, np.broadcast_to(C[j], A.shape))
-                d2[:, j] = (aa + cc[j]) - 2.0 * ac
+            d2 = _centroid_dist2(A, C, cc)
             # stable argmin == rank-1 of (dist2, cid): first minimal
             # column index over cid-ordered columns
             best = cids[np.argmin(d2, axis=1)]
@@ -352,6 +363,36 @@ def cosine_topk(
     )
 
 
+def _bucket_chunk_factors(
+    embeddings: DataFrame, bucket_col: str, max_bucket_rows: int
+) -> DataFrame:
+    """(bucket, _g): the hot-bucket split factor table — g =
+    ceil(bucket_rows / max_bucket_rows), 1 for cold buckets. Tiny
+    (one row per bucket) and broadcast by callers; shared by the
+    join-path and grouped-kernel near-dup plans (extracted r9; the r8
+    review flagged the duplication)."""
+    return (
+        embeddings.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .select(
+            "bucket",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_bn") / F.lit(max_bucket_rows))
+            )
+            .cast("int")
+            .alias("_g"),
+        )
+    )
+
+
+def _with_chunk(sides: DataFrame, counts: DataFrame) -> DataFrame:
+    """sides + (_g, _c): join the broadcast split-factor table and
+    assign each row its deterministic chunk (hash of id mod g)."""
+    return sides.join(F.broadcast(counts), "bucket").withColumn(
+        "_c", F.pmod(F.hash(F.col("id")), F.col("_g"))
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -409,20 +450,8 @@ def cosine_near_dup_pairs(
     join_keys = ["bucket"]
     if max_bucket_rows is not None:
         # per-bucket split factor from a (tiny, broadcast) count table
-        counts = (
-            embeddings.groupBy(F.col(bucket_col).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .select(
-                "bucket",
-                F.greatest(
-                    F.lit(1), F.ceil(F.col("_bn") / F.lit(max_bucket_rows))
-                )
-                .cast("int")
-                .alias("_g"),
-            )
-        )
-        sides = sides.join(F.broadcast(counts), "bucket").withColumn(
-            "_c", F.pmod(F.hash(F.col("id")), F.col("_g"))
+        sides = _with_chunk(
+            sides, _bucket_chunk_factors(embeddings, bucket_col, max_bucket_rows)
         )
         join_keys = ["bucket", "_cx", "_cy"]
         a = sides.select(
@@ -506,20 +535,8 @@ def _near_dup_pairs_grouped(
         F.col(vec_col).alias("vec"),
     )
     if max_bucket_rows is not None:
-        counts = (
-            embeddings.groupBy(F.col(bucket_col).alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .select(
-                "bucket",
-                F.greatest(
-                    F.lit(1), F.ceil(F.col("_bn") / F.lit(max_bucket_rows))
-                )
-                .cast("int")
-                .alias("_g"),
-            )
-        )
-        chunked = sides.join(F.broadcast(counts), "bucket").withColumn(
-            "_c", F.pmod(F.hash(F.col("id")), F.col("_g"))
+        chunked = _with_chunk(
+            sides, _bucket_chunk_factors(embeddings, bucket_col, max_bucket_rows)
         )
         a = chunked.select(
             "id", "bucket", "vec",
