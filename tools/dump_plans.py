@@ -244,6 +244,22 @@ SHOWCASE = [
         "aggregate, joined back key-local on doc_id; the per-source rollup "
         "is a partial+final HashAggregate pair. No UDF, no global window.",
     ),
+    (
+        "dedup_semdedup_pairs",
+        "r9 SemDeDup scale twin: the cell assignment is ONE map-only "
+        "mapInArrow pass (broadcast centroids in the closure, no corpus "
+        "join), the chunk-factor table joins as a BroadcastHashJoin, and "
+        "the pair scoring is an applyInPandas over (bucket, cell) groups — "
+        "the corpus crosses exactly one shuffle.",
+    ),
+    (
+        "hybrid_rrf_fusion",
+        "r9 DF-capped hybrid retrieval: the lexical leg's vocabulary is "
+        "LeftSemi-joined against the df<=cap word set BEFORE the posting "
+        "join, so per-word fan-out is a constant (uncapped postings were "
+        "measured quadratic — SCALE.md); both ranking windows are "
+        "per-query partitions, never global.",
+    ),
 ]
 
 
