@@ -798,11 +798,17 @@ def dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent_rows
     ]
     # map-only fused assignment (no corpus ⋈ assignment shuffle), then
-    # the pairing key narrows to (label, cell)
+    # the pairing key narrows to (label, cell). PERSISTED: the pairing
+    # plan consumes the assigned corpus three times (A-side, B-side,
+    # chunk-factor counts) and without the cache each consumer re-runs
+    # the scan+assign kernel (seen in PLANS.md: MapInArrow ×2 + counts;
+    # at 100 TB you cache to cluster storage or pre-materialize the
+    # cell column at write time). Cannot unpersist here — the result
+    # depends on it lazily; bench/verify clear the cache per query.
     assigned = with_cell_arrow(corpus, centroids, 64, out_col="cell")
     bucketed = assigned.withColumn(
         "_bucket", F.concat_ws(":", F.col("label"), F.col("cell").cast("string"))
-    )
+    ).persist()
     return cosine_near_dup_pairs(
         bucketed,
         threshold=_NEAR_DUP_THRESHOLD,

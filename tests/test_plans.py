@@ -636,3 +636,28 @@ def test_nprobe_sweep_is_cell_bounded(spark, sf_dir):
     p = plan_of(all_queries()["ann_nprobe_recall_sweep"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_semdedup_twin_plan_shape(spark, sf_dir):
+    """The r9 SemDeDup scale twin: cell assignment is map-only
+    (MapInArrow, broadcast centroids in the closure — no corpus join),
+    chunk factors join as a broadcast hash join, pair scoring is a
+    grouped Pandas kernel, and nothing degenerates to a cartesian."""
+    from stacktrend_spark.plans.northstar import dedup_semdedup_pairs
+
+    p = plan_of(dedup_semdedup_pairs(spark, sf_dir))
+    assert "MapInArrow" in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "BroadcastHashJoin" in p  # the tiny chunk-factor table
+    assert "CartesianProduct" not in p
+
+
+def test_rrf_lexical_leg_is_df_capped(spark, sf_dir):
+    """The r9 DF-cap fix: the posting join's vocabulary must be
+    LeftSemi-filtered against the df<=cap word set BEFORE the overlap
+    join (uncapped postings were measured quadratic — SCALE.md r9)."""
+    from stacktrend_spark.plans.mlprep import hybrid_rrf_fusion
+
+    p = plan_of(hybrid_rrf_fusion(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
