@@ -942,11 +942,13 @@ _RRF_OUT = 10
 _RRF_MAXDF = 1000  # max posting length a word may contribute
 
 
-def _rrf_oracle() -> str:
+def _sql_rank_legs() -> str:
+    """The shared sem/lex ranking CTE block (both the RRF fusion and
+    the RBO eval consume exactly these two lists)."""
     from stacktrend_spark.plans.northstar import _SQL_COSINE
 
     return f"""
-        WITH sem AS (
+        sem AS (
             SELECT * FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
                        CAST(ROW_NUMBER() OVER (
@@ -981,7 +983,12 @@ def _rrf_oracle() -> str:
                 WHERE a.doc_id % 100 = 0
                 GROUP BY a.doc_id, b.doc_id
             ) t WHERE rank_lex <= {_RRF_LIST}
-        ),
+        )"""
+
+
+def _rrf_oracle() -> str:
+    return f"""
+        WITH {_sql_rank_legs()},
         fused AS (
             SELECT COALESCE(s.query_id, l.query_id) AS query_id,
                    COALESCE(s.doc_id, l.doc_id)     AS doc_id,
@@ -1013,45 +1020,8 @@ def _rrf_oracle() -> str:
     ),
 )
 def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stacktrend_spark.operators.similarity import cosine_topk
-    from stacktrend_spark.sources.tables import fan_out
-
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    sem = cosine_topk(emb, queries, k=_RRF_LIST, dim=64).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("sim_rank").alias("rank_sem"),
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    words_all = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    ).distinct()
-    # DF cap: drop words whose posting list exceeds _RRF_MAXDF docs
-    # (stopword postings grow with the corpus; everything downstream
-    # is bounded per word once they are gone — see header note)
-    kept_vocab = (
-        words_all.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= _RRF_MAXDF)
-        .select("w")
-    )
-    words = words_all.join(kept_vocab, "w", "left_semi")
-    qw = words.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"), "w"
-    )
-    wl = W.partitionBy("query_id").orderBy(F.desc("common"), F.asc("doc_id"))
-    lex = (
-        qw.join(words, "w")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("common"))
-        .withColumn("rank_lex", F.row_number().over(wl).cast("long"))
-        .filter(F.col("rank_lex") <= _RRF_LIST)
-        .select("query_id", "doc_id", "rank_lex")
-    )
-
+    sem = _sem_leg(spark, sf_dir)
+    lex = _lex_leg(spark, sf_dir)
     fused = (
         sem.join(lex, ["query_id", "doc_id"], "full_outer")
         .select(
@@ -1083,6 +1053,151 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_sem",
             "rank_lex",
         )
+    )
+
+
+def _sem_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, rank_sem): cosine top-_RRF_LIST per query."""
+    from stacktrend_spark.operators.similarity import cosine_topk
+    from stacktrend_spark.sources.tables import fan_out
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, queries, k=_RRF_LIST, dim=64).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("sim_rank").alias("rank_sem"),
+    )
+
+
+def _lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, rank_lex): DF-capped word-overlap
+    top-_RRF_LIST per query (see the header note on the cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words_all = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).distinct()
+    # DF cap: drop words whose posting list exceeds _RRF_MAXDF docs
+    # (stopword postings grow with the corpus; everything downstream
+    # is bounded per word once they are gone)
+    kept_vocab = (
+        words_all.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= _RRF_MAXDF)
+        .select("w")
+    )
+    words = words_all.join(kept_vocab, "w", "left_semi")
+    qw = words.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("common"), F.asc("doc_id"))
+    return (
+        qw.join(words, "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn("rank_lex", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank_lex") <= _RRF_LIST)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap (Webber et al., TOIS 2010) between the two RRF
+# legs — the top-weighted list-similarity eval the fusion family was
+# missing (ndcg/recall judge one list against relevance; RBO judges
+# two RANKINGS against each other: "how much do the semantic and
+# lexical retrievers agree, weighted toward the top?").
+#
+#   RBO@k = Σ_{d=1..k} (1−p)·p^{d−1} · |A_:d ∩ B_:d| / d
+#
+# Exactness contract: the depth weights (1−p)·p^{d−1} are precomputed
+# ONCE in Python, scaled to 1e8 integers, and injected as the same
+# literals into both engines; each depth term is weight·overlap DIV d
+# (per-term floor, documented), so every score is a sum of int64 terms
+# — order-independent, bit-identical. A matched doc contributes to all
+# depths d ≥ max(rank_sem, rank_lex); queries whose lists share
+# nothing emit rbo_scaled = 0 via the left join from the semantic
+# query spine (the sem leg always yields k rows per query).
+#
+# 100 TB: both legs are the RRF legs (broadcast-queries cosine;
+# DF-capped posting join); the matched set is ≤ k rows per query, the
+# depth explode ≤ k× that, and all windows are per-query. Nothing
+# touches the corpus beyond the legs themselves.
+# ---------------------------------------------------------------------------
+_RBO_P = 0.9
+_RBO_SCALE = 10**8
+_RBO_W = [
+    int((1.0 - _RBO_P) * _RBO_P ** (d - 1) * _RBO_SCALE + 0.5)
+    for d in range(1, _RRF_LIST + 1)
+]
+
+
+def _rbo_oracle() -> str:
+    weights = ", ".join(f"({d}, {w})" for d, w in enumerate(_RBO_W, start=1))
+    return f"""
+        WITH {_sql_rank_legs()},
+        wt (d, w) AS (VALUES {weights}),
+        matched AS (
+            SELECT s.query_id,
+                   GREATEST(s.rank_sem, l.rank_lex) AS dmin
+            FROM sem s JOIN lex l
+              ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+        ),
+        ov AS (
+            SELECT m.query_id, wt.d, wt.w, COUNT(*) AS c
+            FROM matched m JOIN wt ON wt.d >= m.dmin
+            GROUP BY 1, 2, 3
+        ),
+        rbo AS (
+            SELECT query_id,
+                   SUM(CAST(w * c // d AS BIGINT)) AS rbo_scaled,
+                   MAX(c) AS n_common
+            FROM ov GROUP BY 1
+        ),
+        spine AS (SELECT DISTINCT query_id FROM sem)
+        SELECT spine.query_id,
+               CAST(COALESCE(rbo.rbo_scaled, 0) AS BIGINT) AS rbo_scaled,
+               CAST(COALESCE(rbo.n_common, 0) AS BIGINT)   AS n_common
+        FROM spine LEFT JOIN rbo USING (query_id)
+    """
+
+
+@register(
+    "rank_biased_overlap_eval",
+    oracle=_rbo_oracle(),
+    doc=(
+        f"RBO@{_RRF_LIST} (p={_RBO_P}) between the semantic and lexical "
+        "RRF legs — exact integer depth weights (1e8 scale), per-term "
+        "floor, top-weighted ranking agreement per query."
+    ),
+)
+def rank_biased_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sem = _sem_leg(spark, sf_dir)
+    lex = _lex_leg(spark, sf_dir)
+    matched = sem.join(lex, ["query_id", "doc_id"]).select(
+        "query_id",
+        F.greatest("rank_sem", "rank_lex").alias("dmin"),
+    )
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    ov = (
+        matched.select(
+            "query_id",
+            F.explode(F.sequence(F.col("dmin"), F.lit(_RRF_LIST))).alias("d"),
+        )
+        .groupBy("query_id", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("w", F.element_at(w_arr, F.col("d").cast("int")))
+    )
+    rbo = ov.groupBy("query_id").agg(
+        F.sum(F.expr("CAST(w * c DIV d AS LONG)")).alias("rbo_scaled"),
+        F.max("c").alias("n_common"),
+    )
+    spine = sem.select("query_id").distinct()
+    return spine.join(rbo, "query_id", "left").select(
+        F.col("query_id").cast("long"),
+        F.coalesce(F.col("rbo_scaled"), F.lit(0)).cast("long").alias("rbo_scaled"),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
     )
 
 
