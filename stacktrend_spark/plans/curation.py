@@ -2113,3 +2113,156 @@ def bpe_merge_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring coverage (r9) — the ExactSubstr dedup of
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better"), reformulated for a distributed engine: instead of a
+# monolithic suffix array, every character position is anchored by its
+# K-char gram, a gram that occurs in >= 2 DISTINCT documents marks its
+# K-window as duplicated, and the per-document union of those windows
+# (interval coalescing) is exactly the set of characters lying inside
+# some cross-document duplicated span of length >= K. The reference has
+# no analogue (its text handling stops at classification tags).
+#
+# 100 TB notes: the gram explode is map-side linear in corpus chars;
+# the duplicate test is ONE shuffle on the gram key (min!=max doc_id —
+# no two-phase countDistinct), and the coverage windows partition by
+# doc_id (bounded by document length — never single-partition). Grams
+# here shuffle as raw 32-char strings because the oracle must see the
+# identical exact-match semantics; at 100 TB you shuffle
+# xxhash64(gram) 8-byte keys instead (collision odds ~ N^2 / 2^64) or
+# hash-then-verify. Gram keys are near-uniform (natural text), so the
+# shuffle is skew-free; the islands window is O(hits log hits) per doc.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 32  # duplicated-span threshold, chars (ExactSubstr uses 50
+              # BPE tokens; 32 chars keeps the synthetic ~300-char docs
+              # non-degenerate: ~50 docs carry cross-doc duplicate spans)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, n_chars, p.pos,
+                   substring(text, CAST(p.pos AS INT), {_SPAN_K}) AS g
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, n_chars - {_SPAN_K} + 2)) AS pos) p
+            WHERE n_chars >= {_SPAN_K}
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)
+        ),
+        hits AS (
+            SELECT doc_id, n_chars, pos FROM grams JOIN dup USING (g)
+        ),
+        flagged AS (
+            SELECT doc_id, n_chars, pos,
+                   CASE WHEN pos - LAG(pos) OVER w > {_SPAN_K}
+                          OR LAG(pos) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        islands AS (
+            SELECT doc_id, n_chars, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM flagged
+        ),
+        spans AS (
+            SELECT doc_id, n_chars, isl,
+                   MAX(pos) - MIN(pos) + {_SPAN_K} AS span_len
+            FROM islands GROUP BY 1, 2, 3
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT)        AS doc_len,
+               CAST(SUM(span_len) AS BIGINT)  AS covered_chars,
+               CAST(COUNT(*) AS BIGINT)       AS n_spans,
+               CAST((10000 * SUM(span_len)) // n_chars AS BIGINT) AS coverage_bp
+        FROM spans GROUP BY doc_id, n_chars
+    """,
+    doc=(
+        f"ExactSubstr dedup coverage (Lee et al. 2022): per-document "
+        f"chars inside cross-document duplicated spans >= {_SPAN_K} "
+        "chars, via K-gram anchors + interval coalescing."
+    ),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact duplicated-substring coverage.
+
+    For every document: explode the {K}-char grams at each position,
+    keep grams occurring in >= 2 distinct documents, coalesce the
+    surviving K-windows into maximal islands, and report the covered
+    char mass — doc_len, covered_chars, n_spans, coverage_bp (exact
+    integer basis points). Output rows only for documents that carry
+    at least one duplicated span. Semantics identical to suffix-array
+    ExactSubstr with threshold K: a character is covered iff it lies
+    in a cross-document duplicated substring of length >= K.
+    """
+    from pyspark.sql import Window as W
+
+    k = _SPAN_K
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .filter(F.col("n_chars") >= k)
+    )
+    # gram array built per row THEN posexploded, so the 300-char text
+    # is dropped in the same projection (an explode-positions-then-
+    # substring form re-copies the full text into every gram row)
+    grams = docs.select(
+        "doc_id",
+        "n_chars",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_chars - {k} + 1),"
+                f" p -> substring(text, p, {k}))"
+            )
+        ).alias("i", "g"),
+    ).select("doc_id", "n_chars", (F.col("i") + 1).alias("pos"), "g")
+    # >= 2 distinct docs  <=>  min(doc_id) != max(doc_id) over the gram
+    # — a WINDOW, not groupBy+join-back, so the corpus is scanned and
+    # exploded once and shuffled once (no countDistinct two-phase).
+    # Two A/Bs (same session, median of 3, sf0.1/sf1): (a) groupBy(g)
+    # + AQE-broadcast join-back = 7.8/58 s vs window 2.7/36 s — the
+    # probe side re-runs the explode and the hash agg barely shrinks
+    # the shuffle (natural-text grams are ~94% unique); (b) leading
+    # the partition key with xxhash64(g) to cheapen the sort
+    # comparator = slower too (4.2 -> 6.8 s sf0.1) — the extra hash
+    # evaluation outweighs the string-compare savings. Plain g stays.
+    wg = W.partitionBy("g")
+    hits = (
+        grams.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "n_chars", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lag = F.lag("pos").over(w)
+    flagged = hits.withColumn(
+        "brk",
+        F.when(lag.isNull() | (F.col("pos") - lag > k), F.lit(1)).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    spans = islands.groupBy("doc_id", "n_chars", "isl").agg(
+        (F.max("pos") - F.min("pos") + k).alias("span_len")
+    )
+    return spans.groupBy("doc_id", "n_chars").agg(
+        F.sum("span_len").cast("long").alias("covered_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.expr("CAST((10000 * SUM(span_len)) DIV ANY_VALUE(n_chars) AS BIGINT)").alias(
+            "coverage_bp"
+        ),
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("doc_len"),
+        "covered_chars",
+        "n_spans",
+        "coverage_bp",
+    )

@@ -176,6 +176,12 @@ HEAVY = [
     "bucketed_join_colocated",
     "degree_assortativity",
     "hybrid_rrf_fusion",
+    # r9 batch 3: RBO compares the two RRF ranking legs — both legs are
+    # corpus-bounded (MAXDF-capped lexical, cell-scoped semantic)
+    "rank_biased_overlap_eval",
+    # r9 batch 4: ExactSubstr coverage — gram explode + one gram-window
+    # shuffle; expect ~linear in corpus chars
+    "dedup_substring_spans",
     "source_leakage_matrix",
     "lateral_top2_orders",
     "stream_stateful_totals",

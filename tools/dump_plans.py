@@ -260,6 +260,14 @@ SHOWCASE = [
         "measured quadratic — SCALE.md); both ranking windows are "
         "per-query partitions, never global.",
     ),
+    (
+        "dedup_substring_spans",
+        "r9 ExactSubstr coverage: the gram posexplode is map-only (text "
+        "dropped in the same projection), the >=2-distinct-docs test is "
+        "ONE window shuffle on the gram key (min!=max, no countDistinct "
+        "expansion), and the interval coalescing partitions by doc_id — "
+        "the gram set crosses exactly two exchanges end to end.",
+    ),
 ]
 
 
