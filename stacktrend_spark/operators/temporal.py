@@ -148,12 +148,19 @@ def range_join_banded(
             "band they span"
         )
     p = points.withColumn("_band", point_band)
-    bands = (
-        F.array(band)
-        if end_band is None
-        else F.sequence(band, end_band, band_step)
-    )
-    iv = intervals.withColumn("_band", F.explode(bands))
+    if end_band is None:
+        bands = F.array(band)
+        iv = intervals
+    else:
+        bands = F.sequence(band, end_band, band_step)
+        # an inverted interval (end < start, a routine feed glitch)
+        # must DROP, not crash: sequence() with a positive step throws
+        # on end_band < band at task level and would abort the job —
+        # the exact BETWEEN verification could never match such a row
+        # anyway, so filtering it here preserves the old no-match
+        # semantics (r9 review finding)
+        iv = intervals.filter(band <= end_band)
+    iv = iv.withColumn("_band", F.explode(bands))
     upper = (
         F.col(point_ts) < F.col(end_ts)
         if end_exclusive

@@ -16,25 +16,16 @@ distributed input.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stacktrend_spark.plans.registry import register
+from stacktrend_spark.functions.fsutil import tmpdir as _tmpdir
 from stacktrend_spark.sources.tables import load_table
 
 
-def _tmpdir(prefix: str) -> str:
-    """mkdtemp with atexit cleanup: roundtrip queries legitimately
-    time their own write (the write IS the operator), but the
-    directories must not leak across bench runs (r8 verdict task 4)."""
-    base = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    return base
 
 
 

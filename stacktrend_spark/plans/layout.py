@@ -22,13 +22,11 @@ tests/test_plans.py) but the results the layouts produce.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stacktrend_spark.functions.fsutil import tmpdir as _tmpdir
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -120,10 +118,9 @@ def _hivepart_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "value", "event_type"
     )
-    base = tempfile.mkdtemp(prefix="stacktrend_hivepart_")
+    base = _tmpdir("stacktrend_hivepart_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
     _HIVEPART_FIXTURES[sf_dir] = base
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
 
 
@@ -565,19 +562,17 @@ def _dpp_fixture_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day_no"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    base = tempfile.mkdtemp(prefix="stacktrend_dpp_")
+    base = _tmpdir("stacktrend_dpp_")
     ev.write.mode("overwrite").partitionBy("day_no").parquet(base)
     # calendar dim ON DISK with a read-time filter: the filter on the
     # build side is what makes Catalyst classify the join as prunable
     # (a computed/limit dim without a filter predicate does not
     # qualify for DPP — measured in this repo before this form)
-    cal_dir = tempfile.mkdtemp(prefix="stacktrend_dpp_cal_")
+    cal_dir = _tmpdir("stacktrend_dpp_cal_")
     ev.select("day_no").distinct().withColumn(
         "window_flag", F.expr("CAST(day_no % 7 < 2 AS INT)")
     ).write.mode("overwrite").parquet(cal_dir)
     _DPP_FIXTURES[sf_dir] = (base, cal_dir)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    atexit.register(shutil.rmtree, cal_dir, ignore_errors=True)
     return base, cal_dir
 
 

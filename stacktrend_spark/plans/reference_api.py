@@ -6,9 +6,6 @@ entry points (dfp:14-222 / prdfp:14-222).
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,16 +14,10 @@ from stacktrend_spark.functions.keywords import TECH_KEYWORDS, extract_keywords
 from stacktrend_spark.pipelines.validation import Rule, violation_counts
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.search_gen import randomized_search_queries
+from stacktrend_spark.functions.fsutil import tmpdir as _tmpdir
 from stacktrend_spark.sources.tables import load_table
 
 
-def _tmpdir(prefix: str) -> str:
-    """mkdtemp with atexit cleanup: roundtrip queries legitimately
-    time their own write (the write IS the operator), but the
-    directories must not leak across bench runs (r8 verdict task 4)."""
-    base = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    return base
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,36 @@ def test_range_join_boundaries(spark):
     assert sorted(r.pid for r in out.collect()) == [1, 2]
 
 
+def test_range_join_inverted_interval_drops_not_crashes(spark):
+    """An interval with end before start (a routine feed glitch) must
+    contribute no matches — NOT abort the job via sequence()'s
+    illegal-boundaries error (r9 review finding)."""
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-02T12:00:00"))], "pid int, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            # healthy 3-band interval: matches
+            (10, _ts("2024-01-01T00:00:00"), _ts("2024-01-03T23:00:00")),
+            # inverted: end 4 days BEFORE start — must silently drop
+            (11, _ts("2024-01-05T00:00:00"), _ts("2024-01-01T00:00:00")),
+        ],
+        "iid int, w_start timestamp, w_end timestamp",
+    )
+    out = range_join_banded(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        band=F.date_trunc("day", F.col("w_start")),
+        point_band=F.date_trunc("day", F.col("ts")),
+        end_band=F.date_trunc("day", F.col("w_end")),
+        band_step=F.expr("INTERVAL 1 DAY"),
+    )
+    assert sorted((r.pid, r.iid) for r in out.collect()) == [(1, 10)]
+
+
 def test_decayed_trending_mass_and_shares(spark, sf_dir):
     from stacktrend_spark.plans.temporal import (
         _DECAY_WMAX,

@@ -365,11 +365,16 @@ def main() -> None:
                         "BENCH_SF1.json")
     out: dict[str, dict] = {}
     base_out: dict[str, dict] = {}
-    if picked and os.path.exists(path):
+    if os.path.exists(path):
         with open(path) as f:
             prior = json.load(f)
-        out = prior.get("queries", {})
+        # oracle-baseline rows run ONLY when picked, so their committed
+        # records must survive a full (no-args) sweep — load them
+        # unconditionally (r9 review finding: a full run used to drop
+        # the whole oracle_baseline_tier section)
         base_out = prior.get("oracle_baseline_tier", {})
+        if picked:
+            out = prior.get("queries", {})
     for name in run_list:
         row: dict[str, float | list[float]] = {}
         for tag, d in (("sf0.1", SF01_DIR), ("sf1", SF1_DIR)):
