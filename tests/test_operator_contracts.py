@@ -97,6 +97,50 @@ def test_range_join_spans_three_bands_and_requires_step(spark):
         range_join_banded(points, iv, **kw)  # end_band without step
 
 
+def test_range_join_banded_matches_bruteforce_random(spark):
+    """Seeded random panel: points and intervals on an hourly grid
+    (daily bands), including inverted, zero-width, multi-band and
+    boundary-touching intervals — the banded join must equal the
+    O(n^2) point-in-interval definition exactly."""
+    import random as _random
+    from datetime import datetime, timedelta
+
+    from stacktrend_spark.operators.temporal import range_join_banded
+
+    rng = _random.Random(909)
+    base = datetime(2024, 1, 1)
+    points = [(i, base + timedelta(hours=rng.randint(0, 240))) for i in range(120)]
+    intervals = []
+    for j in range(40):
+        s_h = rng.randint(0, 240)
+        # widths from zero to 5 days; every 7th interval inverted
+        e_h = s_h + rng.randint(0, 120) if j % 7 else s_h - rng.randint(1, 48)
+        intervals.append(
+            (100 + j, base + timedelta(hours=s_h), base + timedelta(hours=e_h))
+        )
+    expect = sorted(
+        (pid, iid)
+        for pid, pt in points
+        for iid, ws, we in intervals
+        if ws <= pt < we
+    )
+    pdf = spark.createDataFrame(points, "pid int, ts timestamp")
+    idf = spark.createDataFrame(intervals, "iid int, w_start timestamp, w_end timestamp")
+    out = range_join_banded(
+        pdf,
+        idf,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        band=F.date_trunc("day", F.col("w_start")),
+        point_band=F.date_trunc("day", F.col("ts")),
+        end_band=F.date_trunc("day", F.col("w_end")),
+        band_step=F.expr("INTERVAL 1 DAY"),
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == expect
+
+
 def test_asof_join_carries_matched_row_atomically(spark):
     """If the winning right row has NULL in one payload column, the
     output must carry that NULL — not back-fill the column from an
