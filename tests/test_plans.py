@@ -661,3 +661,15 @@ def test_rrf_lexical_leg_is_df_capped(spark, sf_dir):
     p = plan_of(hybrid_rrf_fusion(spark, sf_dir))
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_substring_spans_two_exchanges_and_pushdown(spark, sf_dir):
+    """ExactSubstr coverage promises: the gram set crosses exactly two
+    exchanges (gram-key window, then doc_id for coalescing+aggregates)
+    and the n_chars >= K filter reaches the parquet scan."""
+    import re
+
+    p = plan_of(all_queries()["dedup_substring_spans"].fn(spark, sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n_exchanges == 2
+    assert "GreaterThanOrEqual(n_chars,32)" in p
