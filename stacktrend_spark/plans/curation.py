@@ -2266,3 +2266,164 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans",
         "coverage_bp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM estimation (r9) — the token-model
+# behind KenLM-style quality filtering (CCNet scores every document
+# under a 5-gram KN model; the bigram case carries the algorithm's
+# signature quantities exactly): absolute discount D = 3/4 off every
+# seen bigram, the freed mass re-distributed through the CONTINUATION
+# distribution P_cont(w2) = N1+(.w2) / N1+(..) — how many distinct
+# left contexts a word follows, not how often it occurs. The reference
+# has no LM-estimation analogue. Chen & Goodman 1998, eq. (4.26).
+#
+# Exactness: D = 3/4 is handled in quarter-counts (x4), probabilities
+# are exact integer parts-per-billion with floor division at each of
+# the three steps (term1, lambda, lambda*pcont) — both engines walk
+# the identical integer tree; products stay under 2^63 (ppb * ppb
+# then DIV 1e9: <= 1e18).
+#
+# 100 TB notes: the bigram explode is map-side (transform over the
+# split array — no per-token shuffle); ONE shuffle builds the
+# bigram-type table, and every KN quantity is a grouped aggregate
+# OVER TYPES (Heaps-bounded, orders of magnitude below token mass):
+# c(w1.) and N1+(w1.) group types by w1, N1+(.w2) groups by w2,
+# N1+(..) is a 1-row broadcast. Top-K output is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_KN_TOPK = 100
+_PPB = 1_000_000_000
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        -- len >= 2 guard matches the Spark side: Spark's
+        -- sequence(1, 0) produces a DESCENDING [1, 0], not empty
+        bigrams AS (
+            SELECT ws[p.i] AS w1, ws[p.i + 1] AS w2
+            FROM toks, LATERAL (
+                SELECT unnest(range(1, len(ws))) AS i
+            ) p
+            WHERE len(ws) >= 2
+        ),
+        types AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bigrams GROUP BY w1, w2
+        ),
+        ctx AS (
+            SELECT w1, CAST(SUM(c) AS BIGINT) AS c_w1,
+                   CAST(COUNT(*) AS BIGINT) AS n1_fwd
+            FROM types GROUP BY w1
+        ),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_back
+            FROM types GROUP BY w2
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM types),
+        scored AS (
+            SELECT t.w1, t.w2, t.c,
+                   CAST(GREATEST(4 * t.c - 3, 0) * {_PPB}
+                        // (4 * x.c_w1) AS BIGINT)          AS term1_ppb,
+                   CAST((3 * x.n1_fwd * {_PPB})
+                        // (4 * x.c_w1) AS BIGINT)          AS lambda_ppb,
+                   CAST((n.n1_back * {_PPB})
+                        // tot.n_types AS BIGINT)           AS pcont_ppb
+            FROM types t
+            JOIN ctx x USING (w1)
+            JOIN cont n USING (w2)
+            CROSS JOIN tot
+        )
+        SELECT w1, w2, c AS bigram_count, term1_ppb, lambda_ppb, pcont_ppb,
+               CAST(term1_ppb
+                    + (lambda_ppb * pcont_ppb) // {_PPB} AS BIGINT)
+                   AS p_kn_ppb
+        FROM scored
+        ORDER BY c DESC, w1, w2
+        LIMIT {_KN_TOPK}
+    """,
+    doc=(
+        "Interpolated Kneser-Ney bigram LM (Chen & Goodman 1998): "
+        "D=3/4 absolute discount + continuation-count backoff, exact "
+        f"integer ppb, top-{_KN_TOPK} bigrams — the KenLM/CCNet "
+        "quality-filter estimation step."
+    ),
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KN-smoothed bigram probabilities over the document corpus.
+
+    P(w2|w1) = max(c(w1,w2)-D, 0)/c(w1.) + lambda(w1) * P_cont(w2)
+    with D = 3/4, lambda(w1) = D * N1+(w1.)/c(w1.), and
+    P_cont(w2) = N1+(.w2)/N1+(..). Quarter-count integers absorb the
+    fractional discount; each division floors in ppb on both engines.
+    """
+    from pyspark.sql import Window as W  # noqa: F401  (family convention)
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+        # empty array — one-word docs must be filtered, not exploded
+        .filter(F.size(F.split("text", " ")) >= 2)
+    )
+    types = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1),"
+                    " i -> struct(split(text, ' ')[i - 1] AS w1,"
+                    "             split(text, ' ')[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # read 4x: ctx, cont, types count, the join spine
+    )
+    ctx = types.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    cont = types.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_back")
+    )
+    tot = types.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    scored = (
+        types.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr(f"CAST(GREATEST(4 * c - 3, 0) * {_PPB} DIV (4 * c_w1) AS BIGINT)").alias(
+                "term1_ppb"
+            ),
+            F.expr(f"CAST((3 * n1_fwd * {_PPB}) DIV (4 * c_w1) AS BIGINT)").alias(
+                "lambda_ppb"
+            ),
+            F.expr(f"CAST((n1_back * {_PPB}) DIV n_types AS BIGINT)").alias(
+                "pcont_ppb"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("c"), "w1", "w2")
+        .limit(_KN_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("bigram_count"),
+            "term1_ppb",
+            "lambda_ppb",
+            "pcont_ppb",
+            F.expr(f"CAST(term1_ppb + (lambda_ppb * pcont_ppb) DIV {_PPB} AS BIGINT)").alias(
+                "p_kn_ppb"
+            ),
+        )
+    )

@@ -171,6 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "semdedup_recall_eval",
     "rank_biased_overlap_eval",
     "dedup_substring_spans",
+    "kneser_ney_bigram_lm",
     # -- stale-rotation pool (oldest driver proof first; fills the
     # rest of the r10 window after the rows above) --
     "dedup_ngram_jaccard",  # r1 — the single oldest proof

@@ -182,6 +182,9 @@ HEAVY = [
     # r9 batch 4: ExactSubstr coverage — gram explode + one gram-window
     # shuffle; expect ~linear in corpus chars
     "dedup_substring_spans",
+    # r9 batch 6: KN estimation — one bigram-type shuffle, then
+    # Heaps-bounded type aggregates; expect strongly sublinear
+    "kneser_ney_bigram_lm",
     "source_leakage_matrix",
     "lateral_top2_orders",
     "stream_stateful_totals",

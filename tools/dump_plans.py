@@ -268,6 +268,15 @@ SHOWCASE = [
         "expansion), and the interval coalescing partitions by doc_id — "
         "the gram set crosses exactly two exchanges end to end.",
     ),
+    (
+        "kneser_ney_bigram_lm",
+        "r9 KN bigram estimation: the bigram explode is map-side "
+        "(transform over the split array), ONE shuffle builds the "
+        "persisted type table, and every KN quantity (context totals, "
+        "continuation counts, type count) is a grouped aggregate over "
+        "TYPES — Heaps-bounded, far below token mass; the top-K is "
+        "TakeOrderedAndProject, never a global sort.",
+    ),
 ]
 
 
