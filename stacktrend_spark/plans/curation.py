@@ -2281,8 +2281,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness: D = 3/4 is handled in quarter-counts (x4), probabilities
 # are exact integer parts-per-billion with floor division at each of
 # the three steps (term1, lambda, lambda*pcont) — both engines walk
-# the identical integer tree; products stay under 2^63 (ppb * ppb
-# then DIV 1e9: <= 1e18).
+# the identical integer tree. Width audit: lambda and pcont numerators
+# and the ppb*ppb DIV 1e9 product stay under 2^63 at any realistic
+# vocabulary, but term1's 4*c(w1,w2)*1e9 can exceed it once a single
+# bigram tops ~2.3e9 occurrences (~10 TB of text), so THAT numerator
+# is widened to DECIMAL(38,0)/HUGEINT on both engines and the <=1e9
+# quotient cast back to BIGINT.
 #
 # 100 TB notes: the bigram explode is map-side (transform over the
 # split array — no per-token shuffle); ONE shuffle builds the
@@ -2327,7 +2331,8 @@ _PPB = 1_000_000_000
         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM types),
         scored AS (
             SELECT t.w1, t.w2, t.c,
-                   CAST(GREATEST(4 * t.c - 3, 0) * {_PPB}
+                   CAST(CAST(GREATEST(4 * t.c - 3, 0) AS HUGEINT)
+                        * {_PPB}
                         // (4 * x.c_w1) AS BIGINT)          AS term1_ppb,
                    CAST((3 * x.n1_fwd * {_PPB})
                         // (4 * x.c_w1) AS BIGINT)          AS lambda_ppb,
@@ -2361,22 +2366,24 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     P_cont(w2) = N1+(.w2)/N1+(..). Quarter-count integers absorb the
     fractional discount; each division floors in ppb on both engines.
     """
-    from pyspark.sql import Window as W  # noqa: F401  (family convention)
-
     docs = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        # Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
-        # empty array — one-word docs must be filtered, not exploded
-        .filter(F.size(F.split("text", " ")) >= 2)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        # split ONCE per row (lambda bodies are interpreted and exempt
+        # from subexpression elimination — re-splitting inside the
+        # transform would rescan the text per element; same pattern as
+        # heavy_hitters_twopass / udtf bigrams). Spark's
+        # sequence(1, 0) yields a DESCENDING [1, 0], not an empty
+        # array — one-word docs must be filtered, not exploded.
+        .filter(F.size("ws") >= 2)
     )
     types = (
         docs.select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " i -> struct(split(text, ' ')[i - 1] AS w1,"
-                    "             split(text, ' ')[i] AS w2))"
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
                 )
             ).alias("bg")
         )
@@ -2401,9 +2408,16 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "c",
-            F.expr(f"CAST(GREATEST(4 * c - 3, 0) * {_PPB} DIV (4 * c_w1) AS BIGINT)").alias(
-                "term1_ppb"
-            ),
+            # the one 128-bit-wide product: at extreme corpus scale a
+            # hot context's 4*c(w1,w2) multiplied by 1e9 can exceed
+            # 2^63 (c ~ 1e10 at ~100 TB of text), and Spark would wrap
+            # while DuckDB errors — widen THIS numerator to
+            # DECIMAL(38,0)/HUGEINT; the quotient is <= 1e9 and lands
+            # back in BIGINT (r9 review finding)
+            F.expr(
+                f"CAST(CAST(GREATEST(4 * c - 3, 0) AS DECIMAL(38, 0))"
+                f" * {_PPB} DIV (4 * c_w1) AS BIGINT)"
+            ).alias("term1_ppb"),
             F.expr(f"CAST((3 * n1_fwd * {_PPB}) DIV (4 * c_w1) AS BIGINT)").alias(
                 "lambda_ppb"
             ),

@@ -58,25 +58,22 @@ def test_kn_matches_bruteforce(spark, sf_dir):
         assert r["p_kn_ppb"] == p
 
 
-def test_kn_discount_mass_identity(spark, sf_dir):
-    """For every context w1: sum of discounted quarter-counts over its
-    seen continuations equals 4*c(w1.) - 3*N1+(w1.) exactly (c >= 1 so
-    the max() never binds), i.e. the freed mass is exactly
-    D * N1+(w1.) — the quantity lambda re-distributes."""
-    texts = [
-        r["text"]
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
-    ]
-    big = Counter()
-    for t in texts:
-        ws = t.split(" ")
-        for a, b in zip(ws, ws[1:]):
-            big[(a, b)] += 1
-    per_w1 = defaultdict(lambda: [0, 0, 0])  # [sum_disc_quarters, c_w1, n1]
-    for (a, _), c in big.items():
-        e = per_w1[a]
-        e[0] += max(4 * c - 3, 0)
-        e[1] += c
-        e[2] += 1
-    for a, (disc, cw, n1) in per_w1.items():
-        assert disc == 4 * cw - 3 * n1, a
+def test_kn_plan_output_probability_contract(spark, sf_dir):
+    """Properties of the PLAN's own output rows: lambda is a function
+    of the context alone (constant within each w1), every component
+    and the interpolated probability are valid floor-ppb probabilities,
+    and the interpolation is assembled from the emitted components by
+    the promised integer tree."""
+    rows = kneser_ney_bigram_lm(spark, sf_dir).collect()
+    assert rows
+    lam_by_w1 = defaultdict(set)
+    for r in rows:
+        lam_by_w1[r["w1"]].add(r["lambda_ppb"])
+        assert 0 <= r["term1_ppb"] <= _PPB
+        assert 0 < r["lambda_ppb"] < _PPB  # D>0 and N1+ >= 1 force both
+        assert 0 < r["pcont_ppb"] <= _PPB
+        assert 0 < r["p_kn_ppb"] <= _PPB  # a floor-ppb probability
+        assert r["p_kn_ppb"] == r["term1_ppb"] + (
+            r["lambda_ppb"] * r["pcont_ppb"]
+        ) // _PPB
+    assert all(len(v) == 1 for v in lam_by_w1.values())
