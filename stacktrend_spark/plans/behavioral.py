@@ -918,7 +918,8 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(c1 AS BIGINT) AS conv_treat,
             CAST(n0 AS BIGINT) AS n_control,
             CAST(c0 AS BIGINT) AS conv_control,
-            CAST(c1 * n0 * 1000000 // (c0 * n1) - 1000000 AS BIGINT)
+            CAST(CAST(c1 AS HUGEINT) * n0 * 1000000
+                 // (CAST(c0 AS HUGEINT) * n1) - 1000000 AS BIGINT)
                 AS lift_ppm,
             FLOOR((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
                    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
@@ -973,7 +974,14 @@ def abtest_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c1").cast("long").alias("conv_treat"),
         F.col("n0").cast("long").alias("n_control"),
         F.col("c0").cast("long").alias("conv_control"),
-        F.expr("c1 * n0 * 1000000 DIV (c0 * n1) - 1000000")
+        # width: treatment/control counts are fact-table-scale — both
+        # the numerator product and the c0*n1 denominator can exceed
+        # 2^63 at ~1e10 users; widen to DECIMAL(38,0)/HUGEINT (r9
+        # width sweep), result is ppm-bounded BIGINT
+        F.expr(
+            "CAST(CAST(c1 AS DECIMAL(38, 0)) * n0 * 1000000"
+            " DIV (CAST(c0 AS DECIMAL(38, 0)) * n1) - 1000000 AS BIGINT)"
+        )
         .cast("long")
         .alias("lift_ppm"),
         (F.floor(z * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
@@ -1027,11 +1035,15 @@ _AR_TOP = 100
                    ia.n_item AS n_a, ib.n_item AS n_b,
                    p.n_both * 1000000 // (SELECT n FROM nb) AS support_ppm,
                    p.n_both * 1000000 // ia.n_item AS confidence_ppm,
-                   p.n_both * (SELECT n FROM nb) * 1000000
-                       // (ia.n_item * ib.n_item) AS lift_ppm,
+                   CAST(CAST(p.n_both AS HUGEINT) * (SELECT n FROM nb)
+                        * 1000000
+                       // (CAST(ia.n_item AS HUGEINT) * ib.n_item)
+                        AS BIGINT) AS lift_ppm,
                    ROW_NUMBER() OVER (
-                       ORDER BY p.n_both * (SELECT n FROM nb) * 1000000
-                                // (ia.n_item * ib.n_item) DESC,
+                       ORDER BY CAST(p.n_both AS HUGEINT)
+                                * (SELECT n FROM nb) * 1000000
+                                // (CAST(ia.n_item AS HUGEINT) * ib.n_item)
+                                DESC,
                                 p.item_a, p.item_b) AS rk
             FROM pairs p
             JOIN items ia ON ia.item = p.item_a
@@ -1073,7 +1085,13 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.expr("n_both * 1000000 DIV n").alias("support_ppm"),
             F.expr("n_both * 1000000 DIV n_a").alias("confidence_ppm"),
-            F.expr("n_both * n * 1000000 DIV (n_a * n_b)").alias("lift_ppm"),
+            # width: n_both*n and n_a*n_b are products of fact-scale
+            # counts (>2^63 at ~1e10 baskets) — DECIMAL(38,0) both
+            # sides (r9 width sweep)
+            F.expr(
+                "CAST(CAST(n_both AS DECIMAL(38, 0)) * n * 1000000"
+                " DIV (CAST(n_a AS DECIMAL(38, 0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
     return (
@@ -1358,7 +1376,9 @@ def seq_pattern_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scored AS (
             SELECT sym.i, sym.j, sym.co,
-                   co * co * 1000000 // (di.d * dj.d) AS cos2_ppm
+                   CAST(CAST(co AS HUGEINT) * co * 1000000
+                        // (CAST(di.d AS HUGEINT) * dj.d) AS BIGINT)
+                       AS cos2_ppm
             FROM sym
             JOIN hot ON sym.i = hot.i
             JOIN deg di ON sym.i = di.l_partkey
@@ -1421,7 +1441,13 @@ def item_item_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             "co",
-            F.expr("co * co * 1000000 DIV (d_i * d_j)").alias("cos2_ppm"),
+            # width: co and the degree product grow with basket mass
+            # (staple-pair co ~1e7 at 100 TB -> co^2*1e6 > 2^63) —
+            # DECIMAL(38,0)/HUGEINT both sides (r9 width sweep)
+            F.expr(
+                "CAST(CAST(co AS DECIMAL(38, 0)) * co * 1000000"
+                " DIV (CAST(d_i AS DECIMAL(38, 0)) * d_j) AS BIGINT)"
+            ).alias("cos2_ppm"),
         )
     )
     w = W.partitionBy("i").orderBy(F.desc("cos2_ppm"), F.asc("j"))
@@ -1846,10 +1872,12 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_capture1,
                CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_capture2,
                CAST((SELECT m FROM m) AS BIGINT) AS n_both,
-               CAST((SELECT COUNT(*) FROM a) * (SELECT COUNT(*) FROM b)
+               CAST(CAST((SELECT COUNT(*) FROM a) AS HUGEINT)
+                    * (SELECT COUNT(*) FROM b)
                     // (SELECT m FROM m) AS BIGINT) AS lincoln_petersen_est,
                CAST((SELECT truth FROM t) AS BIGINT) AS true_users,
-               CAST(ABS((SELECT COUNT(*) FROM a) * (SELECT COUNT(*) FROM b)
+               CAST(ABS(CAST((SELECT COUNT(*) FROM a) AS HUGEINT)
+                        * (SELECT COUNT(*) FROM b)
                         // (SELECT m FROM m) - (SELECT truth FROM t))
                     * 1000000 // (SELECT truth FROM t) AS BIGINT) AS err_ppm
     """,
@@ -1877,12 +1905,17 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_capture1",
             "n_capture2",
             "n_both",
-            F.expr("n_capture1 * n_capture2 DIV n_both")
-            .cast("long")
-            .alias("lincoln_petersen_est"),
+            # width: the capture product is two distinct-user counts
+            # (>2^63 at ~1e10 users each) — DECIMAL(38,0) (r9 width
+            # sweep)
+            F.expr(
+                "CAST(CAST(n_capture1 AS DECIMAL(38, 0)) * n_capture2"
+                " DIV n_both AS BIGINT)"
+            ).alias("lincoln_petersen_est"),
             "true_users",
             F.expr(
-                "ABS(n_capture1 * n_capture2 DIV n_both - true_users)"
+                "ABS(CAST(n_capture1 AS DECIMAL(38, 0)) * n_capture2"
+                " DIV n_both - true_users)"
                 " * 1000000 DIV true_users"
             )
             .cast("long")

@@ -1663,7 +1663,7 @@ def _colloc_oracle() -> str:
         ),
         scored AS (
             SELECT c12.w1, c12.w2, c12.c12,
-                   {ilog('c12.c12 * 1000000 // tot.tb')}
+                   {ilog('CAST(c12.c12 AS HUGEINT) * 1000000 // tot.tb')}
                  - {ilog('CAST(u1.c AS HUGEINT) * u2.c * 1000000 // (CAST(tot.t AS HUGEINT) * tot.t)')}
                        AS pmi_micro
             FROM c12
@@ -1724,7 +1724,15 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "c12",
             (
-                ilog(F.expr("c12 * 1000000 DIV tb"))
+                # width: a hot bigram's count is token-scale (the
+                # unigram side below is already widened) — widen this
+                # numerator too (r9 width sweep)
+                ilog(
+                    F.expr(
+                        f"CAST(CAST(c12 AS {dec}) * 1000000 DIV tb"
+                        f" AS BIGINT)"
+                    )
+                )
                 - ilog(
                     F.expr(
                         f"CAST(CAST(c1 AS {dec}) * c2 * 1000000"

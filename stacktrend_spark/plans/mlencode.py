@@ -884,8 +884,9 @@ def gbdt_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pairs AS (
             SELECT lo.bin AS j, hi.bin AS k,
-                   (hi.cp - lo.cp + lo.pos_bin) * 1000000000
-                       // (hi.cn - lo.cn + lo.n_bin) AS mean_ppb
+                   CAST(CAST(hi.cp - lo.cp + lo.pos_bin AS HUGEINT)
+                        * 1000000000
+                       // (hi.cn - lo.cn + lo.n_bin) AS BIGINT) AS mean_ppb
             FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
         ),
         inner_min AS (
@@ -900,8 +901,8 @@ def gbdt_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM inner_min GROUP BY 1
         )
         SELECT h.bin, h.n_bin, h.pos_bin,
-               CAST(h.pos_bin * 1000000000 // h.n_bin AS BIGINT)
-                   AS raw_rate_ppb,
+               CAST(CAST(h.pos_bin AS HUGEINT) * 1000000000
+                    // h.n_bin AS BIGINT) AS raw_rate_ppb,
                CAST(iso.iso_rate_ppb AS BIGINT) AS iso_rate_ppb
         FROM hist h JOIN iso ON h.bin = iso.bin
     """,
@@ -950,9 +951,14 @@ def isotonic_calibration_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lo.join(hi, F.col("lo.bin") <= F.col("hi.bin")).select(
         F.col("lo.bin").alias("j"),
         F.col("hi.bin").alias("k"),
+        # width: cp/cn are cumulative FACT-TABLE counts — at ~1e11
+        # rows the *1e9 numerator exceeds 2^63 (Spark wraps, DuckDB
+        # errors); widen to DECIMAL(38,0)/HUGEINT, quotient <= 1e9
+        # lands back in BIGINT (r9 width sweep)
         F.expr(
-            "(hi.cp - lo.cp + lo.pos_bin) * 1000000000"
-            " DIV (hi.cn - lo.cn + lo.n_bin)"
+            "CAST(CAST(hi.cp - lo.cp + lo.pos_bin AS DECIMAL(38, 0))"
+            " * 1000000000"
+            " DIV (hi.cn - lo.cn + lo.n_bin) AS BIGINT)"
         ).alias("mean_ppb"),
     )
     bins = hist.select("bin")
@@ -970,7 +976,10 @@ def isotonic_calibration_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n_bin",
             "pos_bin",
-            F.expr("pos_bin * 1000000000 DIV n_bin").cast("long").alias("raw_rate_ppb"),
+            F.expr(
+                "CAST(CAST(pos_bin AS DECIMAL(38, 0)) * 1000000000"
+                " DIV n_bin AS BIGINT)"
+            ).alias("raw_rate_ppb"),
             F.col("iso_rate_ppb").cast("long"),
         )
     )
