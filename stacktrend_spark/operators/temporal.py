@@ -140,6 +140,15 @@ def range_join_banded(
     by interval-width / band-width, which the caller controls by
     picking the grid; candidate volume stays O(|points| ·
     intervals-per-band).
+
+    Grid direction: the inverted-interval guard is direction-aware
+    (r9 ADVICE — a plain ``band <= end_band`` filter would silently
+    drop EVERY interval for a descending-grid caller): it keeps rows
+    whose band range matches the sign of ``band_step``, so ascending
+    grids drop end<start glitch rows exactly as before and a
+    (hypothetical) descending grid replicates correctly instead of
+    emptying. A zero ``band_step`` still fails at ``sequence()``
+    (degenerate configuration, fail-fast is correct).
     """
     if end_band is not None and band_step is None:
         raise ValueError(
@@ -154,12 +163,19 @@ def range_join_banded(
     else:
         bands = F.sequence(band, end_band, band_step)
         # an inverted interval (end < start, a routine feed glitch)
-        # must DROP, not crash: sequence() with a positive step throws
-        # on end_band < band at task level and would abort the job —
-        # the exact BETWEEN verification could never match such a row
-        # anyway, so filtering it here preserves the old no-match
-        # semantics (r9 review finding)
-        iv = intervals.filter(band <= end_band)
+        # must DROP, not crash: sequence() throws at task level when
+        # the range disagrees with the step sign and would abort the
+        # job — the exact BETWEEN verification could never match such
+        # a row anyway, so filtering it here preserves the old
+        # no-match semantics (r9 review finding). The guard derives
+        # the grid direction from band_step itself so a descending
+        # grid keeps its well-formed rows (r9 ADVICE).
+        step_ascending = (band + band_step) > band
+        iv = intervals.filter(
+            F.when(step_ascending, band <= end_band).otherwise(
+                band >= end_band
+            )
+        )
     iv = iv.withColumn("_band", F.explode(bands))
     upper = (
         F.col(point_ts) < F.col(end_ts)

@@ -2289,12 +2289,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness: D = 3/4 is handled in quarter-counts (x4), probabilities
 # are exact integer parts-per-billion with floor division at each of
 # the three steps (term1, lambda, lambda*pcont) — both engines walk
-# the identical integer tree. Width audit: lambda and pcont numerators
-# and the ppb*ppb DIV 1e9 product stay under 2^63 at any realistic
-# vocabulary, but term1's 4*c(w1,w2)*1e9 can exceed it once a single
-# bigram tops ~2.3e9 occurrences (~10 TB of text), so THAT numerator
-# is widened to DECIMAL(38,0)/HUGEINT on both engines and the <=1e9
-# quotient cast back to BIGINT.
+# the identical integer tree. Width audit: term1's 4*c(w1,w2)*1e9 can
+# exceed 2^63 once a single bigram tops ~2.3e9 occurrences (~10 TB of
+# text) and lambda's 3*N1+(w1.)*1e9 past ~3.07e9 distinct
+# continuations, so BOTH numerators are widened to
+# DECIMAL(38,0)/HUGEINT on both engines (the second as r9-ADVICE
+# defense-in-depth) with the <=1e9 quotients cast back to BIGINT; the
+# pcont numerator and the ppb*ppb DIV 1e9 product stay under 2^63 at
+# any realistic vocabulary (bounds at the expression sites).
 #
 # 100 TB notes: the bigram explode is map-side (transform over the
 # split array — no per-token shuffle); ONE shuffle builds the
@@ -2342,7 +2344,7 @@ _PPB = 1_000_000_000
                    CAST(CAST(GREATEST(4 * t.c - 3, 0) AS HUGEINT)
                         * {_PPB}
                         // (4 * x.c_w1) AS BIGINT)          AS term1_ppb,
-                   CAST((3 * x.n1_fwd * {_PPB})
+                   CAST(CAST(3 * x.n1_fwd AS HUGEINT) * {_PPB}
                         // (4 * x.c_w1) AS BIGINT)          AS lambda_ppb,
                    CAST((n.n1_back * {_PPB})
                         // tot.n_types AS BIGINT)           AS pcont_ppb
@@ -2426,9 +2428,19 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(CAST(GREATEST(4 * c - 3, 0) AS DECIMAL(38, 0))"
                 f" * {_PPB} DIV (4 * c_w1) AS BIGINT)"
             ).alias("term1_ppb"),
-            F.expr(f"CAST((3 * n1_fwd * {_PPB}) DIV (4 * c_w1) AS BIGINT)").alias(
-                "lambda_ppb"
-            ),
+            # defense-in-depth widening (r9 ADVICE): 3*n1_fwd*1e9 wraps
+            # int64 only past ~3.07e9 distinct continuations for ONE
+            # context — beyond any realistic unigram vocabulary, but
+            # the width policy (PARITY.md) widens count*1e9 products,
+            # so route it through DECIMAL(38,0)/HUGEINT like term1;
+            # the quotient is <= 1e9 and lands back in BIGINT
+            F.expr(
+                f"CAST(CAST(3 * n1_fwd AS DECIMAL(38, 0)) * {_PPB}"
+                f" DIV (4 * c_w1) AS BIGINT)"
+            ).alias("lambda_ppb"),
+            # n1_back <= unigram vocabulary (distinct left contexts),
+            # orders of magnitude under the 9.2e9 int64/1e9 bound —
+            # stays 64-bit by the same audit that bounds n1_fwd
             F.expr(f"CAST((n1_back * {_PPB}) DIV n_types AS BIGINT)").alias(
                 "pcont_ppb"
             ),

@@ -1041,9 +1041,19 @@ def isotonic_calibration_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def model_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """100 TB: one scan + one global decile rank (two-phase scalable
-    form past ~10⁷ rows) + a 10-row rollup; lift arithmetic is pure
-    integer ppm on the 10-row spine."""
+    """100 TB: one scan + one global decile rank + a 10-row rollup;
+    lift arithmetic is pure integer ppm on the 10-row spine.
+
+    The decile comes from the two-phase ``global_rank_scalable`` (r9
+    verdict task 2) — NTILE(10) over a global ORDER BY is a single-
+    partition window, so we re-derive the identical bucket from the
+    global row number rn and total n via NTILE's exact fill rule
+    (first n%10 buckets hold n DIV 10 + 1 rows, the rest n DIV 10):
+    bit-identical to both engines' NTILE because (score DESC, key) is
+    a total order.
+    """
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
@@ -1051,14 +1061,25 @@ def model_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("y"),
     )
-    scored = o.select(
+    tot = o.agg(F.sum("y").alias("pos_all"), F.count(F.lit(1)).alias("n_all"))
+    ranked = global_rank_scalable(
+        o,
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        rank_col="rn",
+    ).select("y", "rn")
+    # NTILE(10) fill rule on (rn, n): GREATEST guards the q=0 branch
+    # divisor (n < 10) where the CASE never reaches it anyway.
+    scored = ranked.crossJoin(F.broadcast(tot)).select(
         "y",
-        F.ntile(10)
-        .over(W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        F.expr(
+            "CASE WHEN rn <= (n_all % 10) * (n_all DIV 10 + 1)"
+            " THEN 1 + (rn - 1) DIV (n_all DIV 10 + 1)"
+            " ELSE 1 + (n_all % 10)"
+            "  + (rn - 1 - (n_all % 10) * (n_all DIV 10 + 1))"
+            "    DIV GREATEST(n_all DIV 10, 1) END"
+        )
+        .cast("int")
         .alias("decile"),
-    )
-    tot = scored.agg(
-        F.sum("y").alias("pos_all"), F.count(F.lit(1)).alias("n_all")
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),

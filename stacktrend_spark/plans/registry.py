@@ -85,77 +85,20 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: exactly registry indices 0-49 get CORRECTNESS rows). Long-green
 #: rows rotate to the back — they are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-9 WINDOW (r8 verdict task 1: drain the 58-row never-driven
-    # backlog below one driver window; cap r9 registry growth at ~10).
-    # After r8 the cumulative ledger is 324/382 driver-proven with zero
-    # standing failures; 58 rows have never been inside a driver
-    # window (42 r7-era + 16 r8 additions), plus dedup_simhash_hamming
-    # whose r7 filter-first rewrite postdates its last (r5) driver
-    # proof. This window = that re-prove + all 42 r7-era rows + the 7
-    # heaviest r8 rows (the verdict-named bpe/pq/cluster-split trio
-    # plus the pretrain-mix panel and the SPRT monitor). The remaining
-    # 9 r8 rows sit at 51+ and lead the r10 window, followed by the
-    # stale-rotation pool (r1/r2-era rows, oldest driver proof first —
-    # COVERAGE.md staleness ledger); r9 additions are capped so
-    # never-driven ≤ 15 at round end.
-    # -- re-prove: code changed (r7) after last driver proof (r5) --
-    "dedup_simhash_hamming",
-    # -- the 42 r7-era never-driven rows --
-    "c4_boilerplate_ngrams",
-    "quality_budget_cut",
-    "curriculum_stage_assign",
-    "ngram_novelty_decay",
-    "max_word_run_lengths",
-    "dedup_cluster_stats",
-    "feature_hashing_trick",
-    "t_closeness_audit",
-    "corpus_datasheet",
-    "minhash_band_tuning",
-    "source_corrupt_record_routing",
-    "dsir_importance_resampling",
-    "unigram_surprisal_filter",
-    "tokenizer_fertility_panel",
-    "fairness_demographic_parity",
-    "conformal_calibration_quantile",
-    "woe_information_value",
-    "jl_projection_distortion",
-    "anova_oneway_f",
-    "kruskal_wallis_h",
-    "cuped_variance_reduction",
-    "did_revenue_estimator",
-    "srm_allocation_check",
-    "stream_cms_event_counters",
-    "query_likelihood_dirichlet",
-    "misra_gries_summary",
-    "session_window_native_batch",
-    "snippet_best_window",
-    "decayed_halflife_trending",
-    "fellegi_sunter_weights",
-    "grouped_applyinarrow_iqr",
-    "source_python_datasource",
-    "observed_metrics_noop_sink",
-    "retrieval_ndcg_eval",
-    "attribution_position_based",
-    "geo_point_in_polygon",
-    "stream_scd2_asof_enrichment",
-    "neyman_allocation_plan",
-    "parameterized_sql_binding",
-    "arrow_scalar_udf_luhn",
-    "pinball_loss_quantile_eval",
-    "running_max_drawdown",
-    # -- the 7 heaviest r8 additions (close the 50-row window) --
-    "bpe_merge_unrolled",
-    "pq_codebook_train_iter",
-    "cluster_aware_split",
-    "gopher_quality_rules",
-    "ngram_entropy_profile",
-    "mixture_temperature_weights",
-    "sprt_sequential_monitor",
-    # -- position 51+: NOT in the r9 window (driver reads the first
-    # 50). Changed-code re-prove first (r9 DF-cap rewrite of the
-    # lexical leg postdates its r7 proof), then the 9 remaining r8
-    # additions — together they lead the r10 window --
+    # ROUND-10 WINDOW (r9 verdict task 1: drain never-driven to 0).
+    # This is EXACTLY the 50-row set pre-validated 50/50 in a strict
+    # bare session during r9 (COVERAGE.md "Round-10 window
+    # pre-validation"): the hybrid_rrf_fusion re-prove (r9 DF-cap
+    # rewrite postdates its r7 proof) + the 9 r8 additions and 5 r9
+    # additions that have never been inside a driver window + the
+    # stale-rotation head (dedup_ngram_jaccard, r1-proven — the single
+    # oldest proof — and 34 of the 35 r2-proven rows;
+    # zorder_layout_stats rotates in r11 instead). After this window
+    # lands, cumulative driver-proven = 387/387 registered at r10
+    # start and never-driven = 0 for the first time.
+    # -- re-prove: code changed (r9) after last driver proof (r7) --
     "hybrid_rrf_fusion",
+    # -- the 9 r8 additions never yet inside a driver window --
     "brier_score_decomposition",
     "bh_fdr_segment_tests",
     "ann_nprobe_recall_sweep",
@@ -165,17 +108,16 @@ _PRIORITY: tuple[str, ...] = (
     "rfm_migration_matrix",
     "mode_imputation_nulls",
     "multimodal_vad_segments",
-    # -- r9 additions (cap ~6 so never-driven ≤ 15 at r9 end) append
-    # here as they land --
+    # -- the 5 r9 additions never yet inside a driver window --
     "dedup_semdedup_pairs",
     "semdedup_recall_eval",
     "rank_biased_overlap_eval",
     "dedup_substring_spans",
     "kneser_ney_bigram_lm",
-    # -- stale-rotation pool (oldest driver proof first; fills the
-    # rest of the r10 window after the rows above) --
+    # -- stale-rotation head: oldest driver proofs first --
     "dedup_ngram_jaccard",  # r1 — the single oldest proof
-    # the 35 r2-proven rows (COVERAGE.md staleness ledger)
+    # 34 of the 35 r2-proven rows (COVERAGE.md staleness ledger);
+    # zorder_layout_stats is the +1 that overflows to r11.
     "agg_argminmax_orders",
     "agg_percentiles",
     "agg_regression",
@@ -210,7 +152,65 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "udtf_bigrams",
     "window_lead_ntile",
-    "zorder_layout_stats",
+    # -- position 51+: NOT in the r10 window (driver reads the first
+    # 50). These compose the r11 window: changed-code re-proves first
+    # (the six queries widened to 128-bit in the r9 integer-width
+    # sweep postdate their last driver proof — r9 verdict task 5),
+    # then the r2 overflow row, then the r3-proven cohort (7 rounds
+    # stale by r10 end; oldest-first rotation, r9 verdict task 4),
+    # topped up from the head of the r4 cohort to fill 50.
+    "isotonic_calibration_minimax",
+    "abtest_two_proportion_z",
+    "assoc_rules_lift",
+    "item_item_collab_filter",
+    "capture_recapture_estimate",
+    "collocation_pmi_topk",
+    "zorder_layout_stats",  # r2 — overflow from the r10 window
+    # the 40 r3-proven rows (COVERAGE.md staleness ledger)
+    "agg_mode_nation_per_segment",
+    "agg_stddev_acctbal",
+    "arrow_doc_stats",
+    "cdc_latest_state",
+    "corr_matrix_lineitem",
+    "data_quality_audit",
+    "dedup_doc_prefix",
+    "feature_quantile_bins",
+    "feature_standardize",
+    "gold_adoption_matrix",
+    "gold_repo_ranks",
+    "gold_tech_health",
+    "gold_tech_metrics",
+    "grouping_sets_orders",
+    "merge_upsert_orders",
+    "multimodal_frame_offsets",
+    "pack_sequences",
+    "pagerank_copurchase",
+    "pipeline_semantic_curation",
+    "probe_tm_avg_price",
+    "probe_tm_momentum",
+    "probe_tm_ranks",
+    "probe_tm_revenue",
+    "q1_pricing_summary",
+    "rolling_zscore_anomaly",
+    "rollup_time_multigrain",
+    "sample_domain_mix",
+    "scd2_event_type_history",
+    "search_query_plan",
+    "silver_keyword_extraction",
+    "source_binary_files",
+    "source_format_roundtrip",
+    "stream_stream_attribution",
+    "text_decontaminate",
+    "text_pii_redact",
+    "text_repetition_filter",
+    "twap_user_value",
+    "validation_violations",
+    "window_first_last",
+    "window_rank_distribution",
+    # head of the r4 cohort fills the last three r11 slots
+    "agg_corr_covar",
+    "agg_empty_input_semantics",
+    "agg_weighted_median",
 )
 
 

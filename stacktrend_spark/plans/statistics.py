@@ -462,22 +462,22 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-bin a numeric feature with deterministic discrete fences.
 
-    The fence computation ranks (cents, key) globally — a single-
-    partition window here, acceptable because only the 9 fence rows
-    survive it. At 100 TB you'd compute the same order statistics with
-    the two-phase partition-histogram selection in
-    ``operators/ranking.rank_global_scalable`` or a sampled sketch;
-    the bin-assignment side (broadcast 9 fences, one comparison scan)
-    already scales as-is.
+    The fence computation ranks (cents, key) globally through the
+    two-phase range-partitioned ``global_rank_scalable`` (r9 verdict
+    task 2) — one range shuffle + O(#partitions) broadcast offsets, no
+    single-partition window, identical ranks because (cents,
+    o_orderkey) is a total order. The bin-assignment side (broadcast
+    9 fences, one comparison scan) scales as-is.
     """
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
     orders = load_table(spark, sf_dir, "orders")
     v = orders.select(
         "o_orderkey", iscale("o_totalprice").alias("cents")
     )
-    ranked = v.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_orderkey")).alias("rn"),
-    )
+    ranked = global_rank_scalable(
+        v, order_cols=[F.col("cents"), F.col("o_orderkey")], rank_col="rn"
+    ).select("cents", "rn")
     nn = v.agg(F.count(F.lit(1)).alias("n"))
     # integer index: (n-1)*k/10 floor — integer DIV matches DuckDB `//`
     targets = (
@@ -2314,6 +2314,12 @@ def wilson_lcb_category_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def quantile_drift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each year's order-statistic rank runs through the two-phase
+    ``global_rank_scalable`` (r9 verdict task 2) — no single-partition
+    window over the fact-scale year slice; the total count joins back
+    as a broadcast 1-row aggregate instead of a COUNT(*) OVER ()."""
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
@@ -2323,10 +2329,15 @@ def quantile_drift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
         ).select(iscale("o_totalprice").alias("cents"), "o_orderkey")
-        r = yr.select(
-            "cents",
-            F.row_number().over(W.orderBy("cents", "o_orderkey")).alias("rk"),
-            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        nn = yr.agg(F.count(F.lit(1)).alias("n"))
+        r = (
+            global_rank_scalable(
+                yr,
+                order_cols=[F.col("cents"), F.col("o_orderkey")],
+                rank_col="rk",
+            )
+            .select("cents", "rk")
+            .crossJoin(F.broadcast(nn))
         )
         ks = r.sparkSession.range(1, 10).select(F.col("id").alias("k"))
         return (

@@ -1307,11 +1307,23 @@ def theilsen_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("sgn"),
     )
-    ranked = pairs.select(
-        "slope",
-        "sgn",
-        F.row_number().over(W.orderBy("slope", "i", "j")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    # Median-slope order statistic through the two-phase
+    # global_rank_scalable (r9 verdict task 2): the pair grid is
+    # O(spine²), so on a daily/hourly spine this frame is the one that
+    # grows — no single-partition window over it; np joins back as a
+    # broadcast 1-row count. (slope, i, j) is a total order, so ranks
+    # are identical to the windowed form.
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    npairs = pairs.agg(F.count(F.lit(1)).alias("np"))
+    ranked = (
+        global_rank_scalable(
+            pairs,
+            order_cols=[F.col("slope"), F.col("i"), F.col("j")],
+            rank_col="rk",
+        )
+        .select("slope", "sgn", "rk")
+        .crossJoin(F.broadcast(npairs))
     )
     return ranked.agg(
         F.max("np").cast("long").alias("n_pairs"),

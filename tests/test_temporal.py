@@ -97,6 +97,40 @@ def test_range_join_inverted_interval_drops_not_crashes(spark):
     assert sorted((r.pid, r.iid) for r in out.collect()) == [(1, 10)]
 
 
+def test_range_join_descending_grid_keeps_matches(spark):
+    """A descending grid (negative band_step, band >= end_band for
+    well-formed intervals) must replicate and match — the guard
+    derives direction from the step instead of assuming ascending,
+    which would silently drop every interval (r9 ADVICE)."""
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-02T12:00:00"))], "pid int, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            # healthy 3-band interval: matches
+            (10, _ts("2024-01-01T00:00:00"), _ts("2024-01-03T23:00:00")),
+            # inverted RELATIVE TO THE GRID DIRECTION: start-band
+            # below end-band is fine ascending, but this row's span is
+            # end-before-start — must drop under either direction
+            (11, _ts("2024-01-05T00:00:00"), _ts("2024-01-01T00:00:00")),
+        ],
+        "iid int, w_start timestamp, w_end timestamp",
+    )
+    out = range_join_banded(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        # grid walks DOWN from the end band to the start band
+        band=F.date_trunc("day", F.col("w_end")),
+        point_band=F.date_trunc("day", F.col("ts")),
+        end_band=F.date_trunc("day", F.col("w_start")),
+        band_step=F.expr("INTERVAL -1 DAY"),
+    )
+    assert sorted((r.pid, r.iid) for r in out.collect()) == [(1, 10)]
+
+
 def test_decayed_trending_mass_and_shares(spark, sf_dir):
     from stacktrend_spark.plans.temporal import (
         _DECAY_WMAX,
