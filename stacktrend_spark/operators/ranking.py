@@ -122,3 +122,63 @@ def global_running_sum_scalable(
         .withColumn(sum_col, (F.col("_offset") + F.col("_lsum")).cast("long"))
         .drop("_pid", "_lsum", "_offset")
     )
+
+
+def global_running_max_scalable(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    max_col: str = "running_max",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running MAX of ``value_col`` by ``order_cols``
+    without a single-partition window — completes the two-phase family
+    (rank / running sum / running max). Same shape: range shuffle on
+    the order keys, per-partition local running max, then the
+    O(#partitions) driver fold carries the prefix-max of whole prior
+    partitions, broadcast back and combined with ``greatest`` (which
+    skips NULLs, so the first row of the first partition stays NULL in
+    exclusive mode exactly like the windowed form).
+
+    ``inclusive=False`` gives the dominance-sweep frame
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` (skyline /
+    Pareto frontier); ``inclusive=True`` the usual running max.
+    ``order_cols`` must define a total order (unique tiebreaker) for a
+    deterministic result; NULL values in ``value_col`` are skipped by
+    MAX on both phases, matching the window semantics.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    upper = 0 if inclusive else -1
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, upper)
+    )
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lmax", F.max(value_col).over(w))
+        .persist()
+    )
+    partials = sorted(
+        (r["_pid"], r["_m"])
+        for r in local.groupBy("_pid").agg(F.max(value_col).alias("_m")).collect()
+    )
+    offsets = []
+    run = None
+    for pid, m in partials:
+        offsets.append((pid, run))
+        if m is not None and (run is None or m > run):
+            run = m
+    spark = df.sparkSession
+    value_type = dict(df.dtypes)[value_col]
+    off_df = spark.createDataFrame(offsets, f"_pid int, _offset {value_type}")
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(max_col, F.greatest(F.col("_offset"), F.col("_lmax")))
+        .drop("_pid", "_lmax", "_offset")
+    )

@@ -1630,10 +1630,20 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("p0") - F.unix_micros("v0")).alias("lat_us"),
     )
-    ranked = lat.select(
-        "lat_us",
-        F.row_number().over(W.orderBy("lat_us", "user_id")).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nn"),
+    # two-phase global rank over the user-scale latency frame (r10,
+    # extending r9 verdict task 2); the total count joins back as a
+    # broadcast 1-row aggregate instead of COUNT(*) OVER ()
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    nn = lat.agg(F.count(F.lit(1)).alias("nn"))
+    ranked = (
+        global_rank_scalable(
+            lat,
+            order_cols=[F.col("lat_us"), F.col("user_id")],
+            rank_col="rk",
+        )
+        .select("lat_us", "rk")
+        .crossJoin(F.broadcast(nn))
     )
     return ranked.agg(
         F.max("nn").cast("long").alias("n_users"),

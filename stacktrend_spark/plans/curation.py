@@ -1961,8 +1961,12 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         cuts AS (SELECT UNNEST([1, 2, 5, 10, 20, 50]) AS n_vocab)
         SELECT CAST(cuts.n_vocab AS BIGINT) AS n_vocab,
                CAST(MAX(r.cum) AS BIGINT) AS covered_tokens,
-               CAST(MAX(r.cum) * 1000000 // MAX(r.tot) AS BIGINT)
-                   AS coverage_ppm
+               -- cum is token-instance mass (~1e13-14 at 100 TB), so
+               -- cum*1e6 wraps int64: widen through HUGEINT/DECIMAL
+               -- on both engines (r9 width policy), ppm result back
+               -- in BIGINT
+               CAST(CAST(MAX(r.cum) AS HUGEINT) * 1000000
+                    // MAX(r.tot) AS BIGINT) AS coverage_ppm
         FROM cuts JOIN ranked r ON r.rk <= cuts.n_vocab
         GROUP BY cuts.n_vocab
     """,
@@ -1981,12 +1985,27 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     wc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wr = W.orderBy(F.desc("c"), F.asc("term"))
-    ranked = wc.select(
-        "c",
-        F.row_number().over(wr).alias("rk"),
-        F.sum("c").over(wr.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
-        F.sum("c").over(W.partitionBy()).alias("tot"),
+    # rank + prefix sum over the vocabulary through the two-phase
+    # operators (r10, extending r9 verdict task 2): the vocabulary is
+    # Heaps-bounded but still grows into the 1e8-1e9 range at 100 TB
+    # of text — too big for a single-partition window; the corpus
+    # total joins back as a broadcast 1-row aggregate
+    from stacktrend_spark.operators.ranking import (
+        global_rank_scalable,
+        global_running_sum_scalable,
+    )
+
+    order_cols = [F.desc("c"), F.asc("term")]
+    tot = wc.agg(F.sum("c").alias("tot"))
+    ranked = (
+        global_running_sum_scalable(
+            global_rank_scalable(wc, order_cols=order_cols, rank_col="rk"),
+            order_cols=order_cols,
+            value_col="c",
+            sum_col="cum",
+        )
+        .select("c", "rk", "cum")
+        .crossJoin(F.broadcast(tot))
     )
     cuts = docs.sparkSession.createDataFrame(
         [(1,), (2,), (5,), (10,), (20,), (50,)], ["n_vocab"]
@@ -1997,9 +2016,12 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_vocab")
         .agg(
             F.max("cum").cast("long").alias("covered_tokens"),
-            F.expr("MAX(cum) * 1000000 DIV MAX(tot)")
-            .cast("long")
-            .alias("coverage_ppm"),
+            # token-mass x 1e6 through DECIMAL(38,0) (r9 width
+            # policy; mirrors the oracle's HUGEINT)
+            F.expr(
+                "CAST(CAST(MAX(cum) AS DECIMAL(38, 0)) * 1000000"
+                " DIV MAX(tot) AS BIGINT)"
+            ).alias("coverage_ppm"),
         )
         .select(F.col("n_vocab").cast("long"), "covered_tokens", "coverage_ppm")
     )

@@ -441,12 +441,25 @@ def zorder_vs_linear_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = part.withColumn(
         "zkey", zorder_key2(F.col("p_size"), F.expr("cents DIV 256"), 16)
     )
-    ranked = base.select(
-        "p_size",
-        "cents",
-        F.row_number().over(W.orderBy("p_size", "cents", "p_partkey")).alias("r_lin"),
-        F.row_number().over(W.orderBy("zkey", "p_partkey")).alias("r_z"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    # both layout ranks through the two-phase global rank (r10,
+    # extending r9 verdict task 2 — the frame is the whole part
+    # table), chained so no join-back is needed; n comes back as a
+    # broadcast 1-row count instead of COUNT(*) OVER ()
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    nn = base.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        global_rank_scalable(
+            global_rank_scalable(
+                base,
+                order_cols=[F.col("p_size"), F.col("cents"), F.col("p_partkey")],
+                rank_col="r_lin",
+            ),
+            order_cols=[F.col("zkey"), F.col("p_partkey")],
+            rank_col="r_z",
+        )
+        .select("p_size", "cents", "r_lin", "r_z")
+        .crossJoin(F.broadcast(nn))
     )
     lin = ranked.select(
         F.lit("linear").alias("layout"),

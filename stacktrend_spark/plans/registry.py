@@ -155,16 +155,27 @@ _PRIORITY: tuple[str, ...] = (
     # -- position 51+: NOT in the r10 window (driver reads the first
     # 50). These compose the r11 window: changed-code re-proves first
     # (the six queries widened to 128-bit in the r9 integer-width
-    # sweep postdate their last driver proof — r9 verdict task 5),
-    # then the r2 overflow row, then the r3-proven cohort (7 rounds
-    # stale by r10 end; oldest-first rotation, r9 verdict task 4),
-    # topped up from the head of the r4 cohort to fill 50.
+    # sweep postdate their last driver proof — r9 verdict task 5 —
+    # plus the five r10 window-purge conversions), then the r2
+    # overflow row, then the r3-proven cohort (7 rounds stale by r10
+    # end; oldest-first rotation, r9 verdict task 4). The r11 window
+    # = 6 + 5 + 1 + the first 38 r3 rows; the last 2 r3 rows and the
+    # r4-cohort head queue for r12.
     "isotonic_calibration_minimax",
     "abtest_two_proportion_z",
     "assoc_rules_lift",
     "item_item_collab_filter",
     "capture_recapture_estimate",
     "collocation_pmi_topk",
+    # r10 changed-code re-proves: the five extended single-partition-
+    # window conversions (two-phase global rank / running max /
+    # running sum) — code changed after their last driver proof, all
+    # hash-green at both shapes + strict bare-session post-change
+    "spearman_rank_corr",
+    "conversion_latency_quantiles",
+    "skyline_price_size",
+    "zorder_vs_linear_skipping",
+    "vocab_coverage_curve",
     "zorder_layout_stats",  # r2 — overflow from the r10 window
     # the 40 r3-proven rows (COVERAGE.md staleness ledger)
     "agg_mode_nation_per_segment",

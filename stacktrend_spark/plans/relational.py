@@ -814,7 +814,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """The dominance sweep's exclusive-prefix running max runs through
+    the two-phase operators/ranking.global_running_max_scalable (r10,
+    extending r9 verdict task 2): the deduped point set still scales
+    with the part table, so a single-partition window over it is the
+    banned fact-scale anti-pattern; the two-phase form is
+    bit-identical ((price asc, size desc) with the size tiebreak is a
+    total order on the deduped points)."""
+    from stacktrend_spark.operators.ranking import global_running_max_scalable
 
     part = load_table(spark, sf_dir, "part")
     pts = part.groupBy(
@@ -823,13 +830,17 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"),
         F.col("p_size").cast("long").alias("p_size"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
-    w = (
-        W.orderBy(F.asc("price_cents"), F.desc("p_size"))
-        .rowsBetween(W.unboundedPreceding, -1)
+    swept = global_running_max_scalable(
+        pts,
+        order_cols=[F.asc("price_cents"), F.desc("p_size")],
+        value_col="p_size",
+        max_col="max_before",
+        inclusive=False,
     )
     return (
-        pts.withColumn("max_before", F.max("p_size").over(w))
-        .filter(F.col("max_before").isNull() | (F.col("p_size") > F.col("max_before")))
+        swept.filter(
+            F.col("max_before").isNull() | (F.col("p_size") > F.col("max_before"))
+        )
         .select("price_cents", "p_size", "n_parts")
     )
 

@@ -1714,10 +1714,13 @@ def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB: one fact aggregate + two rank assignments + one 1-row
-    reduce. The global row_number windows here are the small-dimension
-    form — past ~10⁷ customers swap in the two-phase
-    operators/ranking.global_rank_scalable (same outputs, range-
-    partitioned); the correlation math is unchanged."""
+    reduce. Both rank assignments run through the two-phase
+    operators/ranking.global_rank_scalable (r10, extending r9 verdict
+    task 2 to every fact-scale frame) — chained like
+    customer_rfm_scores so no join-back is needed; (key, custkey) is a
+    total order, so ranks are bit-identical to the windowed form."""
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", iscale("c_acctbal").alias("bal")
     )
@@ -1727,10 +1730,15 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "bal")
         .agg(F.coalesce(F.sum(iscale("o_totalprice")), F.lit(0)).alias("sp"))
     )
-    ranked = spend.select(
-        F.row_number().over(W.orderBy("sp", "c_custkey")).alias("rx"),
-        F.row_number().over(W.orderBy("bal", "c_custkey")).alias("ry"),
-    )
+    ranked = global_rank_scalable(
+        global_rank_scalable(
+            spend,
+            order_cols=[F.col("sp"), F.col("c_custkey")],
+            rank_col="rx",
+        ),
+        order_cols=[F.col("bal"), F.col("c_custkey")],
+        rank_col="ry",
+    ).select("rx", "ry")
     dec = "decimal(38,0)"
     sums = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -237,6 +237,40 @@ def test_running_sum_null_partition_and_float_rejection(spark):
         global_running_sum_scalable(fdf, [F.col("k")], "v", num_partitions=2)
 
 
+def test_running_max_matches_window_forms(spark):
+    """global_running_max_scalable must reproduce both window frames
+    (inclusive running max and the exclusive dominance-sweep prefix)
+    across multiple range partitions, including NULL skipping and the
+    first-row NULL of the exclusive form."""
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.operators.ranking import global_running_max_scalable
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 9), (4, 2), (5, 9), (6, 1)],
+        "k long, v long",
+    )
+    for inclusive in (True, False):
+        upper = 0 if inclusive else -1
+        w = W.orderBy("k").rowsBetween(W.unboundedPreceding, upper)
+        want = {
+            r["k"]: r["m"]
+            for r in df.select("k", F.max("v").over(w).alias("m")).collect()
+        }
+        got = {
+            r["k"]: r["m"]
+            for r in global_running_max_scalable(
+                df,
+                [F.col("k")],
+                "v",
+                max_col="m",
+                inclusive=inclusive,
+                num_partitions=3,
+            ).collect()
+        }
+        assert got == want, (inclusive, got, want)
+
+
 def test_lsh_band_rows_rejects_indivisible_hashes(spark):
     from stacktrend_spark.operators.dedup import lsh_band_rows
 

@@ -723,6 +723,23 @@ def test_gains_deciles_ntile_is_two_phase(spark, sf_dir):
     assert not any("ntile" in b.lower() for b in bad), bad
 
 
+def test_r10_extended_conversions_have_no_fact_scale_windows(spark, sf_dir):
+    """The r10 extension of the single-partition-window purge: the
+    five remaining SF-scaling frames (customer ranks, user latencies,
+    part dominance sweep, part layout ranks, vocabulary rank+prefix
+    sum) must show zero unpartitioned windows — every order statistic
+    routes through the two-phase operators."""
+    for name in (
+        "spearman_rank_corr",
+        "conversion_latency_quantiles",
+        "skyline_price_size",
+        "zorder_vs_linear_skipping",
+        "vocab_coverage_curve",
+    ):
+        df = all_queries()[name].fn(spark, sf_dir)
+        assert _unpartitioned_window_orderings(df) == [], name
+
+
 def test_theilsen_pair_rank_is_two_phase(spark, sf_dir):
     """theilsen_mann_kendall's median-slope rank runs over the O(n²)
     pair grid — that frame must use the two-phase operator (r9 verdict
