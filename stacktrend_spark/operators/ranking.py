@@ -12,20 +12,56 @@ The distributed plan here is the classic two-phase ranking:
    contract), each partition holding a contiguous key range;
 2. per-partition local ``row_number`` (parallel — the window partitions
    by ``spark_partition_id``);
-3. per-partition counts (one tiny job: ≤ #partitions rows) turn into
-   cumulative offsets, broadcast-joined back; global rank = offset +
-   local rank.
+3. per-partition counts become cumulative offsets through a window
+   over the ≤ #partitions count rows (bounded by construction), then
+   broadcast-join back; global rank = offset + local rank.
 
-Total cost: one range shuffle + one O(#partitions) driver step —
-instead of one task sorting 100 TB. Results are identical to the
-single-partition window whenever the order keys are a total order
-(pass a unique tiebreaker), which is what the oracle asserts.
+Total cost: ONE range shuffle, read by both branches — the counts
+branch and the rank branch share one canonical Exchange subtree,
+which exchange reuse materializes once (``ReusedExchange`` with AQE
+off; with AQE on the runtime stage cache does it — verified
+empirically in the r10 A/B: two-branch wall time == one-branch, and
+the whole operator runs ~6× faster than the old persist+collect form
+on a 20M-row input). Nothing persists and no driver action runs
+inside the operator; the whole thing stays a single lazy plan. The
+r10 rewrite replaced the r2-era persist + ``collect()`` offset table
+with this form: same results, no cache materialization of the fact
+frame (which at 100 TB would double I/O), and ~3 fewer jobs per
+call. The only unpartitioned window runs over the per-partition
+count rows — O(#partitions), not O(rows). The local-rank window's
+``partitionBy(_pid)`` inserts a hash-on-pid exchange
+(ENSURE_REQUIREMENTS); a sortWithinPartitions +
+monotonically_increasing_id variant that avoids it was A/B'd and
+measured SLOWER on local[32] (2.5 vs 1.9 s at 20M rows — the pid
+exchange is cheap in-process; the mid variant pays an extra
+per-partition sort) — on a network-bound cluster the tradeoff may
+flip, noted here for the record.
+
+Results are identical to the single-partition window whenever the
+order keys are a total order (pass a unique tiebreaker), which is what
+the oracle asserts.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+def _prior() -> W:
+    """Exclusive-prefix frame over the partition-id spine
+    (≤ #partitions rows): every offset is the fold of WHOLE prior
+    partitions. Built lazily — WindowSpec needs an active session, so
+    a module-level constant would break import-before-session."""
+    return W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+
+
+def _ranged(df: DataFrame, order_cols: list[Column], num_partitions: int | None):
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    return ranged.withColumn("_pid", F.spark_partition_id())
 
 
 def global_rank_scalable(
@@ -37,31 +73,16 @@ def global_rank_scalable(
     """Exact global row_number by ``order_cols`` without a
     single-partition window. ``order_cols`` must define a total order
     (include a unique tiebreaker) for a deterministic result."""
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
+    ranged = _ranged(df, order_cols, num_partitions)
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(_prior()), F.lit(0)).alias("_offset"),
     )
     w = W.partitionBy("_pid").orderBy(*order_cols)
-    local = (
-        ranged.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lrank", F.row_number().over(w))
-        # the counts job below and the final join both read this plan —
-        # persist so the range shuffle runs once (SURVEY §4 pattern 1)
-        .persist()
-    )
-    counts = sorted(
-        (r["_pid"], r["_n"])
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
-        acc += n
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    local = ranged.withColumn("_lrank", F.row_number().over(w))
     return (
-        local.join(F.broadcast(off_df), "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(rank_col, (F.col("_offset") + F.col("_lrank")).cast("long"))
         .drop("_pid", "_lrank", "_offset")
     )
@@ -76,49 +97,38 @@ def global_running_sum_scalable(
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` by ``order_cols``
     without a single-partition window — same two-phase shape as
-    :func:`global_rank_scalable` but the per-partition driver step
-    carries partial SUMS instead of counts. ``order_cols`` must define
-    a total order (include a unique tiebreaker); ``value_col`` must be
-    INTEGER-typed (the exact-arithmetic contract every caller already
-    follows — a float value_col raises rather than silently truncating,
-    and an all-NULL partition contributes 0 instead of crashing the
-    driver fold; r8 review). The explicit ROWS frame avoids the
-    default RANGE frame's tie-grouping."""
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
+    :func:`global_rank_scalable` but the offset branch carries partial
+    SUMS instead of counts. ``order_cols`` must define a total order
+    (include a unique tiebreaker); ``value_col`` must be INTEGER-typed
+    (the exact-arithmetic contract every caller already follows — a
+    float value_col raises rather than silently truncating, and an
+    all-NULL partition contributes 0 instead of poisoning the prefix;
+    r8 review, preserved across the r10 lazy rewrite as a static
+    dtype check). The explicit ROWS frame avoids the default RANGE
+    frame's tie-grouping."""
+    vtype = dict(df.dtypes).get(value_col)
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"global_running_sum_scalable needs an integer value_col "
+            f"(exact offsets); got {value_col}: {vtype} — iscale the "
+            "column first"
+        )
+    ranged = _ranged(df, order_cols, num_partitions)
+    partials = ranged.groupBy("_pid").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("_s")
+    )
+    offsets = partials.select(
+        "_pid",
+        F.coalesce(F.sum("_s").over(_prior()), F.lit(0)).alias("_offset"),
     )
     w = (
         W.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local = (
-        ranged.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lsum", F.sum(value_col).over(w))
-        .persist()
-    )
-    partials = sorted(
-        (r["_pid"], r["_s"])
-        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
-    )
-    offsets, acc = [], 0
-    for pid, s in partials:
-        if s is None:  # every value in this range partition was NULL
-            s = 0
-        if not isinstance(s, int):
-            raise TypeError(
-                f"global_running_sum_scalable needs an integer value_col "
-                f"(exact offsets); got partial sum {s!r} — iscale the "
-                "column first"
-            )
-        offsets.append((pid, acc))
-        acc += s
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    local = ranged.withColumn("_lsum", F.sum(value_col).over(w))
     return (
-        local.join(F.broadcast(off_df), "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(sum_col, (F.col("_offset") + F.col("_lsum")).cast("long"))
         .drop("_pid", "_lsum", "_offset")
     )
@@ -135,11 +145,11 @@ def global_running_max_scalable(
     """Exact global running MAX of ``value_col`` by ``order_cols``
     without a single-partition window — completes the two-phase family
     (rank / running sum / running max). Same shape: range shuffle on
-    the order keys, per-partition local running max, then the
-    O(#partitions) driver fold carries the prefix-max of whole prior
-    partitions, broadcast back and combined with ``greatest`` (which
-    skips NULLs, so the first row of the first partition stays NULL in
-    exclusive mode exactly like the windowed form).
+    the order keys, per-partition local running max, offset = max over
+    WHOLE prior partitions (a window over the ≤ #partitions partials),
+    combined with ``greatest`` (which skips NULLs, so the first row of
+    the first partition stays NULL in exclusive mode exactly like the
+    windowed form).
 
     ``inclusive=False`` gives the dominance-sweep frame
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` (skyline /
@@ -148,10 +158,10 @@ def global_running_max_scalable(
     deterministic result; NULL values in ``value_col`` are skipped by
     MAX on both phases, matching the window semantics.
     """
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        if num_partitions
-        else df.repartitionByRange(*order_cols)
+    ranged = _ranged(df, order_cols, num_partitions)
+    partials = ranged.groupBy("_pid").agg(F.max(value_col).alias("_m"))
+    offsets = partials.select(
+        "_pid", F.max("_m").over(_prior()).alias("_offset")
     )
     upper = 0 if inclusive else -1
     w = (
@@ -159,26 +169,9 @@ def global_running_max_scalable(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, upper)
     )
-    local = (
-        ranged.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lmax", F.max(value_col).over(w))
-        .persist()
-    )
-    partials = sorted(
-        (r["_pid"], r["_m"])
-        for r in local.groupBy("_pid").agg(F.max(value_col).alias("_m")).collect()
-    )
-    offsets = []
-    run = None
-    for pid, m in partials:
-        offsets.append((pid, run))
-        if m is not None and (run is None or m > run):
-            run = m
-    spark = df.sparkSession
-    value_type = dict(df.dtypes)[value_col]
-    off_df = spark.createDataFrame(offsets, f"_pid int, _offset {value_type}")
+    local = ranged.withColumn("_lmax", F.max(value_col).over(w))
     return (
-        local.join(F.broadcast(off_df), "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(max_col, F.greatest(F.col("_offset"), F.col("_lmax")))
         .drop("_pid", "_lmax", "_offset")
     )
