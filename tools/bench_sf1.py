@@ -217,6 +217,19 @@ HEAVY = [
     "stream_session_windows",
     "q2_min_cost_supplier",
     "powerlaw_degree_fit",
+    # r10: the nine single-partition-window conversions — their sf0.1
+    # warm crossed 1 s (the two-phase plan's fixed stage overhead), so
+    # the >1 s alpha-coverage policy now includes them; expect flat
+    # alpha (the overhead amortizes — rank/sum/max phases are linear)
+    "spearman_rank_corr",
+    "conversion_latency_quantiles",
+    "skyline_price_size",
+    "zorder_vs_linear_skipping",
+    "vocab_coverage_curve",
+    "feature_quantile_bins",
+    "model_gains_deciles",
+    "quantile_drift_boundaries",
+    "theilsen_mann_kendall",
 ]
 
 _REPLICAS = 10
