@@ -9,37 +9,47 @@ The distributed plan here is the classic two-phase ranking:
 
 1. ``repartitionByRange`` on the order keys — rows land in partitions
    whose id order matches the sort order (Spark's RangePartitioner
-   contract), each partition holding a contiguous key range;
-2. per-partition local ``row_number`` (parallel — the window partitions
-   by ``spark_partition_id``);
-3. per-partition counts become cumulative offsets through a window
-   over the ≤ #partitions count rows (bounded by construction), then
+   contract), each partition holding a contiguous key range — then
+   ``sortWithinPartitions`` on the same keys;
+2. ``monotonically_increasing_id`` over the sorted partitions encodes
+   BOTH phase-1 outputs in one map-side expression: the id layout is
+   ``(partition_id << 33) + row_index``, so ``_pid = id >> 33`` and
+   the local rank is ``(id & (2^33 - 1)) + 1`` — no per-partition
+   window, no hash-on-pid exchange (the r2-r9 implementation paid a
+   SECOND full shuffle there: ``W.partitionBy(_pid)`` inserts an
+   ENSURE_REQUIREMENTS hash exchange because Catalyst cannot know the
+   range exchange already clusters by pid);
+3. the tagged frame is **persisted**, per-partition counts collect to
+   the driver (one O(#partitions) action), and cumulative offsets
    broadcast-join back; global rank = offset + local rank.
 
-Total cost: ONE range shuffle, read by both branches — the counts
-branch and the rank branch share one canonical Exchange subtree,
-which exchange reuse materializes once (``ReusedExchange`` with AQE
-off; with AQE on the runtime stage cache does it — verified
-empirically in the r10 A/B: two-branch wall time == one-branch, and
-the whole operator runs ~6× faster than the old persist+collect form
-on a 20M-row input). Nothing persists and no driver action runs
-inside the operator; the whole thing stays a single lazy plan. The
-r10 rewrite replaced the r2-era persist + ``collect()`` offset table
-with this form: same results, no cache materialization of the fact
-frame (which at 100 TB would double I/O), and ~3 fewer jobs per
-call. The only unpartitioned window runs over the per-partition
-count rows — O(#partitions), not O(rows). The local-rank window's
-``partitionBy(_pid)`` inserts a hash-on-pid exchange
-(ENSURE_REQUIREMENTS); a sortWithinPartitions +
-monotonically_increasing_id variant that avoids it was A/B'd and
-measured SLOWER on local[32] (2.5 vs 1.9 s at 20M rows — the pid
-exchange is cheap in-process; the mid variant pays an extra
-per-partition sort) — on a network-bound cluster the tradeoff may
-flip, noted here for the record.
+Why the persist is load-bearing, not an optimization: the offsets and
+the local ranks MUST read the SAME physical partitioning.
+RangePartitioner samples its boundaries per execution (reservoir seed
+varies by RDD id), and a lazy two-branch plan over the same logical
+subtree does NOT reliably share one Exchange — column pruning narrows
+the offsets branch, the subtrees stop canonicalizing equal, exchange
+reuse (and AQE's stage cache) miss, and each branch gets its OWN
+sampled boundaries. Offsets from one partitioning joined onto ranks
+from another silently corrupt the output (r10 review: reproduced at
+2M rows — 1,946,724 distinct ranks for 2,000,000 rows; the sf0.01
+gates can't see it because tiny inputs are fully sampled, making
+every execution's boundaries identical). A lazy rewrite that relied
+on exchange reuse was landed and REVERTED this round for exactly that
+defect — do not remove the persist without pinning one
+materialization some other way.
 
+Total cost of the rank: one range shuffle + one in-partition sort +
+one cache materialization + an O(#partitions) driver step — instead
+of one task sorting 100 TB, and one full shuffle cheaper than the
+r2-r9 window form (the running sum/max below still need a real
+WindowExec for their prefix aggregates, so they keep the window form
+and its pid hash exchange). Per-partition rows must stay under 2^33
+(the id layout's offset width) — at 8.5 B rows/partition that is not
+a real limit.
 Results are identical to the single-partition window whenever the
-order keys are a total order (pass a unique tiebreaker), which is what
-the oracle asserts.
+order keys are a total order (pass a unique tiebreaker), which is
+what the oracle asserts.
 """
 
 from __future__ import annotations
@@ -47,21 +57,30 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-def _prior() -> W:
-    """Exclusive-prefix frame over the partition-id spine
-    (≤ #partitions rows): every offset is the fold of WHOLE prior
-    partitions. Built lazily — WindowSpec needs an active session, so
-    a module-level constant would break import-before-session."""
-    return W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+#: monotonically_increasing_id packs the row index in the low 33 bits
+_MID_OFFSET_MASK = (1 << 33) - 1
 
 
-def _ranged(df: DataFrame, order_cols: list[Column], num_partitions: int | None):
+def _tagged(
+    df: DataFrame, order_cols: list[Column], num_partitions: int | None
+) -> DataFrame:
+    """Range-shuffle + in-partition sort + (pid, local-rank) tagging
+    from the monotonic id layout. The caller MUST persist the result
+    before fanning out (module header: the partitioning is sampled
+    per execution, so every consumer has to read one materialization).
+    """
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
-    return ranged.withColumn("_pid", F.spark_partition_id())
+    return (
+        ranged.sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33).cast("int"))
+        .withColumn("_lrank", (F.col("_mid").bitwiseAND(_MID_OFFSET_MASK) + 1))
+        .drop("_mid")
+    )
 
 
 def global_rank_scalable(
@@ -73,16 +92,19 @@ def global_rank_scalable(
     """Exact global row_number by ``order_cols`` without a
     single-partition window. ``order_cols`` must define a total order
     (include a unique tiebreaker) for a deterministic result."""
-    ranged = _ranged(df, order_cols, num_partitions)
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    offsets = counts.select(
-        "_pid",
-        F.coalesce(F.sum("_n").over(_prior()), F.lit(0)).alias("_offset"),
+    local = _tagged(df, order_cols, num_partitions).persist()
+    counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     )
-    w = W.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_lrank", F.row_number().over(w))
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(off_df), "_pid")
         .withColumn(rank_col, (F.col("_offset") + F.col("_lrank")).cast("long"))
         .drop("_pid", "_lrank", "_offset")
     )
@@ -93,19 +115,26 @@ def global_running_sum_scalable(
     order_cols: list[Column],
     value_col: str,
     sum_col: str = "running_sum",
+    rank_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` by ``order_cols``
     without a single-partition window — same two-phase shape as
-    :func:`global_rank_scalable` but the offset branch carries partial
-    SUMS instead of counts. ``order_cols`` must define a total order
-    (include a unique tiebreaker); ``value_col`` must be INTEGER-typed
-    (the exact-arithmetic contract every caller already follows — a
-    float value_col raises rather than silently truncating, and an
-    all-NULL partition contributes 0 instead of poisoning the prefix;
-    r8 review, preserved across the r10 lazy rewrite as a static
-    dtype check). The explicit ROWS frame avoids the default RANGE
-    frame's tie-grouping."""
+    :func:`global_rank_scalable`; the driver step carries (count, sum)
+    partials per partition, so passing ``rank_col`` ALSO emits the
+    global row number from the same shuffle + cache (one pass for
+    rank + prefix sum — the vocab_coverage_curve shape; r10 review).
+    ``order_cols`` must define a total order (include a unique
+    tiebreaker); ``value_col`` must be INTEGER-typed (the
+    exact-arithmetic contract every caller already follows — a float
+    value_col raises rather than silently truncating, and an all-NULL
+    partition contributes 0 instead of crashing the driver fold; r8
+    review). The explicit ROWS frame avoids the default RANGE frame's
+    tie-grouping. Unlike the rank operator, the prefix aggregation
+    needs a real window, so this keeps the r2-r9 window form (the
+    ``partitionBy(_pid)`` hash exchange included) with the persist
+    pinning one partitioning for both the partials and the join.
+    """
     vtype = dict(df.dtypes).get(value_col)
     if vtype not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
@@ -113,25 +142,47 @@ def global_running_sum_scalable(
             f"(exact offsets); got {value_col}: {vtype} — iscale the "
             "column first"
         )
-    ranged = _ranged(df, order_cols, num_partitions)
-    partials = ranged.groupBy("_pid").agg(
-        F.coalesce(F.sum(value_col), F.lit(0)).alias("_s")
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
     )
-    offsets = partials.select(
-        "_pid",
-        F.coalesce(F.sum("_s").over(_prior()), F.lit(0)).alias("_offset"),
+    spec = W.partitionBy("_pid").orderBy(*order_cols)
+    w = spec.rowsBetween(W.unboundedPreceding, W.currentRow)
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lsum", F.sum(value_col).over(w)
     )
-    w = (
-        W.partitionBy("_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    if rank_col is not None:
+        # same partitioning + ordering → Catalyst fuses this into the
+        # SAME WindowExec as the prefix sum: rank + running sum from
+        # one shuffle, one sort, one cache (vocab_coverage_curve
+        # shape; r10 review)
+        local = local.withColumn("_lrank", F.row_number().over(spec))
+    local = local.persist()
+    partials = sorted(
+        (r["_pid"], r["_s"], r["_n"])
+        for r in local.groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum(value_col), F.lit(0)).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
     )
-    local = ranged.withColumn("_lsum", F.sum(value_col).over(w))
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(sum_col, (F.col("_offset") + F.col("_lsum")).cast("long"))
-        .drop("_pid", "_lsum", "_offset")
+    offsets, acc, acc_n = [], 0, 0
+    for pid, s, n in partials:
+        offsets.append((pid, acc, acc_n))
+        acc += int(s)
+        acc_n += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long, _coffset long")
+    out = local.join(F.broadcast(off_df), "_pid").withColumn(
+        sum_col, (F.col("_offset") + F.col("_lsum")).cast("long")
     )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, (F.col("_coffset") + F.col("_lrank")).cast("long")
+        ).drop("_lrank")
+    return out.drop("_pid", "_lsum", "_offset", "_coffset")
 
 
 def global_running_max_scalable(
@@ -144,12 +195,12 @@ def global_running_max_scalable(
 ) -> DataFrame:
     """Exact global running MAX of ``value_col`` by ``order_cols``
     without a single-partition window — completes the two-phase family
-    (rank / running sum / running max). Same shape: range shuffle on
-    the order keys, per-partition local running max, offset = max over
-    WHOLE prior partitions (a window over the ≤ #partitions partials),
-    combined with ``greatest`` (which skips NULLs, so the first row of
-    the first partition stays NULL in exclusive mode exactly like the
-    windowed form).
+    (rank / running sum / running max). Same shape: range shuffle +
+    in-partition sort, per-partition local running max over the frozen
+    ``_pid``/``_lrank`` columns, driver fold of whole-prior-partition
+    maxima broadcast back and combined with ``greatest`` (which skips
+    NULLs, so the first row of the first partition stays NULL in
+    exclusive mode exactly like the windowed form).
 
     ``inclusive=False`` gives the dominance-sweep frame
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` (skyline /
@@ -158,10 +209,10 @@ def global_running_max_scalable(
     deterministic result; NULL values in ``value_col`` are skipped by
     MAX on both phases, matching the window semantics.
     """
-    ranged = _ranged(df, order_cols, num_partitions)
-    partials = ranged.groupBy("_pid").agg(F.max(value_col).alias("_m"))
-    offsets = partials.select(
-        "_pid", F.max("_m").over(_prior()).alias("_offset")
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
     )
     upper = 0 if inclusive else -1
     w = (
@@ -169,9 +220,26 @@ def global_running_max_scalable(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, upper)
     )
-    local = ranged.withColumn("_lmax", F.max(value_col).over(w))
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lmax", F.max(value_col).over(w))
+        .persist()
+    )
+    partials = sorted(
+        (r["_pid"], r["_m"])
+        for r in local.groupBy("_pid").agg(F.max(value_col).alias("_m")).collect()
+    )
+    offsets = []
+    run = None
+    for pid, m in partials:
+        offsets.append((pid, run))
+        if m is not None and (run is None or m > run):
+            run = m
+    spark = df.sparkSession
+    value_type = dict(df.dtypes)[value_col]
+    off_df = spark.createDataFrame(offsets, f"_pid int, _offset {value_type}")
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(off_df), "_pid")
         .withColumn(max_col, F.greatest(F.col("_offset"), F.col("_lmax")))
         .drop("_pid", "_lmax", "_offset")
     )

@@ -1990,19 +1990,18 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Heaps-bounded but still grows into the 1e8-1e9 range at 100 TB
     # of text — too big for a single-partition window; the corpus
     # total joins back as a broadcast 1-row aggregate
-    from stacktrend_spark.operators.ranking import (
-        global_rank_scalable,
-        global_running_sum_scalable,
-    )
+    from stacktrend_spark.operators.ranking import global_running_sum_scalable
 
-    order_cols = [F.desc("c"), F.asc("term")]
     tot = wc.agg(F.sum("c").alias("tot"))
+    # rank + prefix sum in ONE two-phase pass (rank_col on the running
+    # sum — same shuffle, same WindowExec, same cache; r10 review)
     ranked = (
         global_running_sum_scalable(
-            global_rank_scalable(wc, order_cols=order_cols, rank_col="rk"),
-            order_cols=order_cols,
+            wc,
+            order_cols=[F.desc("c"), F.asc("term")],
             value_col="c",
             sum_col="cum",
+            rank_col="rk",
         )
         .select("c", "rk", "cum")
         .crossJoin(F.broadcast(tot))

@@ -159,8 +159,9 @@ _PRIORITY: tuple[str, ...] = (
     # plus the five r10 window-purge conversions), then the r2
     # overflow row, then the r3-proven cohort (7 rounds stale by r10
     # end; oldest-first rotation, r9 verdict task 4). The r11 window
-    # = 6 + 5 + 1 + the first 38 r3 rows; the last 2 r3 rows and the
-    # r4-cohort head queue for r12.
+    # = 6 width re-proves + 8 r10-changed re-proves + zorder + the
+    # first 35 r3 rows; the last 5 r3 rows and the r4-cohort head
+    # queue for r12.
     "isotonic_calibration_minimax",
     "abtest_two_proportion_z",
     "assoc_rules_lift",
@@ -176,6 +177,13 @@ _PRIORITY: tuple[str, ...] = (
     "skyline_price_size",
     "zorder_vs_linear_skipping",
     "vocab_coverage_curve",
+    # the other three r9-verdict task-2 conversions (r10 review: they
+    # were NOT in any staleness cohort below, so without these lines
+    # their changed code would never re-prove; feature_quantile_bins
+    # is already in the r3 cohort)
+    "model_gains_deciles",
+    "quantile_drift_boundaries",
+    "theilsen_mann_kendall",
     "zorder_layout_stats",  # r2 — overflow from the r10 window
     # the 40 r3-proven rows (COVERAGE.md staleness ledger)
     "agg_mode_nation_per_segment",

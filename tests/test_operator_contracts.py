@@ -237,6 +237,49 @@ def test_running_sum_null_partition_and_float_rejection(spark):
         global_running_sum_scalable(fdf, [F.col("k")], "v", num_partitions=2)
 
 
+@pytest.mark.slow
+def test_global_rank_payload_columns_at_partial_sampling_scale(spark):
+    """r10 regression pin: a lazy two-branch rewrite of the operators
+    (no persist) silently corrupted ranks whenever the input carried
+    payload columns — column pruning made the offsets branch's range
+    exchange canonicalize differently, exchange reuse missed, and the
+    two branches sampled DIFFERENT range boundaries (the reservoir
+    seed is per-execution). Pin the failure shape: 2M rows, payload
+    column kept alive downstream, input large enough that boundary
+    sampling is partial. Ranks must be an exact permutation of 1..N
+    and match the single-partition window."""
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.operators.ranking import global_rank_scalable
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 8).alias("k"),
+        "id",
+        (F.col("id") % 997).alias("payload"),
+    )
+    out = global_rank_scalable(
+        df, order_cols=[F.col("k"), F.col("id")], rank_col="r"
+    ).select("r", "payload")  # keep payload alive downstream
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("r").alias("nd"),
+        F.min("r").alias("mn"),
+        F.max("r").alias("mx"),
+    ).collect()[0]
+    assert (stats["n"], stats["nd"], stats["mn"], stats["mx"]) == (n, n, 1, n)
+    # spot-check exact agreement with the windowed form on a slice
+    want = df.select(
+        "id", F.row_number().over(W.orderBy("k", "id")).alias("r")
+    ).filter(F.col("r") <= 1000)
+    got = (
+        global_rank_scalable(df, [F.col("k"), F.col("id")], "r")
+        .filter(F.col("r") <= 1000)
+        .select("id", "r")
+    )
+    assert want.exceptAll(got).count() == 0 and got.exceptAll(want).count() == 0
+
+
 def test_running_max_matches_window_forms(spark):
     """global_running_max_scalable must reproduce both window frames
     (inclusive running max and the exclusive dominance-sweep prefix)
