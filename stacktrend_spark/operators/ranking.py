@@ -60,6 +60,32 @@ from pyspark.sql import functions as F
 #: monotonically_increasing_id packs the row index in the low 33 bits
 _MID_OFFSET_MASK = (1 << 33) - 1
 
+#: every frame persisted by an operator in this module, in call order.
+#: The persist is load-bearing (module header) so operators cannot
+#: unpersist eagerly — the returned DataFrame still reads the cache.
+#: Long-lived multi-query sessions (the 387-query gate, sf1 sweeps)
+#: should call release_pinned() between queries once results are
+#: materialized, or spark.catalog.clearCache() (bench.py already
+#: does); r10 review.
+_PINNED: list[DataFrame] = []
+
+
+def release_pinned() -> int:
+    """Unpersist every frame pinned by this module's operators and
+    return how many were released. Safe ONLY after the caller has
+    materialized (collected/written) the operator results — an
+    unpersist before that forces a recompute whose re-sampled range
+    boundaries would no longer match the collected offsets."""
+    n = len(_PINNED)
+    while _PINNED:
+        _PINNED.pop().unpersist()
+    return n
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    _PINNED.append(df.persist())
+    return df
+
 
 def _tagged(
     df: DataFrame, order_cols: list[Column], num_partitions: int | None
@@ -92,7 +118,7 @@ def global_rank_scalable(
     """Exact global row_number by ``order_cols`` without a
     single-partition window. ``order_cols`` must define a total order
     (include a unique tiebreaker) for a deterministic result."""
-    local = _tagged(df, order_cols, num_partitions).persist()
+    local = _pin(_tagged(df, order_cols, num_partitions))
     counts = sorted(
         (r["_pid"], r["_n"])
         for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
@@ -158,7 +184,7 @@ def global_running_sum_scalable(
         # one shuffle, one sort, one cache (vocab_coverage_curve
         # shape; r10 review)
         local = local.withColumn("_lrank", F.row_number().over(spec))
-    local = local.persist()
+    local = _pin(local)
     partials = sorted(
         (r["_pid"], r["_s"], r["_n"])
         for r in local.groupBy("_pid")
@@ -195,12 +221,15 @@ def global_running_max_scalable(
 ) -> DataFrame:
     """Exact global running MAX of ``value_col`` by ``order_cols``
     without a single-partition window — completes the two-phase family
-    (rank / running sum / running max). Same shape: range shuffle +
-    in-partition sort, per-partition local running max over the frozen
-    ``_pid``/``_lrank`` columns, driver fold of whole-prior-partition
-    maxima broadcast back and combined with ``greatest`` (which skips
-    NULLs, so the first row of the first partition stays NULL in
-    exclusive mode exactly like the windowed form).
+    (rank / running sum / running max). Like the running sum (and
+    unlike the rank), the prefix aggregate needs a real WindowExec, so
+    this keeps the window-over-``spark_partition_id`` form with the
+    persist pinning one partitioning: range shuffle, per-partition
+    local running max in the ``_pid`` window, driver fold of
+    whole-prior-partition maxima broadcast back and combined with
+    ``greatest`` (which skips NULLs, so the first row of the first
+    partition stays NULL in exclusive mode exactly like the windowed
+    form).
 
     ``inclusive=False`` gives the dominance-sweep frame
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` (skyline /
@@ -220,10 +249,9 @@ def global_running_max_scalable(
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, upper)
     )
-    local = (
+    local = _pin(
         ranged.withColumn("_pid", F.spark_partition_id())
         .withColumn("_lmax", F.max(value_col).over(w))
-        .persist()
     )
     partials = sorted(
         (r["_pid"], r["_m"])

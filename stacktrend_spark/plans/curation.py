@@ -1978,8 +1978,6 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf_dir, "documents").select("text")
     tf = docs.select(
         F.explode(F.split(F.lower("text"), " ")).alias("term")

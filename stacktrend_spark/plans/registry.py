@@ -226,7 +226,9 @@ _PRIORITY: tuple[str, ...] = (
     "validation_violations",
     "window_first_last",
     "window_rank_distribution",
-    # head of the r4 cohort fills the last three r11 slots
+    # head of the r4 cohort — queued BEHIND the r3 tail, i.e. for the
+    # r12 window (the r11 window is already full at 6 width + 8
+    # changed + zorder + 35 r3 rows; see the arithmetic note above)
     "agg_corr_covar",
     "agg_empty_input_semantics",
     "agg_weighted_median",

@@ -280,6 +280,62 @@ def test_global_rank_payload_columns_at_partial_sampling_scale(spark):
     assert want.exceptAll(got).count() == 0 and got.exceptAll(want).count() == 0
 
 
+@pytest.mark.slow
+def test_fused_rank_and_running_sum_at_partial_sampling_scale(spark):
+    """The rank_col fusion on global_running_sum_scalable rides the
+    same persisted partitioning as the prefix sum — pin it at the
+    partial-boundary-sampling scale where the lazy design corrupted
+    (tiny-input oracle gates cannot see this class; r10 review)."""
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.operators.ranking import (
+        global_running_sum_scalable,
+        release_pinned,
+    )
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.sha2(F.col("id").cast("string"), 256).substr(1, 8).alias("k"),
+        "id",
+        (F.col("id") % 7).alias("v"),
+        (F.col("id") % 997).alias("payload"),
+    )
+    out = global_running_sum_scalable(
+        df,
+        order_cols=[F.col("k"), F.col("id")],
+        value_col="v",
+        sum_col="rs",
+        rank_col="r",
+    ).select("r", "rs", "payload")
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("r").alias("nd"),
+        F.max("r").alias("mx"),
+        F.max("rs").alias("final_sum"),
+    ).collect()[0]
+    total_v = df.agg(F.sum("v")).collect()[0][0]
+    assert (stats["n"], stats["nd"], stats["mx"]) == (n, n, n)
+    # the row at rank N carries the full corpus sum — the prefix is
+    # only correct end-to-end if offsets and local sums agree
+    assert stats["final_sum"] == total_v
+    # exact agreement with the windowed forms on the head slice
+    w = W.orderBy("k", "id")
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("r"),
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("rs"),
+    ).filter(F.col("r") <= 1000)
+    got = (
+        global_running_sum_scalable(
+            df, [F.col("k"), F.col("id")], "v", sum_col="rs", rank_col="r"
+        )
+        .filter(F.col("r") <= 1000)
+        .select("id", "r", "rs")
+    )
+    assert want.exceptAll(got).count() == 0 and got.exceptAll(want).count() == 0
+    assert release_pinned() >= 2  # the module releases its caches
+
+
 def test_running_max_matches_window_forms(spark):
     """global_running_max_scalable must reproduce both window frames
     (inclusive running max and the exclusive dominance-sweep prefix)
