@@ -186,29 +186,45 @@ def global_running_sum_scalable(
         local = local.withColumn("_lrank", F.row_number().over(spec))
     local = _pin(local)
     partials = sorted(
-        (r["_pid"], r["_s"], r["_n"])
+        (r["_pid"], r["_s"], r["_n"], r["_nn"])
         for r in local.groupBy("_pid")
         .agg(
             F.coalesce(F.sum(value_col), F.lit(0)).alias("_s"),
             F.count(F.lit(1)).alias("_n"),
+            F.count(value_col).alias("_nn"),  # non-null values only
         )
         .collect()
     )
-    offsets, acc, acc_n = [], 0, 0
-    for pid, s, n in partials:
-        offsets.append((pid, acc, acc_n))
+    offsets, acc, acc_n, acc_nn = [], 0, 0, 0
+    for pid, s, n, nn in partials:
+        offsets.append((pid, acc, acc_n, acc_nn))
         acc += int(s)
         acc_n += n
+        acc_nn += nn
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long, _coffset long")
+    off_df = spark.createDataFrame(
+        offsets, "_pid int, _offset long, _coffset long, _prior_nn long"
+    )
+    # window-parity NULL semantics (r10 hypothesis finding): the
+    # global prefix sum is NULL iff the global prefix holds ZERO
+    # non-null values — a partition whose LOCAL prefix is all-NULL
+    # must still carry the prior partitions' sum, so coalesce the
+    # local sum and gate on the prior non-null count instead of
+    # letting + propagate the local NULL
     out = local.join(F.broadcast(off_df), "_pid").withColumn(
-        sum_col, (F.col("_offset") + F.col("_lsum")).cast("long")
+        sum_col,
+        F.when(
+            F.col("_lsum").isNull() & (F.col("_prior_nn") == 0),
+            F.lit(None).cast("long"),
+        ).otherwise(
+            (F.col("_offset") + F.coalesce(F.col("_lsum"), F.lit(0))).cast("long")
+        ),
     )
     if rank_col is not None:
         out = out.withColumn(
             rank_col, (F.col("_coffset") + F.col("_lrank")).cast("long")
         ).drop("_lrank")
-    return out.drop("_pid", "_lsum", "_offset", "_coffset")
+    return out.drop("_pid", "_lsum", "_offset", "_coffset", "_prior_nn")
 
 
 def global_running_max_scalable(

@@ -464,3 +464,122 @@ def test_star_cc_equals_minlabel_cc(spark, sf_dir):
             for r in connected_components_star(edges, nodes).collect()
         }
         assert a == b, f"labelings differ for {pairs}: {a} vs {b}"
+
+
+# ---------------------------------------------------------------------------
+# Two-phase ranking operators vs the windowed forms (r10): 26
+# registered queries route their global order statistics through
+# operators/ranking — hypothesis drives duplicates, negatives, NULLs,
+# and partition-count boundaries (1 partition = the degenerate case
+# where two-phase MUST collapse to the windowed result exactly).
+# ---------------------------------------------------------------------------
+
+_rank_rows = st.lists(
+    st.tuples(st.integers(-50, 50), st.one_of(st.none(), st.integers(-99, 99))),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=_rank_rows, nparts=st.sampled_from([None, 1, 2, 3, 7]))
+@_SETTINGS
+def test_two_phase_rank_matches_window(spark, rows, nparts):
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.operators.ranking import (
+        global_rank_scalable,
+        release_pinned,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, id long"
+    )
+    want = {
+        r["id"]: r["r"]
+        for r in df.select(
+            "id", F.row_number().over(W.orderBy("k", "id")).alias("r")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["r"]
+        for r in global_rank_scalable(
+            df, [F.col("k"), F.col("id")], "r", num_partitions=nparts
+        ).collect()
+    }
+    release_pinned()
+    assert got == want
+
+
+@given(rows=_rank_rows, nparts=st.sampled_from([None, 1, 3, 7]))
+@_SETTINGS
+def test_two_phase_running_sum_and_fused_rank_match_window(spark, rows, nparts):
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.operators.ranking import (
+        global_running_sum_scalable,
+        release_pinned,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, id long"
+    )
+    w = W.orderBy("k", "id")
+    want = {
+        r["id"]: (r["r"], r["rs"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("r"),
+            F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("rs"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["r"], r["rs"])
+        for r in global_running_sum_scalable(
+            df,
+            [F.col("k"), F.col("id")],
+            "v",
+            sum_col="rs",
+            rank_col="r",
+            num_partitions=nparts,
+        ).collect()
+    }
+    release_pinned()
+    assert got == want
+
+
+@given(
+    rows=_rank_rows,
+    nparts=st.sampled_from([None, 1, 3, 7]),
+    inclusive=st.booleans(),
+)
+@_SETTINGS
+def test_two_phase_running_max_matches_window(spark, rows, nparts, inclusive):
+    from pyspark.sql import Window as W
+
+    from stacktrend_spark.operators.ranking import (
+        global_running_max_scalable,
+        release_pinned,
+    )
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, id long"
+    )
+    upper = 0 if inclusive else -1
+    w = W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, upper)
+    want = {
+        r["id"]: r["m"]
+        for r in df.select("id", F.max("v").over(w).alias("m")).collect()
+    }
+    got = {
+        r["id"]: r["m"]
+        for r in global_running_max_scalable(
+            df,
+            [F.col("k"), F.col("id")],
+            "v",
+            max_col="m",
+            inclusive=inclusive,
+            num_partitions=nparts,
+        ).collect()
+    }
+    release_pinned()
+    assert got == want
