@@ -583,3 +583,90 @@ def test_two_phase_running_max_matches_window(spark, rows, nparts, inclusive):
     }
     release_pinned()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# As-of / nearest temporal joins vs brute-force reference (r10):
+# hypothesis drives simultaneous timestamps, duplicate keys, empty
+# match sets, and tolerance boundaries — the edges the union-window
+# asof trick and the banded nearest join must get exactly right.
+# ---------------------------------------------------------------------------
+
+_ts_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 30)),  # (key, ts)
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(lefts=_ts_events, rights=_ts_events)
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from stacktrend_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, lts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rights)],
+        "k long, rts long, rv long",
+    )
+    out = {
+        r["lid"]: (r["asof_rv"], r["asof_ts"])
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts", right_payload=["rv"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [
+            (rt, 100 + j)
+            for j, (rk, rt) in enumerate(rights)
+            if rk == k and rt <= t
+        ]
+        if not cands:
+            want = (None, None)
+        else:
+            # most recent; ties on ts resolve by max payload tuple
+            # (the operator's documented deterministic rule)
+            best_ts = max(c[0] for c in cands)
+            best_rv = max(rv for rt, rv in cands if rt == best_ts)
+            want = (best_rv, best_ts)
+        assert out[i] == want, (i, k, t, out[i], want)
+
+
+@given(lefts=_ts_events, rights=_ts_events, tol=st.sampled_from([1, 3, 7]))
+@_SETTINGS
+def test_nearest_join_matches_bruteforce(spark, lefts, rights, tol):
+    from stacktrend_spark.operators.temporal import nearest_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, lts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rights)],
+        "k long, rts long, rid long",
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in nearest_join(
+            ldf,
+            rdf,
+            key="k",
+            left_us="lts",
+            right_us="rts",
+            tolerance_us=tol,
+            left_id="lid",
+            right_id="rid",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [
+            (abs(rt - t), 100 + j)
+            for j, (rk, rt) in enumerate(rights)
+            if rk == k and abs(rt - t) <= tol
+        ]
+        if not cands:
+            assert i not in out, (i, out.get(i))
+        else:
+            want = min(cands)[1]  # closest, ties on lower rid
+            assert out.get(i) == want, (i, k, t, out.get(i), want, cands)
