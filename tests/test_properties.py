@@ -670,3 +670,57 @@ def test_nearest_join_matches_bruteforce(spark, lefts, rights, tol):
         else:
             want = min(cands)[1]  # closest, ties on lower rid
             assert out.get(i) == want, (i, k, t, out.get(i), want, cands)
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs union-find (r10): the distributed min-label
+# loop labels every dedup cluster — hypothesis drives random graphs
+# (self-loops, duplicate/reversed edges, isolates via the node table)
+# against a driver-side union-find reference. driver_fastpath_max_edges=0
+# forces the DISTRIBUTED path.
+# ---------------------------------------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(pairs=_edges)
+@_SETTINGS
+def test_connected_components_match_union_find(spark, pairs):
+    from stacktrend_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    node_ids = sorted({x for p in pairs for x in p} | {99})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, nodes, driver_fastpath_max_edges=0
+        ).collect()
+    }
+    # union-find reference with min-label components
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    comp_min = {}
+    for n in node_ids:
+        r = find(n)
+        comp_min.setdefault(r, []).append(n)
+    for r, members in comp_min.items():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    assert got == want, (pairs, got, want)
