@@ -32,6 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from stacktrend_spark.operators.ranking import release_pinned
 from stacktrend_spark.plans.registry import all_queries
 from stacktrend_spark.session import get_spark
 
@@ -412,6 +413,7 @@ def main() -> None:
         # them lazily); without this the cache accumulates across the
         # run and later queries measure GC pressure, not themselves
         spark.catalog.clearCache()
+        release_pinned()
         t0 = time.time()
         specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -442,6 +444,7 @@ def main() -> None:
         ref = prior_warm.get(name)
         if ref and ref > 0 and (warm[name] > 2.0 * ref or warm[name] < 0.5 * ref):
             spark.catalog.clearCache()
+            release_pinned()
             rerun = []
             for _ in range(3):
                 t1 = time.time()

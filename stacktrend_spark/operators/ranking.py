@@ -50,6 +50,21 @@ a real limit.
 Results are identical to the single-partition window whenever the
 order keys are a total order (pass a unique tiebreaker), which is
 what the oracle asserts.
+
+Fault-tolerance caveat for CLUSTER deployments (r10 ADVICE): a bare
+``persist()`` pins one partitioning only while its cache blocks and
+shuffle files survive. If an executor or node is lost after the
+driver has collected the per-partition offsets, Spark recomputes the
+lost partitions THROUGH the range-sampling stage — new boundaries,
+stale offsets: the same silent-corruption class as the reverted lazy
+variant, and invisible in local-mode gates (one JVM never loses an
+executor). On a real cluster, make the materialization
+recompute-proof before the offsets collect: ``df.localCheckpoint()``
+severs lineage but dies with its executors, so for long jobs prefer
+``spark.sparkContext.setCheckpointDir(<reliable storage>)`` +
+``df.checkpoint()``, or persist with a replicated storage level
+(``StorageLevel.MEMORY_AND_DISK_2``). Local mode keeps the bare
+persist: it is cheaper and the single JVM cannot half-fail.
 """
 
 from __future__ import annotations
@@ -83,6 +98,13 @@ def release_pinned() -> int:
 
 
 def _pin(df: DataFrame) -> DataFrame:
+    # Self-evict entries whose cache is already gone (a harness that
+    # calls spark.catalog.clearCache() without release_pinned(), r10
+    # ADVICE): storageLevel reads the live cache manager, so a cleared
+    # frame reports NONE and holding its plan reference buys nothing.
+    _PINNED[:] = [
+        d for d in _PINNED if d.storageLevel.useMemory or d.storageLevel.useDisk
+    ]
     _PINNED.append(df.persist())
     return df
 

@@ -34,6 +34,7 @@ sys.path.insert(0, REPO)
 
 def run_single(sf_dir: str) -> dict:
     from bench import COMPARABLE
+    from stacktrend_spark.operators.ranking import release_pinned
     from stacktrend_spark.plans.registry import all_queries
     from stacktrend_spark.session import get_spark
 
@@ -50,6 +51,7 @@ def run_single(sf_dir: str) -> dict:
     warm: dict[str, float] = {}
     for name in COMPARABLE:
         spark.catalog.clearCache()
+        release_pinned()
         t0 = time.time()
         specs[name].fn(spark, sf_dir).count()
         cold[name] = round(time.time() - t0, 3)

@@ -69,9 +69,14 @@ def main():
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                     a = a.astype("float64")
                     b = b.astype("float64")
-                    both = ~(a.isna() & b.isna())
-                    if len(a[both]) and ((a[both] - b[both]).abs().max() > 0
-                                         or a[both].isna().sum() != b[both].isna().sum()):
+                    # NaN masks must match POSITIONALLY (count-matching is
+                    # not enough: (1,NaN),(2,5) vs (1,5),(2,NaN) has equal
+                    # counts but differs); with masks equal, (a-b) is NaN
+                    # only where both are NaN, so fillna(0) is exact.
+                    if not a.isna().equals(b.isna()):
+                        ok = False
+                        break
+                    if (a - b).abs().fillna(0).max() > 0:
                         ok = False
                         break
                 elif not a.equals(b):

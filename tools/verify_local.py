@@ -19,6 +19,7 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from stacktrend_spark.operators.ranking import release_pinned  # noqa: E402
 from stacktrend_spark.plans.registry import all_queries  # noqa: E402
 from stacktrend_spark.session import get_spark  # noqa: E402
 from stacktrend_spark.sources.tables import TABLES  # noqa: E402
@@ -55,9 +56,18 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = av.astype("float64")
             bv = bv.astype("float64")
-            both = ~(av.isna() & bv.isna())
-            diff = (av[both] - bv[both]).abs()
-            if len(diff) and (diff.max() > 0 or av[both].isna().sum() != bv[both].isna().sum()):
+            # NaN masks must match POSITIONALLY (count-matching falsely
+            # passes (1,NaN),(2,5) vs (1,5),(2,NaN) because pandas .max()
+            # skips the NaN diffs); with equal masks, (av-bv) is NaN only
+            # where both are NaN, so fillna(0) makes the check exact.
+            if not av.isna().equals(bv.isna()):
+                problems.append(
+                    f"col {c}: NaN positions differ "
+                    f"(spark {int(av.isna().sum())} vs duck {int(bv.isna().sum())} NaNs)"
+                )
+                continue
+            diff = (av - bv).abs().fillna(0)
+            if diff.max() > 0:
                 problems.append(f"col {c}: max abs diff {diff.max():.3e} ({int((diff > 0).sum())} rows differ)")
         else:
             neq = ~((av == bv) | (av.isna() & bv.isna()))
@@ -87,6 +97,7 @@ def main() -> int:
         # between queries keeps a 170-query session from accumulating
         # executor memory (r5 ADVICE) — same discipline as bench.py
         spark.catalog.clearCache()
+        release_pinned()
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
