@@ -85,107 +85,33 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: exactly registry indices 0-49 get CORRECTNESS rows). Long-green
 #: rows rotate to the back — they are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-10 WINDOW (r9 verdict task 1: drain never-driven to 0).
-    # This is EXACTLY the 50-row set pre-validated 50/50 in a strict
-    # bare session during r9 (COVERAGE.md "Round-10 window
-    # pre-validation"): the hybrid_rrf_fusion re-prove (r9 DF-cap
-    # rewrite postdates its r7 proof) + the 9 r8 additions and 5 r9
-    # additions that have never been inside a driver window + the
-    # stale-rotation head (dedup_ngram_jaccard, r1-proven — the single
-    # oldest proof — and 34 of the 35 r2-proven rows;
-    # zorder_layout_stats rotates in r11 instead). After this window
-    # lands, cumulative driver-proven = 387/387 registered at r10
-    # start and never-driven = 0 for the first time.
-    # -- re-prove: code changed (r9) after last driver proof (r7) --
-    "hybrid_rrf_fusion",
-    # -- the 9 r8 additions never yet inside a driver window --
-    "brier_score_decomposition",
-    "bh_fdr_segment_tests",
-    "ann_nprobe_recall_sweep",
-    "embedding_norm_outliers",
-    "anti_join_null_semantics",
-    "snapshot_retention_expiry",
-    "rfm_migration_matrix",
-    "mode_imputation_nulls",
-    "multimodal_vad_segments",
-    # -- the 5 r9 additions never yet inside a driver window --
-    "dedup_semdedup_pairs",
-    "semdedup_recall_eval",
-    "rank_biased_overlap_eval",
-    "dedup_substring_spans",
-    "kneser_ney_bigram_lm",
-    # -- stale-rotation head: oldest driver proofs first --
-    "dedup_ngram_jaccard",  # r1 — the single oldest proof
-    # 34 of the 35 r2-proven rows (COVERAGE.md staleness ledger);
-    # zorder_layout_stats is the +1 that overflows to r11.
-    "agg_argminmax_orders",
-    "agg_percentiles",
-    "agg_regression",
-    "agg_string_concat_langs",
-    "cogroup_reconcile",
-    "cohort_retention_weekly",
-    "cube_revenue",
-    "funnel_signup_conversion",
-    "histogram_value_buckets",
-    "langdist_shares",
-    "map_hof_lang_shares",
-    "multimodal_features",
-    "outlier_iqr_filter",
-    "pipeline_corpus_curation",
-    "range_join_halfday_windows",
-    "resample_daily_gapfill",
-    "sample_stratified_hash",
-    "set_intersect_except",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "split_train_test",
-    "stream_dedup_events",
-    "stream_session_windows",
-    "stream_sliding_2d",
-    "stream_tumbling_daily",
-    "text_fingerprint",
-    "text_language_id",
-    "text_levenshtein_pairs",
-    "text_quality",
-    "text_regex_tokens",
-    "text_tfidf_topk",
-    "text_token_stats",
-    "udtf_bigrams",
-    "window_lead_ntile",
-    # -- position 51+: NOT in the r10 window (driver reads the first
-    # 50). These compose the r11 window: changed-code re-proves first
-    # (the six queries widened to 128-bit in the r9 integer-width
-    # sweep postdate their last driver proof — r9 verdict task 5 —
-    # plus the five r10 window-purge conversions), then the r2
-    # overflow row, then the r3-proven cohort (7 rounds stale by r10
-    # end; oldest-first rotation, r9 verdict task 4). The r11 window
-    # = 6 width re-proves + 8 r10-changed re-proves + zorder + the
-    # first 35 r3 rows; the last 5 r3 rows and the r4-cohort head
-    # queue for r12.
+    # ROUND-11 WINDOW (positions 1-50; r10 verdict task 1). This is
+    # VERBATIM the 50-row set pre-validated 50/50 in a strict bare
+    # session on the final r10 tree (COVERAGE.md "Round-10 terminal
+    # state"; testdata unchanged since — its 2026-08-16 00:56 mtime
+    # predates the validation commits): the six r9 integer-width-sweep
+    # re-proves, the nine r10 window-purge conversion re-proves
+    # (feature_quantile_bins, the ninth, sits in its r3-cohort slot
+    # below), zorder_layout_stats (the r2 overflow row), and the first
+    # 35 rows of the 40-row r3-proven cohort (oldest-first rotation).
+    # When this window lands, zero rows have code newer than their
+    # last driver proof and the stalest cohorts are the r3 remainder
+    # (5 rows) and the r4 cohort (49 rows).
     "isotonic_calibration_minimax",
     "abtest_two_proportion_z",
     "assoc_rules_lift",
     "item_item_collab_filter",
     "capture_recapture_estimate",
     "collocation_pmi_topk",
-    # r10 changed-code re-proves: the five extended single-partition-
-    # window conversions (two-phase global rank / running max /
-    # running sum) — code changed after their last driver proof, all
-    # hash-green at both shapes + strict bare-session post-change
     "spearman_rank_corr",
     "conversion_latency_quantiles",
     "skyline_price_size",
     "zorder_vs_linear_skipping",
     "vocab_coverage_curve",
-    # the other three r9-verdict task-2 conversions (r10 review: they
-    # were NOT in any staleness cohort below, so without these lines
-    # their changed code would never re-prove; feature_quantile_bins
-    # is already in the r3 cohort)
     "model_gains_deciles",
     "quantile_drift_boundaries",
     "theilsen_mann_kendall",
-    "zorder_layout_stats",  # r2 — overflow from the r10 window
-    # the 40 r3-proven rows (COVERAGE.md staleness ledger)
+    "zorder_layout_stats",
     "agg_mode_nation_per_segment",
     "agg_stddev_acctbal",
     "arrow_doc_stats",
@@ -221,17 +147,69 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_attribution",
     "text_decontaminate",
     "text_pii_redact",
+    # ROUND-12 WINDOW (positions 51-100; pinned per r10 verdict task
+    # 4): the last 5 rows of the r3 cohort + the first 45 of the
+    # 49-row r4 cohort (COVERAGE.md staleness ledger order). Rows
+    # ADDED during r11 (cap ≤5) must be inserted at the HEAD of this
+    # block (never-driven before stale re-proves), displacing the r4
+    # tail into r13; tests/test_round8_invariants.py machine-checks
+    # the window arithmetic against the CORRECTNESS artifacts.
     "text_repetition_filter",
     "twap_user_value",
     "validation_violations",
     "window_first_last",
     "window_rank_distribution",
-    # head of the r4 cohort — queued BEHIND the r3 tail, i.e. for the
-    # r12 window (the r11 window is already full at 6 width + 8
-    # changed + zorder + 35 r3 rows; see the arithmetic note above)
     "agg_corr_covar",
     "agg_empty_input_semantics",
     "agg_weighted_median",
+    "agg_winsorized_balance",
+    "bucketed_join_colocated",
+    "compliance_delete_audit",
+    "containment_join_keywords",
+    "corpus_shard_assign",
+    "customer_rfm_scores",
+    "dedup_minhash_lsh",
+    "embedding_quantize_int8",
+    "er_blocked_name_match",
+    "event_pattern_match",
+    "events_markov_transition",
+    "grouped_map_mad",
+    "heavy_hitters_twopass",
+    "incremental_agg_maintenance",
+    "interval_overlap_join",
+    "join_null_safe_buckets",
+    "lateral_top2_orders",
+    "market_basket_rules",
+    "max_concurrent_intervals",
+    "multimodal_audio_windows",
+    "multimodal_patch_grid",
+    "pareto_revenue_deciles",
+    "pipeline_personal_gold",
+    "pipeline_trend_gold",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "quantile_normalize_lengths",
+    "recursive_cte_reachability",
+    "sample_exact_k_per_group",
+    "scalar_math_scores",
+    "source_compression_roundtrip",
+    "source_partition_pruning",
+    "source_schema_evolution",
+    "source_xml_roundtrip",
+    "stream_stateful_totals",
+    "stream_static_enrichment",
+    "stream_topk_users_daily",
+    "stream_upsert_user_totals",
+    "table_fingerprint_buckets",
+    "text_chunk_windows",
+    "text_lm_score",
+    "triangle_count_copurchase",
+    # r13 head: the r4-cohort remainder, then the r5 cohort (49 rows,
+    # COVERAGE.md ledger) continues in artifact order.
+    "udaf_trimmed_mean",
+    "user_activity_streaks",
+    "variant_props_rollup",
+    "window_running_distinct_users",
 )
 
 

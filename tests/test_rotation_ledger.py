@@ -1,0 +1,129 @@
+"""Machine-checked driver-window rotation arithmetic (r10 verdict
+task 4).
+
+The staleness ledger in COVERAGE.md is prose; this test derives the
+same facts from the committed CORRECTNESS_r*.json artifacts — the
+ground truth of what each driver round actually proved — and pins the
+rotation invariants so a mis-counted window can't silently drop a row:
+
+- every registered query is driver-proven (never-driven stays 0), OR
+  is a new-this-round row sitting in the NEXT window's head;
+- the newest proof of every query is green (zero standing failures);
+- cohort sizes (rows grouped by newest proof round) partition the
+  registry exactly — the "lists sum to 387" check, generalized to
+  whatever the registry size is;
+- the pinned NEXT window (registry positions 51-100) holds only the
+  stalest cohorts it claims to rotate, plus never-driven rows at its
+  head.
+
+Pure artifact arithmetic — no SparkSession, runs in the fast tier.
+On each rotation, update the two pinned constants below to match the
+registry comment.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from collections import Counter
+
+from stacktrend_spark.plans.registry import all_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: cohorts (newest proof round) the pinned positions 51-100 window is
+#: allowed to contain — r12 takes the r3 remainder + the r4 head.
+NEXT_WINDOW_COHORTS = {3, 4}
+#: cap on rows registered after the newest artifact (r10 verdict:
+#: keep additions small so the pinned window composition holds)
+MAX_NEW_ROWS = 5
+
+
+def _artifacts() -> dict[int, dict]:
+    out = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        with open(path) as f:
+            out[int(m.group(1))] = json.load(f)
+    return out
+
+
+def _newest_proof() -> dict[str, int]:
+    """name -> newest driver round whose artifact hash-proves it."""
+    newest: dict[str, int] = {}
+    for rnd in sorted(_artifacts()):
+        for name, row in _artifacts()[rnd].items():
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None
+            ):
+                newest[name] = rnd
+    return newest
+
+
+def test_artifacts_exist_and_parse():
+    arts = _artifacts()
+    assert len(arts) >= 10, "expected one artifact per completed round"
+    assert all(isinstance(a, dict) and a for a in arts.values())
+
+
+def test_no_standing_failures():
+    """The LATEST artifact containing each query must be green."""
+    latest: dict[str, tuple[int, dict]] = {}
+    for rnd, art in _artifacts().items():
+        for name, row in art.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, row)
+    bad = {
+        n: (r, row)
+        for n, (r, row) in latest.items()
+        if not row.get("hash_match") and row.get("err") is not None
+    }
+    assert not bad, f"standing driver failures: {bad}"
+
+
+def test_cohorts_partition_the_registry():
+    names = list(all_queries())
+    newest = _newest_proof()
+    proven = set(newest) & set(names)
+    never = [n for n in names if n not in newest]
+    cohorts = Counter(newest[n] for n in proven)
+    # the partition identity: cohort sizes + never-driven == registry
+    assert sum(cohorts.values()) + len(never) == len(names)
+    # r10 verdict headline preserved: never-driven only ever holds
+    # rows added AFTER the newest committed artifact, and few of them
+    assert len(never) <= MAX_NEW_ROWS, f"too many unproven rows: {never}"
+
+
+def test_new_rows_lead_the_next_window():
+    names = list(all_queries())
+    newest = _newest_proof()
+    never = [n for n in names if n not in newest]
+    next_window = names[50:100]
+    for n in never:
+        assert n in next_window, (
+            f"{n} is never driver-proven but sits outside positions "
+            "51-100 — it would not be proven next round"
+        )
+        # never-driven rows go at the window HEAD (before stale rows)
+        assert next_window.index(n) < len(never) + 1
+
+
+def test_next_window_rotates_the_stalest_cohorts():
+    names = list(all_queries())
+    newest = _newest_proof()
+    offenders = {
+        n: newest[n]
+        for n in names[50:100]
+        if n in newest and newest[n] not in NEXT_WINDOW_COHORTS
+    }
+    assert not offenders, (
+        f"pinned next-window rows outside cohorts {NEXT_WINDOW_COHORTS}: "
+        f"{offenders} — rotation comment and registry disagree"
+    )
+
+
+def test_current_window_has_50_distinct_registered_rows():
+    names = list(all_queries())
+    assert len(set(names[:50])) == 50
