@@ -1,0 +1,265 @@
+"""Property-based tests for the dedup/similarity CANDIDATE GENERATORS
+(r10 verdict task 5) — the last custom-operator family without
+randomized semantic probing.
+
+The LSH machinery is deterministic given the signatures (salted-md5
+minhash, banded md5 digests), so the properties assert EXACT
+equivalence against an independent Python model, which is strictly
+stronger than the probabilistic "recall above threshold" framing:
+
+- ``lsh_candidate_pairs`` == the band-collision model (a pair is a
+  candidate iff the two docs share at least one full band digest) —
+  which by construction contains every pair with identical non-empty
+  shingle sets (Jaccard = 1);
+- ``lsh_star_edges`` == the per-bucket min-star model, and the star's
+  connected components equal the all-pairs candidates' components
+  (the transitivity claim that lets the O(N·bands) star replace the
+  Σ bucket² pair listing for dedup);
+- ``jaccard_from_arrays`` == Python set arithmetic on the candidates;
+- ``cosine_near_dup_pairs`` is row-identical across all four plan
+  shapes (join vs grouped-Arrow kernel × hot-bucket guard on/off) and
+  equals a Python float64 model that replays the exact left-fold
+  element order and the shared floor(x·10ⁿ+0.5)/10ⁿ rounding.
+
+Each example runs real (tiny) Spark jobs; max_examples stays small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from stacktrend_spark.operators.dedup import (
+    jaccard_from_arrays,
+    lsh_candidate_pairs,
+    lsh_star_edges,
+    minhash_signatures_from_arrays,
+)
+from stacktrend_spark.operators.similarity import cosine_near_dup_pairs
+
+pytestmark = pytest.mark.slow
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny token alphabet → real signature collisions and duplicate sets
+_token = st.sampled_from(["ab", "cd", "ef", "gh", "ij", "kl"])
+_corpus = st.lists(
+    st.lists(_token, min_size=0, max_size=5),
+    min_size=2,
+    max_size=10,
+)
+
+NUM_HASHES = 4
+BAND_SIZE = 2
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _model_signature(tokens: list[str]) -> list[str] | None:
+    """Python replica of minhash_signatures_from_arrays: per salt i,
+    min md5 over the shingle array (empty array → NULL signature)."""
+    if not tokens:
+        return None
+    return [min(_md5(f"{i}|{t}") for t in tokens) for i in range(NUM_HASHES)]
+
+
+def _model_band_keys(sig: list[str] | None) -> list[str] | None:
+    if sig is None:
+        return None
+    n_bands = NUM_HASHES // BAND_SIZE
+    return [
+        _md5("".join(sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]))
+        for b in range(n_bands)
+    ]
+
+
+def _model_buckets(corpus: list[list[str]]) -> dict[tuple[int, str], list[int]]:
+    """(band_id, band_key) → sorted member ids; NULL-signature docs
+    never join (SQL equality semantics)."""
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, tokens in enumerate(corpus):
+        keys = _model_band_keys(_model_signature(tokens))
+        if keys is None:
+            continue
+        for band_id, key in enumerate(keys):
+            buckets.setdefault((band_id, key), []).append(doc_id)
+    return buckets
+
+
+def _corpus_df(spark, corpus):
+    return spark.createDataFrame(
+        [(i, toks, len(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, shingles array<string>, n_shingles long",
+    )
+
+
+def _components(n: int, edges: set[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n)}
+
+
+@_SETTINGS
+@given(corpus=_corpus)
+def test_lsh_candidate_pairs_equal_band_collision_model(spark, corpus):
+    sigs = minhash_signatures_from_arrays(
+        _corpus_df(spark, corpus), "doc_id", num_hashes=NUM_HASHES
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=NUM_HASHES, band_size=BAND_SIZE
+        ).collect()
+    }
+    want = set()
+    for members in _model_buckets(corpus).values():
+        want.update(itertools.combinations(members, 2))
+    assert got == want
+    # corollary (the recall guarantee the docstring sells): any two
+    # docs with identical NON-EMPTY shingle sets are always candidates
+    for i, j in itertools.combinations(range(len(corpus)), 2):
+        if corpus[i] and set(corpus[i]) == set(corpus[j]):
+            assert (i, j) in got
+
+
+@_SETTINGS
+@given(corpus=_corpus)
+def test_lsh_star_edges_model_and_component_equivalence(spark, corpus):
+    sigs = minhash_signatures_from_arrays(
+        _corpus_df(spark, corpus), "doc_id", num_hashes=NUM_HASHES
+    )
+    star = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_star_edges(
+            sigs, "doc_id", num_hashes=NUM_HASHES, band_size=BAND_SIZE
+        ).collect()
+    }
+    buckets = _model_buckets(corpus)
+    want = set()
+    for members in buckets.values():
+        lo = min(members)
+        want.update((lo, m) for m in members if m > lo)
+    assert star == want
+    # the star is a subset of the all-pairs candidates...
+    all_pairs = set()
+    for members in buckets.values():
+        all_pairs.update(itertools.combinations(members, 2))
+    assert star <= all_pairs
+    # ...with IDENTICAL connected components (the transitivity claim
+    # that makes the O(N·bands) star sufficient for dedup)
+    n = len(corpus)
+    assert _components(n, star) == _components(n, all_pairs)
+
+
+@_SETTINGS
+@given(corpus=_corpus)
+def test_jaccard_from_arrays_matches_set_arithmetic(spark, corpus):
+    arr = _corpus_df(spark, corpus)
+    sigs = minhash_signatures_from_arrays(arr, "doc_id", num_hashes=NUM_HASHES)
+    cands = lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )
+    rows = jaccard_from_arrays(arr, "doc_id", cands).collect()
+    # NB: array_intersect / the n_shingles column work on the ARRAY
+    # form (duplicates collapse in intersect; n_* counts raw length),
+    # which is how every registered caller builds its inputs — the
+    # shingle arrays there are produced distinct. Mirror exactly:
+    for r in rows:
+        a, b = corpus[r["id_a"]], corpus[r["id_b"]]
+        assert r["n_common"] == len(set(a) & set(b))
+        assert r["n_a"] == len(a)
+        assert r["n_b"] == len(b)
+
+
+# --------------------------------------------------------------------------
+# cosine_near_dup_pairs: 4 plan shapes, one result
+# --------------------------------------------------------------------------
+
+_DIM = 3
+_component = st.integers(-4, 4).map(lambda v: v * 0.5)
+_vec = st.lists(_component, min_size=_DIM, max_size=_DIM).filter(
+    lambda v: any(x != 0.0 for x in v)
+)
+_vectors = st.lists(_vec, min_size=2, max_size=9)
+_threshold = st.sampled_from([-1.0, 0.0, 0.5, 0.9])
+
+
+def _model_near_dup(rows, threshold):
+    """Python float64 replica of the unguarded join path: left-fold
+    dot/norm in element order, floor(x·1e6+0.5)/1e6 rounding."""
+
+    def fold_dot(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    out = set()
+    for (ia, la, va), (ib, lb, vb) in itertools.combinations(rows, 2):
+        if la != lb:
+            continue
+        sim = fold_dot(va, vb) / (
+            math.sqrt(fold_dot(va, va)) * math.sqrt(fold_dot(vb, vb))
+        )
+        sim = math.floor(sim * 1e6 + 0.5) / 1e6
+        if sim >= threshold:
+            out.add((min(ia, ib), max(ia, ib), sim))
+    return out
+
+
+@_SETTINGS
+@given(vectors=_vectors, labels=st.data(), threshold=_threshold)
+def test_cosine_near_dup_four_plans_agree(spark, vectors, labels, threshold):
+    rows = [
+        (
+            i,
+            labels.draw(st.integers(0, 1), label=f"label{i}"),
+            vectors[i],
+        )
+        for i in range(len(vectors))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    variants = {
+        "join": dict(dim=None, max_bucket_rows=None),
+        "join+guard": dict(dim=None, max_bucket_rows=2),
+        "grouped": dict(dim=_DIM, max_bucket_rows=None),
+        "grouped+guard": dict(dim=_DIM, max_bucket_rows=2),
+    }
+    results = {}
+    for name, kw in variants.items():
+        got = cosine_near_dup_pairs(
+            df,
+            threshold,
+            id_col="vec_id",
+            vec_col="embedding",
+            bucket_col="label",
+            **kw,
+        ).collect()
+        results[name] = {(r["id_a"], r["id_b"], r["cosine_sim"]) for r in got}
+    want = _model_near_dup(rows, threshold)
+    for name, got in results.items():
+        assert got == want, f"{name} diverged: {got ^ want}"
