@@ -309,6 +309,8 @@ HEADLINE = [
     "multimodal_patch_grid",
     # r9: the SemDeDup cell-scoped scale twin of dedup_embedding_cosine
     "dedup_semdedup_pairs",
+    # r11: per-bucket audit of the hot-bucket triangle-grid guard
+    "dedup_hotbucket_guard_audit",
 ]
 
 #: Exclusion manifest (r7 verdict task 3 — "no silent caps"): every

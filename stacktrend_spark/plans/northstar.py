@@ -723,6 +723,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup 5a — hot-bucket guard audit: drives the triangle-grid skew
+# guard (operators/similarity.py cosine_near_dup_pairs) through the
+# DRIVER's hash gate. max_bucket_rows=16 is deliberately far below the
+# ~44-70-row label buckets, so EVERY bucket splits (g ≈ 3-5) at every
+# sf and the guarded grouped-Arrow kernel's cell layout — diagonal
+# cells' strict upper triangle + off-diagonal chunk pairs — must
+# reassemble the exact unguarded pair set. Output is the per-bucket
+# audit (bucket_rows, the split factor the guard plans, and the pair
+# count the guarded plan found); the oracle recomputes all three from
+# scratch with a plain SQL pair join, so a double-counted diagonal or
+# dropped off-diagonal cell hash-mismatches. Wall-time boundedness of
+# the same guard is pinned separately (tools/bench_skew_guard.py:
+# 18.99 s -> 3.485 s on a 20%-hot 50k-vector fixture, SCALE.md r11).
+# ---------------------------------------------------------------------------
+_GUARD_AUDIT_ROWS = 16
+
+
+@register(
+    "dedup_hotbucket_guard_audit",
+    oracle=f"""
+        WITH emb AS ({_SQL_EMB_CORPUS}),
+        pairs AS (
+            SELECT a.label AS label
+            FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {sql_round(_SQL_PAIR_COSINE, 6)} >= {_NEAR_DUP_THRESHOLD}
+        ),
+        counts AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS bucket_rows,
+                   CAST(CEIL(COUNT(*) / {float(_GUARD_AUDIT_ROWS)}) AS BIGINT) AS split_factor
+            FROM emb GROUP BY label
+        )
+        SELECT c.label, c.bucket_rows, c.split_factor,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs
+        FROM counts c
+        LEFT JOIN (SELECT label, COUNT(*) AS n_pairs FROM pairs GROUP BY label) p
+               USING (label)
+    """,
+    doc=(
+        "Per-bucket audit of the hot-bucket triangle-grid guard: split "
+        "factor + guarded pair count vs a from-scratch SQL pair join."
+    ),
+)
+def dedup_hotbucket_guard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.similarity import cosine_near_dup_pairs
+
+    corpus = _emb_corpus(spark, sf_dir)
+    pairs = cosine_near_dup_pairs(
+        corpus,
+        threshold=_NEAR_DUP_THRESHOLD,
+        dim=64,
+        max_bucket_rows=_GUARD_AUDIT_ROWS,
+    )
+    # pair -> bucket via the A-side id (same-bucket pairs by
+    # construction); linear shuffle join on id, AQE broadcasts at toy sf
+    sides = corpus.select(F.col("vec_id").alias("id_a"), "label")
+    per_label = (
+        pairs.join(sides, "id_a")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    counts = corpus.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_rows")
+    )
+    return (
+        counts.withColumn(
+            "split_factor",
+            F.ceil(F.col("bucket_rows") / F.lit(float(_GUARD_AUDIT_ROWS))).cast("long"),
+        )
+        .join(per_label, "label", "left")
+        .select(
+            "label",
+            "bucket_rows",
+            "split_factor",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup 5b — SemDeDup cell-scoped near-duplicates: the 100 TB scale
 # path for embedding near-dup (arXiv:2303.09540 shape). Candidates are
 # restricted to pairs sharing BOTH the coarse label bucket AND the

@@ -154,6 +154,8 @@ _PRIORITY: tuple[str, ...] = (
     # block (never-driven before stale re-proves), displacing the r4
     # tail into r13; tests/test_round8_invariants.py machine-checks
     # the window arithmetic against the CORRECTNESS artifacts.
+    # never-driven r11 addition — window head per the rule above
+    "dedup_hotbucket_guard_audit",
     "text_repetition_filter",
     "twap_user_value",
     "validation_violations",
@@ -203,9 +205,11 @@ _PRIORITY: tuple[str, ...] = (
     "table_fingerprint_buckets",
     "text_chunk_windows",
     "text_lm_score",
+    # r13 head: triangle_count_copurchase displaced from the r12
+    # window by the r11 addition above, then the r4-cohort remainder;
+    # the r5 cohort (49 rows, COVERAGE.md ledger) continues after in
+    # artifact order.
     "triangle_count_copurchase",
-    # r13 head: the r4-cohort remainder, then the r5 cohort (49 rows,
-    # COVERAGE.md ledger) continues in artifact order.
     "udaf_trimmed_mean",
     "user_activity_streaks",
     "variant_props_rollup",
