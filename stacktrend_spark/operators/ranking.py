@@ -102,9 +102,16 @@ def _pin(df: DataFrame) -> DataFrame:
     # calls spark.catalog.clearCache() without release_pinned(), r10
     # ADVICE): storageLevel reads the live cache manager, so a cleared
     # frame reports NONE and holding its plan reference buys nothing.
-    _PINNED[:] = [
-        d for d in _PINNED if d.storageLevel.useMemory or d.storageLevel.useDisk
-    ]
+    def _alive(d: DataFrame) -> bool:
+        # a frame bound to a dead/stopped session raises on the JVM
+        # round-trip — evict it rather than poison every later _pin
+        # (tests/conftest.py rebuilds the session after JVM death)
+        try:
+            return d.storageLevel.useMemory or d.storageLevel.useDisk
+        except Exception:
+            return False
+
+    _PINNED[:] = [d for d in _PINNED if _alive(d)]
     _PINNED.append(df.persist())
     return df
 

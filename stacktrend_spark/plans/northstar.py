@@ -766,8 +766,6 @@ _GUARD_AUDIT_ROWS = 16
     ),
 )
 def dedup_hotbucket_guard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stacktrend_spark.operators.similarity import cosine_near_dup_pairs
-
     corpus = _emb_corpus(spark, sf_dir)
     pairs = cosine_near_dup_pairs(
         corpus,

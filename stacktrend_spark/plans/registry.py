@@ -152,8 +152,9 @@ _PRIORITY: tuple[str, ...] = (
     # 49-row r4 cohort (COVERAGE.md staleness ledger order). Rows
     # ADDED during r11 (cap ≤5) must be inserted at the HEAD of this
     # block (never-driven before stale re-proves), displacing the r4
-    # tail into r13; tests/test_round8_invariants.py machine-checks
-    # the window arithmetic against the CORRECTNESS artifacts.
+    # tail into r13; tests/test_rotation_ledger.py machine-checks
+    # the window arithmetic against the CORRECTNESS artifacts
+    # (update its pinned NEXT_WINDOW_COHORTS on each rotation).
     # never-driven r11 addition — window head per the rule above
     "dedup_hotbucket_guard_audit",
     "text_repetition_filter",

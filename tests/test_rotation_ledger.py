@@ -23,6 +23,7 @@ registry comment.
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -41,6 +42,7 @@ NEXT_WINDOW_COHORTS = {3, 4}
 MAX_NEW_ROWS = 5
 
 
+@functools.lru_cache(maxsize=1)
 def _artifacts() -> dict[int, dict]:
     out = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -50,14 +52,24 @@ def _artifacts() -> dict[int, dict]:
     return out
 
 
+def _is_green(name: str, row: dict) -> bool:
+    """hash-green, or rows-green for the (currently zero) queries the
+    registry registers WITHOUT a value oracle — a clean-running value
+    MISMATCH (hash_match false, err null) is NEVER green."""
+    if row.get("hash_match"):
+        return True
+    spec = all_queries().get(name)
+    rows_only = spec is not None and spec.oracle is None
+    return rows_only and bool(row.get("rows_match")) and row.get("err") is None
+
+
 def _newest_proof() -> dict[str, int]:
-    """name -> newest driver round whose artifact hash-proves it."""
+    """name -> newest driver round whose artifact proves it green."""
     newest: dict[str, int] = {}
-    for rnd in sorted(_artifacts()):
-        for name, row in _artifacts()[rnd].items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None
-            ):
+    arts = _artifacts()
+    for rnd in sorted(arts):
+        for name, row in arts[rnd].items():
+            if _is_green(name, row):
                 newest[name] = rnd
     return newest
 
@@ -76,9 +88,7 @@ def test_no_standing_failures():
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, row)
     bad = {
-        n: (r, row)
-        for n, (r, row) in latest.items()
-        if not row.get("hash_match") and row.get("err") is not None
+        n: (r, row) for n, (r, row) in latest.items() if not _is_green(n, row)
     }
     assert not bad, f"standing driver failures: {bad}"
 
@@ -107,7 +117,7 @@ def test_new_rows_lead_the_next_window():
             "51-100 — it would not be proven next round"
         )
         # never-driven rows go at the window HEAD (before stale rows)
-        assert next_window.index(n) < len(never) + 1
+        assert next_window.index(n) < len(never)
 
 
 def test_next_window_rotates_the_stalest_cohorts():

@@ -143,7 +143,15 @@ def box_factor(queries_warm: dict[str, float]) -> float:
         for name, ref in ANCHOR_REF.items()
         if name in queries_warm
     )
-    return ratios[len(ratios) // 2] if ratios else 1.0
+    if not ratios:
+        raise ValueError(
+            "no anchor queries in queries_warm — normalization would "
+            "silently disable; anchors: " + ", ".join(sorted(ANCHOR_REF))
+        )
+    mid = len(ratios) // 2
+    if len(ratios) % 2:
+        return ratios[mid]
+    return (ratios[mid - 1] + ratios[mid]) / 2.0
 
 
 def run_series(sf_dir: str, n_runs: int = 3, cooldown: int = DEFAULT_COOLDOWN) -> dict:
@@ -224,6 +232,8 @@ def main() -> None:
     cooldown = DEFAULT_COOLDOWN
     if "--cooldown" in argv:
         i = argv.index("--cooldown")
+        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+            sys.exit("usage: bench_isolated.py [sf_dir] [--single] [--cooldown SECONDS]")
         cooldown = int(argv[i + 1])
         del argv[i : i + 2]
     args = [a for a in argv if a != "--single"]
