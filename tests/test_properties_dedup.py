@@ -263,3 +263,102 @@ def test_cosine_near_dup_four_plans_agree(spark, vectors, labels, threshold):
     want = _model_near_dup(rows, threshold)
     for name, got in results.items():
         assert got == want, f"{name} diverged: {got ^ want}"
+
+
+# --------------------------------------------------------------------------
+# SimHash family: grouped vs narrow vs Python model; hamming pigeonhole
+# --------------------------------------------------------------------------
+
+_HIGH = set("89abcdef")
+_word = st.sampled_from(["the", "cat", "sat", "on", "mat", "dog"])
+_texts = st.lists(
+    st.lists(_word, min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _model_simhash(text: str) -> int:
+    """Python replica: ±1 vote per token per bit from the high bit of
+    the bit-th md5 hex nibble; bit set iff the vote sum is positive.
+    Frequency-weighted (duplicate tokens vote repeatedly), and
+    split(text, ' ') keeps empty tokens exactly like Spark's split."""
+    tokens = text.lower().split(" ")
+    sig = 0
+    for b in range(1, 33):
+        v = sum(
+            1 if _md5(t)[b - 1] in _HIGH else -1 for t in tokens
+        )
+        if v > 0:
+            sig |= 1 << (b - 1)
+    return sig
+
+
+@_SETTINGS
+@given(texts=_texts)
+def test_simhash_grouped_narrow_python_agree(spark, texts):
+    from stacktrend_spark.operators.dedup import simhash, simhash_narrow
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    narrow = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_narrow(docs, "doc_id", "text").collect()
+    }
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    grouped = {
+        r["doc_id"]: r["simhash"] for r in simhash(tokens, "doc_id").collect()
+    }
+    want = {i: _model_simhash(t) for i, t in enumerate(texts)}
+    assert narrow == want
+    assert grouped == want
+
+
+_sig32 = st.integers(0, 2**32 - 1)
+
+
+@st.composite
+def _signature_sets(draw):
+    """Random signatures plus planted near-misses: flips of 1-5 bits of
+    a base signature land pairs exactly on the d<=3 decision boundary
+    (3 in, 4-5 out)."""
+    base = draw(st.lists(_sig32, min_size=1, max_size=6))
+    planted = []
+    for sig in base[:3]:
+        n_flips = draw(st.integers(1, 5))
+        bits = draw(
+            st.lists(st.integers(0, 31), min_size=n_flips, max_size=n_flips,
+                     unique=True)
+        )
+        flipped = sig
+        for b in bits:
+            flipped ^= 1 << b
+        planted.append(flipped)
+    return base + planted
+
+
+@_SETTINGS
+@given(sigs=_signature_sets())
+def test_hamming_band_candidates_pigeonhole_complete(spark, sigs):
+    """The 4x8-bit band search returns EXACTLY the brute-force set of
+    pairs within hamming distance 3 — completeness is the pigeonhole
+    (d<=3 across 4 disjoint bands forces one exact band match), and
+    soundness is the popcount verify."""
+    from stacktrend_spark.operators.dedup import hamming_band_candidates
+
+    df = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, simhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_band_candidates(df, "doc_id").collect()
+    }
+    want = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(enumerate(sigs), 2):
+        d = bin(sa ^ sb).count("1")
+        if d <= 3:
+            want.add((ia, ib, d))
+    assert got == want
