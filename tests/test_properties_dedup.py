@@ -362,3 +362,80 @@ def test_hamming_band_candidates_pigeonhole_complete(spark, sigs):
         if d <= 3:
             want.add((ia, ib, d))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Arrow cell-assignment kernels (the SemDeDup / IVF engine):
+# rank_cells_arrow / with_cell_arrow vs a Python replica of the pinned
+# parity contract (left-fold dist², (dist2, cid) tie-break)
+# --------------------------------------------------------------------------
+
+_DIMC = 3
+_f32c = st.integers(-3, 3).map(lambda v: v * 0.25)
+_cvec = st.lists(_f32c, min_size=_DIMC, max_size=_DIMC)
+# small alphabet → duplicate centroids happen, exercising the cid
+# tie-break; vectors may equal centroids, landing dist2 exactly on 0
+_assign_case = st.tuples(
+    st.lists(_cvec, min_size=1, max_size=6),  # vectors
+    st.lists(_cvec, min_size=1, max_size=5),  # centroids
+)
+
+
+def _fold(u, v):
+    acc = 0.0
+    for x, y in zip(u, v):
+        acc = acc + x * y
+    return acc
+
+
+def _model_ranking(vectors, centroids):
+    """(vec_idx -> [cid by (dist2, cid)]) with the exact pinned float64
+    arithmetic: dist2 = (<a,a> + <c,c>) - 2<a,c>, every dot a
+    sequential left-fold over float32-truncated inputs."""
+    import numpy as np
+
+    out = {}
+    for i, v in enumerate(vectors):
+        v64 = [float(np.float32(x)) for x in v]
+        scored = []
+        for cid, c in centroids:
+            c64 = [float(x) for x in c]
+            d2 = (_fold(v64, v64) + _fold(c64, c64)) - 2.0 * _fold(v64, c64)
+            scored.append((d2, cid))
+        scored.sort()
+        out[i] = [cid for _, cid in scored]
+    return out
+
+
+@_SETTINGS
+@given(case=_assign_case)
+def test_rank_cells_and_with_cell_match_python_model(spark, case):
+    from stacktrend_spark.operators.similarity import (
+        rank_cells_arrow,
+        with_cell_arrow,
+    )
+
+    vectors, cent_vecs = case
+    # centroids keep float64 components (collected lists in production
+    # come from float32 embeddings, but the operator contract accepts
+    # any floats); vectors go through the array<float> column type
+    centroids = [(cid, list(map(float, c))) for cid, c in enumerate(cent_vecs)]
+    df = spark.createDataFrame(
+        list(enumerate(vectors)), "vec_id long, embedding array<float>"
+    )
+    want = _model_ranking(vectors, centroids)
+
+    ranked = rank_cells_arrow(df, centroids, _DIMC).collect()
+    got: dict[int, list[int]] = {}
+    for r in sorted(ranked, key=lambda r: (r["vec_id"], r["rn"])):
+        got.setdefault(r["vec_id"], []).append(r["cid"])
+    assert got == want
+
+    assigned = with_cell_arrow(df, centroids, _DIMC).collect()
+    # fused form: rank-1 agreement, all rows and columns preserved
+    assert len(assigned) == len(vectors)
+    for r in assigned:
+        assert r["cell"] == want[r["vec_id"]][0]
+        assert [float(x) for x in r["embedding"]] == [
+            float(__import__("numpy").float32(x)) for x in vectors[r["vec_id"]]
+        ]

@@ -137,3 +137,23 @@ def test_next_window_rotates_the_stalest_cohorts():
 def test_current_window_has_50_distinct_registered_rows():
     names = list(all_queries())
     assert len(set(names[:50])) == 50
+
+
+def test_bench_subsets_pinned_and_disjoint():
+    """BENCH_ISO subset integrity: SCALE_OPS and the anchors are
+    registered, SCALE_OPS is disjoint from COMPARABLE (it exists
+    because the comparable set is blind to the ranking-operator
+    family), and every anchor is a COMPARABLE member (anchors must be
+    measured in every run to normalize it)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import COMPARABLE
+    from tools.bench_isolated import ANCHOR_REF, SCALE_OPS
+
+    registered = set(all_queries())
+    assert set(SCALE_OPS) <= registered
+    assert set(ANCHOR_REF) <= registered
+    assert not set(SCALE_OPS) & set(COMPARABLE)
+    assert set(ANCHOR_REF) <= set(COMPARABLE)
+    assert len(SCALE_OPS) == len(set(SCALE_OPS)) == 8
