@@ -407,3 +407,30 @@ def test_merge_null_keys_match_null_safely(spark):
     assert got == {(None, "new"), (1, "one")}  # replaced, not duplicated
     got2 = {(r["k"], r["v"]) for r in merge_insert_only(t, s, ["k"]).collect()}
     assert got2 == {(None, "old"), (1, "one")}  # NULL key exists -> dropped
+
+
+def test_pinned_cache_lifecycle(spark):
+    """r11 (r10 ADVICE): the module _PINNED list must not grow without
+    bound in harnesses that only clearCache (eviction happens on the
+    next _pin), and release_pinned() drains it completely. The r10
+    hazard class: a 387-query session leaking one DataFrame/JVM-plan
+    reference per ranking-operator call."""
+    from stacktrend_spark.operators import ranking
+
+    ranking.release_pinned()  # isolate from earlier tests
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    r1 = ranking.global_rank_scalable(df, [F.col("v"), F.col("id")])
+    assert r1.count() == 200
+    assert len(ranking._PINNED) == 1
+    # a harness that only clears the cache: the stale entry is evicted
+    # when the NEXT operator call pins (storageLevel reads NONE)
+    spark.catalog.clearCache()
+    r2 = ranking.global_rank_scalable(df, [F.col("v"), F.col("id")])
+    assert r2.count() == 200
+    assert len(ranking._PINNED) == 1, "cleared pin was not evicted"
+    # release drains everything and is idempotent
+    assert ranking.release_pinned() == 1
+    assert ranking.release_pinned() == 0
+    assert not ranking._PINNED
