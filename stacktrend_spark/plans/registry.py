@@ -85,77 +85,18 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: exactly registry indices 0-49 get CORRECTNESS rows). Long-green
 #: rows rotate to the back — they are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-11 WINDOW (positions 1-50; r10 verdict task 1). This is
-    # VERBATIM the 50-row set pre-validated 50/50 in a strict bare
-    # session on the final r10 tree (COVERAGE.md "Round-10 terminal
-    # state"; testdata unchanged since — its 2026-08-16 00:56 mtime
-    # predates the validation commits): the six r9 integer-width-sweep
-    # re-proves, the nine r10 window-purge conversion re-proves
-    # (feature_quantile_bins, the ninth, sits in its r3-cohort slot
-    # below), zorder_layout_stats (the r2 overflow row), and the first
-    # 35 rows of the 40-row r3-proven cohort (oldest-first rotation).
-    # When this window lands, zero rows have code newer than their
-    # last driver proof and the stalest cohorts are the r3 remainder
-    # (5 rows) and the r4 cohort (49 rows).
-    "isotonic_calibration_minimax",
-    "abtest_two_proportion_z",
-    "assoc_rules_lift",
-    "item_item_collab_filter",
-    "capture_recapture_estimate",
-    "collocation_pmi_topk",
-    "spearman_rank_corr",
-    "conversion_latency_quantiles",
-    "skyline_price_size",
-    "zorder_vs_linear_skipping",
-    "vocab_coverage_curve",
-    "model_gains_deciles",
-    "quantile_drift_boundaries",
-    "theilsen_mann_kendall",
-    "zorder_layout_stats",
-    "agg_mode_nation_per_segment",
-    "agg_stddev_acctbal",
-    "arrow_doc_stats",
-    "cdc_latest_state",
-    "corr_matrix_lineitem",
-    "data_quality_audit",
-    "dedup_doc_prefix",
-    "feature_quantile_bins",
-    "feature_standardize",
-    "gold_adoption_matrix",
-    "gold_repo_ranks",
-    "gold_tech_health",
-    "gold_tech_metrics",
-    "grouping_sets_orders",
-    "merge_upsert_orders",
-    "multimodal_frame_offsets",
-    "pack_sequences",
-    "pagerank_copurchase",
-    "pipeline_semantic_curation",
-    "probe_tm_avg_price",
-    "probe_tm_momentum",
-    "probe_tm_ranks",
-    "probe_tm_revenue",
-    "q1_pricing_summary",
-    "rolling_zscore_anomaly",
-    "rollup_time_multigrain",
-    "sample_domain_mix",
-    "scd2_event_type_history",
-    "search_query_plan",
-    "silver_keyword_extraction",
-    "source_binary_files",
-    "source_format_roundtrip",
-    "stream_stream_attribution",
-    "text_decontaminate",
-    "text_pii_redact",
-    # ROUND-12 WINDOW (positions 51-100; pinned per r10 verdict task
-    # 4): the last 5 rows of the r3 cohort + the first 45 of the
-    # 49-row r4 cohort (COVERAGE.md staleness ledger order). Rows
-    # ADDED during r11 (cap ≤5) must be inserted at the HEAD of this
-    # block (never-driven before stale re-proves), displacing the r4
-    # tail into r13; tests/test_rotation_ledger.py machine-checks
-    # the window arithmetic against the CORRECTNESS artifacts
-    # (update its pinned NEXT_WINDOW_COHORTS on each rotation).
-    # never-driven r11 addition — window head per the rule above
+    # ROUND-12 WINDOW (positions 1-50; r11 verdict task 1). VERBATIM
+    # the 50-row set pre-validated 50/50 strict bare-session on the
+    # final r11 tree (COVERAGE.md "Round-11 terminal state"; testdata
+    # unchanged — 2026-08-16 00:56 mtime predates the validation
+    # commits): the never-driven r11 addition
+    # `dedup_hotbucket_guard_audit` at the head, the last 5 rows of
+    # the r3-proven cohort, then the first 44 rows of the 49-row
+    # r4-proven cohort (oldest-first rotation). When this window
+    # lands, never-driven = 0 and the stalest cohorts are the r4
+    # remainder (5 rows) and the r5 cohort (47 rows — two of its
+    # ledger rows, skyline_price_size and dedup_simhash_hamming,
+    # were re-proven in later windows).
     "dedup_hotbucket_guard_audit",
     "text_repetition_filter",
     "twap_user_value",
@@ -206,15 +147,69 @@ _PRIORITY: tuple[str, ...] = (
     "table_fingerprint_buckets",
     "text_chunk_windows",
     "text_lm_score",
-    # r13 head: triangle_count_copurchase displaced from the r12
-    # window by the r11 addition above, then the r4-cohort remainder;
-    # the r5 cohort (49 rows, COVERAGE.md ledger) continues after in
-    # artifact order.
+    # ROUND-13 WINDOW (positions 51-100; pinned per r11 verdict task
+    # 5): the 5-row r4-cohort remainder (head spot-proven 15/15 at
+    # r11 close), then the first 45 rows of the 47-row r5 cohort in
+    # COVERAGE.md ledger order. Rows ADDED during r12 (cap <=5) must
+    # be inserted at the HEAD of this block (never-driven before
+    # stale re-proves), displacing the r5 tail into r14;
+    # tests/test_rotation_ledger.py machine-checks the arithmetic
+    # (update its NEXT_WINDOW_COHORTS on each rotation).
     "triangle_count_copurchase",
     "udaf_trimmed_mean",
     "user_activity_streaks",
     "variant_props_rollup",
     "window_running_distinct_users",
+    "ann_recall_eval",
+    "approx_distinct_users",
+    "approx_quantile_bounded",
+    "asof_nearest_click",
+    "asof_purchase_login",
+    "bm25_keyword_search",
+    "bpe_pair_stats",
+    "business_days_sla",
+    "chi2_segment_status",
+    "cms_heavy_hitters",
+    "compaction_bin_packing",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "embedding_pq_codes",
+    "events_dow_seasonality",
+    "ewma_purchase_value",
+    "geo_cell_density",
+    "geo_grid_nearest",
+    "gini_revenue_by_nation",
+    "graph_jaccard_neighbors",
+    "incremental_join_maintenance",
+    "interval_merge_coverage",
+    "kcore_copurchase_peel",
+    "kmeans_assign_cells",
+    "kmeans_recompute_centroids",
+    "kmv_distinct_sketch",
+    "kmv_union_jaccard",
+    "ks_drift_by_source",
+    "pipeline_semdedup",
+    "q13_customer_distribution",
+    "scd2_point_in_time_daily",
+    "setops_all_multiset",
+    "sim_bruteforce_topk",
+    "sim_ivf_multiprobe",
+    "sim_ivf_topk",
+    "sim_ivfpq_adc_topk",
+    "sim_lsh_topk",
+    "simpson_diversity_events",
+    "stream_dedup_within_watermark",
+    "stream_kmv_daily_users",
+    "stream_outer_attribution",
+    "table_diff_by_fingerprint",
+    "target_encode_loo",
+    "top_user_paths",
+    "weighted_sample_aes",
+    # r14 head: the r5-cohort remainder displaced from the r13
+    # window, then the r6 cohort (50 rows, COVERAGE.md ledger)
+    # continues in artifact order.
+    "winnowing_fingerprints",
+    "zonemap_skipping_audit",
 )
 
 
