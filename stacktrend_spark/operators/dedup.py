@@ -458,13 +458,21 @@ def hamming_band_candidates(
         raise ValueError(
             f"pigeonhole needs max_hamming < n_bands: {max_hamming} >= {n_bands}"
         )
-    divisors = [1 << (band_bits * k) for k in range(n_bands)]
-    mod = 1 << band_bits
+    # Extract bands with LOGICAL bit ops (unsigned shift + mask), not
+    # arithmetic div/mod: `(_sig div 2^k) % 2^b` rounds toward zero
+    # and carries sign for negative (sign-bit-set) signatures, so two
+    # 64-bit sigs at hamming distance 1 across the sign bit could
+    # produce zero matching bands — violating the pigeonhole
+    # completeness guarantee. shiftrightunsigned operates at the
+    # column's natural width (int or long), so 32-bit signatures band
+    # as 32-bit values and 64-bit as 64-bit.
+    shifts = [band_bits * k for k in range(n_bands)]
+    mask = (1 << band_bits) - 1
     bands = sh.select(
         F.col(id_col),
         F.col(sig_col).alias("_sig"),
-        F.explode(F.array(*[F.lit(d) for d in divisors])).alias("dv"),
-    ).withColumn("bv", F.expr(f"(_sig div dv) % {mod}"))
+        F.explode(F.array(*[F.lit(s) for s in shifts])).alias("dv"),
+    ).withColumn("bv", F.expr(f"shiftrightunsigned(_sig, dv) & {mask}"))
     a, b = bands.alias("a"), bands.alias("b")
     # popcount BEFORE the cross-band distinct (r6 verdict task 4): the
     # filter is codegen'd inside the join stage, so the distinct

@@ -364,6 +364,78 @@ def test_hamming_band_candidates_pigeonhole_complete(spark, sigs):
     assert got == want
 
 
+# full 64-bit signatures, sign bit included: values >= 2^63 become
+# NEGATIVE Spark longs — the case the r11 div/% band extraction broke
+# (arithmetic div rounds toward zero and carries sign, so two sigs at
+# hamming 1 across the sign bit matched zero bands)
+_sig64u = st.integers(0, 2**64 - 1)
+
+
+def _to_i64(u: int) -> int:
+    return u - 2**64 if u >= 2**63 else u
+
+
+@st.composite
+def _signature_sets_64(draw):
+    """Random u64 signatures plus planted 1-5 bit flips; flips of the
+    HIGH bits (56-63) cross the sign boundary on purpose."""
+    base = draw(st.lists(_sig64u, min_size=1, max_size=5))
+    planted = []
+    for sig in base[:3]:
+        n_flips = draw(st.integers(1, 5))
+        bits = draw(
+            st.lists(st.integers(0, 63), min_size=n_flips, max_size=n_flips,
+                     unique=True)
+        )
+        flipped = sig
+        for b in bits:
+            flipped ^= 1 << b
+        planted.append(flipped)
+    # guaranteed sign-boundary near-miss in every case
+    planted.append(base[0] ^ (1 << 63))
+    return [_to_i64(u) for u in base + planted]
+
+
+@_SETTINGS
+@given(sigs=_signature_sets_64())
+def test_hamming_band_candidates_64bit_negative(spark, sigs):
+    """The 4x16-bit band search (the 64-bit scale configuration) is
+    EXACTLY brute force for signed 64-bit signatures, sign-bit flips
+    included — pins the r11 ADVICE fix (logical shift+mask band
+    extraction instead of div/%, which sign-contaminated bands)."""
+    from stacktrend_spark.operators.dedup import hamming_band_candidates
+
+    df = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, simhash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_band_candidates(df, "doc_id", band_bits=16).collect()
+    }
+    want = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(enumerate(sigs), 2):
+        d = bin((sa ^ sb) & (2**64 - 1)).count("1")
+        if d <= 3:
+            want.add((ia, ib, d))
+    assert got == want
+
+
+def test_hamming_band_negative_regression(spark):
+    """The exact ADVICE counterexample: -1 vs 2^63-1 differ only in
+    the sign bit (hamming 1) — div/% band extraction returned ZERO
+    pairs; shift+mask must return the pair."""
+    from stacktrend_spark.operators.dedup import hamming_band_candidates
+
+    df = spark.createDataFrame(
+        [(0, -1), (1, 2**63 - 1)], "doc_id long, simhash long"
+    )
+    got = [
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_band_candidates(df, "doc_id", band_bits=16).collect()
+    ]
+    assert got == [(0, 1, 1)]
+
+
 # --------------------------------------------------------------------------
 # Arrow cell-assignment kernels (the SemDeDup / IVF engine):
 # rank_cells_arrow / with_cell_arrow vs a Python replica of the pinned
