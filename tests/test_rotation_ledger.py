@@ -156,7 +156,7 @@ def test_bench_subsets_pinned_and_disjoint():
 
     sys.path.insert(0, REPO)
     from bench import COMPARABLE
-    from tools.bench_isolated import ANCHOR_REF, SCALE_OPS
+    from tools.bench_isolated import ANCHOR_REF, ARROW_ANCHOR_REF, SCALE_OPS
 
     registered = set(all_queries())
     assert set(SCALE_OPS) <= registered
@@ -164,3 +164,9 @@ def test_bench_subsets_pinned_and_disjoint():
     assert not set(SCALE_OPS) & set(COMPARABLE)
     assert set(ANCHOR_REF) <= set(COMPARABLE)
     assert len(SCALE_OPS) == len(set(SCALE_OPS)) == 8
+    # the Arrow anchor (r11 verdict task 3) is registered, is exactly
+    # one query, and is NOT a subset member on either side — it is
+    # measured additionally in every subprocess
+    assert set(ARROW_ANCHOR_REF) <= registered
+    assert len(ARROW_ANCHOR_REF) == 1
+    assert not set(ARROW_ANCHOR_REF) & (set(COMPARABLE) | set(SCALE_OPS))

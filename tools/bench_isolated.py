@@ -1,14 +1,14 @@
 """Isolated benchmark for the pinned cross-round subsets — the
 round-over-round performance metric (r9 verdict task 3; r10 verdict
-tasks 2+3).
+tasks 2+3; r11 verdict tasks 2+3 + ADVICE).
 
 In-session BENCH_FULL absolute values are contaminated by the 250+-
 query session's heap/GC pressure (adjudicated r8→r9: the same code
 read 20.1 s in-session vs 15.6 s isolated). This tool is the clean
-protocol: each series run happens in its OWN fresh Python process with
-nothing else on the box, using bench.py's exact measurement protocol
-(q1 + python-worker warmup, clearCache+release_pinned per query,
-1 cold + median-of-3 warm).
+protocol: each SUBSET of each series run happens in its OWN fresh
+Python process with nothing else on the box, using bench.py's exact
+measurement protocol (q1 + python-worker warmup, clearCache+
+release_pinned per query, 1 cold + median-of-3 warm).
 
 Two pinned subsets, reported as separate totals:
 
@@ -18,33 +18,50 @@ Two pinned subsets, reported as separate totals:
   comparable subset shares zero queries with the two-phase ranking
   operator family, so regressions in ``operators/ranking.py`` and the
   nine r10-converted queries were invisible to the official metric).
+  Since r12 it is measured in its OWN subprocess (r11 ADVICE: the
+  in-process-after-comparable ordering absorbed session heat — the
+  exact contamination class the fresh-process protocol cancels), and
+  its committed headline value is selected from the MINIMUM-box-factor
+  run, not the median series (r11 verdict task 2: the r11 artifact
+  committed an 11.367 s burst median against a 6.65-6.70 s agreed
+  steady state).
 
 De-noising (r10 verdict task 3 — the same code measured 15.7/19.9/
 17.6 s warm in ONE day, a ±13% box envelope larger than most real
 round-over-round deltas):
 
-- a fixed COOLDOWN idle gap runs before EVERY series subprocess (the
+- a fixed COOLDOWN idle gap runs before EVERY subset subprocess (the
   r10 envelope's outlier series started right after 20 min of gates;
   the accidental discovery was that a cooled box measures tight);
 - beside the raw median, the artifact reports an ANCHOR-NORMALIZED
   total: raw total divided by the box factor, where the box factor is
-  the median of (this run's anchor warm / the anchor's committed r10
-  reference). The four anchors are stable, code-frozen-since-r1
+  the median of (this run's anchor warm / the anchor's committed
+  reference). The four scalar anchors are stable, code-frozen-since-r1
   queries spanning scan/join/agg shapes; a run on a slow day inflates
   anchors and subjects alike, so the normalized number cancels the
   box. BASELINE.md states which number is the cross-round metric.
+- contention hits Arrow/Python-heavy rows 2-3x harder than the
+  scan/agg-shaped scalar anchors (r11 verdict task 3: series A run 3
+  read scalar box 1.373 while the Arrow-heavy rows ran ~1.65x clean),
+  so every subprocess ALSO measures one code-frozen grouped-Arrow
+  anchor (``ARROW_ANCHOR_REF``) and the artifact reports a
+  TWO-COMPONENT normalization: each subset query is divided by the
+  arrow box factor if its physical plan contains an Arrow/Python
+  exec node (detected from the executed plan, not a hand-pinned
+  list), else by the scalar box factor.
 
 Modes:
 
-- ``python tools/bench_isolated.py [sf_dir]`` — 3-run series (each a
-  fresh subprocess after a cooldown), writes ``BENCH_ISO.json``:
-  per-run warm totals for BOTH subsets, the MEDIAN warm totals, the
-  anchor-normalized totals, and per-query medians.
-- ``python tools/bench_isolated.py [sf_dir] --single`` — one
-  in-process measurement pass, prints one JSON line (the subprocess
-  worker; also the old r9 A/B behavior).
-- ``--cooldown N`` — idle seconds before each series run (default 60;
-  0 disables, e.g. for quick smoke checks).
+- ``python tools/bench_isolated.py [sf_dir]`` — 3-run series (each
+  subset in a fresh subprocess after a cooldown), writes
+  ``BENCH_ISO.json``.
+- ``python tools/bench_isolated.py [sf_dir] --single [--subset S]``
+  — one in-process measurement pass over subset S (``comparable``
+  default, or ``scale_ops``), prints one JSON line (the subprocess
+  worker).
+- ``--cooldown N`` — idle seconds before each subset subprocess
+  (default 60; 0 disables, e.g. for quick smoke checks; N must be a
+  nonnegative integer).
 """
 
 from __future__ import annotations
@@ -72,9 +89,9 @@ SCALE_OPS = (
     "conversion_latency_quantiles",
 )
 
-#: anchor queries for box-factor normalization: code frozen since r1,
-#: cheap, spanning scan+agg / shuffle-join / multi-join-gold /
-#: hash-dedup shapes. Reference values = the committed r10 BENCH_ISO
+#: scalar anchor queries for box-factor normalization: code frozen
+#: since r1, cheap, spanning scan+agg / shuffle-join / multi-join-gold
+#: / hash-dedup shapes. Reference values = the committed r10 BENCH_ISO
 #: per-query warm medians (the first isolated-series artifact).
 ANCHOR_REF = {
     "q1_pricing_summary": 0.610,
@@ -83,10 +100,46 @@ ANCHOR_REF = {
     "dedup_exact": 0.214,
 }
 
+#: Arrow-path anchor (r11 verdict task 3): one code-frozen-since-r9
+#: grouped-Arrow query (applyInPandas IQR per group) whose warm time
+#: tracks Python-worker/Arrow-transfer contention the scalar anchors
+#: are blind to. Reference = the r12 calibration measurement (minimum-
+#: box-factor isolated run, scalar box 1.000; SCALE.md "r12 Arrow
+#: anchor calibration") — box_arrow is therefore ~1.0 by construction
+#: in r12 and becomes informative from r13 on.
+ARROW_ANCHOR_REF = {
+    "grouped_applyinarrow_iqr": 0.732,  # PROVISIONAL until r12 calibration
+}
+
+#: physical-plan substrings that mark a query as Arrow/Python-path for
+#: the two-component normalization (grouped/map Arrow stages, Pandas
+#: UDF evals, stateful Pandas): matched against the executed plan.
+_ARROW_PLAN_MARKERS = (
+    "InPandas",   # FlatMapGroupsInPandas / MapInPandas / ...WithState
+    "ArrowEval",  # vectorized (pandas_udf) projections
+    "EvalPython", # row-wise Python UDF fallback (still worker-bound)
+    "InArrow",    # applyInArrow / mapInArrow stages
+)
+
 DEFAULT_COOLDOWN = 60
 
 
-def _measure(spark, specs, names, sf_dir):
+def _uses_arrow(df) -> bool:
+    """True if the query's optimized physical plan contains an
+    Arrow/Python exec node — drives the two-component normalization
+    without a hand-pinned (driftable) membership list."""
+    try:
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+    except Exception:
+        return False
+    return any(m in plan for m in _ARROW_PLAN_MARKERS)
+
+
+def _measure(spark, specs, names, sf_dir, arrow_flags=None):
     from stacktrend_spark.operators.ranking import release_pinned
 
     cold: dict[str, float] = {}
@@ -95,8 +148,11 @@ def _measure(spark, specs, names, sf_dir):
         spark.catalog.clearCache()
         release_pinned()
         t0 = time.time()
-        specs[name].fn(spark, sf_dir).count()
+        df = specs[name].fn(spark, sf_dir)
+        df.count()
         cold[name] = round(time.time() - t0, 3)
+        if arrow_flags is not None and name not in arrow_flags:
+            arrow_flags[name] = _uses_arrow(df)
         runs = []
         for _ in range(3):
             t1 = time.time()
@@ -106,7 +162,7 @@ def _measure(spark, specs, names, sf_dir):
     return cold, warm
 
 
-def run_single(sf_dir: str) -> dict:
+def run_single(sf_dir: str, subset: str = "comparable") -> dict:
     from bench import COMPARABLE
     from stacktrend_spark.plans.registry import all_queries
     from stacktrend_spark.session import get_spark
@@ -120,32 +176,57 @@ def run_single(sf_dir: str) -> dict:
 
     spark.range(32).repartition(32).mapInPandas(_ident, "id long").count()
 
-    cold, warm = _measure(spark, specs, COMPARABLE, sf_dir)
-    so_cold, so_warm = _measure(spark, specs, SCALE_OPS, sf_dir)
+    arrow_flags: dict[str, bool] = {}
+    arrow_anchor = next(iter(ARROW_ANCHOR_REF))
+    if subset == "comparable":
+        # scalar anchors are COMPARABLE members — measured in place,
+        # in the pinned r1 order; the arrow anchor runs AFTER the
+        # subset (pinned protocol position: it reflects the same
+        # session heat the subset itself carried)
+        cold, warm = _measure(spark, specs, COMPARABLE, sf_dir, arrow_flags)
+        _, aw = _measure(spark, specs, [arrow_anchor], sf_dir)
+        anchors_warm = {
+            **{n: warm[n] for n in ANCHOR_REF},
+            arrow_anchor: aw[arrow_anchor],
+        }
+    elif subset == "scale_ops":
+        # fresh process (r11 ADVICE): anchors FIRST (they estimate the
+        # box this subset is about to run on), then the subset
+        _, anchors_warm = _measure(
+            spark, specs, [*ANCHOR_REF, arrow_anchor], sf_dir
+        )
+        cold, warm = _measure(spark, specs, SCALE_OPS, sf_dir, arrow_flags)
+    elif subset == "anchors":
+        # calibration mode: anchors only (used to set/refresh
+        # ARROW_ANCHOR_REF against the committed scalar references)
+        cold, warm = _measure(spark, specs, [*ANCHOR_REF, arrow_anchor], sf_dir)
+        anchors_warm = dict(warm)
+    else:
+        raise ValueError(f"unknown subset {subset!r}")
     return {
-        "comparable_total": round(sum(cold.values()), 3),
-        "comparable_warm_total": round(sum(warm.values()), 3),
-        "scale_ops_total": round(sum(so_cold.values()), 3),
-        "scale_ops_warm_total": round(sum(so_warm.values()), 3),
-        "queries_warm": {**warm, **so_warm},
+        "subset": subset,
+        "warm_total": round(sum(warm.values()), 3),
+        "cold_total": round(sum(cold.values()), 3),
+        "queries_warm": warm,
+        "queries_arrow": arrow_flags,
+        "anchors_warm": anchors_warm,
         "sf_dir": sf_dir,
-        "n": len(COMPARABLE),
-        "n_scale_ops": len(SCALE_OPS),
+        "n": len(warm),
     }
 
 
-def box_factor(queries_warm: dict[str, float]) -> float:
-    """Median of per-anchor (measured / reference) ratios — >1 means
-    the box ran slow that day; dividing totals by it cancels the
-    day."""
+def box_factor(anchors_warm: dict[str, float]) -> float:
+    """Median of per-scalar-anchor (measured / reference) ratios — >1
+    means the box ran slow that day; dividing totals by it cancels
+    the day."""
     ratios = sorted(
-        queries_warm[name] / ref
+        anchors_warm[name] / ref
         for name, ref in ANCHOR_REF.items()
-        if name in queries_warm
+        if name in anchors_warm
     )
     if not ratios:
         raise ValueError(
-            "no anchor queries in queries_warm — normalization would "
+            "no anchor queries in anchors_warm — normalization would "
             "silently disable; anchors: " + ", ".join(sorted(ANCHOR_REF))
         )
     mid = len(ratios) // 2
@@ -154,74 +235,148 @@ def box_factor(queries_warm: dict[str, float]) -> float:
     return (ratios[mid - 1] + ratios[mid]) / 2.0
 
 
+def arrow_box_factor(anchors_warm: dict[str, float]) -> float | None:
+    """(measured / reference) for the Arrow anchor, or None if it was
+    not measured (e.g. an old artifact replayed through this code)."""
+    for name, ref in ARROW_ANCHOR_REF.items():
+        if name in anchors_warm:
+            return anchors_warm[name] / ref
+    return None
+
+
+def _normalized_total(run: dict) -> float:
+    return round(run["warm_total"] / box_factor(run["anchors_warm"]), 3)
+
+
+def _two_component_total(run: dict) -> float | None:
+    """Per-query normalization: Arrow-path queries divided by the
+    arrow box factor, everything else by the scalar box factor."""
+    bf = box_factor(run["anchors_warm"])
+    abf = arrow_box_factor(run["anchors_warm"])
+    if abf is None:
+        return None
+    flags = run.get("queries_arrow", {})
+    return round(
+        sum(
+            t / (abf if flags.get(name) else bf)
+            for name, t in run["queries_warm"].items()
+        ),
+        3,
+    )
+
+
+def _run_subset(sf_dir: str, subset: str, cooldown: int) -> dict:
+    if cooldown:
+        print(f"cooldown {cooldown}s before {subset} run...", file=sys.stderr)
+        time.sleep(cooldown)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            sf_dir,
+            "--single",
+            "--subset",
+            subset,
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_series(sf_dir: str, n_runs: int = 3, cooldown: int = DEFAULT_COOLDOWN) -> dict:
-    runs = []
+    comp_runs, so_runs = [], []
     for i in range(n_runs):
-        if cooldown:
-            print(f"cooldown {cooldown}s before run {i + 1}...", file=sys.stderr)
-            time.sleep(cooldown)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), sf_dir, "--single"],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=REPO,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        runs.append(json.loads(line))
+        comp = _run_subset(sf_dir, "comparable", cooldown)
+        comp_runs.append(comp)
+        so = _run_subset(sf_dir, "scale_ops", cooldown)
+        so_runs.append(so)
         print(
-            f"run {i + 1}/{n_runs}: warm={runs[-1]['comparable_warm_total']}s "
-            f"scale_ops_warm={runs[-1]['scale_ops_warm_total']}s "
-            f"box={box_factor(runs[-1]['queries_warm']):.3f}",
+            f"run {i + 1}/{n_runs}: warm={comp['warm_total']}s "
+            f"(box={box_factor(comp['anchors_warm']):.3f}, "
+            f"arrow_box={arrow_box_factor(comp['anchors_warm']):.3f}) "
+            f"scale_ops_warm={so['warm_total']}s "
+            f"(box={box_factor(so['anchors_warm']):.3f})",
             file=sys.stderr,
         )
-    warm_totals = sorted(r["comparable_warm_total"] for r in runs)
-    cold_totals = sorted(r["comparable_total"] for r in runs)
-    so_warm_totals = sorted(r["scale_ops_warm_total"] for r in runs)
-    so_cold_totals = sorted(r["scale_ops_total"] for r in runs)
-    norm_totals = sorted(
-        round(r["comparable_warm_total"] / box_factor(r["queries_warm"]), 3)
-        for r in runs
+    warm_totals = sorted(r["warm_total"] for r in comp_runs)
+    cold_totals = sorted(r["cold_total"] for r in comp_runs)
+    norm_totals = sorted(_normalized_total(r) for r in comp_runs)
+    two_comp_totals = sorted(
+        t for t in (_two_component_total(r) for r in comp_runs) if t is not None
     )
-    so_norm_totals = sorted(
-        round(r["scale_ops_warm_total"] / box_factor(r["queries_warm"]), 3)
-        for r in runs
-    )
-    names = runs[0]["queries_warm"].keys()
+    # SCALE_OPS headline = the minimum-box-factor run (r11 verdict
+    # task 2: a burst median is not the family's steady state; the
+    # min-box run is the series' cleanest measurement)
+    so_clean = min(so_runs, key=lambda r: box_factor(r["anchors_warm"]))
+    names = comp_runs[0]["queries_warm"].keys()
     per_query = {
-        name: sorted(r["queries_warm"][name] for r in runs)[len(runs) // 2]
+        name: sorted(r["queries_warm"][name] for r in comp_runs)[n_runs // 2]
         for name in names
     }
-    mid = len(runs) // 2
+    per_query.update(so_clean["queries_warm"])
+    mid = n_runs // 2
     return {
         "metric": "comparable_warm_median_isolated",
         "value": warm_totals[mid],
         "value_normalized": norm_totals[mid],
-        "scale_ops_warm_median": so_warm_totals[mid],
-        "scale_ops_warm_median_normalized": so_norm_totals[mid],
+        "value_normalized_two_component": (
+            two_comp_totals[mid] if two_comp_totals else None
+        ),
+        "scale_ops_warm_clean": so_clean["warm_total"],
+        "scale_ops_warm_clean_normalized": _normalized_total(so_clean),
+        "scale_ops_warm_clean_two_component": _two_component_total(so_clean),
+        "scale_ops_selection": "min-box-factor run",
         "unit": "sec",
         "series_warm": warm_totals,
         "series_cold": cold_totals,
         "series_warm_normalized": norm_totals,
-        "series_scale_ops_warm": so_warm_totals,
-        "series_scale_ops_cold": so_cold_totals,
-        "series_scale_ops_warm_normalized": so_norm_totals,
+        "series_warm_two_component": two_comp_totals,
+        "series_scale_ops_warm": sorted(r["warm_total"] for r in so_runs),
+        "series_scale_ops_cold": sorted(r["cold_total"] for r in so_runs),
+        "series_scale_ops_warm_normalized": sorted(
+            _normalized_total(r) for r in so_runs
+        ),
         "box_factors": sorted(
-            round(box_factor(r["queries_warm"]), 3) for r in runs
+            round(box_factor(r["anchors_warm"]), 3) for r in comp_runs
+        ),
+        "box_factors_arrow": sorted(
+            round(arrow_box_factor(r["anchors_warm"]), 3)
+            for r in comp_runs
+            if arrow_box_factor(r["anchors_warm"]) is not None
+        ),
+        "box_factors_scale_ops": sorted(
+            round(box_factor(r["anchors_warm"]), 3) for r in so_runs
         ),
         "anchor_ref": ANCHOR_REF,
+        "arrow_anchor_ref": ARROW_ANCHOR_REF,
+        "queries_arrow": {
+            **comp_runs[0].get("queries_arrow", {}),
+            **so_clean.get("queries_arrow", {}),
+        },
         "queries_warm_median": per_query,
         "sf_dir": sf_dir,
-        "n_queries": runs[0]["n"],
-        "n_scale_ops": runs[0]["n_scale_ops"],
+        "n_queries": comp_runs[0]["n"],
+        "n_scale_ops": so_runs[0]["n"],
         "n_runs": n_runs,
         "cooldown_sec": cooldown,
         "protocol": (
-            "each run = fresh process after a fixed cooldown, q1 + "
-            "python-worker warmup, clearCache+release_pinned per query, "
-            "1 cold + median-of-3 warm; official cross-round number = "
-            "value_normalized (anchor-normalized median of run warm "
-            "totals, BASELINE.md); raw value reported beside it"
+            "each subset of each run = its OWN fresh process after a "
+            "fixed cooldown (comparable then scale_ops, ordering "
+            "pinned), q1 + python-worker warmup, clearCache+"
+            "release_pinned per query, 1 cold + median-of-3 warm; "
+            "comparable runs its subset (scalar anchors in place) then "
+            "the arrow anchor; scale_ops runs all anchors first, then "
+            "its subset; official cross-round number = value_normalized "
+            "(scalar-anchor-normalized median of run warm totals, "
+            "BASELINE.md) with value_normalized_two_component beside it "
+            "(arrow-path queries normalized by the arrow box factor); "
+            "scale_ops headline = the MINIMUM-box-factor run's warm "
+            "total (not the series median — r11 verdict task 2), "
+            "selection rule pinned here; raw values reported beside"
         ),
     }
 
@@ -232,16 +387,32 @@ def main() -> None:
     cooldown = DEFAULT_COOLDOWN
     if "--cooldown" in argv:
         i = argv.index("--cooldown")
-        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
-            sys.exit("usage: bench_isolated.py [sf_dir] [--single] [--cooldown SECONDS]")
+        # strict nonnegative integer (r11 ADVICE: lstrip('-') let
+        # negatives through to time.sleep, a first-run ValueError)
+        if i + 1 >= len(argv) or not argv[i + 1].isdigit():
+            sys.exit(
+                "usage: bench_isolated.py [sf_dir] [--single] "
+                "[--subset comparable|scale_ops] [--cooldown SECONDS>=0]"
+            )
         cooldown = int(argv[i + 1])
+        del argv[i : i + 2]
+    subset = "comparable"
+    if "--subset" in argv:
+        i = argv.index("--subset")
+        if i + 1 >= len(argv) or argv[i + 1] not in (
+            "comparable",
+            "scale_ops",
+            "anchors",
+        ):
+            sys.exit("--subset takes 'comparable', 'scale_ops' or 'anchors'")
+        subset = argv[i + 1]
         del argv[i : i + 2]
     args = [a for a in argv if a != "--single"]
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     if single:
-        print(json.dumps(run_single(sf_dir)))
+        print(json.dumps(run_single(sf_dir, subset)))
         return
     result = run_series(sf_dir, cooldown=cooldown)
     out_path = os.path.join(REPO, "BENCH_ISO.json")
