@@ -148,13 +148,18 @@ _PRIORITY: tuple[str, ...] = (
     "text_chunk_windows",
     "text_lm_score",
     # ROUND-13 WINDOW (positions 51-100; pinned per r11 verdict task
-    # 5): the 5-row r4-cohort remainder (head spot-proven 15/15 at
-    # r11 close), then the first 45 rows of the 47-row r5 cohort in
-    # COVERAGE.md ledger order. Rows ADDED during r12 (cap <=5) must
-    # be inserted at the HEAD of this block (never-driven before
-    # stale re-proves), displacing the r5 tail into r14;
-    # tests/test_rotation_ledger.py machine-checks the arithmetic
-    # (update its NEXT_WINDOW_COHORTS on each rotation).
+    # 5): changed-code re-proves first, then the 5-row r4-cohort
+    # remainder (head spot-proven 15/15 at r11 close), then the r5
+    # cohort head in COVERAGE.md ledger order. Rows ADDED during r12
+    # (cap <=5) must be inserted at the HEAD of this block
+    # (never-driven before stale re-proves), displacing the r5 tail
+    # into r14; tests/test_rotation_ledger.py machine-checks the
+    # arithmetic (update its NEXT_WINDOW_COHORTS on each rotation).
+    # r12 changed-code re-prove: the r12 property campaign found and
+    # fixed a union-undercount in this plan's word join (one-sided
+    # words dropped); strict bare-session re-proven at sf0.01 +
+    # sf0.001 on the fixed code, needs a fresh driver stamp.
+    "bitmap_audience_overlap",
     "triangle_count_copurchase",
     "udaf_trimmed_mean",
     "user_activity_streaks",
@@ -204,10 +209,11 @@ _PRIORITY: tuple[str, ...] = (
     "table_diff_by_fingerprint",
     "target_encode_loo",
     "top_user_paths",
-    "weighted_sample_aes",
     # r14 head: the r5-cohort remainder displaced from the r13
-    # window, then the r6 cohort (50 rows, COVERAGE.md ledger)
-    # continues in artifact order.
+    # window (weighted_sample_aes displaced by the
+    # bitmap_audience_overlap re-prove), then the r6 cohort
+    # (COVERAGE.md ledger) continues in artifact order.
+    "weighted_sample_aes",
     "winnowing_fingerprints",
     "zonemap_skipping_audit",
 )

@@ -337,18 +337,26 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
             GROUP BY 1, 2
         ),
+        types AS (SELECT DISTINCT event_type FROM events),
         pairs AS (
-            SELECT a.event_type AS type_a, b.event_type AS type_b,
-                   a.w, a.bits AS ba, b.bits AS bb
-            FROM bm a JOIN bm b
-              ON a.w = b.w AND a.event_type < b.event_type
+            SELECT a.event_type AS ta, b.event_type AS tb
+            FROM types a JOIN types b ON a.event_type < b.event_type
+        ),
+        words AS (
+            SELECT p.ta, p.tb, m.w,
+                   COALESCE(MAX(CASE WHEN m.event_type = p.ta
+                                     THEN m.bits END), 0) AS ba,
+                   COALESCE(MAX(CASE WHEN m.event_type = p.tb
+                                     THEN m.bits END), 0) AS bb
+            FROM bm m JOIN pairs p ON m.event_type IN (p.ta, p.tb)
+            GROUP BY 1, 2, 3
         )
-        SELECT type_a, type_b,
+        SELECT ta AS type_a, tb AS type_b,
                CAST(SUM(BIT_COUNT(ba & bb)) AS BIGINT) AS n_both,
                CAST(SUM(BIT_COUNT(ba | bb)) AS BIGINT) AS n_either,
                CAST(SUM(BIT_COUNT(ba & bb)) * 1000000
                     // SUM(BIT_COUNT(ba | bb)) AS BIGINT) AS jaccard_ppm
-        FROM pairs
+        FROM words
         GROUP BY 1, 2
     """,
     doc=(
@@ -357,7 +365,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user÷63, bit = user mod 63 — bit 63 stays clear because DuckDB "
         "range-checks 1<<63; BIT_OR-aggregated); pairwise "
         "intersection/union sizes are popcounts of word-wise AND/OR — "
-        "set algebra without re-touching the fact table."
+        "set algebra without re-touching the fact table. Words present "
+        "in only ONE side contribute via 0-padding (r12 property-"
+        "campaign fix: the original word-equi-join silently dropped "
+        "one-sided words, undercounting unions on sparse id spaces)."
     ),
 )
 def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +379,17 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries). Word ids partition evenly — no skew. Caveat vs KMV
     (kmv_union_jaccard): bitmaps are EXACT but sized by the id
     universe; KMV is approximate but constant-size — both live here
-    deliberately."""
+    deliberately.
+
+    r12 fix (found by tests/test_properties_sketches.py on random
+    sparse streams): the original plan equi-joined bitmap words on
+    word id, so a word held by only ONE of the pair's types vanished
+    — n_either undercounted the union, and pairs sharing no words
+    disappeared entirely. The oracle shared the defect, so the
+    driver gate agreed on the wrong answer. Now each pair aggregates
+    over ALL its words, 0-padding the absent side (broadcast pair
+    list — the kmv_union_jaccard shape); the word-wise OR/AND algebra
+    and the one-shuffle 100 TB cost model are unchanged."""
     ev = load_table(spark, sf_dir, "events")
     bm = ev.groupBy(
         "event_type", F.expr("user_id DIV 63").alias("w")
@@ -378,18 +399,38 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(user_id % 63 AS INT)))"
         ).alias("bits")
     )
-    a, b = bm.alias("a"), bm.alias("b")
+    types = bm.select("event_type").distinct()
+    a, b = types.alias("a"), types.alias("b")
     pairs = a.join(
-        b,
-        (F.col("a.w") == F.col("b.w"))
-        & (F.col("a.event_type") < F.col("b.event_type")),
+        b, F.col("a.event_type") < F.col("b.event_type")
     ).select(
-        F.col("a.event_type").alias("type_a"),
-        F.col("b.event_type").alias("type_b"),
-        F.col("a.bits").alias("ba"),
-        F.col("b.bits").alias("bb"),
+        F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
     )
-    return pairs.groupBy("type_a", "type_b").agg(
+    words = (
+        bm.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "w")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == F.col("ta"), F.col("bits"))),
+                F.lit(0),
+            ).alias("ba"),
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == F.col("tb"), F.col("bits"))),
+                F.lit(0),
+            ).alias("bb"),
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "ba",
+            "bb",
+        )
+    )
+    return words.groupBy("type_a", "type_b").agg(
         F.sum(F.bit_count(F.expr("ba & bb"))).cast("long").alias("n_both"),
         F.sum(F.bit_count(F.expr("ba | bb"))).cast("long").alias("n_either"),
         F.expr(

@@ -37,6 +37,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: cohorts (newest proof round) the pinned positions 51-100 window is
 #: allowed to contain — r13 takes the r4 remainder + the r5 head.
 NEXT_WINDOW_COHORTS = {4, 5}
+#: named changed-code re-proves allowed in the next window regardless
+#: of cohort (each must say why in its registry comment)
+RE_PROVE_EXCEPTIONS = {
+    # r12 property campaign fixed a union-undercount in its word
+    # join; strict bare-session re-proven, needs a driver stamp
+    "bitmap_audience_overlap",
+}
 #: cap on rows registered after the newest artifact (r10 verdict:
 #: keep additions small so the pinned window composition holds)
 MAX_NEW_ROWS = 5
@@ -133,7 +140,9 @@ def test_next_window_rotates_the_stalest_cohorts():
     offenders = {
         n: newest[n]
         for n in names[50:100]
-        if n in newest and newest[n] not in NEXT_WINDOW_COHORTS
+        if n in newest
+        and newest[n] not in NEXT_WINDOW_COHORTS
+        and n not in RE_PROVE_EXCEPTIONS
     }
     assert not offenders, (
         f"pinned next-window rows outside cohorts {NEXT_WINDOW_COHORTS}: "

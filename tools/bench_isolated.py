@@ -103,12 +103,17 @@ ANCHOR_REF = {
 #: Arrow-path anchor (r11 verdict task 3): one code-frozen-since-r9
 #: grouped-Arrow query (applyInPandas IQR per group) whose warm time
 #: tracks Python-worker/Arrow-transfer contention the scalar anchors
-#: are blind to. Reference = the r12 calibration measurement (minimum-
-#: box-factor isolated run, scalar box 1.000; SCALE.md "r12 Arrow
-#: anchor calibration") — box_arrow is therefore ~1.0 by construction
-#: in r12 and becomes informative from r13 on.
+#: are blind to. Reference = the r12 calibration (isolated comparable
+#: run, measured at the anchor's pinned post-subset position: 0.371 s
+#: at scalar box 1.069 → 0.347 s at box 1.0; SCALE.md "r12 Arrow
+#: anchor calibration"). ANCHOR POSITION IS PART OF THE REFERENCE:
+#: the same query measured anchors-first in a fresh process reads
+#: ~2x (JVM/JIT not yet warmed by the subset), so this reference is
+#: only valid for the comparable subprocess's post-subset slot — the
+#: scale_ops subprocess's anchors-first factors are position-biased
+#: and serve run SELECTION only (see protocol).
 ARROW_ANCHOR_REF = {
-    "grouped_applyinarrow_iqr": 0.732,  # PROVISIONAL until r12 calibration
+    "grouped_applyinarrow_iqr": 0.347,
 }
 
 #: physical-plan substrings that mark a query as Arrow/Python-path for
@@ -327,9 +332,12 @@ def run_series(sf_dir: str, n_runs: int = 3, cooldown: int = DEFAULT_COOLDOWN) -
             two_comp_totals[mid] if two_comp_totals else None
         ),
         "scale_ops_warm_clean": so_clean["warm_total"],
-        "scale_ops_warm_clean_normalized": _normalized_total(so_clean),
-        "scale_ops_warm_clean_two_component": _two_component_total(so_clean),
-        "scale_ops_selection": "min-box-factor run",
+        "scale_ops_selection": (
+            "min-box-factor run; RAW total is the cross-round number "
+            "(compare vs the r11 steady-state pin 6.65-6.70 s raw) — "
+            "the anchors-first box factors are position-biased vs the "
+            "r10 references and rank runs within a series only"
+        ),
         "unit": "sec",
         "series_warm": warm_totals,
         "series_cold": cold_totals,
@@ -337,9 +345,6 @@ def run_series(sf_dir: str, n_runs: int = 3, cooldown: int = DEFAULT_COOLDOWN) -
         "series_warm_two_component": two_comp_totals,
         "series_scale_ops_warm": sorted(r["warm_total"] for r in so_runs),
         "series_scale_ops_cold": sorted(r["cold_total"] for r in so_runs),
-        "series_scale_ops_warm_normalized": sorted(
-            _normalized_total(r) for r in so_runs
-        ),
         "box_factors": sorted(
             round(box_factor(r["anchors_warm"]), 3) for r in comp_runs
         ),
@@ -373,10 +378,12 @@ def run_series(sf_dir: str, n_runs: int = 3, cooldown: int = DEFAULT_COOLDOWN) -
             "its subset; official cross-round number = value_normalized "
             "(scalar-anchor-normalized median of run warm totals, "
             "BASELINE.md) with value_normalized_two_component beside it "
-            "(arrow-path queries normalized by the arrow box factor); "
-            "scale_ops headline = the MINIMUM-box-factor run's warm "
-            "total (not the series median — r11 verdict task 2), "
-            "selection rule pinned here; raw values reported beside"
+            "(arrow-path queries normalized by the arrow box factor; "
+            "both anchor references are position-pinned — see "
+            "ARROW_ANCHOR_REF); scale_ops headline = the MINIMUM-box-"
+            "factor run's RAW warm total (not the series median — r11 "
+            "verdict task 2; its anchors-first box factors rank runs "
+            "within the series only)"
         ),
     }
 
