@@ -1907,6 +1907,109 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit hamming band search (r12) — the production configuration of
+# the EXTRACTED operators.dedup.hamming_band_candidates (4×16-bit
+# bands over signed 64-bit signatures), driver-gated. Exists for two
+# reasons: (a) the r11 ADVICE found the operator's former div/% band
+# extraction broke on sign-bit-set signatures — this query PLANTS
+# sign-boundary near-dups (bit-63 flips included) so the fixed
+# shift+mask path has a standing value oracle, not just property
+# tests; (b) it gives the operator an sf1 scaling row (BENCH_SF1).
+#
+# Signatures are engine-neutral signed 64-bit values built from two
+# 32-bit md5 hex parses: sig = (hi − 2³¹)·2³² + lo — spans the full
+# signed range with no BIGINT overflow in either engine. Every 17th
+# doc gets a twin with ONE bit flipped (bit = doc_id mod 64, so the
+# sign bit participates); the band search must return exactly those
+# pairs (random 64-bit sigs never land within hamming 3).
+#
+# Band extraction is sign-safe in both engines because the mask
+# follows the shift: (sig >> 16k) & 0xFFFF keeps only bits the
+# arithmetic-vs-logical shift distinction cannot reach (DuckDB's
+# arithmetic >> sign-extends ABOVE the mask; probed r12).
+# 100 TB: 4 band equi-joins over 65 536 buckets/band; popcount
+# filters candidates inside the join stage before the distinct —
+# identical shape to dedup_simhash_hamming, reference northstar
+# parity: SURVEY §2.9 dedup family.
+# ---------------------------------------------------------------------------
+
+
+def _sql_hex32(hx: str, start: int) -> str:
+    """DuckDB: hex chars [start, start+8) of an md5 string parsed to
+    BIGINT via the per-nibble STRPOS fold (version-neutral)."""
+    return " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({hx}, {start + i}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    )
+
+
+_SQL_SIG64 = (
+    f"(({_sql_hex32('md5(CAST(doc_id AS VARCHAR))', 1)}) - 2147483648)"
+    f" * 4294967296 + ({_sql_hex32('md5(CAST(doc_id AS VARCHAR))', 9)})"
+)
+
+
+@register(
+    "dedup_hamming_band64",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, CAST({_SQL_SIG64} AS BIGINT) AS sig
+            FROM documents
+        ),
+        planted AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   xor(sig, CASE WHEN doc_id % 64 = 63
+                                 THEN (-9223372036854775807 - 1)
+                                 ELSE 1::BIGINT
+                                      << CAST(doc_id % 64 AS INTEGER)
+                            END) AS sig
+            FROM base WHERE doc_id % 17 = 0
+        ),
+        sigs AS (
+            SELECT * FROM base UNION ALL SELECT * FROM planted
+        ),
+        bands AS (
+            SELECT doc_id, sig, k,
+                   (sig >> CAST(16 * k AS INTEGER)) & 65535 AS bv
+            FROM sigs, (SELECT UNNEST([0, 1, 2, 3]) AS k)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc=(
+        "64-bit multi-index hamming search (4x16-bit bands) over "
+        "signed signatures with planted one-bit-flip twins (sign bit "
+        "included) — the production configuration of "
+        "operators.dedup.hamming_band_candidates, pinning the r12 "
+        "sign-safe band-extraction fix under the driver gate."
+    ),
+)
+def dedup_hamming_band64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stacktrend_spark.operators.dedup import hamming_band_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    base = docs.select(
+        "doc_id",
+        ((hi - F.lit(2147483648)) * F.lit(4294967296) + lo).alias("sig"),
+    )
+    planted = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("sig")
+        .bitwiseXOR(F.expr("shiftleft(1L, CAST(doc_id % 64 AS INT))"))
+        .alias("sig"),
+    )
+    sigs = base.unionByName(planted)
+    return hamming_band_candidates(sigs, "doc_id", sig_col="sig", band_bits=16)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal 5 (r6) — perceptual image dHash: the image-side member of
 # the dedup family (exact/MinHash/SimHash/cosine cover text and
 # embeddings; this covers pixels). Real PPM decode → integer grayscale

@@ -155,6 +155,11 @@ _PRIORITY: tuple[str, ...] = (
     # (never-driven before stale re-proves), displacing the r5 tail
     # into r14; tests/test_rotation_ledger.py machine-checks the
     # arithmetic (update its NEXT_WINDOW_COHORTS on each rotation).
+    # never-driven r12 addition (1 of <=5) — window head per the
+    # rule above: the production 64-bit configuration of the
+    # hamming_band_candidates operator, planted sign-boundary
+    # near-dups, strict bare-session proven at sf0.01 + sf0.001.
+    "dedup_hamming_band64",
     # r12 changed-code re-prove: the r12 property campaign found and
     # fixed a union-undercount in this plan's word join (one-sided
     # words dropped); strict bare-session re-proven at sf0.01 +
@@ -208,11 +213,12 @@ _PRIORITY: tuple[str, ...] = (
     "stream_outer_attribution",
     "table_diff_by_fingerprint",
     "target_encode_loo",
-    "top_user_paths",
     # r14 head: the r5-cohort remainder displaced from the r13
-    # window (weighted_sample_aes displaced by the
-    # bitmap_audience_overlap re-prove), then the r6 cohort
-    # (COVERAGE.md ledger) continues in artifact order.
+    # window (weighted_sample_aes by the bitmap_audience_overlap
+    # re-prove, top_user_paths by the dedup_hamming_band64
+    # addition), then the r6 cohort (COVERAGE.md ledger) continues
+    # in artifact order.
+    "top_user_paths",
     "weighted_sample_aes",
     "winnowing_fingerprints",
     "zonemap_skipping_audit",
