@@ -230,6 +230,12 @@ HEAVY = [
     "model_gains_deciles",
     "quantile_drift_boundaries",
     "theilsen_mann_kendall",
+    # r12 (r11 verdict task 7): sf1 alphas for the r11/r12 operators —
+    # the hot-bucket guard audit and the extracted 64-bit hamming
+    # band search (planted-pair output is ~N/17, so alpha measures
+    # the band join, not the listing contract)
+    "dedup_hotbucket_guard_audit",
+    "dedup_hamming_band64",
 ]
 
 _REPLICAS = 10
