@@ -1958,16 +1958,20 @@ _SQL_SIG64 = (
             FROM documents
         ),
         planted AS (
-            SELECT doc_id + 1000000 AS doc_id,
-                   xor(sig, CASE WHEN doc_id % 64 = 63
-                                 THEN (-9223372036854775807 - 1)
-                                 ELSE 1::BIGINT
-                                      << CAST(doc_id % 64 AS INTEGER)
-                            END) AS sig
-            FROM base WHERE doc_id % 17 = 0
+            -- qualified b.doc_id + a distinct alias: DuckDB resolves
+            -- lateral column aliases, so re-using the name doc_id for
+            -- the shifted id would make later references ambiguous
+            SELECT b.doc_id + 1000000 AS pid,
+                   xor(b.sig, CASE WHEN b.doc_id % 64 = 63
+                                   THEN (-9223372036854775807 - 1)
+                                   ELSE 1::BIGINT
+                                        << CAST(b.doc_id % 64 AS INTEGER)
+                              END) AS sig
+            FROM base b WHERE b.doc_id % 17 = 0
         ),
         sigs AS (
-            SELECT * FROM base UNION ALL SELECT * FROM planted
+            SELECT doc_id, sig FROM base
+            UNION ALL SELECT pid AS doc_id, sig FROM planted
         ),
         bands AS (
             SELECT doc_id, sig, k,
