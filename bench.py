@@ -311,6 +311,9 @@ HEADLINE = [
     "dedup_semdedup_pairs",
     # r11: per-bucket audit of the hot-bucket triangle-grid guard
     "dedup_hotbucket_guard_audit",
+    # r12: 64-bit band search — production config of the extracted
+    # hamming_band_candidates operator (sign-safe shift+mask bands)
+    "dedup_hamming_band64",
 ]
 
 #: Exclusion manifest (r7 verdict task 3 — "no silent caps"): every
