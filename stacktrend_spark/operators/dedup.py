@@ -453,6 +453,18 @@ def hamming_band_candidates(
     its next re-prove window. Band width is the scale knob: 8-bit
     bands (256 buckets) suit 32-bit signatures; 64-bit signatures run
     16-bit bands (65 536 buckets per band) with the same join shape.
+
+    100 TB skew note: the pathological band bucket is a cluster of
+    IDENTICAL signatures (exact-duplicate docs) — they collide on all
+    ``n_bands`` bands and the listing contract itself is quadratic in
+    the cluster size, so no join-side guard can help (the OUTPUT is
+    the blowup, same class as the ORACLE_BASELINE pair listings).
+    Production pipelines must collapse exact duplicates BEFORE
+    near-dup search (pipeline_corpus_curation's ordering: dedup_exact
+    → banded near-dup), after which residual buckets hold genuinely
+    distinct signatures spread over 2^band_bits values and the
+    per-bucket join stays near-constant (measured: sf1 alpha 0.219
+    for the 64-bit configuration, SCALE.md r12).
     """
     if max_hamming >= n_bands:
         raise ValueError(
