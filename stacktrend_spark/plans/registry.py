@@ -165,6 +165,12 @@ _PRIORITY: tuple[str, ...] = (
     # words dropped); strict bare-session re-proven at sf0.01 +
     # sf0.001 on the fixed code, needs a fresh driver stamp.
     "bitmap_audience_overlap",
+    # r12 changed-code re-prove: the streaming property campaign
+    # caught this ORACLE splitting sessions at exactly-gap spacing
+    # where Spark's session_window merges (adjacent [ts, ts+gap)
+    # windows touch); oracle fixed to the strict > split, strict
+    # bare-session re-proven at sf0.01 + sf0.001.
+    "stream_session_windows",
     "triangle_count_copurchase",
     "udaf_trimmed_mean",
     "user_activity_streaks",
@@ -212,12 +218,13 @@ _PRIORITY: tuple[str, ...] = (
     "stream_kmv_daily_users",
     "stream_outer_attribution",
     "table_diff_by_fingerprint",
-    "target_encode_loo",
     # r14 head: the r5-cohort remainder displaced from the r13
     # window (weighted_sample_aes by the bitmap_audience_overlap
-    # re-prove, top_user_paths by the dedup_hamming_band64
-    # addition), then the r6 cohort (COVERAGE.md ledger) continues
+    # re-prove, top_user_paths by the dedup_hamming_band64 addition,
+    # target_encode_loo by the stream_session_windows oracle
+    # re-prove), then the r6 cohort (COVERAGE.md ledger) continues
     # in artifact order.
+    "target_encode_loo",
     "top_user_paths",
     "weighted_sample_aes",
     "winnowing_fingerprints",

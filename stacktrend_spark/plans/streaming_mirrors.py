@@ -85,9 +85,16 @@ def stream_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_windows",
-    # Spark's session_window closes a session when the next event is
-    # >= gap after the previous one (window is [ts, ts+gap)); the lag
-    # comparison below mirrors that exactly.
+    # Spark's session_window closes a session only when the next event
+    # is STRICTLY MORE than gap after the previous one: each event's
+    # window is [ts, ts+gap) and windows merge while next.start <=
+    # current.end, so an event at EXACTLY prev+gap still merges
+    # (adjacent windows touch). The r12 streaming property campaign
+    # caught the original >= comparison disagreeing with Spark on that
+    # knife edge (real data never lands exactly 30 min apart, so
+    # eleven driver rounds of hash-green never saw it); the strict >
+    # below — same operator session_window_native_batch's oracle
+    # always used — mirrors Spark exactly.
     oracle=f"""
         WITH seq AS (
             SELECT
@@ -95,7 +102,7 @@ def stream_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 event_id,
                 epoch_us(ts) AS ts_us,
                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-                         PARTITION BY user_id ORDER BY ts, event_id) >= {_GAP_US}
+                         PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_US}
                      OR LAG(epoch_us(ts)) OVER (
                          PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                      THEN 1 ELSE 0 END AS is_new_session

@@ -43,6 +43,9 @@ RE_PROVE_EXCEPTIONS = {
     # r12 property campaign fixed a union-undercount in its word
     # join; strict bare-session re-proven, needs a driver stamp
     "bitmap_audience_overlap",
+    # r12 streaming property campaign fixed its oracle's exactly-gap
+    # session split (Spark merges adjacent windows); re-proven
+    "stream_session_windows",
 }
 #: cap on rows registered after the newest artifact (r10 verdict:
 #: keep additions small so the pinned window composition holds)
