@@ -171,7 +171,7 @@ _ZM_FILE_ROWS = 1000  # orderkeys per simulated file
             FROM months CROSS JOIN zones
             GROUP BY 1
         )
-        SELECT CAST(m AS DATE) AS month,
+        SELECT CAST(epoch_us(CAST(m AS TIMESTAMP)) AS BIGINT) AS month_us,
                CAST(n_files AS BIGINT) AS n_files,
                CAST(n_skipped AS BIGINT) AS n_skipped,
                CAST(n_skipped * 1000000 // n_files AS BIGINT)
@@ -197,6 +197,14 @@ def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone STATS (never data). A low skip ratio on a hot predicate
     column is the signal to re-cluster (zorder_layout_stats shows the
     re-layout side of this coin).
+
+    r12: the month is emitted as EPOCH-µS (the repo's cross-engine
+    convention) — this was the registry's ONLY row emitting a raw
+    DATE column (389-query schema sweep), and a bare driver session
+    (no Arrow) materializes DateType to object-dtype python dates,
+    which the comparator canon does not coerce: the row failed
+    strict_bare_verify while passing the Arrow-enabled local gate.
+    Internal date comparisons are unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         F.expr(f"l_orderkey DIV {_ZM_FILE_ROWS}").alias("file_id"),
@@ -224,7 +232,7 @@ def zonemap_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").alias("rows_total"),
         )
         .select(
-            F.col("m").alias("month"),
+            F.unix_micros(F.col("m").cast("timestamp")).alias("month_us"),
             F.col("n_files").cast("long").alias("n_files"),
             F.col("n_skipped").cast("long").alias("n_skipped"),
             F.expr("n_skipped * 1000000 DIV n_files")

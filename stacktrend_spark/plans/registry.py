@@ -171,6 +171,13 @@ _PRIORITY: tuple[str, ...] = (
     # windows touch); oracle fixed to the strict > split, strict
     # bare-session re-proven at sf0.01 + sf0.001.
     "stream_session_windows",
+    # r12 changed-code re-prove: the registry's ONLY raw-DATE output
+    # column (389-query schema sweep) — a bare (no-Arrow) driver
+    # session materializes DateType as object-dtype python dates the
+    # comparator canon does not coerce; month now emitted as epoch-µs
+    # per the repo convention, strict bare-session re-proven at
+    # sf0.01 + sf0.001 (it FAILED strict_bare before the fix).
+    "zonemap_skipping_audit",
     "triangle_count_copurchase",
     "udaf_trimmed_mean",
     "user_activity_streaks",
@@ -217,18 +224,18 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "stream_kmv_daily_users",
     "stream_outer_attribution",
-    "table_diff_by_fingerprint",
     # r14 head: the r5-cohort remainder displaced from the r13
     # window (weighted_sample_aes by the bitmap_audience_overlap
     # re-prove, top_user_paths by the dedup_hamming_band64 addition,
     # target_encode_loo by the stream_session_windows oracle
-    # re-prove), then the r6 cohort (COVERAGE.md ledger) continues
-    # in artifact order.
+    # re-prove, table_diff_by_fingerprint by the
+    # zonemap_skipping_audit date-output re-prove), then the r6
+    # cohort (COVERAGE.md ledger) continues in artifact order.
+    "table_diff_by_fingerprint",
     "target_encode_loo",
     "top_user_paths",
     "weighted_sample_aes",
     "winnowing_fingerprints",
-    "zonemap_skipping_audit",
 )
 
 
