@@ -85,98 +85,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 #: exactly registry indices 0-49 get CORRECTNESS rows). Long-green
 #: rows rotate to the back — they are re-provable in any later round.
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-12 WINDOW (positions 1-50; r11 verdict task 1). VERBATIM
-    # the 50-row set pre-validated 50/50 strict bare-session on the
-    # final r11 tree (COVERAGE.md "Round-11 terminal state"; testdata
-    # unchanged — 2026-08-16 00:56 mtime predates the validation
-    # commits): the never-driven r11 addition
-    # `dedup_hotbucket_guard_audit` at the head, the last 5 rows of
-    # the r3-proven cohort, then the first 44 rows of the 49-row
-    # r4-proven cohort (oldest-first rotation). When this window
-    # lands, never-driven = 0 and the stalest cohorts are the r4
-    # remainder (5 rows) and the r5 cohort (47 rows — two of its
-    # ledger rows, skyline_price_size and dedup_simhash_hamming,
-    # were re-proven in later windows).
-    "dedup_hotbucket_guard_audit",
-    "text_repetition_filter",
-    "twap_user_value",
-    "validation_violations",
-    "window_first_last",
-    "window_rank_distribution",
-    "agg_corr_covar",
-    "agg_empty_input_semantics",
-    "agg_weighted_median",
-    "agg_winsorized_balance",
-    "bucketed_join_colocated",
-    "compliance_delete_audit",
-    "containment_join_keywords",
-    "corpus_shard_assign",
-    "customer_rfm_scores",
-    "dedup_minhash_lsh",
-    "embedding_quantize_int8",
-    "er_blocked_name_match",
-    "event_pattern_match",
-    "events_markov_transition",
-    "grouped_map_mad",
-    "heavy_hitters_twopass",
-    "incremental_agg_maintenance",
-    "interval_overlap_join",
-    "join_null_safe_buckets",
-    "lateral_top2_orders",
-    "market_basket_rules",
-    "max_concurrent_intervals",
-    "multimodal_audio_windows",
-    "multimodal_patch_grid",
-    "pareto_revenue_deciles",
-    "pipeline_personal_gold",
-    "pipeline_trend_gold",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "quantile_normalize_lengths",
-    "recursive_cte_reachability",
-    "sample_exact_k_per_group",
-    "scalar_math_scores",
-    "source_compression_roundtrip",
-    "source_partition_pruning",
-    "source_schema_evolution",
-    "source_xml_roundtrip",
-    "stream_stateful_totals",
-    "stream_static_enrichment",
-    "stream_topk_users_daily",
-    "stream_upsert_user_totals",
-    "table_fingerprint_buckets",
-    "text_chunk_windows",
-    "text_lm_score",
-    # ROUND-13 WINDOW (positions 51-100; pinned per r11 verdict task
-    # 5): changed-code re-proves first, then the 5-row r4-cohort
-    # remainder (head spot-proven 15/15 at r11 close), then the r5
-    # cohort head in COVERAGE.md ledger order. Rows ADDED during r12
-    # (cap <=5) must be inserted at the HEAD of this block
-    # (never-driven before stale re-proves), displacing the r5 tail
-    # into r14; tests/test_rotation_ledger.py machine-checks the
-    # arithmetic (update its NEXT_WINDOW_COHORTS on each rotation).
-    # never-driven r12 addition (1 of <=5) — window head per the
-    # rule above: the production 64-bit configuration of the
-    # hamming_band_candidates operator, planted sign-boundary
-    # near-dups, strict bare-session proven at sf0.01 + sf0.001.
+    # ROUND-13 WINDOW (positions 1-50; r12 verdict task 1). VERBATIM
+    # the pre-validated 50-row set pinned at r12 close (48/50 proven by
+    # the r12 window gate on the final tree; stream_session_windows and
+    # zonemap_skipping_audit strict-bare proven separately post-fix;
+    # testdata unchanged — 2026-08-16 00:56 mtime predates the r12
+    # validation commits). Head: the never-driven r12 addition
+    # `dedup_hamming_band64`, then the three r12 changed-code
+    # re-proves (bitmap_audience_overlap union fix,
+    # stream_session_windows oracle exactly-gap fix,
+    # zonemap_skipping_audit epoch-us date output), then the 5-row
+    # r4-cohort remainder and the r5-cohort head in COVERAGE.md
+    # ledger order. When this window lands, never-driven = 0 and the
+    # stalest cohorts are the r5 remainder (5 rows) and the r6 cohort.
     "dedup_hamming_band64",
-    # r12 changed-code re-prove: the r12 property campaign found and
-    # fixed a union-undercount in this plan's word join (one-sided
-    # words dropped); strict bare-session re-proven at sf0.01 +
-    # sf0.001 on the fixed code, needs a fresh driver stamp.
     "bitmap_audience_overlap",
-    # r12 changed-code re-prove: the streaming property campaign
-    # caught this ORACLE splitting sessions at exactly-gap spacing
-    # where Spark's session_window merges (adjacent [ts, ts+gap)
-    # windows touch); oracle fixed to the strict > split, strict
-    # bare-session re-proven at sf0.01 + sf0.001.
     "stream_session_windows",
-    # r12 changed-code re-prove: the registry's ONLY raw-DATE output
-    # column (389-query schema sweep) — a bare (no-Arrow) driver
-    # session materializes DateType as object-dtype python dates the
-    # comparator canon does not coerce; month now emitted as epoch-µs
-    # per the repo convention, strict bare-session re-proven at
-    # sf0.01 + sf0.001 (it FAILED strict_bare before the fix).
     "zonemap_skipping_audit",
     "triangle_count_copurchase",
     "udaf_trimmed_mean",
@@ -224,18 +148,76 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "stream_kmv_daily_users",
     "stream_outer_attribution",
-    # r14 head: the r5-cohort remainder displaced from the r13
-    # window (weighted_sample_aes by the bitmap_audience_overlap
-    # re-prove, top_user_paths by the dedup_hamming_band64 addition,
-    # target_encode_loo by the stream_session_windows oracle
-    # re-prove, table_diff_by_fingerprint by the
-    # zonemap_skipping_audit date-output re-prove), then the r6
-    # cohort (COVERAGE.md ledger) continues in artifact order.
+    # ROUND-14 WINDOW (positions 51-100; pinned per r12 verdict task
+    # 6): the r5-cohort remainder displaced from the r13 window
+    # (head spot-proven at r12 close), then the r6 cohort in
+    # CORRECTNESS_r06.json artifact order (49 available — its
+    # bitmap_audience_overlap row is a changed-code re-prove inside
+    # the r13 window above). Rows ADDED during r13 (cap <=5) must be
+    # inserted at the HEAD of this block (never-driven before stale
+    # re-proves), displacing the r6 tail into r15;
+    # tests/test_rotation_ledger.py machine-checks the arithmetic
+    # (update its NEXT_WINDOW_COHORTS on each rotation).
     "table_diff_by_fingerprint",
     "target_encode_loo",
     "top_user_paths",
     "weighted_sample_aes",
     "winnowing_fingerprints",
+    "division_not_exists",
+    "exact_median_distributed",
+    "gdpr_anonymize_cascade",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "scd_consistency_audit",
+    "table_column_stats",
+    "dedup_minhash_star",
+    "dedup_star_clusters",
+    "setsim_prefix_join",
+    "agg_conditional_by_priority",
+    "agg_global_market_pulse",
+    "array_word_cooccurrence",
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_status_priority",
+    "gold_development_velocity",
+    "gold_lang_stats",
+    "gold_market_pulse",
+    "gold_portfolio_overview",
+    "gold_repo_health_dashboard",
+    "gold_trend_daily",
+    "join_anti_inactive_customers",
+    "join_left_customer_orders",
+    "join_revenue_by_nation",
+    "join_semi_active_suppliers",
+    "json_extract_props",
+    "merge_insert_only_events",
+    "merge_preserve_classification",
+    "pivot_status_by_segment",
+    "rank_global_scalable",
+    "rollup_revenue",
+    "scalar_conditional_tiers",
+    "scalar_datetime_parts",
+    "scalar_string_clean",
+    "scalar_try_clean",
+    "sessionize_events",
+    "subquery_exists_orders",
+    "subquery_scalar_above_avg",
+    "topk_orders",
+    "union_period_metrics",
+    "unpivot_flag_metrics",
+    "window_lag_monthly_trend",
+    "window_range_frame_trailing",
+    "window_rank_global",
+    # r15 head: the r6-cohort remainder displaced from the r14
+    # window by the four rows the r13 window absorbed (the
+    # dedup_hamming_band64 addition + three r12 changed-code
+    # re-proves shifted the r5 remainder into r14's head, pushing
+    # these r6 tail rows out). The r7 cohort (COVERAGE.md ledger)
+    # continues in artifact order.
+    "window_rank_in_group",
+    "window_running_total",
+    "window_share_global",
+    "window_share_of_region",
 )
 
 

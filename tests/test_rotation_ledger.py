@@ -35,18 +35,12 @@ from stacktrend_spark.plans.registry import all_queries
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: cohorts (newest proof round) the pinned positions 51-100 window is
-#: allowed to contain — r13 takes the r4 remainder + the r5 head.
-NEXT_WINDOW_COHORTS = {4, 5}
+#: allowed to contain — r14 takes the r5 remainder + the r6 head.
+NEXT_WINDOW_COHORTS = {5, 6}
 #: named changed-code re-proves allowed in the next window regardless
-#: of cohort (each must say why in its registry comment)
-RE_PROVE_EXCEPTIONS = {
-    # r12 property campaign fixed a union-undercount in its word
-    # join; strict bare-session re-proven, needs a driver stamp
-    "bitmap_audience_overlap",
-    # r12 streaming property campaign fixed its oracle's exactly-gap
-    # session split (Spark merges adjacent windows); re-proven
-    "stream_session_windows",
-}
+#: of cohort (each must say why in its registry comment); empty this
+#: rotation — the r12 re-proves sit in the CURRENT window (1-50).
+RE_PROVE_EXCEPTIONS: set[str] = set()
 #: cap on rows registered after the newest artifact (r10 verdict:
 #: keep additions small so the pinned window composition holds)
 MAX_NEW_ROWS = 5
