@@ -1996,6 +1996,16 @@ def dedup_hamming_band64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stacktrend_spark.operators.dedup import hamming_band_candidates
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # r12 ADVICE guard: planted twin ids live at doc_id + 1_000_000 on
+    # BOTH sides; if the corpus ever grows past the offset the planted
+    # ids silently collide with real ones and the oracle (same scheme)
+    # cannot catch it. Fail loudly instead — one footer-stats max().
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= 1000000:
+        raise ValueError(
+            f"dedup_hamming_band64: max doc_id {max_id} >= planted-twin "
+            "offset 1000000 — raise the offset on both sides"
+        )
     hx = F.md5(F.col("doc_id").cast("string").cast("binary"))
     hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")

@@ -388,8 +388,11 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     disappeared entirely. The oracle shared the defect, so the
     driver gate agreed on the wrong answer. Now each pair aggregates
     over ALL its words, 0-padding the absent side (broadcast pair
-    list — the kmv_union_jaccard shape); the word-wise OR/AND algebra
-    and the one-shuffle 100 TB cost model are unchanged."""
+    list — the kmv_union_jaccard shape). r13 (r12 ADVICE): the pair
+    fan-out runs as TWO broadcast hash equi-joins unioned, not an
+    OR-predicate nested-loop — per-word probe cost stays proportional
+    to the pairs containing that word's type, and the fact-table
+    shuffle count (one) is unchanged."""
     ev = load_table(spark, sf_dir, "events")
     bm = ev.groupBy(
         "event_type", F.expr("user_id DIV 63").alias("w")
@@ -406,22 +409,33 @@ def bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
     )
+    # r12 ADVICE: an OR predicate here plans as a broadcast
+    # NESTED-LOOP join — O(words × pairs) probe work as type
+    # cardinality grows. Two broadcast HASH equi-joins (word→pairs
+    # where its type is the left member, word→pairs where it is the
+    # right member) produce the identical row multiset (ta < tb, so a
+    # word row matches exactly one side of any pair) and keep the
+    # probe O(words × pairs-per-type).
+    j_a = bm.join(F.broadcast(pairs), F.col("event_type") == F.col("ta")).select(
+        "ta",
+        "tb",
+        "w",
+        F.col("bits").alias("wa"),
+        F.lit(None).cast("long").alias("wb"),
+    )
+    j_b = bm.join(F.broadcast(pairs), F.col("event_type") == F.col("tb")).select(
+        "ta",
+        "tb",
+        "w",
+        F.lit(None).cast("long").alias("wa"),
+        F.col("bits").alias("wb"),
+    )
     words = (
-        bm.join(
-            F.broadcast(pairs),
-            (F.col("event_type") == F.col("ta"))
-            | (F.col("event_type") == F.col("tb")),
-        )
+        j_a.unionByName(j_b)
         .groupBy("ta", "tb", "w")
         .agg(
-            F.coalesce(
-                F.max(F.when(F.col("event_type") == F.col("ta"), F.col("bits"))),
-                F.lit(0),
-            ).alias("ba"),
-            F.coalesce(
-                F.max(F.when(F.col("event_type") == F.col("tb"), F.col("bits"))),
-                F.lit(0),
-            ).alias("bb"),
+            F.coalesce(F.max("wa"), F.lit(0)).alias("ba"),
+            F.coalesce(F.max("wb"), F.lit(0)).alias("bb"),
         )
         .select(
             F.col("ta").alias("type_a"),

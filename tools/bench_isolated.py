@@ -139,7 +139,15 @@ def _uses_arrow(df) -> bool:
             "simple"
         )
         plan = df._jdf.queryExecution().explainString(mode)
-    except Exception:
+    except Exception as e:
+        # r12 ADVICE: a silent False here degrades EVERY query to the
+        # scalar box factor with no signal — make the degradation
+        # visible in the run log so the artifact can be adjudicated.
+        print(
+            f"WARN _uses_arrow probe failed ({type(e).__name__}: {e}); "
+            "two-component normalization degraded to scalar-only",
+            file=sys.stderr,
+        )
         return False
     return any(m in plan for m in _ARROW_PLAN_MARKERS)
 
@@ -328,15 +336,27 @@ def run_series(sf_dir: str, n_runs: int = 3, cooldown: int = DEFAULT_COOLDOWN) -
         "metric": "comparable_warm_median_isolated",
         "value": warm_totals[mid],
         "value_normalized": norm_totals[mid],
+        # r12 ADVICE: index by the FILTERED list's own median — a
+        # partial list (arrow anchor measured in only some runs) made
+        # [mid] an IndexError despite the truthiness guard
         "value_normalized_two_component": (
-            two_comp_totals[mid] if two_comp_totals else None
+            two_comp_totals[len(two_comp_totals) // 2]
+            if two_comp_totals
+            else None
         ),
         "scale_ops_warm_clean": so_clean["warm_total"],
+        "scale_ops_box_clean": round(
+            box_factor(so_clean["anchors_warm"]), 3
+        ),
         "scale_ops_selection": (
             "min-box-factor run; RAW total is the cross-round number "
             "(compare vs the r11 steady-state pin 6.65-6.70 s raw) — "
             "the anchors-first box factors are position-biased vs the "
-            "r10 references and rank runs within a series only"
+            "r10 references and rank runs within a series only; with "
+            "--scale-ops-global the committed value is the ROUND-GLOBAL "
+            "min-box run across all series written this round (r12 "
+            "verdict task 4: the close series' min-box is not "
+            "necessarily the round's cleanest measurement)"
         ),
         "unit": "sec",
         "series_warm": warm_totals,
@@ -391,6 +411,8 @@ def run_series(sf_dir: str, n_runs: int = 3, cooldown: int = DEFAULT_COOLDOWN) -
 def main() -> None:
     argv = sys.argv[1:]
     single = "--single" in argv
+    carry_global = "--scale-ops-global" in argv
+    argv = [a for a in argv if a != "--scale-ops-global"]
     cooldown = DEFAULT_COOLDOWN
     if "--cooldown" in argv:
         i = argv.index("--cooldown")
@@ -423,6 +445,36 @@ def main() -> None:
         return
     result = run_series(sf_dir, cooldown=cooldown)
     out_path = os.path.join(REPO, "BENCH_ISO.json")
+    if carry_global:
+        # r12 verdict task 4: later series this round carry the
+        # round-global min-box SCALE_OPS run forward, so the committed
+        # headline is self-consistent without a SCALE.md footnote.
+        # Only valid WITHIN a round (pass it on every series after the
+        # round's first; never on the first — the existing file holds
+        # the PREVIOUS round's value at that point).
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        prev_box = prev.get("scale_ops_box_clean")
+        if (
+            prev_box is not None
+            and prev.get("sf_dir") == result["sf_dir"]
+            and prev_box < result["scale_ops_box_clean"]
+        ):
+            result["scale_ops_warm_clean"] = prev["scale_ops_warm_clean"]
+            result["scale_ops_box_clean"] = prev_box
+            for name in SCALE_OPS:
+                if name in prev.get("queries_warm_median", {}):
+                    result["queries_warm_median"][name] = prev[
+                        "queries_warm_median"
+                    ][name]
+            result["scale_ops_selection_scope"] = (
+                "round-global min-box (carried from an earlier series "
+                "this round; this series' own min-box run is in "
+                "series_scale_ops_warm)"
+            )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2, sort_keys=True)
         f.write("\n")
