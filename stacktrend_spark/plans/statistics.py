@@ -2393,19 +2393,19 @@ def quantile_drift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         SELECT n11, n10, n01, n00,
-               {sql_round(
-                   "((CAST(n11 AS DOUBLE) + n00) / (n11 + n10 + n01 + n00)"
-                   " - ((CAST(n11 AS DOUBLE) + n10) * (n11 + n01)"
-                   "    + (CAST(n01 AS DOUBLE) + n00) * (n10 + n00))"
-                   "   / ((CAST(n11 AS DOUBLE) + n10 + n01 + n00)"
-                   "      * (n11 + n10 + n01 + n00)))"
-                   " / (1.0 - ((CAST(n11 AS DOUBLE) + n10) * (n11 + n01)"
-                   "    + (CAST(n01 AS DOUBLE) + n00) * (n10 + n00))"
-                   "   / ((CAST(n11 AS DOUBLE) + n10 + n01 + n00)"
-                   "      * (n11 + n10 + n01 + n00)))",
-                   6,
-               )} AS cohens_kappa
-        FROM c
+               CASE WHEN pe = 1.0 THEN NULL
+                    ELSE {sql_round("(po - pe) / (1.0 - pe)", 6)}
+               END AS cohens_kappa
+        FROM (
+            SELECT n11, n10, n01, n00,
+                   (CAST(n11 AS DOUBLE) + n00)
+                       / (n11 + n10 + n01 + n00) AS po,
+                   ((CAST(n11 AS DOUBLE) + n10) * (n11 + n01)
+                    + (CAST(n01 AS DOUBLE) + n00) * (n10 + n00))
+                   / ((CAST(n11 AS DOUBLE) + n10 + n01 + n00)
+                      * (n11 + n10 + n01 + n00)) AS pe
+            FROM c
+        )
     """,
     doc=(
         "Cohen's κ between two binary raters on orders (high priority "
@@ -2441,12 +2441,19 @@ def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n11").cast("double") + F.col("n10")) * (F.col("n11") + F.col("n01"))
         + (F.col("n01").cast("double") + F.col("n00")) * (F.col("n10") + F.col("n00"))
     ) / ((F.col("n11").cast("double") + F.col("n10") + F.col("n01") + F.col("n00")) * n)
+    # r13 property-campaign fix: when the raters agree perfectly
+    # (pe = 1 — reachable on a one-row or all-identical slice) the
+    # kappa denominator is exactly 0; Spark 4's default ANSI mode
+    # turns that into a DIVIDE_BY_ZERO crash while DuckDB yields NaN.
+    # Contract: kappa is UNDEFINED at pe = 1 → NULL on both sides.
     return c.select(
         "n11",
         "n10",
         "n01",
         "n00",
-        fround((po - pe) / (F.lit(1.0) - pe), 6).alias("cohens_kappa"),
+        F.when(pe == F.lit(1.0), F.lit(None).cast("double"))
+        .otherwise(fround((po - pe) / (F.lit(1.0) - pe), 6))
+        .alias("cohens_kappa"),
     )
 
 

@@ -38,9 +38,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: allowed to contain — r14 takes the r5 remainder + the r6 head.
 NEXT_WINDOW_COHORTS = {5, 6}
 #: named changed-code re-proves allowed in the next window regardless
-#: of cohort (each must say why in its registry comment); empty this
-#: rotation — the r12 re-proves sit in the CURRENT window (1-50).
-RE_PROVE_EXCEPTIONS: set[str] = set()
+#: of cohort (each must say why in its registry comment)
+RE_PROVE_EXCEPTIONS: set[str] = {
+    # r13 statistics property campaign: ANSI Spark crashed on the
+    # pe=1 perfect-agreement corner (DIVIDE_BY_ZERO) where the oracle
+    # yielded NaN; kappa now NULL at pe=1 on both sides, strict
+    # bare-session re-proven, needs a driver stamp
+    "cohens_kappa_raters",
+}
 #: cap on rows registered after the newest artifact (r10 verdict:
 #: keep additions small so the pinned window composition holds)
 MAX_NEW_ROWS = 5
