@@ -1853,11 +1853,18 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.col("s1") / F.col("nd")
     sig = F.sqrt(F.greatest(F.col("s2") / F.col("nd") - mu * mu, F.lit(0.0)))
+    # r13 property-campaign fix: a type whose every gap is 0 (two
+    # same-microsecond events per user — duplicate-ts ingestion) has
+    # σ = μ = 0, and ANSI Spark turns the (σ−μ)/(σ+μ) division into a
+    # DIVIDE_BY_ZERO crash where DuckDB yields NULL. B is UNDEFINED
+    # there → NULL on both sides.
     return s.select(
         "event_type",
         F.col("n").alias("n_gaps"),
         F.expr("s1i DIV n").cast("long").alias("mean_gap_us"),
-        fround((sig - mu) / (sig + mu), 6).alias("burstiness_b"),
+        F.when(sig + mu == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(fround((sig - mu) / (sig + mu), 6))
+        .alias("burstiness_b"),
     )
 
 
@@ -1917,16 +1924,22 @@ def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_both",
             # width: the capture product is two distinct-user counts
             # (>2^63 at ~1e10 users each) — DECIMAL(38,0) (r9 width
-            # sweep)
+            # sweep). r13 property-campaign fix: a disjoint capture
+            # pair (n_both = 0 — no user in both samples) made ANSI
+            # Spark crash with DIVIDE_BY_ZERO where DuckDB yields
+            # NULL; the Lincoln-Petersen estimate is UNDEFINED at
+            # m = 0 → NULL on both sides.
             F.expr(
-                "CAST(CAST(n_capture1 AS DECIMAL(38, 0)) * n_capture2"
-                " DIV n_both AS BIGINT)"
+                "CASE WHEN n_both = 0 THEN NULL"
+                " ELSE CAST(CAST(n_capture1 AS DECIMAL(38, 0)) * n_capture2"
+                " DIV n_both AS BIGINT) END"
             ).alias("lincoln_petersen_est"),
             "true_users",
             F.expr(
-                "ABS(CAST(n_capture1 AS DECIMAL(38, 0)) * n_capture2"
+                "CASE WHEN n_both = 0 THEN NULL"
+                " ELSE ABS(CAST(n_capture1 AS DECIMAL(38, 0)) * n_capture2"
                 " DIV n_both - true_users)"
-                " * 1000000 DIV true_users"
+                " * 1000000 DIV true_users END"
             )
             .cast("long")
             .alias("err_ppm"),

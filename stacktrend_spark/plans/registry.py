@@ -158,12 +158,18 @@ _PRIORITY: tuple[str, ...] = (
     # re-proves), displacing the r6 tail into r15;
     # tests/test_rotation_ledger.py machine-checks the arithmetic
     # (update its NEXT_WINDOW_COHORTS on each rotation).
-    # r13 changed-code re-prove (window head per the rule above): the
-    # r13 statistics property campaign found ANSI Spark CRASHING on
-    # the pe=1 perfect-agreement corner (DIVIDE_BY_ZERO) where the
-    # oracle yielded NaN; kappa now NULL at pe=1 on both sides,
-    # strict bare-session re-proven at sf0.01 + sf0.001.
+    # r13 changed-code re-proves (window head per the rule above):
+    # the r13 statistics/behavioral property campaign found ANSI
+    # Spark CRASHING (DIVIDE_BY_ZERO) on four degenerate corners the
+    # DuckDB oracles survive with NULL — kappa at pe=1 (perfect
+    # agreement), moments at zero within-group variance, burstiness
+    # at σ+μ=0 (all-zero gaps), Lincoln-Petersen at m=0 (disjoint
+    # captures). Each now emits NULL on the degenerate corner, strict
+    # bare-session re-proven at sf0.01 + sf0.001.
     "cohens_kappa_raters",
+    "moments_skew_kurtosis",
+    "interevent_burstiness",
+    "capture_recapture_estimate",
     "table_diff_by_fingerprint",
     "target_encode_loo",
     "top_user_paths",
@@ -210,16 +216,17 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_scalar_above_avg",
     "topk_orders",
     "union_period_metrics",
-    "unpivot_flag_metrics",
-    "window_lag_monthly_trend",
-    "window_range_frame_trailing",
     # r15 head: the r6-cohort remainder displaced from the r14
     # window — four rows by the r13-window absorptions (the
     # dedup_hamming_band64 addition + three r12 changed-code
-    # re-proves shifted the r5 remainder into r14's head) and one
-    # more (window_rank_global) by the r13 cohens_kappa_raters
-    # changed-code re-prove. The r7 cohort (COVERAGE.md ledger)
-    # continues in artifact order.
+    # re-proves shifted the r5 remainder into r14's head) and four
+    # more by the r13 property-campaign changed-code re-proves
+    # (cohens_kappa_raters, moments_skew_kurtosis,
+    # interevent_burstiness, capture_recapture_estimate). The r7
+    # cohort (COVERAGE.md ledger) continues in artifact order.
+    "unpivot_flag_metrics",
+    "window_lag_monthly_trend",
+    "window_range_frame_trailing",
     "window_rank_global",
     "window_rank_in_group",
     "window_running_total",

@@ -1332,11 +1332,21 @@ def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = F.col("a2").cast("double") / (nd * nd)
     m3 = F.col("a3").cast("double") / (nd * nd * nd)
     m4 = F.col("a4").cast("double") / (nd * nd * nd * nd)
+    # r13 property-campaign fix: a zero-variance nation (e.g. a single
+    # order) has a2 = 0, and ANSI Spark turns the m2 division into a
+    # DIVIDE_BY_ZERO crash where DuckDB yields NULL. Moments are
+    # UNDEFINED at zero variance → NULL, matching the oracle's
+    # natural NULL.
+    degenerate = F.col("a2") == F.lit(0).cast("decimal(38,0)")
     return a.select(
         F.col("nation").cast("long"),
         F.col("n").cast("long").alias("n_orders"),
-        fround(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
-        fround(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(fround(m3 / (m2 * F.sqrt(m2)), 6))
+        .alias("skewness"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(fround(m4 / (m2 * m2) - F.lit(3.0), 6))
+        .alias("excess_kurtosis"),
     )
 
 

@@ -450,3 +450,139 @@ def test_ks_drift_by_source_model(spark, rows):
             ks = max(ks, dev)
         model.append({"source": s, "n_docs": tot, "ks_ppm": ks})
     _three_way(spark, "ks_drift_by_source", d, model)
+
+
+# ===========================================================================
+# WAVE 2 (r13): sequence detection, burstiness, capture-recapture.
+# ===========================================================================
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            _off,
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_event_pattern_match_model(spark, rows):
+    ev = [(u, off, t, 100) for u, off, t in rows]
+    per_user: dict[int, list[tuple[int, int, str]]] = defaultdict(list)
+    for eid, (u, off, t, _) in enumerate(ev):
+        per_user[u].append((_BASE_US + off, eid, t))
+    model = []
+    for u, es in per_user.items():
+        es.sort()
+        for i in range(2, len(es)):
+            (t0, id0, ty0), (_, _, ty1), (t2, id2, ty2) = (
+                es[i - 2],
+                es[i - 1],
+                es[i],
+            )
+            if (
+                ty0 == "view"
+                and ty1 == "click"
+                and ty2 == "purchase"
+                and t2 - t0 <= 86_400_000_000
+            ):
+                model.append(
+                    {
+                        "user_id": u,
+                        "view_event_id": id0,
+                        "purchase_event_id": id2,
+                        "elapsed_us": t2 - t0,
+                    }
+                )
+    _three_way(spark, "event_pattern_match", _events_dir(ev), model)
+
+
+def _fround(x: float, n: int) -> float:
+    k = float(10**n)
+    return math.floor(x * k + 0.5) / k
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),
+            _off,
+            st.sampled_from(["view", "click"]),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_interevent_burstiness_model(spark, rows):
+    ev = [(u, off, t, 100) for u, off, t in rows]
+    per: dict[tuple[int, str], list[tuple[int, int]]] = defaultdict(list)
+    for eid, (u, off, t, _) in enumerate(ev):
+        per[(u, t)].append((_BASE_US + off, eid))
+    gaps_by_type: dict[str, list[int]] = defaultdict(list)
+    for (u, t), es in per.items():
+        es.sort()
+        for (a, _), (b, _) in zip(es, es[1:]):
+            gaps_by_type[t].append(b - a)
+    model = []
+    for t, gs in gaps_by_type.items():
+        n = len(gs)
+        s1i = sum(gs)
+        s1 = float(s1i)
+        s2 = float(sum(g * g for g in gs))
+        nd = float(n)
+        mu = s1 / nd
+        sig = math.sqrt(max(s2 / nd - mu * mu, 0.0))
+        b = (
+            None
+            if sig + mu == 0.0
+            else _fround((sig - mu) / (sig + mu), 6)
+        )
+        model.append(
+            {
+                "event_type": t,
+                "n_gaps": n,
+                "mean_gap_us": s1i // n,
+                "burstiness_b": b,
+            }
+        )
+    _three_way(spark, "interevent_burstiness", _events_dir(ev), model)
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 6),
+            _off,
+            st.sampled_from(["view", "click", "buy"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_capture_recapture_estimate_model(spark, rows):
+    ev = [(u, off, t, 100) for u, off, t in rows]
+    a = {u for u, _, t, _ in ev if t == "view"}
+    b = {u for u, _, t, _ in ev if t == "click"}
+    m = len(a & b)
+    truth = len({u for u, _, _, _ in ev})
+    if m == 0:
+        est = err = None
+    else:
+        est = len(a) * len(b) // m
+        err = abs(est - truth) * 1_000_000 // truth
+    model = [
+        {
+            "n_capture1": len(a),
+            "n_capture2": len(b),
+            "n_both": m,
+            "lincoln_petersen_est": est,
+            "true_users": truth,
+            "err_ppm": err,
+        }
+    ]
+    _three_way(spark, "capture_recapture_estimate", _events_dir(ev), model)

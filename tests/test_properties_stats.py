@@ -711,3 +711,216 @@ def test_cohens_kappa_raters_model(spark, rows):
         }
     ]
     _three_way(spark, "cohens_kappa_raters", d, model)
+
+
+# ===========================================================================
+# WAVE 2 (r13): medians (custom two-phase selection vs plain windows),
+# rolling windows, higher moments, Wilson ranking.
+# ===========================================================================
+
+
+@_SETTINGS
+@given(rows=_qty_groups, cents=st.lists(st.integers(1, 400_000), min_size=1, max_size=60))
+def test_agg_weighted_median_model(spark, rows, cents):
+    n = min(len(rows), len(cents))
+    rows, cents = rows[:n], cents[:n]
+    model = []
+    for flag in sorted({f for f, _ in rows}):
+        grp = sorted(
+            (cents[i], rows[i][1])
+            for i in range(n)
+            if rows[i][0] == flag
+        )
+        tq = sum(q for _, q in grp)
+        cq = 0
+        wm = None
+        for c, q in grp:
+            cq += q
+            if cq * 2 >= tq:
+                wm = c
+                break
+        model.append(
+            {
+                "l_returnflag": flag,
+                "weighted_median_cents": wm,
+                "total_quantity": tq,
+            }
+        )
+    _three_way(
+        spark,
+        "agg_weighted_median",
+        _lineitem_dir(rows, price_cents=cents),
+        model,
+    )
+
+
+_MED_BUCKET = 65536
+
+
+@_SETTINGS
+@given(cents=st.lists(st.integers(1, 400_000), min_size=1, max_size=60))
+def test_exact_median_distributed_model(spark, cents):
+    rows = [("A", 1)] * len(cents)
+    n = len(cents)
+    r = (n + 1) // 2
+    med = sorted(cents)[r - 1]
+    model = [
+        {
+            "n_rows": n,
+            "bucket_id": med // _MED_BUCKET,
+            "median_cents": med,
+        }
+    ]
+    _three_way(
+        spark,
+        "exact_median_distributed",
+        _lineitem_dir(rows, price_cents=cents),
+        model,
+    )
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 2_000_000),  # us offset (collisions likely)
+            st.one_of(st.none(), st.integers(-2000, 2000)),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_rolling_zscore_anomaly_model(spark, rows):
+    base = 1_704_067_200_000_000
+    d = _write_dir(
+        {
+            "events": (
+                {
+                    "event_id": list(range(len(rows))),
+                    "ts": [base + off for _, off, _ in rows],
+                    "user_id": [u for u, _, _ in rows],
+                    "event_type": ["click"] * len(rows),
+                    "value": [
+                        None if c is None else c / 100.0
+                        for _, _, c in rows
+                    ],
+                    "props": ["{}"] * len(rows),
+                },
+                _EVENTS_SCHEMA,
+            )
+        }
+    )
+    per_user: dict[int, list[tuple[int, int, int]]] = {}
+    for eid, (u, off, c) in enumerate(rows):
+        if c is not None:
+            per_user.setdefault(u, []).append(
+                (base + off, eid, _iscale(c / 100.0))
+            )
+    model = []
+    for u, es in per_user.items():
+        es.sort()
+        for i, (ts_us, eid, x) in enumerate(es):
+            win = [v for _, _, v in es[max(0, i - 19) : i + 1]]
+            wn = len(win)
+            s1 = sum(win)
+            s2 = sum(v * v for v in win)
+            model.append(
+                {
+                    "event_id": eid,
+                    "user_id": u,
+                    "ts_us": ts_us,
+                    "value_cents": x,
+                    "win_n": wn,
+                    "is_anomaly": (
+                        wn >= 10
+                        and (wn * x - s1) * (wn * x - s1) * (wn - 1)
+                        > 9 * wn * (wn * s2 - s1 * s1)
+                    ),
+                }
+            )
+    _three_way(spark, "rolling_zscore_anomaly", d, model)
+
+
+@_SETTINGS
+@given(oc=_orders_customers())
+def test_moments_skew_kurtosis_model(spark, oc):
+    cust, orders = oc
+    nation_of = {k: nk for k, _, nk, _ in cust}
+    ys: dict[int, list[int]] = {}
+    for c, _, p, _, _ in orders:
+        y = _iscale(p / 100.0) // 100_000
+        ys.setdefault(nation_of[c], []).append(y)
+    model = []
+    for nk, vals in sorted(ys.items()):
+        n = len(vals)
+        p1 = sum(vals)
+        p2 = sum(v * v for v in vals)
+        p3 = sum(v**3 for v in vals)
+        p4 = sum(v**4 for v in vals)
+        a2 = n * p2 - p1 * p1
+        a3 = n * n * p3 - 3 * n * p2 * p1 + 2 * p1**3
+        a4 = (
+            n**3 * p4
+            - 4 * n * n * p3 * p1
+            + 6 * n * p2 * p1 * p1
+            - 3 * p1**4
+        )
+        nd = float(n)
+        if a2 == 0:
+            skew = kurt = None
+        else:
+            m2 = float(a2) / (nd * nd)
+            m3 = float(a3) / (nd * nd * nd)
+            m4 = float(a4) / (nd * nd * nd * nd)
+            skew = _fround(m3 / (m2 * math.sqrt(m2)), 6)
+            kurt = _fround(m4 / (m2 * m2) - 3.0, 6)
+        model.append(
+            {
+                "nation": nk,
+                "n_orders": n,
+                "skewness": skew,
+                "excess_kurtosis": kurt,
+            }
+        )
+    _three_way(spark, "moments_skew_kurtosis", _oc_dir(cust, orders), model)
+
+
+def _wilson_lcb(pos: int, n: int) -> float:
+    z = 1.96
+    p = float(pos) / float(n)
+    nn = float(n)
+    return (
+        p
+        + z * z / (2.0 * nn)
+        - z * math.sqrt(p * (1.0 - p) / nn + z * z / (4.0 * nn * nn))
+    ) / (1.0 + z * z / nn)
+
+
+@_SETTINGS
+@given(oc=_orders_customers())
+def test_wilson_lcb_category_ranking_model(spark, oc):
+    cust, orders = oc
+    seg_of = {k: s for k, s, _, _ in cust}
+    agg: dict[str, list[int]] = {}
+    for c, _, _, _, pr in orders:
+        st_ = agg.setdefault(seg_of[c], [0, 0])
+        st_[0] += 1
+        st_[1] += 1 if pr in ("1-URGENT", "2-HIGH") else 0
+    scored = [
+        (seg, n, pos, _wilson_lcb(pos, n)) for seg, (n, pos) in agg.items()
+    ]
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    model = [
+        {
+            "segment": seg,
+            "n": n,
+            "pos": pos,
+            "wilson_lcb": _fround(lcb, 6),
+            "lcb_rank": i + 1,
+        }
+        for i, (seg, n, pos, lcb) in enumerate(scored)
+    ]
+    _three_way(
+        spark, "wilson_lcb_category_ranking", _oc_dir(cust, orders), model
+    )

@@ -40,11 +40,16 @@ NEXT_WINDOW_COHORTS = {5, 6}
 #: named changed-code re-proves allowed in the next window regardless
 #: of cohort (each must say why in its registry comment)
 RE_PROVE_EXCEPTIONS: set[str] = {
-    # r13 statistics property campaign: ANSI Spark crashed on the
-    # pe=1 perfect-agreement corner (DIVIDE_BY_ZERO) where the oracle
-    # yielded NaN; kappa now NULL at pe=1 on both sides, strict
-    # bare-session re-proven, needs a driver stamp
+    # r13 statistics/behavioral property campaign: ANSI Spark crashed
+    # (DIVIDE_BY_ZERO) on degenerate corners the DuckDB oracles
+    # survive with NULL — kappa at pe=1, moments at zero variance,
+    # burstiness at all-zero gaps, Lincoln-Petersen at zero overlap.
+    # All four emit NULL there now, strict bare-session re-proven,
+    # need driver stamps.
     "cohens_kappa_raters",
+    "moments_skew_kurtosis",
+    "interevent_burstiness",
+    "capture_recapture_estimate",
 }
 #: cap on rows registered after the newest artifact (r10 verdict:
 #: keep additions small so the pinned window composition holds)

@@ -236,6 +236,11 @@ HEAVY = [
     # the band join, not the listing contract)
     "dedup_hotbucket_guard_audit",
     "dedup_hamming_band64",
+    # r13 (r12 verdict task 5): the bitmap overlap's join shape
+    # changed twice (r12 0-padded per-pair word aggregate, r13 two
+    # equi-joins replacing the OR nested-loop) and had no sf1 row —
+    # expect ~linear (one fact shuffle to #types × #words words)
+    "bitmap_audience_overlap",
 ]
 
 _REPLICAS = 10
