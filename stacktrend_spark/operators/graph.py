@@ -190,6 +190,14 @@ def pagerank_scaled(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node")).persist()
     n_nodes = nodes.count()  # O(1) driver scalar, sanctioned iterative pattern
+    if n_nodes == 0:
+        # r13 degenerate-corpus fix: an edgeless graph (no co-purchase
+        # pair anywhere) divided by zero ON THE DRIVER and killed the
+        # query; the rank of an empty node set is the empty result
+        # (the SQL oracle's unrolled CTEs naturally produce 0 rows).
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_scaled")
+        )
     base = (15 * scale) // (100 * n_nodes)
     ranks = nodes.select("node", F.lit(scale // n_nodes).alias("rank"))
     edeg = e.join(deg, "src").persist()

@@ -143,16 +143,25 @@ def funnel_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = s1.agg(F.count("*").alias("signup_users"))
     c2 = s2.agg(F.count("*").alias("viewed_users"))
     c3 = s3.agg(F.count("*").alias("purchased_users"))
+    # r13 degenerate-corpus fix: a corpus with no signups at all made
+    # ANSI Spark crash on rate/0 where DuckDB yields NULL (rates are
+    # undefined with an empty funnel top); try_divide restores NULL.
     return c1.crossJoin(c2).crossJoin(c3).select(
         "signup_users",
         "viewed_users",
         "purchased_users",
-        fround(F.col("viewed_users") * F.lit(1.0) / F.col("signup_users"), 6).alias(
-            "view_rate"
-        ),
-        fround(F.col("purchased_users") * F.lit(1.0) / F.col("signup_users"), 6).alias(
-            "purchase_rate"
-        ),
+        fround(
+            F.try_divide(
+                F.col("viewed_users") * F.lit(1.0), F.col("signup_users")
+            ),
+            6,
+        ).alias("view_rate"),
+        fround(
+            F.try_divide(
+                F.col("purchased_users") * F.lit(1.0), F.col("signup_users")
+            ),
+            6,
+        ).alias("purchase_rate"),
     )
 
 

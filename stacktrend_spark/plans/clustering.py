@@ -1459,9 +1459,15 @@ def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(p).cast("long").alias("nprobe"),
                 F.countDistinct("query_id").cast("long").alias("n_queries"),
                 F.count("hit").cast("long").alias("n_hits"),
+                # r13 degenerate-corpus fix: an empty ground-truth
+                # panel (corpus too small for any bf pair) zeroed the
+                # divisor — ANSI Spark crashed where DuckDB yields
+                # NULL recall
                 F.expr(
-                    f"CAST(COUNT(hit) * 1000"
-                    f" DIV ({_SWEEP_K} * COUNT(DISTINCT query_id)) AS BIGINT)"
+                    f"CASE WHEN COUNT(DISTINCT query_id) = 0 THEN NULL"
+                    f" ELSE CAST(COUNT(hit) * 1000"
+                    f" DIV ({_SWEEP_K} * COUNT(DISTINCT query_id))"
+                    f" AS BIGINT) END"
                 ).alias("recall_milli"),
             )
         )

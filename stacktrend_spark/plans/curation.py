@@ -373,8 +373,13 @@ _HASH16 = "((doc_id % 65536) * 40503 + 1299721) % 65536"
     # row SET is deterministic — reruns and engines agree row-for-row.
     oracle=f"""
         WITH cnt AS (
+            -- r13 degenerate-corpus fix: a source name without the
+            -- 'srcNN' numeric suffix crashed BOTH engines on the
+            -- CAST(''); TRY_CAST + COALESCE(0) gives such sources
+            -- weight 1 deterministically (real sources are unchanged)
             SELECT source,
-                   CAST(SUBSTR(source, 4) AS BIGINT) % 4 + 1 AS weight,
+                   COALESCE(TRY_CAST(SUBSTR(source, 4) AS BIGINT), 0)
+                       % 4 + 1 AS weight,
                    CAST(COUNT(*) AS BIGINT)                  AS n_docs
             FROM documents GROUP BY 1
         ),
@@ -412,7 +417,13 @@ _HASH16 = "((doc_id % 65536) * 40503 + 1299721) % 65536"
 def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cnt = docs.groupBy("source").agg(
-        (F.substring("source", 4, 10).cast("long") % 4 + 1).alias("weight"),
+        (
+            F.coalesce(
+                F.substring("source", 4, 10).try_cast("long"), F.lit(0)
+            )
+            % 4
+            + 1
+        ).alias("weight"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
     tot = cnt.agg(
@@ -1247,10 +1258,19 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_all))
         .groupBy("source", "tot")
         .agg(
+            # r13 degenerate-corpus audit: a source that IS the whole
+            # corpus has an empty "rest" side (n_all = tot) — ANSI
+            # Spark crashed with DIVIDE_BY_ZERO where DuckDB yields
+            # NULL. KS-vs-rest is UNDEFINED there → NULL (MAX over
+            # all-NULL deviations), matching the oracle's natural NULL.
             F.max(
                 F.abs(
                     F.expr("cum_s * 1000000 DIV tot")
-                    - F.expr("(cum_all - cum_s) * 1000000 DIV (n_all - tot)")
+                    - F.expr(
+                        "CASE WHEN n_all = tot THEN NULL"
+                        " ELSE (cum_all - cum_s) * 1000000"
+                        " DIV (n_all - tot) END"
+                    )
                 )
             )
             .cast("long")

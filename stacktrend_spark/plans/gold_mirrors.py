@@ -426,8 +426,14 @@ def gold_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_users",
         (F.col("ivalue").cast("double") / 100.0).alias("total_value"),
+        # r13 degenerate-corpus fix: a day whose value sum is exactly 0
+        # (all-zero purchase values) made ANSI Spark crash where DuckDB
+        # yields NULL market share; try_divide restores the NULL path.
         fround(
-            F.col("ivalue").cast("double") / F.sum("ivalue").over(w_day).cast("double"),
+            F.try_divide(
+                F.col("ivalue").cast("double"),
+                F.sum("ivalue").over(w_day).cast("double"),
+            ),
             6,
         ).alias("market_share"),
         (

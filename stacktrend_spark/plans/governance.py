@@ -113,12 +113,19 @@ def fairness_demographic_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_pos",
             "pos_rate_ppm",
-            F.expr("CAST(pos_rate_ppm * 1000000 DIV max_rate AS BIGINT)").alias(
-                "parity_ratio_ppm"
-            ),
-            F.expr("pos_rate_ppm * 1000000 DIV max_rate >= 800000").alias(
-                "four_fifths_ok"
-            ),
+            # r13 degenerate-corpus fix: when NO segment has a single
+            # positive (max_rate = 0) ANSI Spark crashed on the parity
+            # division where DuckDB yields NULL ratio and NULL flag
+            # (parity vs a zero-rate best is undefined)
+            F.expr(
+                "CASE WHEN max_rate = 0 THEN NULL"
+                " ELSE CAST(pos_rate_ppm * 1000000 DIV max_rate AS BIGINT)"
+                " END"
+            ).alias("parity_ratio_ppm"),
+            F.expr(
+                "CASE WHEN max_rate = 0 THEN NULL"
+                " ELSE pos_rate_ppm * 1000000 DIV max_rate >= 800000 END"
+            ).alias("four_fifths_ok"),
         )
     )
 

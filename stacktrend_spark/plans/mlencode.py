@@ -391,9 +391,14 @@ def model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos_cnt").alias("n_pos"),
         F.sum("neg_cnt").alias("n_neg"),
         F.sum(contrib).cast("long").alias("u_stat_x2"),
+        # r13 degenerate-corpus fix: a single-class corpus (no
+        # positives or no negatives) zeroed the Mann-Whitney divisor —
+        # ANSI Spark crashed where DuckDB yields NULL (AUC undefined
+        # without both classes)
         F.expr(
-            "SUM(2 * pos_cnt * (cum_incl - neg_cnt) + pos_cnt * neg_cnt)"
-            " * 500000 DIV (SUM(pos_cnt) * SUM(neg_cnt))"
+            "CASE WHEN SUM(pos_cnt) * SUM(neg_cnt) = 0 THEN NULL"
+            " ELSE SUM(2 * pos_cnt * (cum_incl - neg_cnt) + pos_cnt * neg_cnt)"
+            " * 500000 DIV (SUM(pos_cnt) * SUM(neg_cnt)) END"
         )
         .cast("long")
         .alias("auc_ppm"),
@@ -572,6 +577,16 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i != j:
                 cov[(int(j), int(i))] = c
         m0 = max(abs(c) for c in cov.values())
+        dims_all = sorted({i for i, _ in cov})
+        # r13 degenerate-corpus fix: an all-constant embedding corpus
+        # has a ZERO covariance matrix (m0 = 0) — the normalization
+        # divided by zero on the Python side and killed the query,
+        # while the oracle's HUGEINT // 0 yields NULL per dim. The
+        # principal direction is undefined there → NULL pc1 per dim.
+        if m0 == 0:
+            return pd.DataFrame(
+                {"dim": dims_all, "pc1_scaled": [None] * len(dims_all)}
+            )
         mat = {k: tdiv(c * 1_000_000, m0) for k, c in cov.items()}
         dims = sorted({i for i, _ in mat})
         v = {i: 1_000_000 for i in dims}
@@ -683,7 +698,13 @@ def model_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c",
             "pos_cnt",
-            F.expr("(cum_incl - c) * 1000000 DIV (n - 1)").alias("conf_ppm"),
+            # r13 degenerate-corpus fix: a 1-score corpus has n - 1 = 0 —
+            # ANSI Spark crashed where DuckDB yields NULL conf (LEAST
+            # then drops the NULL and the row lands in bin 9 on both)
+            F.expr(
+                "CASE WHEN n = 1 THEN NULL"
+                " ELSE (cum_incl - c) * 1000000 DIV (n - 1) END"
+            ).alias("conf_ppm"),
         )
     )
     return (
@@ -1394,7 +1415,13 @@ def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = rs.join(F.broadcast(nn)).select(
         "c",
         "pos_cnt",
-        F.expr("(cum_incl - c) * 1000000 DIV (n - 1)").alias("conf_ppm"),
+        # r13 degenerate-corpus fix: a 1-score corpus has n - 1 = 0 —
+            # ANSI Spark crashed where DuckDB yields NULL conf (LEAST
+            # then drops the NULL and the row lands in bin 9 on both)
+            F.expr(
+                "CASE WHEN n = 1 THEN NULL"
+                " ELSE (cum_incl - c) * 1000000 DIV (n - 1) END"
+            ).alias("conf_ppm"),
     )
     bins = (
         conf.groupBy(F.least(F.expr("conf_ppm DIV 100000"), F.lit(9)).alias("bin"))

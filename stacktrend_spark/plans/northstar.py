@@ -1077,7 +1077,11 @@ def langdist_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("language"),
         F.array(
             F.element_at(toks, 1),
-            F.element_at(toks, 2),
+            # r13 degenerate-corpus fix: a ONE-WORD document has no
+            # second token — ANSI element_at crashed the whole query
+            # where DuckDB's list index yields NULL; try_element_at
+            # restores the NULL (the match comprehension skips it).
+            F.try_element_at(toks, F.lit(2)),
             F.element_at(
                 F.array(F.lit("python-lib"), F.lit("rust"), F.lit("database")),
                 (F.col("doc_id") % 3 + 1).cast("int"),

@@ -166,10 +166,41 @@ _PRIORITY: tuple[str, ...] = (
     # at σ+μ=0 (all-zero gaps), Lincoln-Petersen at m=0 (disjoint
     # captures). Each now emits NULL on the degenerate corner, strict
     # bare-session re-proven at sf0.01 + sf0.001.
+    # r13 changed-code re-proves continue: the r13 degenerate-corpus
+    # audit (tests/test_degenerate_corpus.py) found 16 more ANSI
+    # DIVIDE_BY_ZERO / out-of-bounds / driver-side crashes on
+    # degenerate slices the DuckDB oracles survive with NULL (plus a
+    # both-sides CAST crash in sample_domain_mix and an empty-seed
+    # schema-inference crash in stream_upsert_user_totals). Each now
+    # degrades to NULL / empty per the oracle's natural semantics,
+    # strict bare-session re-proven at sf0.01 + sf0.001; parity on
+    # the degenerate corpus is pinned by the committed test.
+    # (ks_drift_by_source got the same fix but sits in the CURRENT
+    # window; gold_trend_daily was already in this window's r6 run.)
     "cohens_kappa_raters",
     "moments_skew_kurtosis",
     "interevent_burstiness",
     "capture_recapture_estimate",
+    "histogram_value_buckets",
+    "corr_matrix_lineitem",
+    "outlier_mahalanobis_2d",
+    "ols_two_feature_cramer",
+    "spearman_rank_corr",
+    "ols_slope_by_nation",
+    "anova_oneway_f",
+    "cuped_variance_reduction",
+    "langdist_shares",
+    "funnel_signup_conversion",
+    "sample_domain_mix",
+    "ann_nprobe_recall_sweep",
+    "pagerank_copurchase",
+    "model_eval_auc",
+    "pca_power_iteration",
+    "model_calibration_ece",
+    "brier_score_decomposition",
+    "fairness_demographic_parity",
+    "stream_upsert_user_totals",
+    # r5-cohort remainder + r6 cohort (artifact order) resume here
     "table_diff_by_fingerprint",
     "target_encode_loo",
     "top_user_paths",
@@ -197,6 +228,10 @@ _PRIORITY: tuple[str, ...] = (
     "gold_portfolio_overview",
     "gold_repo_health_dashboard",
     "gold_trend_daily",
+    # r15 head: the r6-cohort remainder displaced from the r14
+    # window by the r13 changed-code re-proves (23 rows of window
+    # space), in CORRECTNESS_r06.json artifact order; the r7 cohort
+    # (COVERAGE.md ledger) continues in artifact order.
     "join_anti_inactive_customers",
     "join_left_customer_orders",
     "join_revenue_by_nation",
@@ -216,14 +251,6 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_scalar_above_avg",
     "topk_orders",
     "union_period_metrics",
-    # r15 head: the r6-cohort remainder displaced from the r14
-    # window — four rows by the r13-window absorptions (the
-    # dedup_hamming_band64 addition + three r12 changed-code
-    # re-proves shifted the r5 remainder into r14's head) and four
-    # more by the r13 property-campaign changed-code re-proves
-    # (cohens_kappa_raters, moments_skew_kurtosis,
-    # interevent_burstiness, capture_recapture_estimate). The r7
-    # cohort (COVERAGE.md ledger) continues in artifact order.
     "unpivot_flag_metrics",
     "window_lag_monthly_trend",
     "window_range_frame_trailing",

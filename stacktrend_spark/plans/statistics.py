@@ -244,8 +244,18 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    # r13 degenerate-corpus fix: an all-equal value column has
+    # hi = lo, and ANSI Spark crashed on the 0/0 where DuckDB yields
+    # NULL — which LEAST then ignores, putting the whole corpus in
+    # the closed top bucket (9) on both engines. try_divide restores
+    # that NULL path.
     bucket = F.least(
-        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10.0),
+        F.floor(
+            F.try_divide(
+                F.col("value") - F.col("lo"), F.col("hi") - F.col("lo")
+            )
+            * 10.0
+        ),
         F.lit(9.0),
     ).cast("long")
     return (
@@ -575,12 +585,13 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = li.agg(*aggs)
     out = None
     for a, b in _CORR_PAIRS:
-        corr = (
-            (F.col(f"x_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("nn"))
-            / (
-                F.sqrt(F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("nn"))
-                * F.sqrt(F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("nn"))
-            )
+        # r13 degenerate-corpus fix: a zero-variance measure makes the
+        # denominator exactly 0 — ANSI Spark crashed where DuckDB
+        # yields NULL; try_divide restores the NULL (corr undefined).
+        corr = F.try_divide(
+            F.col(f"x_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}") / F.col("nn"),
+            F.sqrt(F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}") / F.col("nn"))
+            * F.sqrt(F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}") / F.col("nn")),
         )
         row = m.select(
             F.lit(a).alias("var_x"),
@@ -1184,39 +1195,46 @@ def outlier_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = li.groupBy("l_returnflag").agg(
         *comoments("l_extendedprice", "l_quantity", 2, 0)
     )
+    # r13 degenerate-corpus fix: a single-row group has n - 1 = 0, and
+    # ANSI Spark crashed on the sample-variance division where DuckDB
+    # yields NULL (variance undefined at n = 1; d² then NULLs through,
+    # the 3-sigma CASE counts 0 outliers, max_d2 is NULL). try_divide
+    # restores the NULL path; the determinant division gets the same
+    # guard (singular covariance → d² undefined).
     v = s.select(
         "l_returnflag",
         F.col("n").cast("double").alias("nd"),
         F.col("sx").cast("double").alias("sxd"),
         F.col("sy").cast("double").alias("syd"),
-        (
-            (F.col("sxx").cast("double")
-             - F.col("sx").cast("double") * F.col("sx").cast("double")
-               / F.col("n").cast("double"))
-            / (F.col("n").cast("double") - F.lit(1.0))
+        F.try_divide(
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            / F.col("n").cast("double"),
+            F.col("n").cast("double") - F.lit(1.0),
         ).alias("vxx"),
-        (
-            (F.col("syy").cast("double")
-             - F.col("sy").cast("double") * F.col("sy").cast("double")
-               / F.col("n").cast("double"))
-            / (F.col("n").cast("double") - F.lit(1.0))
+        F.try_divide(
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+            / F.col("n").cast("double"),
+            F.col("n").cast("double") - F.lit(1.0),
         ).alias("vyy"),
-        (
-            (F.col("sxy").cast("double")
-             - F.col("sx").cast("double") * F.col("sy").cast("double")
-               / F.col("n").cast("double"))
-            / (F.col("n").cast("double") - F.lit(1.0))
+        F.try_divide(
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+            / F.col("n").cast("double"),
+            F.col("n").cast("double") - F.lit(1.0),
         ).alias("vxy"),
     )
     xd = iscale("l_extendedprice").cast("double")
     yd = F.col("l_quantity").cast("long").cast("double")
     dx = xd - F.col("sxd") / F.col("nd")
     dy = yd - F.col("syd") / F.col("nd")
-    d2 = (
+    d2 = F.try_divide(
         dy * dy * F.col("vxx")
         - F.lit(2.0) * dx * dy * F.col("vxy")
-        + dx * dx * F.col("vyy")
-    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+        + dx * dx * F.col("vyy"),
+        F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"),
+    )
     return (
         li.join(F.broadcast(v), "l_returnflag")
         .select("l_returnflag", d2.alias("d2"))
@@ -1643,9 +1661,13 @@ def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqy",
         "sdy",
         "syy",
-        F.expr(f"{_OLS_DET0} / {_OLS_DET}").alias("b0"),
-        F.expr(f"{_OLS_DET1} / {_OLS_DET}").alias("b1"),
-        F.expr(f"{_OLS_DET2} / {_OLS_DET}").alias("b2"),
+        # r13 degenerate-corpus fix: a rank-deficient design (e.g. a
+        # single row, or constant features) has determinant 0 — ANSI
+        # Spark crashed where DuckDB yields NULL betas. try_divide
+        # restores the NULL path.
+        F.expr(f"TRY_DIVIDE({_OLS_DET0}, {_OLS_DET})").alias("b0"),
+        F.expr(f"TRY_DIVIDE({_OLS_DET1}, {_OLS_DET})").alias("b1"),
+        F.expr(f"TRY_DIVIDE({_OLS_DET2}, {_OLS_DET})").alias("b2"),
     )
     return betas.select(
         "n_rows",
@@ -1654,15 +1676,15 @@ def ols_two_feature_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("b2"), 4).alias("beta_disc_cents"),
         fround(
             F.lit(1.0)
-            - (
+            - F.try_divide(
                 F.col("syy")
                 - (
                     F.col("b0") * F.col("sy")
                     + F.col("b1") * F.col("sqy")
                     + F.col("b2") * F.col("sdy")
-                )
-            )
-            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+                ),
+                F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"),
+            ),
             6,
         ).alias("r2"),
     )
@@ -1759,13 +1781,18 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr(f"CAST(rx AS {dec}) * ry")).cast("double").alias("sxy"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+    # r13 degenerate-corpus fix: at n = 1 the rank variance is 0 and
+    # ANSI Spark crashed on the 0/0 where DuckDB yields NULL (rho
+    # undefined for a single unit). try_divide restores the NULL.
     return sums.select(
         "n_rows",
         fround(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            F.try_divide(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
             ),
             6,
         ).alias("spearman_rho"),
@@ -2162,8 +2189,13 @@ def ols_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
     )
-    slope = (F.col("n") * F.col("sqy") - F.col("sq") * F.col("sy")) / (
-        F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    # r13 degenerate-corpus fix: a nation with constant quantity (e.g.
+    # one lineitem) has zero design variance — ANSI Spark crashed
+    # where DuckDB yields NULL slope/intercept (fit undefined); one
+    # degenerate GROUP must not kill the other 24 nations' fits.
+    slope = F.try_divide(
+        F.col("n") * F.col("sqy") - F.col("sq") * F.col("sy"),
+        F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"),
     )
     return sums.select(
         "nation",
@@ -2817,18 +2849,27 @@ def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s2_tot - sum_term").alias("ssw_units2"),
         )
     )
+    # r13 degenerate-corpus fix: one group (k = 1) or zero
+    # within-group variance (ssw = 0) zeroes the F denominator, and an
+    # all-equal corpus zeroes ssb + ssw — ANSI Spark crashed on the
+    # integer DIV where DuckDB yields NULL (the omnibus is undefined
+    # there). Explicit NULL guards restore parity.
     return ss.select(
         "n_total",
         "k_groups",
         "ssb_units2",
         "ssw_units2",
         F.expr(
-            f"CAST(CAST(ssb_units2 AS {dec}) * (n_total - k_groups) * 1000000"
-            f" DIV (CAST(ssw_units2 AS {dec}) * (k_groups - 1)) AS BIGINT)"
+            f"CASE WHEN ssw_units2 = 0 OR k_groups = 1 THEN NULL"
+            f" ELSE CAST(CAST(ssb_units2 AS {dec})"
+            f" * (n_total - k_groups) * 1000000"
+            f" DIV (CAST(ssw_units2 AS {dec}) * (k_groups - 1))"
+            f" AS BIGINT) END"
         ).alias("f_micro"),
         F.expr(
-            f"CAST(CAST(ssb_units2 AS {dec}) * 1000000"
-            f" DIV (ssb_units2 + ssw_units2) AS BIGINT)"
+            f"CASE WHEN ssb_units2 + ssw_units2 = 0 THEN NULL"
+            f" ELSE CAST(CAST(ssb_units2 AS {dec}) * 1000000"
+            f" DIV (ssb_units2 + ssw_units2) AS BIGINT) END"
         ).alias("eta2_ppm"),
     )
 
@@ -3029,15 +3070,23 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sy").cast("double") * F.col("sy").cast("double")
         ).alias("vary_n"),
     )
+    # r13 degenerate-corpus fix: zero pre-period variance (e.g. a
+    # single unit) made ANSI Spark crash on cov/var where DuckDB
+    # yields NULL (theta undefined without pre-period signal);
+    # try_divide restores the NULL path for theta and rho².
     return t.select(
         F.col("n").alias("n_units"),
-        F.floor(F.col("cov_n") / F.col("varx_n") * F.lit(1000000.0) + F.lit(0.5))
+        F.floor(
+            F.try_divide(F.col("cov_n"), F.col("varx_n")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
         .cast("long")
         .alias("theta_micro"),
         F.floor(
-            F.col("cov_n")
-            * F.col("cov_n")
-            / (F.col("varx_n") * F.col("vary_n"))
+            F.try_divide(
+                F.col("cov_n") * F.col("cov_n"),
+                F.col("varx_n") * F.col("vary_n"),
+            )
             * F.lit(1000000.0)
             + F.lit(0.5)
         )

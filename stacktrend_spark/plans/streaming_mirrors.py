@@ -317,8 +317,14 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = bucketed(totals(batch_df))
         # bounded collect: ≤ n_buckets ints, the partition-pruning list
         touched = sorted(r[0] for r in batch.select("bucket").distinct().collect())
+        # r13 degenerate-corpus fix: an EMPTY seed slice writes a
+        # fileless target dir and the inference-based read crashed
+        # with UNABLE_TO_INFER_SCHEMA; the explicit schema (known —
+        # it IS the batch layout) reads the empty target as an empty
+        # DataFrame, and skips footer inference on every batch too.
         current = (
-            batch_df.sparkSession.read.parquet(target)
+            batch_df.sparkSession.read.schema(batch.schema)
+            .parquet(target)
             .filter(F.col("bucket").isin(touched))  # directory-pruned scan
         )
         merged = (

@@ -399,7 +399,10 @@ def test_running_max_drawdown_model(spark, rows):
 # ---------------------------------------------------------------------------
 @st.composite
 def _docs(draw):
-    rows = draw(
+    # single-source corpora allowed: the rest side is then EMPTY and
+    # ks_ppm is NULL (the r13 degenerate-corpus audit found ANSI
+    # Spark crashing on that corner before the guard)
+    return draw(
         st.lists(
             st.tuples(
                 st.sampled_from(["web", "code", "wiki"]),
@@ -409,9 +412,6 @@ def _docs(draw):
             max_size=50,
         )
     )
-    # ≥2 sources so the rest-side denominator n_all − tot stays > 0
-    rows += [("web", 7), ("code", 9)]
-    return rows
 
 
 @_SETTINGS
@@ -438,6 +438,9 @@ def test_ks_drift_by_source_model(spark, rows):
     model = []
     for s in srcs:
         tot = sum(1 for ss, _ in rows if ss == s)
+        if tot == n_all:
+            model.append({"source": s, "n_docs": tot, "ks_ppm": None})
+            continue
         ks = 0
         cum_s = cum_all = 0
         for nc in spine:

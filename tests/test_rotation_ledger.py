@@ -40,16 +40,37 @@ NEXT_WINDOW_COHORTS = {5, 6}
 #: named changed-code re-proves allowed in the next window regardless
 #: of cohort (each must say why in its registry comment)
 RE_PROVE_EXCEPTIONS: set[str] = {
-    # r13 statistics/behavioral property campaign: ANSI Spark crashed
-    # (DIVIDE_BY_ZERO) on degenerate corners the DuckDB oracles
-    # survive with NULL — kappa at pe=1, moments at zero variance,
-    # burstiness at all-zero gaps, Lincoln-Petersen at zero overlap.
-    # All four emit NULL there now, strict bare-session re-proven,
-    # need driver stamps.
+    # r13 statistics/behavioral property campaign + degenerate-corpus
+    # audit (tests/test_degenerate_corpus.py): ANSI Spark crashed
+    # (DIVIDE_BY_ZERO / out-of-bounds / driver-side zero division) on
+    # degenerate slices every DuckDB oracle survives with NULL, plus
+    # one both-sides CAST crash (sample_domain_mix) and one empty-seed
+    # schema-inference crash (stream_upsert_user_totals). All now
+    # degrade per the oracle's natural semantics, strict bare-session
+    # re-proven at both SFs, need driver stamps.
     "cohens_kappa_raters",
     "moments_skew_kurtosis",
     "interevent_burstiness",
     "capture_recapture_estimate",
+    "histogram_value_buckets",
+    "corr_matrix_lineitem",
+    "outlier_mahalanobis_2d",
+    "ols_two_feature_cramer",
+    "spearman_rank_corr",
+    "ols_slope_by_nation",
+    "anova_oneway_f",
+    "cuped_variance_reduction",
+    "langdist_shares",
+    "funnel_signup_conversion",
+    "sample_domain_mix",
+    "ann_nprobe_recall_sweep",
+    "pagerank_copurchase",
+    "model_eval_auc",
+    "pca_power_iteration",
+    "model_calibration_ece",
+    "brier_score_decomposition",
+    "fairness_demographic_parity",
+    "stream_upsert_user_totals",
 }
 #: cap on rows registered after the newest artifact (r10 verdict:
 #: keep additions small so the pinned window composition holds)
