@@ -103,6 +103,17 @@ def _prep_centroids(
     of rank_cells_arrow / with_cell_arrow (extracted r9; the r8 review
     flagged the duplication)."""
     cents = sorted(centroids, key=lambda t: t[0])
+    if not cents:
+        # r13 empty-corpus fix: an empty centroid list produced a
+        # 1-dim empty ndarray and _seq_dot's 2-dim indexing raised on
+        # the driver. A (0, 1) matrix keeps every downstream dot /
+        # argmin shape-correct — zero data rows rank against zero
+        # centroids into the correct empty result.
+        return (
+            np.array([], dtype=np.int64),
+            np.zeros((0, 1), dtype=np.float64),
+            np.array([], dtype=np.float64),
+        )
     cids = np.array([c for c, _ in cents], dtype=np.int64)
     C = np.array([v for _, v in cents], dtype=np.float64)
     return cids, C, _seq_dot(C, C)

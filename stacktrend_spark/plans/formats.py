@@ -110,6 +110,13 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # bounded: 20 rows, write-side fixture only
     )
     base = _tmpdir(prefix="stacktrend_binfiles_")
+    if not docs:
+        # r13 empty-corpus fix: the glob load raises PATH_NOT_FOUND
+        # when zero fixture files exist; an empty corpus reads as the
+        # empty result.
+        return spark.createDataFrame(
+            [], "doc_id long, n_bytes long, digest string"
+        )
     for row in docs:
         with open(os.path.join(base, f"{row.doc_id}.bin"), "wb") as fh:
             fh.write(row.text.encode("utf-8"))
@@ -447,13 +454,20 @@ def observed_metrics_noop_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    # r13 empty-corpus fix: SUM over zero rows observes as None and
+    # int(None) raised on the driver — pass the NULL through (the
+    # oracle's SUM over an empty table is NULL too)
+    def as_long(v):
+        return int(v) if v is not None else None
+
     return spark.createDataFrame(
         [
             (
-                int(m["n_rows"]),
-                int(m["sum_qty"]),
-                int(m["n_returns"]),
-                int(m["n_high_qty"]),
+                as_long(m["n_rows"]),
+                as_long(m["sum_qty"]),
+                as_long(m["n_returns"]),
+                as_long(m["n_high_qty"]),
             )
         ],
         "n_rows long, sum_qty long, n_returns long, n_high_qty long",

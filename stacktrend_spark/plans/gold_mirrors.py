@@ -614,7 +614,13 @@ def gold_market_pulse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(iscale("value")).alias("ivalue"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
     )
-    error_rate = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    # r13 empty-corpus fix: zero events (or zero users) made ANSI
+    # Spark crash on the rate divisions where DuckDB yields NULL;
+    # try_divide restores the NULL path (status then falls through
+    # the CASE to 'Healthy' on both engines).
+    error_rate = F.try_divide(
+        F.col("n_errors").cast("double"), F.col("n_events").cast("double")
+    )
     return g.select(
         "n_events",
         "n_users",
@@ -623,7 +629,11 @@ def gold_market_pulse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ivalue").cast("double") / 100.0).alias("total_value"),
         fround(error_rate, 6).alias("error_rate"),
         fround(
-            F.col("n_events").cast("double") / F.col("n_users").cast("double"), 6
+            F.try_divide(
+                F.col("n_events").cast("double"),
+                F.col("n_users").cast("double"),
+            ),
+            6,
         ).alias("events_per_user"),
         F.when(error_rate > 0.25, "Degraded").otherwise("Healthy").alias("market_status"),
     )

@@ -200,6 +200,29 @@ _PRIORITY: tuple[str, ...] = (
     "brier_score_decomposition",
     "fairness_demographic_parity",
     "stream_upsert_user_totals",
+    # r13 changed-code re-proves, third batch (EMPTY-corpus audit):
+    # driver-side None collects, fileless-dir schema inference,
+    # empty-glob loads, zero global totals, and the empty-centroid
+    # guard in operators/similarity (the kmeans/sim users of that
+    # operator sit in the CURRENT window and revalidate there;
+    # stream_upsert_user_totals was already staged above).
+    # gold_market_pulse and gold_trend_daily moved up from their
+    # r6-cohort slots — they carry r13 expression changes and must
+    # land inside this window. All strict bare-session re-proven at
+    # sf0.01 + sf0.001; degenerate-corpus parity pinned by the
+    # committed test.
+    "bloom_prejoin_pruning",
+    "pareto_revenue_deciles",
+    "corpus_datasheet",
+    "observed_metrics_noop_sink",
+    "source_binary_files",
+    "source_partition_pruning",
+    "source_dynamic_partition_pruning",
+    "stream_full_outer_attribution",
+    "dedup_semdedup_pairs",
+    "semdedup_recall_eval",
+    "gold_market_pulse",
+    "gold_trend_daily",
     # r5-cohort remainder + r6 cohort (artifact order) resume here
     "table_diff_by_fingerprint",
     "target_encode_loo",
@@ -216,6 +239,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_star",
     "dedup_star_clusters",
     "setsim_prefix_join",
+    # r15 head: the r6-cohort remainder displaced from the r14
+    # window by the r13 changed-code re-proves (35 rows of window
+    # space), in CORRECTNESS_r06.json artifact order; the r7 cohort
+    # (COVERAGE.md ledger) continues in artifact order.
     "agg_conditional_by_priority",
     "agg_global_market_pulse",
     "array_word_cooccurrence",
@@ -224,14 +251,8 @@ _PRIORITY: tuple[str, ...] = (
     "distinct_status_priority",
     "gold_development_velocity",
     "gold_lang_stats",
-    "gold_market_pulse",
     "gold_portfolio_overview",
     "gold_repo_health_dashboard",
-    "gold_trend_daily",
-    # r15 head: the r6-cohort remainder displaced from the r14
-    # window by the r13 changed-code re-proves (23 rows of window
-    # space), in CORRECTNESS_r06.json artifact order; the r7 cohort
-    # (COVERAGE.md ledger) continues in artifact order.
     "join_anti_inactive_customers",
     "join_left_customer_orders",
     "join_revenue_by_nation",

@@ -465,11 +465,31 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "n_tokens",
         "n_distinct_texts",
-        F.expr("n_tokens DIV n_docs").cast("long").alias("mean_tokens"),
-        F.expr("n_short * 10000 DIV n_docs").cast("long").alias("short_bp"),
-        F.expr("(n_docs - n_distinct_texts) * 10000 DIV n_docs")
+        # r13 empty-corpus fix: zero docs / zero types zeroed the
+        # per-doc divisors — ANSI crash vs the oracle's natural NULL
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN NULL"
+            " ELSE n_tokens DIV n_docs END"
+        )
+        .cast("long")
+        .alias("mean_tokens"),
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN NULL"
+            " ELSE n_short * 10000 DIV n_docs END"
+        )
+        .cast("long")
+        .alias("short_bp"),
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN NULL"
+            " ELSE (n_docs - n_distinct_texts) * 10000 DIV n_docs END"
+        )
         .cast("long")
         .alias("exact_dup_bp"),
         "n_types",
-        F.expr("n_tokens DIV n_types").cast("long").alias("tokens_per_type"),
+        F.expr(
+            "CASE WHEN n_types = 0 THEN NULL"
+            " ELSE n_tokens DIV n_types END"
+        )
+        .cast("long")
+        .alias("tokens_per_type"),
     )

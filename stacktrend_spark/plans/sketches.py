@@ -854,8 +854,12 @@ def bloom_prejoin_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rows_passed") - F.col("rows_joined"))
             .cast("long")
             .alias("false_passes"),
+            # r13 empty-corpus fix: zero scanned rows zeroed the
+            # divisor — ANSI crash vs the oracle's natural NULL
             F.expr(
-                "(rows_scanned - rows_passed) * 1000000 DIV rows_scanned"
+                "CASE WHEN rows_scanned = 0 THEN NULL"
+                " ELSE (rows_scanned - rows_passed) * 1000000"
+                " DIV rows_scanned END"
             )
             .cast("long")
             .alias("pruned_ppm"),

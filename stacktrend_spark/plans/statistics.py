@@ -811,7 +811,11 @@ def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank_scalable(
         m, order_cols=[F.desc("cents"), F.asc("o_custkey")], rank_col="r"
     )
-    n = m.count()  # bounded scalar
+    # r13 empty-corpus fix: zero customers interpolated None/0 into
+    # the literal divisors ("DIV None" → unresolved column). The
+    # clamped n only divides over an EMPTY ranked frame, and a
+    # zero/NULL total mirrors the oracle's NULL share.
+    n = max(m.count(), 1)  # bounded scalar
     total = m.agg(F.sum("cents")).collect()[0][0]  # bounded scalar
     per = (
         ranked.select(
@@ -824,16 +828,19 @@ def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("decile_cents"),
         )
     )
-    return per.select(
-        "decile",
-        "n_customers",
-        "decile_cents",
+    share = (
         F.expr(
             f"sum(decile_cents) over (order by decile rows between "
             f"unbounded preceding and current row) * 1000000 DIV {total}"
         )
-        .cast("long")
-        .alias("cum_share_ppm"),
+        if total
+        else F.lit(None)
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        share.cast("long").alias("cum_share_ppm"),
     )
 
 

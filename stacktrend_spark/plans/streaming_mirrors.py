@@ -397,7 +397,16 @@ def stream_upsert_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     finally:
         q.stop()
-    return spark.read.parquet(target).select("user_id", "n_events", "sum_cents")
+    # r13 empty-corpus fix: explicit schema (the upsert layout is
+    # known) — an all-empty run leaves a fileless target and schema
+    # inference raised; the explicit read also skips footer inference.
+    return (
+        spark.read.schema(
+            "user_id long, n_events long, sum_cents long, bucket int"
+        )
+        .parquet(target)
+        .select("user_id", "n_events", "sum_cents")
+    )
 
 
 @register(
@@ -631,8 +640,13 @@ def stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("mt"))
         .collect()[0]["mt"]
     )
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
+    if mt is None:
+        # r13 empty-corpus fix: an empty events table has no max ts —
+        # the cutoff arithmetic crashed on the driver. Any fixed epoch
+        # gives the correct (empty) result; the stream has no rows.
+        mt = datetime(1970, 1, 1)
     cutoff = mt - timedelta(days=2)
     # watermark is attached BEFORE the type/cutoff filters: Spark
     # tracks max event time at the watermark operator, so filtering
@@ -913,8 +927,11 @@ def stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.max("ts").alias("mt"))
         .collect()[0]["mt"]
     )
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
+    if mt is None:
+        # r13 empty-corpus fix (same as stream_outer_attribution)
+        mt = datetime(1970, 1, 1)
     cutoff = mt - timedelta(days=2)
     # the view side clamps ONE EXTRA HOUR back: a view's null emission
     # needs the final watermark (max − 1d) to pass v.ts + 1d STRICTLY,

@@ -65,11 +65,13 @@ FIXED_R13 = (
 )
 
 
-@pytest.fixture(scope="module")
-def degen_dir():
+def _build_corpus(n: int) -> str:
+    """Write the pathological corpus with n rows per table (n in
+    {0, 1}); the 1-row shapes below are sliced to length n."""
     d = tempfile.mkdtemp(prefix="degen_corpus_")
 
     def w(name, cols, schema):
+        cols = {k: v[:n] for k, v in cols.items()}
         pq.write_table(
             pa.table(cols, schema=schema), os.path.join(d, f"{name}.parquet")
         )
@@ -250,6 +252,19 @@ def degen_dir():
             ]
         ),
     )
+    return d
+
+
+@pytest.fixture(scope="module")
+def degen_dir():
+    d = _build_corpus(1)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def empty_dir():
+    d = _build_corpus(0)
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -311,3 +326,66 @@ def test_fixed_queries_match_oracle_on_degenerate_corpus(spark, degen_dir):
         if sorted(s_cols) != sorted(o_cols) or s_canon != o_canon:
             bad.append(f"{name}: spark={s_canon[:4]} oracle={o_canon[:4]}")
     assert not bad, "degenerate-parity drift:\n" + "\n".join(bad)
+
+
+#: rows the r13 EMPTY-corpus audit found dying (driver-side collects
+#: of None, fileless-dir schema inference, empty-glob loads, zero
+#: global totals, empty centroid lists) — all now degrade
+FIXED_R13_EMPTY = (
+    "gold_market_pulse",
+    "bloom_prejoin_pruning",
+    "pareto_revenue_deciles",
+    "corpus_datasheet",
+    "observed_metrics_noop_sink",
+    "source_binary_files",
+    "source_partition_pruning",
+    "source_dynamic_partition_pruning",
+    "stream_upsert_user_totals",
+    "stream_outer_attribution",
+    "kmeans_assign_cells",
+)
+
+
+def test_no_query_crashes_on_empty_corpus(spark, empty_dir):
+    failures = []
+    for name, spec in all_queries().items():
+        try:
+            spec.fn(spark, empty_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting the sweep
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:120]}")
+    assert not failures, (
+        "queries DIED (instead of degrading) on the EMPTY corpus:\n"
+        + "\n".join(failures)
+    )
+
+
+def test_fixed_queries_match_oracle_on_empty_corpus(spark, empty_dir):
+    con = duckdb.connect()
+    for f in os.listdir(empty_dir):
+        con.execute(
+            f"CREATE VIEW {f.removesuffix('.parquet')} AS SELECT * FROM "
+            f"'{os.path.join(empty_dir, f)}'"
+        )
+    specs = all_queries()
+    bad = []
+    for name in FIXED_R13_EMPTY:
+        spec = specs[name]
+        sdf = spec.fn(spark, empty_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if spec.oracle is None:
+            continue
+        cur = con.execute(spec.oracle)
+        o_cols = [c[0] for c in cur.description]
+        o_rows = cur.fetchall()
+        s_ord = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        o_ord = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+        s_canon = sorted(
+            (tuple(_n(r[i]) for i in s_ord) for r in s_rows), key=repr
+        )
+        o_canon = sorted(
+            (tuple(_n(r[i]) for i in o_ord) for r in o_rows), key=repr
+        )
+        if sorted(s_cols) != sorted(o_cols) or s_canon != o_canon:
+            bad.append(f"{name}: spark={s_canon[:4]} oracle={o_canon[:4]}")
+    assert not bad, "empty-corpus parity drift:\n" + "\n".join(bad)

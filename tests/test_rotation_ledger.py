@@ -71,6 +71,19 @@ RE_PROVE_EXCEPTIONS: set[str] = {
     "brier_score_decomposition",
     "fairness_demographic_parity",
     "stream_upsert_user_totals",
+    # r13 EMPTY-corpus audit batch (same contract, 0-row tables):
+    # fileless-dir schema inference, empty-glob loads, driver-side
+    # None collects, zero global totals, empty centroid lists
+    "bloom_prejoin_pruning",
+    "pareto_revenue_deciles",
+    "corpus_datasheet",
+    "observed_metrics_noop_sink",
+    "source_binary_files",
+    "source_partition_pruning",
+    "source_dynamic_partition_pruning",
+    "stream_full_outer_attribution",
+    "dedup_semdedup_pairs",
+    "semdedup_recall_eval",
 }
 #: cap on rows registered after the newest artifact (r10 verdict:
 #: keep additions small so the pinned window composition holds)
