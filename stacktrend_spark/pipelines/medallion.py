@@ -65,7 +65,20 @@ class MedallionStore:
     ) -> None:
         """Full overwrite (S10): mode=overwrite + partitionBy — the
         reference's overwriteSchema is implicit for parquet dirs and
-        passed explicitly on the delta path."""
+        passed explicitly on the delta path.
+
+        The write is preceded by an AQE REBALANCE (clustered by the
+        partition columns when partitioned): output files come out at
+        the advisory partition size regardless of the input's task
+        layout — a 300-row bronze frame parallelized 32 ways lands as
+        one file instead of 32, and a skewed partition at cluster
+        scale is split rather than written as one giant file. The
+        sizing follows spark.sql.adaptive.advisoryPartitionSizeInBytes,
+        so the same code is right at sf0.001 and at 100 TB (r13
+        optimization: the per-write task-commit overhead of 32 near-
+        empty files dominated the medallion pipelines' wall time).
+        """
+        df = df.hint("rebalance", *partition_by) if partition_by else df.hint("rebalance")
         writer = df.write.format(self.backend).mode("overwrite")
         if self.backend == "delta":
             writer = writer.option("overwriteSchema", "true")

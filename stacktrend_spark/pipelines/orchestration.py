@@ -111,10 +111,37 @@ def run_trend_pipeline(
         "market_pulse": gold.market_pulse(silver, as_of_date),
         "adoption_matrix": gold.adoption_matrix(silver, as_of_date),
     }
-    for name, df in gold_frames.items():
-        store.overwrite(df, "gold", name)
+    _write_gold_concurrently(spark, store, gold_frames)
+    for name in gold_frames:
         out[f"gold.{name}"] = store.read(spark, "gold", name)
     return out
+
+
+def _write_gold_concurrently(
+    spark: SparkSession, store: MedallionStore, gold_frames: dict[str, DataFrame]
+) -> None:
+    """Write the independent gold tables as overlapping Spark jobs.
+
+    Every gold frame reads the SAME stored silver and writes its OWN
+    directory, so the writes have no mutual dependency — only the
+    driver's sequential ``for`` loop serialized them (optimization
+    guide §2.6: actions are only sequential because driver code calls
+    them sequentially). A small pool keeps 3 write jobs in flight so
+    one job's task tail back-fills executors freed by another; the
+    dependency-ordered stages around this fan-out are untouched.
+    Job descriptions are thread-local, so each write labels itself."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, DataFrame]) -> None:
+        name, df = item
+        spark.sparkContext.setJobDescription(f"gold overwrite: {name}")
+        store.overwrite(df, "gold", name)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        # list() so the first raised exception propagates (a failed
+        # gold write must fail the run, same as the sequential loop)
+        list(pool.map(_write, gold_frames.items()))
+    spark.sparkContext.setJobDescription(None)
 
 
 def run_personal_pipeline(
@@ -165,7 +192,7 @@ def run_personal_pipeline(
         ),
         "development_velocity": personal.development_velocity(metrics, as_of_date),
     }
-    for name, df in gold_frames.items():
-        store.overwrite(df, "gold", name)
+    _write_gold_concurrently(spark, store, gold_frames)
+    for name in gold_frames:
         out[f"gold.{name}"] = store.read(spark, "gold", name)
     return out
