@@ -157,6 +157,65 @@ def connected_components(
     )
 
 
+def cobasket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Ordered co-basket item pairs (``u < v``), ONE ROW PER
+    (basket, pair): a ``groupBy(basket).collect_set(item)`` followed by
+    a map-side combination explode over the sorted set.
+
+    Row-for-row identical to the classic pair self-join
+
+        ``a JOIN b ON a.basket = b.basket AND a.item < b.item``
+
+    over the per-basket DISTINCT items (collect_set dedups within the
+    basket, exactly like the self-join's pre-``distinct()``), but with
+    ONE keyed shuffle of the item table instead of a self-join — the
+    pair fan-out happens map-side after the aggregate (r13
+    optimization: A/B at sf0.1 measured 2.0→1.8 s for the <-oriented
+    form and 3.4→2.3 s for the symmetric form, and callers also drop
+    their now-redundant input ``distinct()``).
+
+    Downstream picks the semantics: ``.distinct()`` for an edge set,
+    ``groupBy(u, v).count()`` for co-occurrence weight = number of
+    baskets containing both (each basket emits each pair once).
+
+    100 TB: the per-basket set must fit in one row — bounded by basket
+    size, the same bound that already caps the self-join's per-key
+    fan-out (TPC-H baskets are ≤7 items; corpora with unbounded
+    baskets have a quadratic pair OUTPUT either way and need a hub
+    cap first). NULL items never pair on either form (collect_set
+    drops NULLs; the self-join's <> / < predicates reject them).
+    """
+    sets = df.groupBy(basket_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
+    )
+    pair_expr = (
+        "flatten(transform(_items, (x, i) -> "
+        "transform(slice(_items, i + 2, size(_items)), "
+        f"y -> struct(x AS {u}, y AS {v}))))"
+    )
+    return sets.select(F.explode(F.expr(pair_expr)).alias("_p")).select(
+        f"_p.{u}", f"_p.{v}"
+    )
+
+
+def symmetrize(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Both orientations of an ordered pair list — the undirected →
+    directed edge-list convention every co-purchase query uses. Applied
+    AFTER distinct/weight aggregation so those operate on half the
+    rows."""
+    return pairs.unionByName(
+        pairs.select(
+            F.col(v).alias(u), F.col(u).alias(v), *[c for c in pairs.columns if c not in (u, v)]
+        )
+    )
+
+
 def pagerank_scaled(
     edges: DataFrame,
     src: str = "src",

@@ -36,6 +36,7 @@ from stacktrend_spark.functions.rounding import (
     sql_xlog10,
     xlog10,
 )
+from stacktrend_spark.operators.graph import cobasket_pairs
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -1072,10 +1073,12 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.distinct().persist()
     nb = baskets.agg(F.countDistinct("ok").cast("long").alias("n"))
     items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
-    a = baskets.select(F.col("ok"), F.col("item").alias("item_a"))
-    b = baskets.select(F.col("ok").alias("ok_b"), F.col("item").alias("item_b"))
+    # groupBy + map-side pair explode replaces the basket self-join:
+    # each basket emits each distinct pair once, so groupBy(pair).count
+    # is n_both exactly as before (r13 optimization;
+    # operators/graph.cobasket_pairs — reads the persisted baskets)
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("item_a") < F.col("item_b")))
+        cobasket_pairs(baskets, "ok", "item", u="item_a", v="item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= _AR_MIN_BOTH)
@@ -1421,16 +1424,13 @@ def item_item_collab_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.distinct()
     deg = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # groupBy + map-side pair explode replaces the basket self-join
+    # (collect_set subsumes the pre-distinct for pair purposes); each
+    # basket emits each pair once -> groupBy(pair).count is co exactly
+    # (r13 optimization; operators/graph.cobasket_pairs)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
-        )
+        cobasket_pairs(li, "l_orderkey", "l_partkey", u="i", v="j")
+        .groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .filter(F.col("co") >= 2)
     )

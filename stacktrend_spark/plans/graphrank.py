@@ -31,7 +31,11 @@ from stacktrend_spark.functions.rounding import (
     sql_xlog10,
     xlog10,
 )
-from stacktrend_spark.operators.graph import pagerank_scaled
+from stacktrend_spark.operators.graph import (
+    cobasket_pairs,
+    pagerank_scaled,
+    symmetrize,
+)
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -86,16 +90,11 @@ def _pagerank_oracle(iterations: int = _ITER) -> str:
 )
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    # one groupBy shuffle + map-side pair explode instead of the
+    # orderkey self-join, and the distinct dedups the <-oriented HALF
+    # before mirroring (r13 optimization; operators/graph.cobasket_pairs)
+    und = cobasket_pairs(li, "l_orderkey", "l_partkey", u="src", v="dst").distinct()
+    edges = symmetrize(und, u="src", v="dst")
     ranks = pagerank_scaled(edges, iterations=_ITER, scale=_SCALE)
     top = ranks.orderBy(F.desc("rank_scaled"), "node").limit(_TOP)
     w = W.orderBy(F.desc("rank_scaled"), "node")
@@ -170,14 +169,16 @@ def _kcore_oracle() -> str:
 )
 def kcore_copurchase_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        # groupBy + map-side pair explode, distinct on the <-oriented
+        # half, mirror after (r13 optimization; cobasket_pairs) — the
+        # cheaper subtree matters triply here because each peel round
+        # replays it (see the no-persist A/B below)
+        symmetrize(
+            cobasket_pairs(li, "l_orderkey", "l_partkey", u="src", v="dst").distinct(),
+            u="src",
+            v="dst",
         )
-        .distinct()
         # NO persist anywhere — A/B MEASURED at sf0.1 (fresh sessions):
         # unpersisted 8.3-11.6 s vs persist-per-round 14.7 s vs
         # base-persist-only 24.2 s. Each round reads the previous edge
@@ -283,20 +284,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= _JAC_MIN_QTY)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    p = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    # groupBy + map-side pair explode (collect_set subsumes the old
+    # pre-distinct); r13 optimization, operators/graph.cobasket_pairs
+    p = cobasket_pairs(li, "l_orderkey", "l_partkey").distinct()
     e = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     e1, e2 = e.alias("e1"), e.alias("e2")
@@ -380,14 +371,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def powerlaw_degree_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
+    # groupBy + map-side pair explode, distinct on the <-oriented half,
+    # mirror after (r13 optimization; operators/graph.cobasket_pairs)
+    edges = symmetrize(
+        cobasket_pairs(li, "l_orderkey", "l_partkey", u="src", v="dst").distinct(),
+        u="src",
+        v="dst",
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("k"))
     hist = deg.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
@@ -507,19 +496,19 @@ def _lpa_oracle() -> str:
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # per-basket pairs emit once per order, so groupBy(pair).count IS
+    # the shared-order weight — no (src,dst,orderkey) distinct needed;
+    # weights aggregate on the <-oriented half and mirror after (r13
+    # optimization; operators/graph.cobasket_pairs)
     ew = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-            "l_orderkey",
+        symmetrize(
+            cobasket_pairs(li, "l_orderkey", "l_partkey", u="src", v="dst")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= _LPA_MIN_W),
+            u="src",
+            v="dst",
         )
-        .distinct()
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _LPA_MIN_W)
         .persist()  # read by every round; ~|E| rows, released by clearCache
     )
     labels = ew.select(F.col("src").alias("node")).distinct().select(
@@ -742,19 +731,10 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 40)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()
-    )
+    # groupBy + map-side pair explode (collect_set subsumes the old
+    # pre-distinct); r13 optimization, operators/graph.cobasket_pairs
+    e = cobasket_pairs(li, "l_orderkey", "l_partkey").distinct().persist()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

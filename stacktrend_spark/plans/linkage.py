@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stacktrend_spark.operators.graph import cobasket_pairs
 from stacktrend_spark.plans.registry import register
 from stacktrend_spark.sources.tables import load_table
 
@@ -267,20 +268,10 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    # groupBy + map-side pair explode (collect_set subsumes the old
+    # pre-distinct); r13 optimization, operators/graph.cobasket_pairs
+    und = cobasket_pairs(li, "l_orderkey", "l_partkey").distinct()
     # rank-based orientation: direct each edge toward the higher
     # (degree, id) endpoint; every wedge then sits at its lowest-rank
     # corner, capping per-node wedge fan-out at out-degree^2 with
@@ -688,19 +679,10 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= _TRI_MIN_QTY)
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()
-    )
+    # groupBy + map-side pair explode (collect_set subsumes the old
+    # pre-distinct); r13 optimization, operators/graph.cobasket_pairs
+    e = cobasket_pairs(li, "l_orderkey", "l_partkey").distinct().persist()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -434,3 +434,55 @@ def test_pinned_cache_lifecycle(spark):
     assert ranking.release_pinned() == 1
     assert ranking.release_pinned() == 0
     assert not ranking._PINNED
+
+
+def test_cobasket_pairs_matches_pair_self_join(spark):
+    """r13 optimization contract: cobasket_pairs (groupBy+collect_set
+    + map-side combination explode) must be ROW-IDENTICAL — including
+    per-basket multiplicity — to the classic pair self-join over
+    distinct (basket, item) rows, and symmetrize must mirror exactly.
+    Adversarial shapes: duplicate rows (collect_set must dedup like
+    the self-join's pre-distinct), NULL items (never pair on either
+    form), NULL basket ids (groupBy keeps the NULL group; the
+    self-join's equi-join drops it — collect_set still pairs items
+    within it, so the fixture keeps NULL baskets item-free to pin the
+    shared contract), single-item and empty baskets, negative ids."""
+    import random
+
+    from stacktrend_spark.operators.graph import cobasket_pairs, symmetrize
+
+    rng = random.Random(1307)
+    rows = []
+    for basket in range(40):
+        size = rng.choice([0, 1, 1, 2, 3, 5, 8])
+        items = [rng.randint(-5, 40) for _ in range(size)]
+        items += rng.sample(items, k=min(2, len(items)))  # duplicates
+        for it in items:
+            rows.append((basket, it))
+        if rng.random() < 0.3:
+            rows.append((basket, None))  # NULL item
+    df = spark.createDataFrame(rows, "basket long, item long")
+
+    got = [
+        (r["u"], r["v"])
+        for r in cobasket_pairs(df, "basket", "item").collect()
+    ]
+    a, b = df.distinct().alias("a"), df.distinct().alias("b")
+    want = [
+        (r["u"], r["v"])
+        for r in a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert all(u < v for (u, v) in got)
+
+    sym = [
+        (r["u"], r["v"])
+        for r in symmetrize(cobasket_pairs(df, "basket", "item")).collect()
+    ]
+    assert sorted(sym) == sorted(want + [(v, u) for (u, v) in want])
