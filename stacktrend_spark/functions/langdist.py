@@ -46,11 +46,18 @@ def language_distribution(
     half-up and the two differ on exactly-representable ties."""
     if round_fn is None:
         round_fn = lambda v: F.bround(v, 1)  # noqa: E731
-    lang_pairs = F.array(
-        *[
-            F.struct(F.lit(k).alias("key"), F.lit(v).alias("name"))
+    # one F.expr parse instead of ~70 py4j expression-builder calls:
+    # the SQL parser yields the identical array<struct<key,name>>
+    # literal tree, but driver-side construction drops from ~0.25 s to
+    # ~ms per call — this expression is rebuilt on every build_silver
+    # (r13 optimization; measured in OPTIMIZATION_r13.md)
+    lang_pairs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct('{k}' AS key, '{v}' AS name)"
             for k, v in PROGRAMMING_LANGUAGES
-        ]
+        )
+        + ")"
     )
     # per topic: all matching display names, in rule order; flattened in
     # topic order — matches the reference's nested-loop append order
