@@ -39,38 +39,38 @@ def _clean(bronze: DataFrame, as_of_date: str) -> DataFrame:
     activity windows from the pinned as_of_date."""
     as_of = F.lit(as_of_date).cast("date")
     lic = F.col("license_name")
-    return (
-        bronze.withColumn("name_clean", F.regexp_replace(F.col("name"), r"[^\w\-\.]", ""))
-        .withColumn(
-            "description_clean",
-            F.when(
-                F.col("description").isNotNull(),
-                F.regexp_replace(F.col("description"), r"[^\w\s\-\.\,\:]", ""),
-            ).otherwise(F.lit(None).cast("string")),
-        )
-        .withColumn(
-            "primary_language",
-            F.when(F.col("language").isNotNull(), F.lower(F.trim(F.col("language"))))
-            .otherwise("unknown"),
-        )
-        .withColumn(
-            "language_distribution",
-            language_distribution(F.col("primary_language"), F.col("topics")),
-        )
-        .withColumn(
-            "topics_standardized",
-            F.when(
-                F.col("topics").isNotNull(),
-                F.transform(F.col("topics"), lambda x: F.lower(F.trim(x))),
-            ).otherwise(F.array().cast("array<string>")),
-        )
-        .withColumn(
-            "keywords",
-            extract_keywords(F.col("description_clean"), F.col("topics_standardized")),
-        )
-        .withColumn(
-            "license_category",
-            F.when(
+    # ONE withColumns projection instead of a 12-deep withColumn chain
+    # (r13 optimization, guide §7.3 driver-side planning cost): each
+    # withColumn adds a nested Project the analyzer re-walks at every
+    # action embedding this lineage (both silver writes). Same column
+    # append order and identical expressions — intra-chain references
+    # (primary_language → language_distribution, description_clean /
+    # topics_standardized → keywords, days_since_push → is_active) are
+    # inlined as shared local expression objects; Catalyst common
+    # subexpression elimination dedups them at codegen.
+    desc_clean = F.when(
+        F.col("description").isNotNull(),
+        F.regexp_replace(F.col("description"), r"[^\w\s\-\.\,\:]", ""),
+    ).otherwise(F.lit(None).cast("string"))
+    primary = F.when(
+        F.col("language").isNotNull(), F.lower(F.trim(F.col("language")))
+    ).otherwise("unknown")
+    topics_std = F.when(
+        F.col("topics").isNotNull(),
+        F.transform(F.col("topics"), lambda x: F.lower(F.trim(x))),
+    ).otherwise(F.array().cast("array<string>"))
+    days_push = F.datediff(as_of, F.col("pushed_at"))
+    return bronze.withColumns(
+        {
+            "name_clean": F.regexp_replace(F.col("name"), r"[^\w\-\.]", ""),
+            "description_clean": desc_clean,
+            "primary_language": primary,
+            "language_distribution": language_distribution(
+                primary, F.col("topics")
+            ),
+            "topics_standardized": topics_std,
+            "keywords": extract_keywords(desc_clean, topics_std),
+            "license_category": F.when(
                 lic.isNotNull(),
                 F.when(lic.contains("MIT"), "permissive")
                 .when(lic.contains("Apache"), "permissive")
@@ -78,12 +78,12 @@ def _clean(bronze: DataFrame, as_of_date: str) -> DataFrame:
                 .when(lic.contains("BSD"), "permissive")
                 .otherwise("other"),
             ).otherwise("none"),
-        )
-        .withColumn("days_since_push", F.datediff(as_of, F.col("pushed_at")))
-        .withColumn("days_since_creation", F.datediff(as_of, F.col("created_at")))
-        .withColumn("is_active", F.col("days_since_push") <= 90)
-        .withColumn("processed_timestamp", F.lit(as_of_date).cast("timestamp"))
-        .withColumn("partition_date", F.lit(as_of_date))
+            "days_since_push": days_push,
+            "days_since_creation": F.datediff(as_of, F.col("created_at")),
+            "is_active": days_push <= 90,
+            "processed_timestamp": F.lit(as_of_date).cast("timestamp"),
+            "partition_date": F.lit(as_of_date),
+        }
     )
 
 
@@ -98,42 +98,37 @@ def _metrics(df: DataFrame) -> DataFrame:
     has_license = F.col("license_name").isNotNull()
     has_topics = F.size(F.col("topics")) > 0
     reasonable_size = F.col("size") > 0
-    return (
-        df.withColumn(
-            "star_velocity_30d",
-            F.when(
+    # single withColumns projection (r13, same rationale as _clean):
+    # every metric reads only pre-existing columns, so one Project is
+    # expression-identical to the old 4-deep chain
+    return df.withColumns(
+        {
+            "star_velocity_30d": F.when(
                 F.col("days_since_creation") > 0,
                 stars / F.greatest(F.col("days_since_creation"), F.lit(1)),
             ).otherwise(0.0),
-        )
-        .withColumn(
-            "commit_frequency_30d",
-            F.when(
-                F.col("is_active"), (F.col("repository_id") % 100).cast("double") / 10.0
+            "commit_frequency_30d": F.when(
+                F.col("is_active"),
+                (F.col("repository_id") % 100).cast("double") / 10.0,
             ).otherwise(0.0),
-        )
-        .withColumn(
-            "community_health_score",
-            (
+            "community_health_score": (
                 F.when(has_description, 20).otherwise(0)
                 + F.when(has_license, 20).otherwise(0)
                 + F.when(has_topics, 20).otherwise(0)
                 + F.when(F.col("is_active"), 20).otherwise(0)
                 + F.when(reasonable_size, 20).otherwise(0)
             ).cast("double"),
-        )
-        .withColumn(
-            "quality_score",
-            (
+            "quality_score": (
                 F.least(F.log10(F.greatest(stars, F.lit(1))) * 10, F.lit(50))
                 + F.least(
-                    F.log10(F.greatest(F.col("forks_count"), F.lit(1))) * 5, F.lit(25)
+                    F.log10(F.greatest(F.col("forks_count"), F.lit(1))) * 5,
+                    F.lit(25),
                 )
                 + F.when(F.col("has_wiki"), 10).otherwise(0)
                 + F.when(F.col("has_pages"), 10).otherwise(0)
                 + F.least(F.size(F.col("topics")) * 2, F.lit(15))
             ).cast("double"),
-        )
+        }
     )
 
 
