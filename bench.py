@@ -419,12 +419,16 @@ def main() -> None:
         # run and later queries measure GC pressure, not themselves
         spark.catalog.clearCache()
         release_pinned()
+        # label jobs (optimization guide §1.5) so UI/event-log trails
+        # attribute stages to queries; no effect on timing or output
+        spark.sparkContext.setJobDescription(f"bench cold: {name}")
         t0 = time.time()
         specs[name].fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         # warm = MEDIAN of 3 runs (r5, verdict task 6): single warm
         # runs moved ±0.3 s round-over-round with zero code change —
         # the median floors that noise so real regressions show.
+        spark.sparkContext.setJobDescription(f"bench warm: {name}")
         runs = []
         for _ in range(3):
             t1 = time.time()
@@ -450,6 +454,7 @@ def main() -> None:
         if ref and ref > 0 and (warm[name] > 2.0 * ref or warm[name] < 0.5 * ref):
             spark.catalog.clearCache()
             release_pinned()
+            spark.sparkContext.setJobDescription(f"bench variance rerun: {name}")
             rerun = []
             for _ in range(3):
                 t1 = time.time()

@@ -536,14 +536,18 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=[F.col(order_col), F.col("o_custkey")],
             rank_col=rank_col,
         )
-    n = base.count()  # bounded scalar
-    return ranked.select(
+    # n as a broadcast 1-row aggregate in-plan (guide §5: no eager
+    # driver action in the query path — the old base.count() launched
+    # a separate job recomputing the orders aggregate before the main
+    # plan even ran); the first rank's pinned cache feeds it.
+    nn = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return ranked.crossJoin(F.broadcast(nn)).select(
         F.col("o_custkey").alias("cust_key"),
         "freq",
         "monetary_cents",
-        (F.expr(f"((rr - 1) * 5) DIV {n}") + 1).cast("long").alias("r_score"),
-        (F.expr(f"((rf - 1) * 5) DIV {n}") + 1).cast("long").alias("f_score"),
-        (F.expr(f"((rm - 1) * 5) DIV {n}") + 1).cast("long").alias("m_score"),
+        (F.expr("((rr - 1) * 5) DIV n") + 1).cast("long").alias("r_score"),
+        (F.expr("((rf - 1) * 5) DIV n") + 1).cast("long").alias("f_score"),
+        (F.expr("((rm - 1) * 5) DIV n") + 1).cast("long").alias("m_score"),
     )
 
 

@@ -1099,35 +1099,66 @@ def matryoshka_truncation_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     )
     dec = "DECIMAL(38,0)"
 
-    def cosp(k: int) -> str:
-        qs, cs = f"slice(qv, 1, {k})", f"slice(cv, 1, {k})"
-        dot = (
-            f"aggregate(zip_with({qs}, {cs}, (x, y) -> CAST(x AS {dec}) * y),"
-            f" CAST(0 AS {dec}), (acc, v) -> acc + v)"
-        )
-        na2 = (
-            f"aggregate({qs}, CAST(0 AS {dec}),"
-            f" (acc, x) -> acc + CAST(x AS {dec}) * x)"
-        )
-        nb2 = (
-            f"aggregate({cs}, CAST(0 AS {dec}),"
-            f" (acc, x) -> acc + CAST(x AS {dec}) * x)"
-        )
-        return (
-            f"CAST(CASE WHEN {dot} >= 0 THEN 1 ELSE -1 END"
-            f" * ({dot} * {dot} * 1000000000 DIV ({na2} * {nb2})) AS BIGINT)"
-        )
+    # Pair-independent factors hoisted OUT of the Q×C fan-out (guide
+    # §2.2/§4 — pass the fan-out only what varies per pair; r13):
+    # the prefix norms depend on one row each, so computing them
+    # inside the pair projection (the old inline cosp() form) did
+    # O(|C|·|Q|·k) lambda work that is O(|C|·k) here. Each row squares
+    # its elements ONCE and the four prefix norms aggregate slices of
+    # that shared array — same decimal(38,0) terms, same sums.
+    def norms(arr: str, pfx: str) -> list:
+        sq = f"transform({arr}, x -> CAST(x AS {dec}) * x)"
+        return [
+            F.expr(
+                f"aggregate(slice({sq}, 1, {k}), CAST(0 AS {dec}),"
+                f" (acc, v) -> acc + v)"
+            ).alias(f"{pfx}{k}")
+            for k in _MRL_KS
+        ]
 
-    # one corpus scan computes every prefix score; explode the 4
-    # (k, cos) structs map-side
-    scored = c.join(F.broadcast(q)).select(
+    q2 = q.select("qid", "qv", *norms("qv", "qn"))
+    c2 = c.select("vec_id", "cv", *norms("cv", "cn"))
+
+    # per pair: elementwise products computed ONCE as a materialized
+    # array column (referenced 4×, so CollapseProject keeps it a
+    # separate projection instead of re-inlining the zip_with), each
+    # prefix dot aggregated from slices of it and materialized as ONE
+    # column (the old form re-evaluated the dot aggregate three times
+    # per k inside the CASE/square)
+    keep = [F.col(f"qn{k}") for k in _MRL_KS] + [F.col(f"cn{k}") for k in _MRL_KS]
+    paired = c2.join(F.broadcast(q2)).select(
+        "qid",
+        "vec_id",
+        *keep,
+        F.expr(
+            f"zip_with(qv, cv, (x, y) -> CAST(x AS {dec}) * y)"
+        ).alias("pv"),
+    )
+    dots = paired.select(
+        "qid",
+        "vec_id",
+        *keep,
+        *[
+            F.expr(
+                f"aggregate(slice(pv, 1, {k}), CAST(0 AS {dec}),"
+                f" (acc, v) -> acc + v)"
+            ).alias(f"dot{k}")
+            for k in _MRL_KS
+        ],
+    )
+    # explode the 4 (k, cos) structs map-side — scalar arithmetic on
+    # the materialized columns, bit-identical to the inline form
+    scored = dots.select(
         "qid",
         "vec_id",
         F.explode(
             F.expr(
                 "array("
                 + ", ".join(
-                    f"struct(CAST({k} AS BIGINT) AS k, {cosp(k)} AS cos_ppb)"
+                    f"struct(CAST({k} AS BIGINT) AS k,"
+                    f" CAST(CASE WHEN dot{k} >= 0 THEN 1 ELSE -1 END"
+                    f" * (dot{k} * dot{k} * 1000000000"
+                    f" DIV (qn{k} * cn{k})) AS BIGINT) AS cos_ppb)"
                     for k in _MRL_KS
                 )
                 + ")"

@@ -455,8 +455,6 @@ def _zvl_oracle() -> str:
     ),
 )
 def zorder_vs_linear_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from stacktrend_spark.functions.rounding import iscale
     from stacktrend_spark.functions.zorder import zorder_key2
 
@@ -486,21 +484,30 @@ def zorder_vs_linear_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_size", "cents", "r_lin", "r_z")
         .crossJoin(F.broadcast(nn))
     )
-    lin = ranked.select(
-        F.lit("linear").alias("layout"),
-        F.expr(f"(r_lin - 1) * {_ZVL_CHUNKS} DIV n").alias("chunk"),
+    # One pass over the doubly-ranked frame: the previous unionByName of
+    # two projections replayed the ENTIRE double-rank subtree per branch
+    # (8 part scans + duplicated rank exchanges —
+    # plans/r13/zorder_vs_linear_skipping_before.txt); exploding a
+    # 2-struct array emits the identical (layout, chunk, p_size, cents)
+    # rows from ONE computation of both ranks (guide §2.4).
+    both = ranked.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"(r_lin - 1) * {_ZVL_CHUNKS} DIV n").alias("chunk"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"(r_z - 1) * {_ZVL_CHUNKS} DIV n").alias("chunk"),
+                ),
+            )
+        ).alias("lc"),
         "p_size",
         "cents",
-    )
-    zo = ranked.select(
-        F.lit("zorder").alias("layout"),
-        F.expr(f"(r_z - 1) * {_ZVL_CHUNKS} DIV n").alias("chunk"),
-        "p_size",
-        "cents",
-    )
+    ).select("lc.layout", "lc.chunk", "p_size", "cents")
     zones = (
-        lin.unionByName(zo)
-        .groupBy("layout", "chunk")
+        both.groupBy("layout", "chunk")
         .agg(
             F.min("p_size").alias("smin"),
             F.max("p_size").alias("smax"),

@@ -2381,32 +2381,51 @@ def quantile_drift_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
 
-    def boundaries(y0: str, y1: str) -> DataFrame:
-        yr = o.filter(
-            (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
-        ).select(iscale("o_totalprice").alias("cents"), "o_orderkey")
-        nn = yr.agg(F.count(F.lit(1)).alias("n"))
-        r = (
-            global_rank_scalable(
-                yr,
-                order_cols=[F.col("cents"), F.col("o_orderkey")],
-                rank_col="rk",
-            )
-            .select("cents", "rk")
-            .crossJoin(F.broadcast(nn))
+    # ONE pass for both years (r13, guide §2.4): the old per-year
+    # boundaries() arms each scanned + range-shuffled + sorted the
+    # orders slice separately (two full rank subtrees, two driver
+    # offset collects). Ranking with the year as the LEADING order
+    # key gives within-year rank = global rank − min(rank of year)
+    # + 1 from a single sort; per-year counts ride the same
+    # broadcast 1-row-per-year aggregate.
+    both = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"),
+            F.lit(1996),
         )
-        ks = r.sparkSession.range(1, 10).select(F.col("id").alias("k"))
-        return (
-            F.broadcast(ks)
-            .join(r, r.rk == F.greatest(F.expr("k * n DIV 10"), F.lit(1)))
-            .groupBy("k")
-            .agg(F.min("cents").alias("b"))
+        .otherwise(F.lit(1997))
+        .alias("yr"),
+        iscale("o_totalprice").alias("cents"),
+        "o_orderkey",
+    )
+    r = global_rank_scalable(
+        both,
+        order_cols=[F.col("yr"), F.col("cents"), F.col("o_orderkey")],
+        rank_col="rk",
+    )
+    per_year = r.groupBy("yr").agg(
+        F.min("rk").alias("rk0"), F.count(F.lit(1)).alias("n")
+    )
+    rr = r.join(F.broadcast(per_year), "yr").select(
+        "yr", "cents", (F.col("rk") - F.col("rk0") + 1).alias("rk_in"), "n"
+    )
+    ks = rr.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+    pivoted = (
+        F.broadcast(ks)
+        .join(rr, rr.rk_in == F.greatest(F.expr("k * n DIV 10"), F.lit(1)))
+        .groupBy("k")
+        .agg(
+            F.min(F.when(F.col("yr") == 1996, F.col("cents"))).alias("b96"),
+            F.min(F.when(F.col("yr") == 1997, F.col("cents"))).alias("b97"),
         )
-
-    b96 = boundaries("1996-01-01", "1997-01-01").withColumnRenamed("b", "b96")
-    b97 = boundaries("1997-01-01", "1998-01-01").withColumnRenamed("b", "b97")
-    return b96.join(b97, "k").select(
+        # inner-join parity of the old two-arm form: a k row exists
+        # only when BOTH years produced a boundary
+        .filter(F.col("b96").isNotNull() & F.col("b97").isNotNull())
+    )
+    return pivoted.select(
         F.col("k").cast("long").alias("decile"),
         F.col("b96").cast("long").alias("boundary_1996_cents"),
         F.col("b97").cast("long").alias("boundary_1997_cents"),
