@@ -748,16 +748,29 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dv, F.col("v") == F.col("dv.node"))
         .select(F.col("du.d").alias("dx"), F.col("dv.d").alias("dy"))
     )
-    ends = one.unionAll(one.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    # ONE pass instead of union-with-mirror (r13, guide §2.4): the
+    # mirrored unionAll replayed the deg⋈deg join subtree for the
+    # swapped orientation. Both orientations' aggregates derive
+    # EXACTLY from one pass — every partial is an exact long/decimal
+    # sum, added/doubled in integer space BEFORE the cast to double,
+    # so the downstream float op tree sees bit-identical inputs.
     dec = "decimal(38,0)"
-    sums = ends.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("dx").cast("double").alias("sx"),
-        F.sum("dy").cast("double").alias("sy"),
-        F.sum(F.expr(f"CAST(dx AS {dec}) * dx")).cast("double").alias("sxx"),
-        F.sum(F.expr(f"CAST(dy AS {dec}) * dy")).cast("double").alias("syy"),
-        F.sum(F.expr(f"CAST(dx AS {dec}) * dy")).cast("double").alias("sxy"),
-        F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+    part = one.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("dx").alias("sdx"),
+        F.sum("dy").alias("sdy"),
+        F.sum(F.expr(f"CAST(dx AS {dec}) * dx")).alias("sdxx"),
+        F.sum(F.expr(f"CAST(dy AS {dec}) * dy")).alias("sdyy"),
+        F.sum(F.expr(f"CAST(dx AS {dec}) * dy")).alias("sdxy"),
+    )
+    sums = part.select(
+        (F.col("n1") * 2).cast("double").alias("n"),
+        (F.col("sdx") + F.col("sdy")).cast("double").alias("sx"),
+        (F.col("sdy") + F.col("sdx")).cast("double").alias("sy"),
+        (F.col("sdxx") + F.col("sdyy")).cast("double").alias("sxx"),
+        (F.col("sdyy") + F.col("sdxx")).cast("double").alias("syy"),
+        (F.col("sdxy") * 2).cast("double").alias("sxy"),
+        (F.col("n1") * 2).cast("long").alias("n_edge_ends"),
     )
     return sums.select(
         "n_edge_ends",
