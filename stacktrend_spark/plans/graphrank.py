@@ -287,6 +287,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # groupBy + map-side pair explode (collect_set subsumes the old
     # pre-distinct); r13 optimization, operators/graph.cobasket_pairs
+    # NOTE (r13): deliberately NOT persisted despite 6 static-plan
+    # replays of the cobasket subtree — an A/B at sf0.1 read warm
+    # 1.6 s unpersisted vs 2.8 s persisted (cache write + stats
+    # hidden from AQE outweigh the replays, which the runtime largely
+    # serves via exchange reuse)
     p = cobasket_pairs(li, "l_orderkey", "l_partkey").distinct()
     e = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))

@@ -271,6 +271,10 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # groupBy + map-side pair explode (collect_set subsumes the old
     # pre-distinct); r13 optimization, operators/graph.cobasket_pairs
+    # NOTE (r13): deliberately NOT persisted — an A/B at sf0.1 read
+    # warm 1.6-1.9 s unpersisted vs 2.8-3.8 s with a persist here
+    # (caching the pair frame costs a cache write and hides stats
+    # from AQE's join planning, outweighing the 3 subtree replays)
     und = cobasket_pairs(li, "l_orderkey", "l_partkey").distinct()
     # rank-based orientation: direct each edge toward the higher
     # (degree, id) endpoint; every wedge then sits at its lowest-rank
@@ -314,10 +318,11 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")
         )
     )
-    nodes = (
-        tri.select(F.col("x").alias("part_key"))
-        .unionAll(tri.select(F.col("y").alias("part_key")))
-        .unionAll(tri.select(F.col("z").alias("part_key")))
+    # explode the 3 corners from ONE computation of the wedge join —
+    # the old 3-way unionAll of projections replayed the triangle
+    # triple-join per branch (guide §2.4; r13). Identical rows.
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("part_key")
     )
     return nodes.groupBy("part_key").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
@@ -693,10 +698,11 @@ def clustering_coefficient_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # explode the 3 corners from ONE computation of the triangle
+    # triple-join — the old 3-way unionAll replayed the join per
+    # branch (guide §2.4; r13). Identical rows.
     tcnt = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
