@@ -1074,18 +1074,17 @@ def _lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, rank_lex): DF-capped word-overlap
     top-_RRF_LIST per query (see the header note on the cap)."""
     docs = load_table(spark, sf_dir, "documents")
-    # cache-once discipline (r13, guide §2.4 / the dedup_minhash_lsh
-    # pattern): the exploded posting list is read by the DF-cap
-    # aggregate, the semi-join left side, AND both sides of the pair
-    # join below — unpersisted, the explode+distinct subtree replayed
-    # 4× (8 Generate nodes, 0 ReusedExchange in the r13 plan audit)
-    words_all = (
-        docs.select(
-            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-        )
-        .distinct()
-        .persist()
-    )
+    # NOTE (r13): deliberately NOT persisted. The exploded posting
+    # list is referenced by 4 plan branches (8 Generate nodes, 0
+    # static ReusedExchange), but an alternating A/B at sf0.1 read
+    # cold +2 s and warm neutral-to-worse WITH persists here
+    # (rrf 6.4/5.8 cold unpersisted vs 8.5/8.0 persisted; rbo warm
+    # 1.43/1.46 vs 1.55/2.23) — the cache write plus stats hidden
+    # from AQE outweigh the runtime replays, same verdict as the
+    # co-basket pair frames in plans/linkage.py.
+    words_all = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).distinct()
     # DF cap: drop words whose posting list exceeds _RRF_MAXDF docs
     # (stopword postings grow with the corpus; everything downstream
     # is bounded per word once they are gone)
@@ -1095,7 +1094,7 @@ def _lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") <= _RRF_MAXDF)
         .select("w")
     )
-    words = words_all.join(kept_vocab, "w", "left_semi").persist()
+    words = words_all.join(kept_vocab, "w", "left_semi")
     qw = words.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), "w"
     )
