@@ -536,18 +536,22 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_cols=[F.col(order_col), F.col("o_custkey")],
             rank_col=rank_col,
         )
-    # n as a broadcast 1-row aggregate in-plan (guide §5: no eager
-    # driver action in the query path — the old base.count() launched
-    # a separate job recomputing the orders aggregate before the main
-    # plan even ran); the first rank's pinned cache feeds it.
-    nn = ranked.agg(F.count(F.lit(1)).alias("n"))
-    return ranked.crossJoin(F.broadcast(nn)).select(
+    # NOTE (r13): an in-plan broadcast `ranked.agg(count)` replacing
+    # this eager count was tried and REVERTED — when the rank pins
+    # evict under memory pressure the broadcast branch recomputes the
+    # entire 3-rank lineage serially before the main stages (solo A/B
+    # in one window: warm 3.46 s with count() vs 7.33 s broadcast;
+    # parity in a low-pressure window). The eager count is bounded
+    # (one map-side-combined aggregate) and runs against the first
+    # rank's freshly pinned cache.
+    n = base.count()  # bounded scalar
+    return ranked.select(
         F.col("o_custkey").alias("cust_key"),
         "freq",
         "monetary_cents",
-        (F.expr("((rr - 1) * 5) DIV n") + 1).cast("long").alias("r_score"),
-        (F.expr("((rf - 1) * 5) DIV n") + 1).cast("long").alias("f_score"),
-        (F.expr("((rm - 1) * 5) DIV n") + 1).cast("long").alias("m_score"),
+        (F.expr(f"((rr - 1) * 5) DIV {n}") + 1).cast("long").alias("r_score"),
+        (F.expr(f"((rf - 1) * 5) DIV {n}") + 1).cast("long").alias("f_score"),
+        (F.expr(f"((rm - 1) * 5) DIV {n}") + 1).cast("long").alias("m_score"),
     )
 
 
