@@ -641,22 +641,34 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct before the first fill (measured 21.8 s -> see COVERAGE)
     edges.count()
     nc = edges.agg(F.countDistinct("c").cast("long").alias("n"))
+    # Persist each half-step's RAW score table eagerly (node-sized, the
+    # pagerank_scaled per-iteration discipline in operators/graph.py):
+    # without this, every Σ-normalizer's broadcast job recomputes the
+    # same edges⋈scores join + groupBy that the main plan then computes
+    # AGAIN — and the replay compounds per level (a1r feeds a1 feeds
+    # h1r feeds ...), so the three heavy joins ran ~2× each per
+    # execution. Measured solo A/B at sf0.1 in OPTIMIZATION_r13.md;
+    # plan diff: plans/r13/hits_hubs_authorities_{before,after}.txt.
     a1r = (
         edges.groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))
         .join(F.broadcast(nc))
         .select("p", (F.col("deg") * F.expr(f"{_HITS_SCALE} DIV n")).alias("raw"))
+        .persist()
     )
+    a1r.count()
     s1 = a1r.agg(F.sum("raw").alias("s"))
     a1 = a1r.join(F.broadcast(s1)).select(
         "p", F.expr(f"raw * {_HITS_SCALE} DIV s").alias("a")
     )
-    h1r = edges.join(a1, "p").groupBy("c").agg(F.sum("a").alias("raw"))
+    h1r = edges.join(a1, "p").groupBy("c").agg(F.sum("a").alias("raw")).persist()
+    h1r.count()
     s2 = h1r.agg(F.sum("raw").alias("s"))
     h1 = h1r.join(F.broadcast(s2)).select(
         "c", F.expr(f"raw * {_HITS_SCALE} DIV s").alias("h")
     )
-    a2r = edges.join(h1, "c").groupBy("p").agg(F.sum("h").alias("raw"))
+    a2r = edges.join(h1, "c").groupBy("p").agg(F.sum("h").alias("raw")).persist()
+    a2r.count()
     s3 = a2r.agg(F.sum("raw").alias("s"))
     a2 = a2r.join(F.broadcast(s3)).select(
         "p", F.expr(f"raw * {_HITS_SCALE} DIV s").alias("a")
