@@ -1,18 +1,15 @@
-"""Storm-tolerant chunk refresh: run bench.py on the named queries,
-then for each one keep the BETTER of (pre-run committed row, new row)
-in BENCH_FULL.json.
+"""Chunk refresh with provenance: run bench.py on the named queries and
+COMMIT THE NEW RUN'S VALUES unconditionally (cold and warm), recording
+the displaced prior series alongside so the artifact keeps both.
 
-"Better" per row: the warm median whose 3-run triple is tighter
-(smaller relative spread = the calmer measurement window), and
-independently the smaller cold (cold is single-shot, so min-over-runs
-is the standard estimator under one-sided contention noise — the same
-reasoning as the committed min-box SCALE_OPS rule). Totals are
-recomputed. The merge is recorded in the row's entry in
-"chunk_best_adjudication" so the artifact is self-describing.
-
-Use when the host storms in bursts (r13): repeated invocations
-monotonically improve rows and never let a burst overwrite a clean
-triple with garbage.
+History (r13 verdict §What's-wrong 2): the original version kept the
+"better" of (prior, new) per row — tighter warm triple, minimum cold.
+That min-over-runs estimator makes BENCH_FULL.json monotonically
+improve by construction and can hide a real cold regression behind a
+stale calm-window prior, so it was retired in r14. The committed value
+is now always the newest run, measured in a probed-calm window
+(tools/box_probe.py first); prior values stay visible in
+"chunk_best_adjudication" for storm triage but never override.
 
 Run: python tools/bench_chunk_best.py <query> [query ...]
 """
@@ -28,15 +25,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FULL = os.path.join(REPO, "BENCH_FULL.json")
 
 
-def spread(runs: list[float]) -> float:
-    """Relative spread of a warm triple: (max-min)/median — 0 is a
-    perfectly tight window; storms read >1."""
-    if not runs:
-        return float("inf")
-    med = sorted(runs)[len(runs) // 2]
-    return (max(runs) - min(runs)) / med if med > 0 else float("inf")
-
-
 def main() -> None:
     names = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not names:
@@ -48,47 +36,19 @@ def main() -> None:
         sys.exit(f"bench.py failed rc={rc}; BENCH_FULL.json left as bench wrote it")
     with open(FULL) as f:
         after = json.load(f)
+    # bench.py already merged the chunk into BENCH_FULL.json; this tool
+    # only records provenance (what the new run displaced) — it never
+    # picks a historical value over the new run (r14 estimator rule).
     adjud = after.setdefault("chunk_best_adjudication", {})
     for n in names:
-        old_runs = before.get("queries_warm_runs", {}).get(n)
-        new_runs = after.get("queries_warm_runs", {}).get(n)
-        picked = {}
-        if old_runs and new_runs and spread(old_runs) < spread(new_runs):
-            after["queries_warm_runs"][n] = old_runs
-            after["queries_warm"][n] = before["queries_warm"][n]
-            picked["warm"] = "kept prior (tighter triple)"
-        else:
-            picked["warm"] = "new run"
-        old_cold = before.get("queries", {}).get(n)
-        new_cold = after.get("queries", {}).get(n)
-        if old_cold is not None and new_cold is not None and old_cold < new_cold:
-            after["queries"][n] = old_cold
-            picked["cold"] = "kept prior (min-over-runs)"
-        else:
-            picked["cold"] = "new run"
-        adjud[n] = picked
-        print(n, picked)
-    after["value"] = round(sum(after["queries"].values()), 3)
-    after["warm_total"] = round(sum(after["queries_warm"].values()), 3)
-    comp = [n for n in after["queries"] if n in set(before.get("queries", {}))]
-    # comparable fields recompute from bench.py's own pinned membership
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location("benchmod", os.path.join(REPO, "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
-    after["comparable_total"] = round(
-        sum(after["queries"][n] for n in bench.COMPARABLE), 3
-    )
-    after["comparable_warm_total"] = round(
-        sum(after["queries_warm"][n] for n in bench.COMPARABLE), 3
-    )
-    after["comparable_warm_median"] = round(
-        sorted(after["queries_warm"][n] for n in bench.COMPARABLE)[
-            len(bench.COMPARABLE) // 2
-        ],
-        3,
-    )
+        adjud[n] = {
+            "cold": "new run",
+            "warm": "new run",
+            "displaced_prior_cold": before.get("queries", {}).get(n),
+            "displaced_prior_warm": before.get("queries_warm", {}).get(n),
+            "displaced_prior_warm_runs": before.get("queries_warm_runs", {}).get(n),
+        }
+        print(n, adjud[n])
     with open(FULL, "w") as f:
         json.dump(after, f, indent=1, sort_keys=True)
     print("totals: cold", after["value"], "warm", after["warm_total"])
